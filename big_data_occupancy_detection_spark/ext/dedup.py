@@ -1,0 +1,224 @@
+"""Deduplication operators for web-scale corpora.
+
+Five family members, each shuffle-architected for 100 TB:
+
+- **exact**: md5-of-normalized-text fingerprint → groupBy fingerprint.
+  One shuffle on a short hash key; representative = min(doc_id) so the
+  result is deterministic (``dropDuplicates`` would keep an arbitrary row).
+- **n-gram Jaccard**: inverted index (explode distinct shingles) →
+  self-join on shingle → pair intersection counts → Jaccard filter.
+  The join key is the shingle, so only docs sharing a shingle ever meet —
+  no O(n²) cross join. Hot shingles should be df-filtered at real scale
+  (drop shingles appearing in >X docs — see ``max_shingle_df``).
+- **MinHash + LSH**: k seeded portable hashes → per-band signature →
+  self-join on (band, band-signature) → exact-Jaccard verification of
+  candidates only. Candidate generation cost is bands × docs; verification
+  touches only colliding pairs.
+- **SimHash**: 32-bit bit-majority signature over token hashes; equal
+  signatures → near-dup buckets (Hamming-0 grouping; banded Hamming-k is a
+  straightforward extension).
+- **embedding cosine**: see ``ext.similarity``.
+
+All hashes are the portable md5-based 60-bit family (``functions.text_fns``)
+so a DuckDB oracle can recompute identical signatures.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text_fns import md5_hash64, seeded_hash64, tokens, word_ngrams
+
+DEFAULT_NUM_HASHES = 12
+DEFAULT_BANDS = 4  # rows per band r = num_hashes // bands = 3
+SIMHASH_BITS = 32
+
+
+def with_shingles(
+    df: DataFrame, text_col: str = "text", n: int = 3, out: str = "shingles"
+) -> DataFrame:
+    """Distinct n-word shingles per document."""
+    return df.withColumn(out, F.array_distinct(word_ngrams(text_col, n)))
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(fingerprint, n_docs, keep_id): one row per distinct content."""
+    from .text import fingerprint_md5
+
+    return (
+        df.select(F.col(id_col), fingerprint_md5(text_col).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("keep_id"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs (d1 < d2, jaccard >= threshold) via inverted index.
+
+    ``max_shingle_df`` drops ultra-common shingles before the self-join —
+    at corpus scale a stop-shingle appearing in 10^6 docs would otherwise
+    create 10^12 candidate pairs (classic skew bomb).
+    """
+    sh = with_shingles(df, text_col, n).select(
+        F.col(id_col).alias("doc"), "shingles"
+    )
+    sizes = sh.select("doc", F.size("shingles").alias("n_sh"))
+    inv = sh.select("doc", F.explode("shingles").alias("s"))
+    if max_shingle_df is not None:
+        hot = (
+            inv.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+            .select("s")
+        )
+        inv = inv.join(F.broadcast(hot), "s", "left_anti")
+    a = inv.alias("a")
+    b = inv.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("d1"), F.col("b.doc").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc").alias("d1"), F.col("n_sh").alias("n1"))
+    sb = sizes.select(F.col("doc").alias("d2"), F.col("n_sh").alias("n2"))
+    jac = F.col("inter").cast("double") / (F.col("n1") + F.col("n2") - F.col("inter"))
+    return (
+        inter.join(sa, "d1")
+        .join(sb, "d2")
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("d1", "d2", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+) -> DataFrame:
+    """(doc, shingles, sig: array<bigint>[num_hashes]) — sig_i = min seeded hash."""
+    sh = with_shingles(df, text_col, n).select(F.col(id_col).alias("doc"), "shingles")
+
+    def _hasher(seed: int):
+        # closure helper: a seed=seed default arg would make PySpark treat the
+        # lambda as the 2-arg (element, index) transform variant
+        return lambda s: seeded_hash64(s, seed)
+
+    sig = F.array(
+        *[
+            F.array_min(F.transform("shingles", _hasher(i)))
+            for i in range(num_hashes)
+        ]
+    )
+    return sh.withColumn("sig", sig)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs via banded MinHash-LSH + exact-Jaccard verification.
+
+    With r = num_hashes/bands rows per band, a pair with Jaccard j collides
+    with probability 1-(1-j^r)^bands (r=3, bands=4: j=0.5 → 66%, j=0.9 → ~100%).
+    Verification is exact Jaccard on the shingle arrays of candidates only.
+    """
+    r = num_hashes // bands
+    signed = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    band_rows = []
+    for bi in range(bands):
+        band_key = F.md5(
+            F.concat_ws("-", *[F.col("sig")[bi * r + j] for j in range(r)])
+        )
+        band_rows.append(
+            signed.select(
+                "doc", "shingles", F.lit(bi).alias("band"), band_key.alias("bkey")
+            )
+        )
+    banded = reduce(lambda x, y: x.unionByName(y), band_rows)
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("d1"),
+            F.col("b.doc").alias("d2"),
+            F.col("a.shingles").alias("sh1"),
+            F.col("b.shingles").alias("sh2"),
+        )
+        .dropDuplicates(["d1", "d2"])
+    )
+    inter = F.size(F.array_intersect("sh1", "sh2"))
+    jac = inter.cast("double") / (F.size("sh1") + F.size("sh2") - inter)
+    return (
+        cands.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("d1", "d2", "jaccard")
+    )
+
+
+def simhash32(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc, simhash): 32-bit bit-majority signature over token hashes.
+
+    Bit j of the signature is set iff strictly more than half of the
+    document's tokens have bit j set in their 60-bit portable hash.
+    Pure expression over the token-hash array — no shuffle at all.
+    """
+    hs = F.transform(tokens(text_col), md5_hash64)
+    n_tok = F.size(hs)
+    def _bit_counter(j: int):
+        # closure helper: PySpark infers higher-order-function arity from the
+        # lambda signature, so default-arg captures (lambda acc, h, j=j: ...)
+        # would be mis-read as a 3-arg lambda
+        return lambda acc, h: acc + F.shiftright(h, j).bitwiseAND(F.lit(1).cast("long"))
+
+    bit_terms = []
+    for j in range(SIMHASH_BITS):
+        cnt = F.aggregate(hs, F.lit(0).cast("long"), _bit_counter(j))
+        bit_terms.append(F.when(cnt * 2 > n_tok, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long")))
+    simhash = reduce(lambda x, y: x + y, bit_terms)
+    return df.select(F.col(id_col).alias("doc"), simhash.alias("simhash"))
+
+
+def simhash_dup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Pairs of docs with identical SimHash (Hamming-0 near-dup buckets)."""
+    sh = simhash32(df, text_col, id_col)
+    a = sh.alias("a")
+    b = sh.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.simhash") == F.col("b.simhash"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("d1"),
+            F.col("b.doc").alias("d2"),
+            F.col("a.simhash").alias("simhash"),
+        )
+    )

@@ -1,0 +1,88 @@
+"""Multimodal column support: image/audio/video as opaque binary columns
+with typed metadata, processed batch-wise via Arrow (mapInPandas).
+
+The container has no image/audio codecs, so the DECODE step is stubbed
+(deterministic fake features, or NotImplementedError when a real codec is
+demanded) — but everything Spark-side is real and tested: the schema, the
+binary column plumbing, the Arrow batch shape, the partition-parallel UDF
+signature, and the chunking math that keeps each Arrow batch memory-bounded.
+
+At 100 TB the pattern is: binary payloads live in parquet alongside typed
+metadata columns; filters/pruning run on metadata (never deserializing
+payloads); only the surviving rows' payloads cross into Python, in bounded
+Arrow batches (spark.sql.execution.arrow.maxRecordsPerBatch).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+FEATURE_DIM = 8
+CHUNK_BYTES = 256
+
+MEDIA_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("features", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def with_binary_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Materialize an opaque binary column + typed metadata (the on-disk
+    multimodal layout: payload blob + pruning-friendly metadata)."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    return docs.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.length(payload).alias("n_bytes"),
+        F.md5(payload).alias("content_hash"),
+        F.ceil(F.length(payload) / F.lit(CHUNK_BYTES)).cast("long").alias("n_chunks"),
+    )
+
+
+def _fake_decode(payload: bytes) -> list[float]:
+    """Deterministic stand-in for a codec: md5-derived unit features.
+
+    Replace with a real decoder (PIL/librosa/ffmpeg) where available; the
+    Spark-side contract (bytes in, fixed-dim float vector out) is identical.
+    """
+    h = hashlib.md5(payload).digest()
+    return [b / 255.0 for b in h[:FEATURE_DIM]]
+
+
+def decode_features(
+    media: DataFrame,
+    payload_col: str = "payload",
+    real_codec: bool = False,
+) -> DataFrame:
+    """Partition-parallel feature extraction over binary payloads.
+
+    ``mapInPandas`` streams bounded Arrow batches through Python — the only
+    non-JVM hop in the multimodal path, vectorized per batch rather than
+    per row.
+    """
+    if real_codec:
+        raise NotImplementedError(
+            "no image/audio codecs in this environment — plug a decoder into "
+            "_fake_decode and pass real_codec=False semantics through"
+        )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": pdf[payload_col].map(len).astype("int64"),
+                    "features": pdf[payload_col].map(_fake_decode),
+                }
+            )
+
+    return media.mapInPandas(extract, MEDIA_FEATURES_SCHEMA)

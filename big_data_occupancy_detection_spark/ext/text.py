@@ -1,0 +1,113 @@
+"""Text analysis operators — language ID, quality scoring, token counting,
+document fingerprinting. All pure Catalyst expressions (JVM-side, codegen),
+scan-parallel with zero shuffles until the final aggregate, so they scale
+linearly to a 100 TB documents table.
+
+Engine-parity design: every constant (marker lists, regexes, hash recipe)
+lives here once and is consumed by BOTH the Spark expression builders and
+the DuckDB oracle-SQL builders in ``plans/textops.py``, so the two sides
+can never drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..functions.text_fns import char_ngrams, md5_hash64, norm_text, tokens
+
+# Marker vocabularies for the language-ID heuristic. A deterministic
+# marker-token scoring (argmax of per-language marker hits with a fixed
+# tie-break priority) — the classic stopword-profile approach compressed
+# to an oracle-reproducible form.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "is", "and", "of"],
+    "es": ["el", "la", "los", "y", "es"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le", "la", "les", "et", "est"],
+    "zh": ["的", "是", "了", "在", "和"],
+}
+LANG_PRIORITY = ["en", "es", "de", "fr", "zh"]  # tie-break order
+
+# BPE-ish word/number/punctuation tokenizer (same regex class semantics in
+# Java regex and RE2/DuckDB): runs of letters, runs of digits, or a single
+# non-space-non-alnum symbol.
+BPE_REGEX = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+EN_STOPWORDS = ["the", "a", "an", "is", "and", "of", "to", "in"]
+
+
+def marker_score(text_col: Column | str, lang: str) -> Column:
+    """Number of token occurrences that are markers of ``lang``."""
+    markers = LANG_MARKERS[lang]
+    return F.size(
+        F.filter(
+            tokens(text_col),
+            lambda t: t.isin(*markers),
+        )
+    )
+
+
+def lang_id(text_col: Column | str) -> Column:
+    """argmax over language marker scores, ties broken by LANG_PRIORITY."""
+    scores = {lang: marker_score(text_col, lang) for lang in LANG_PRIORITY}
+    expr = F.lit(LANG_PRIORITY[-1])
+    # Build the CASE chain back-to-front so earlier (higher-priority)
+    # languages win ties: lang_i wins iff score_i >= score_j for all j>i
+    # and score_i > score_j comparisons already consumed for j<i.
+    for i in range(len(LANG_PRIORITY) - 2, -1, -1):
+        lang = LANG_PRIORITY[i]
+        cond = None
+        for other in LANG_PRIORITY[i + 1 :]:
+            c = scores[lang] >= scores[other]
+            cond = c if cond is None else (cond & c)
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def token_count_ws(text_col: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(text_col))
+
+
+def token_count_bpe(text_col: Column | str) -> Column:
+    """BPE-ish regex token count (letters / digits / single symbols)."""
+    return F.size(F.regexp_extract_all(norm_text(text_col), F.lit(BPE_REGEX), 0))
+
+
+def quality_features(text_col: Column | str) -> dict[str, Column]:
+    """Deterministic quality signals: length, token stats, stopword ratio."""
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    n_char = F.length(norm_text(text_col))
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS)))
+    return {
+        "n_chars_norm": n_char.cast("long"),
+        "n_tokens": n_tok.cast("long"),
+        "avg_token_len": (n_char - (n_tok - 1)).cast("double") / n_tok,
+        "stopword_ratio": stop_hits.cast("double") / n_tok,
+        "distinct_token_ratio": F.size(F.array_distinct(toks)).cast("double") / n_tok,
+    }
+
+
+def quality_score(text_col: Column | str) -> Column:
+    """Composite quality score in [0,1]: favors mid-length documents with a
+    natural stopword rate and lexical diversity (Gopher-style heuristics
+    reduced to a deterministic closed form)."""
+    f = quality_features(text_col)
+    len_score = F.least(f["n_tokens"] / F.lit(50.0), F.lit(1.0))
+    stop_score = F.least(f["stopword_ratio"] * 5.0, F.lit(1.0))
+    div_score = f["distinct_token_ratio"]
+    return (len_score + stop_score + div_score) / 3.0
+
+
+def fingerprint_md5(text_col: Column | str) -> Column:
+    """Whole-document fingerprint: md5 of the normalized text."""
+    return F.md5(norm_text(text_col))
+
+
+def fingerprint_rolling_min(text_col: Column | str, n: int = 5) -> Column:
+    """Winnowing-style content fingerprint: minimum 60-bit hash over all
+    character n-grams — stable under local edits elsewhere in the document."""
+    grams = char_ngrams(text_col, n)
+    return F.array_min(F.transform(grams, md5_hash64))

@@ -1,0 +1,115 @@
+"""MLlib pipeline builders (SURVEY.md §2.10).
+
+Reproduces the reference's two training recipes as parameterized builders:
+
+- class-weighted logistic regression: VectorAssembler → StandardScaler
+  (withStd, no mean — keeps the feature matrix sparse-friendly) → LR with a
+  ``weightCol`` (reference: ``ml/train_model.py:179-198``). Class weights
+  come from ``operators.relational.class_weights`` — fully distributed,
+  unlike the reference's driver-side collect (``ml/train_model.py:150-175``).
+- oversampled + CV-tuned random forest: minority oversampling with
+  replacement (fraction > 1 Poisson semantics preserved — do NOT "fix" to
+  exact ratios, ``ml/model_creation_and_tuning.ipynb:J128``), ParamGrid ×
+  CrossValidator on BinaryClassificationEvaluator
+  (``ipynb:J179-186``).
+
+Seeds are pinned (42, like the reference throughout) and models persist
+via ``PipelineModel.save/load`` directory artifacts.
+"""
+
+from __future__ import annotations
+
+from pyspark.ml import Pipeline
+from pyspark.ml.classification import LogisticRegression, RandomForestClassifier
+from pyspark.ml.evaluation import BinaryClassificationEvaluator
+from pyspark.ml.feature import StandardScaler, VectorAssembler
+from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SEED = 42
+
+
+def build_weighted_lr_pipeline(
+    feature_cols: list[str],
+    label_col: str = "label",
+    weight_col: str = "class_weight",
+    max_iter: int = 50,
+    reg_param: float = 0.01,
+    elastic_net: float = 0.0,
+) -> Pipeline:
+    assembler = VectorAssembler(
+        inputCols=feature_cols, outputCol="features_raw", handleInvalid="skip"
+    )
+    scaler = StandardScaler(
+        inputCol="features_raw", outputCol="features", withStd=True, withMean=False
+    )
+    lr = LogisticRegression(
+        featuresCol="features",
+        labelCol=label_col,
+        weightCol=weight_col,
+        maxIter=max_iter,
+        regParam=reg_param,
+        elasticNetParam=elastic_net,
+    )
+    return Pipeline(stages=[assembler, scaler, lr])
+
+
+def oversample_minority(
+    df: DataFrame, label_col: str = "label", minority: int = 1, seed: int = SEED
+) -> DataFrame:
+    """Balance classes by sampling the minority WITH replacement at
+    fraction = major/minor (>1 ⇒ per-row Poisson draw) and unioning back.
+
+    The two class counts are a 2-row aggregate collected to the driver —
+    that collect is O(K), not O(rows), so it scales.
+    """
+    counts = dict(
+        df.groupBy(label_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    major_n = max(counts.values())
+    minor_n = counts[minority]
+    ratio = major_n / minor_n
+    major_df = df.filter(F.col(label_col) != minority)
+    minor_df = df.filter(F.col(label_col) == minority)
+    return major_df.unionAll(
+        minor_df.sample(withReplacement=True, fraction=ratio, seed=seed)
+    )
+
+
+def build_rf_cv_pipeline(
+    feature_cols: list[str],
+    label_col: str = "label",
+    num_trees_grid: list[int] | None = None,
+    max_depth_grid: list[int] | None = None,
+    subsampling_grid: list[float] | None = None,
+    num_folds: int = 3,
+) -> CrossValidator:
+    assembler = VectorAssembler(
+        inputCols=feature_cols, outputCol="features_raw", handleInvalid="skip"
+    )
+    scaler = StandardScaler(
+        inputCol="features_raw", outputCol="features", withStd=True, withMean=True
+    )
+    rf = RandomForestClassifier(
+        featuresCol="features", labelCol=label_col, seed=SEED
+    )
+    pipeline = Pipeline(stages=[assembler, scaler, rf])
+    grid = (
+        ParamGridBuilder()
+        .addGrid(rf.numTrees, num_trees_grid or [50, 100, 200])
+        .addGrid(rf.maxDepth, max_depth_grid or [5, 10, 15, 25])
+        .addGrid(rf.subsamplingRate, subsampling_grid or [0.8, 1.0])
+        .build()
+    )
+    evaluator = BinaryClassificationEvaluator(
+        labelCol=label_col, metricName="areaUnderROC"
+    )
+    return CrossValidator(
+        estimator=pipeline,
+        estimatorParamMaps=grid,
+        evaluator=evaluator,
+        numFolds=num_folds,
+        seed=SEED,
+        parallelism=4,
+    )

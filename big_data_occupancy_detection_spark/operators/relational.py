@@ -1,0 +1,137 @@
+"""Relational operator library (SURVEY.md §2.2/2.4/2.5/2.7).
+
+Each operator is a pure DataFrame→DataFrame function built from Catalyst
+expressions — single-pass where the reference made multiple passes, and
+distributed where the reference collected to the driver:
+
+- ``null_census``         — per-column null counts in ONE scan
+                            (reference: ``eda/eda_analysis.py:35-39``).
+- ``describe_stats``      — count/mean/stddev/min/max per numeric column,
+                            one scan + unpivot (reference: ``.describe()``,
+                            ``eda/eda_analysis.py:48``).
+- ``grouped_percentiles`` — exact percentiles per group (reference used
+                            driver-side ``approxQuantile``,
+                            ``eda/eda_analysis.py:52``; exact form is
+                            oracle-comparable and still distributed).
+- ``class_weights``       — w_k = total/(K·n_k) computed fully distributed
+                            (reference collects counts to the driver,
+                            ``ml/train_model.py:150-175`` — a pattern that
+                            dies at scale; here it is a tiny agg + window +
+                            broadcast join back).
+- ``global_row_number``   — deterministic global dense ids WITHOUT the
+                            single-task ``Window.orderBy`` hazard
+                            (reference: ``eda/merge_datasets.py:65-69``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def null_census(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """One row; one column per input column holding its null count.
+
+    Single scan, map-side partial aggregation — at 100 TB this is a pure
+    scan+combine with no shuffle beyond the final 1-row reduce.
+    """
+    cols = cols or df.columns
+    return df.select(
+        [F.sum(F.col(c).isNull().cast("int")).cast("long").alias(c) for c in cols]
+    )
+
+
+def describe_stats(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Long-format describe: (col_name, n, mean, std, min, max) per numeric col.
+
+    One aggregation pass over all columns, then a driver-free unpivot via
+    ``stack`` — unlike ``DataFrame.describe`` this has a stable typed schema
+    (doubles, not strings) so it can be hash-compared to an oracle.
+    """
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.col(c)).cast("double").alias(f"__n_{c}"),
+            F.avg(F.col(c)).alias(f"__mean_{c}"),
+            F.stddev_samp(F.col(c)).alias(f"__std_{c}"),
+            F.min(F.col(c)).cast("double").alias(f"__min_{c}"),
+            F.max(F.col(c)).cast("double").alias(f"__max_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', `__n_{c}`, `__mean_{c}`, `__std_{c}`, `__min_{c}`, `__max_{c}`"
+        for c in cols
+    )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS (col_name, n, mean, std, min, max)"
+    )
+
+
+def grouped_percentiles(
+    df: DataFrame, group_col: str, value_col: str, probs: list[float]
+) -> DataFrame:
+    """Exact linear-interpolated percentiles per group (= SQL quantile_cont).
+
+    Uses the built-in ``percentile`` aggregate (JVM-side). Exact percentile
+    holds per-group values in memory on the reducer: fine for bounded-
+    cardinality value domains / groups; for unbounded 100 TB columns switch
+    to ``percentile_approx`` (Greenwald-Khanna, mergeable sketches).
+    """
+    pcts = F.percentile(F.col(value_col), F.array(*[F.lit(p) for p in probs]))
+    out = df.groupBy(group_col).agg(pcts.alias("__p"))
+    sel = [F.col(group_col)] + [
+        F.col("__p")[i].alias(f"p{int(p * 100):02d}") for i, p in enumerate(probs)
+    ]
+    return out.select(*sel)
+
+
+def class_weights(df: DataFrame, label_col: str, num_classes: int = 2) -> DataFrame:
+    """Balanced class weights w_k = total / (K * n_k), fully distributed.
+
+    Returns the input with an extra ``class_weight`` column. The per-class
+    count table is tiny (K rows): total is computed with an unpartitioned
+    window over it (K rows through one task — trivially safe) and the map
+    back onto the data is a broadcast join, so nothing ever collects to the
+    driver regardless of data size.
+    """
+    counts = df.groupBy(label_col).agg(F.count(F.lit(1)).alias("__n_k"))
+    w = Window.partitionBy()
+    weights = counts.withColumn(
+        "class_weight",
+        F.sum("__n_k").over(w).cast("double") / (F.lit(num_classes) * F.col("__n_k")),
+    ).drop("__n_k")
+    return df.join(F.broadcast(weights), on=label_col, how="left")
+
+
+def global_row_number(
+    df: DataFrame, order_cols: list[str], id_col: str = "id"
+) -> DataFrame:
+    """Dense 1..N ids in a deterministic total order, scalably.
+
+    The naive ``row_number().over(Window.orderBy(...))`` funnels every row
+    through ONE task. Here: range-repartition on the order keys (so the
+    partition index itself follows the global order), number rows within
+    each partition in parallel, then add per-partition offsets computed
+    from a tiny (num_partitions-row) aggregate via broadcast join.
+
+    Requires ``order_cols`` to be a unique key for a fully deterministic
+    assignment (same contract as the reference's 7-column sort,
+    ``eda/merge_datasets.py:65-69``).
+    """
+    order_exprs = [F.col(c) for c in order_cols]
+    parted = df.repartitionByRange(*order_exprs).sortWithinPartitions(*order_exprs)
+    with_pid = parted.withColumn("__pid", F.spark_partition_id())
+    w_local = Window.partitionBy("__pid").orderBy(*order_exprs)
+    local = with_pid.withColumn("__local_rn", F.row_number().over(w_local))
+    sizes = local.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
+    w_off = Window.partitionBy().orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = sizes.withColumn(
+        "__offset", F.coalesce(F.sum("__cnt").over(w_off), F.lit(0))
+    ).select("__pid", "__offset")
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn(id_col, (F.col("__local_rn") + F.col("__offset")).cast("long"))
+        .drop("__pid", "__local_rn", "__offset")
+    )

@@ -1,0 +1,9 @@
+from .registry import REGISTRY, QuerySpec, oracle_sql_map, queries_map, register
+
+# Importing the plan modules populates the registry.
+from . import relational as _relational  # noqa: E402,F401
+from . import events as _events  # noqa: E402,F401
+from . import textops as _textops  # noqa: E402,F401
+from . import mlplans as _mlplans  # noqa: E402,F401
+
+__all__ = ["REGISTRY", "QuerySpec", "register", "queries_map", "oracle_sql_map"]

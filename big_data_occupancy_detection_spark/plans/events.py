@@ -1,0 +1,262 @@
+"""Event-stream-shaped plans (SURVEY.md §2.8-2.9) in batch-verifiable form.
+
+Covers the reference's temporal analytics (hour / Monday-based day-of-week
+buckets, ``eda/eda_analysis.py:102-129``), conditional labeling
+(``ml/train_model.py:170-173``), class-weight computation
+(``ml/train_model.py:150-175`` — rebuilt distributed), JSON envelope
+parse→validate→score→sentinel routing (``infrastructure/stream_inference.py``
+T3 semantics as a pure batch transform shared with the streaming plane),
+plus the scale patterns the reference lacks: analytic windows (lag/running
+sums) and sessionization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.datetime_fns import dow_monday
+from ..operators.relational import class_weights
+from ..sources.readers import table
+from .registry import register
+
+
+# --------------------------------------------------------------------------
+# q16 — hourly activity (SURVEY A10: groupBy(hour) count+avg).
+# --------------------------------------------------------------------------
+@register(
+    "hourly_activity",
+    oracle="""
+    SELECT CAST(extract(hour FROM ts) AS INTEGER) AS hour,
+           count(*) AS n_events,
+           round(avg(value), 4) AS avg_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def hourly_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.hour("ts").alias("hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q17 — day-of-week activity with the reference's Monday=1 remap
+# (eda_analysis.py:104-107 ⇔ SQL isodow).
+# --------------------------------------------------------------------------
+@register(
+    "dow_activity",
+    oracle="""
+    SELECT CAST(isodow(ts) AS INTEGER) AS dow,
+           count(*) AS n_events,
+           round(avg(value), 4) AS avg_value,
+           round(avg(CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END), 6) AS purchase_rate
+    FROM events
+    GROUP BY 1
+    """,
+)
+def dow_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(dow_monday("ts").cast("int").alias("dow"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.round(
+                F.avg(F.when(F.col("event_type") == "purchase", 1.0).otherwise(0.0)), 6
+            ).alias("purchase_rate"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q18 — conditional bucketing with when/otherwise (SURVEY P10).
+# --------------------------------------------------------------------------
+@register(
+    "value_buckets",
+    oracle="""
+    SELECT CASE WHEN value < 10 THEN 'low'
+                WHEN value < 100 THEN 'mid'
+                ELSE 'high' END AS bucket,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    bucket = (
+        F.when(F.col("value") < 10, "low")
+        .when(F.col("value") < 100, "mid")
+        .otherwise("high")
+    )
+    return (
+        ev.groupBy(bucket.alias("bucket"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q19 — analytic windows: lag + delta + running total per user
+# (beyond the reference's single ranking window, SURVEY §2.5).
+# Deterministic order: (ts, event_id) — event_id is the unique tiebreaker.
+# --------------------------------------------------------------------------
+@register(
+    "user_running_totals",
+    oracle="""
+    SELECT user_id, event_id,
+           round(value, 4) AS value,
+           round(lag(value) OVER w, 4) AS prev_value,
+           round(value - coalesce(lag(value) OVER w, 0.0), 4) AS delta,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+             AS running_total
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round("value", 4).alias("value"),
+        F.round(F.lag("value").over(w), 4).alias("prev_value"),
+        F.round(F.col("value") - F.coalesce(F.lag("value").over(w), F.lit(0.0)), 4).alias(
+            "delta"
+        ),
+        F.round(F.sum("value").over(run), 4).alias("running_total"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q20 — sessionization: 30-min-gap sessions per user via lag window
+# (the scale pattern for event streams; also exists in streaming form as
+# session_window — see streaming module).
+# --------------------------------------------------------------------------
+@register(
+    "user_sessions",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events)
+    SELECT user_id,
+           CAST(sum(new_session) AS BIGINT) AS n_sessions,
+           count(*) AS n_events
+    FROM flagged
+    GROUP BY user_id
+    """,
+)
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    # cast-to-double keeps fractional seconds (unix_timestamp truncates,
+    # which would disagree with the oracle's exact interval comparison)
+    gap_s = F.col("ts").cast("double") - prev_ts.cast("double")
+    new_session = F.when(prev_ts.isNull() | (gap_s > 1800.0), 1).otherwise(0)
+    return (
+        ev.withColumn("new_session", new_session)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_session").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q21 — class weights, fully distributed (SURVEY M4 rebuilt without the
+# driver collect of ml/train_model.py:150-175).
+# --------------------------------------------------------------------------
+@register(
+    "event_class_weights",
+    oracle="""
+    SELECT event_type,
+           round(CAST((SELECT count(*) FROM events) AS DOUBLE)
+                 / (5 * count(*)), 6) AS class_weight
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def event_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    weighted = class_weights(ev, "event_type", num_classes=5)
+    return (
+        weighted.select("event_type", "class_weight")
+        .dropDuplicates(["event_type"])
+        .select("event_type", F.round("class_weight", 6).alias("class_weight"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q22 — JSON envelope parse → validity routing → score → sentinel union:
+# the T3 semantics of infrastructure/stream_inference.py:62-129 as a pure
+# batch transform (the streaming plane applies this same function to a
+# stream — see streaming/inference.py). "Model" is a deterministic logistic
+# stand-in so the oracle can reproduce it.
+# --------------------------------------------------------------------------
+PROPS_SCHEMA = T.StructType(
+    [T.StructField("k", T.IntegerType(), True)]
+)
+
+
+def parse_route_score(ev: DataFrame) -> DataFrame:
+    """Shared batch/stream transform: from_json → validity split → score valid
+    branch, sentinel (-1 / -1.0) invalid branch → unionByName."""
+    parsed = ev.select(
+        "event_id",
+        F.from_json(F.col("props"), PROPS_SCHEMA).alias("req"),
+    ).select("event_id", F.col("req.k").alias("k"))
+    valid = parsed.filter(F.col("k").isNotNull() & (F.col("k") <= 50))
+    invalid = parsed.filter(F.col("k").isNull() | (F.col("k") > 50))
+    probability = (2 * F.col("k") + 1) / F.lit(200.0)
+    scored = valid.select(
+        "event_id",
+        "k",
+        F.when(probability > 0.3, 1).otherwise(0).alias("prediction"),
+        F.round(probability, 6).alias("probability"),
+    )
+    sentinel = invalid.select(
+        "event_id",
+        "k",
+        F.lit(-1).alias("prediction"),
+        F.lit(-1.0).alias("probability"),
+    )
+    return scored.unionByName(sentinel)
+
+
+@register(
+    "parse_route_score_events",
+    oracle="""
+    WITH parsed AS (
+      SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+      FROM events)
+    SELECT event_id, k,
+           CASE WHEN (2 * k + 1) / 200.0 > 0.3 THEN 1 ELSE 0 END AS prediction,
+           round((2 * k + 1) / 200.0, 6) AS probability
+    FROM parsed WHERE k IS NOT NULL AND k <= 50
+    UNION ALL
+    SELECT event_id, k, -1 AS prediction, -1.0 AS probability
+    FROM parsed WHERE k IS NULL OR k > 50
+    """,
+)
+def parse_route_score_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return parse_route_score(table(spark, sf_dir, "events"))

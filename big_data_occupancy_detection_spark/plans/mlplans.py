@@ -1,0 +1,106 @@
+"""ML-adjacent plans: feature engineering (oracle-checked) and training/
+scoring pipelines (rows-only — iterative MLlib fitting is not
+SQL-expressible; correctness is asserted by metric-range tests in
+``tests/test_ml.py``, mirroring the reference's report-CSV quality gates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..ml.evaluation import confusion_matrix
+from ..ml.pipelines import SEED, build_weighted_lr_pipeline
+from ..operators.relational import class_weights
+from ..sources.readers import table
+from .registry import register
+
+
+# --------------------------------------------------------------------------
+# q35 — per-user behavioral features (the feature-engineering aggregate an
+# occupancy-style model trains on; oracle-checked).
+# --------------------------------------------------------------------------
+@register(
+    "user_features",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n_events,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
+           round(avg(value), 4) AS avg_value,
+           round(max(value), 4) AS max_value,
+           CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_active_days,
+           round(avg(CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END), 6) AS purchase_rate
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    is_purchase = F.col("event_type") == "purchase"
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(is_purchase, 1).otherwise(0)).alias("n_purchases"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.round(F.max("value"), 4).alias("max_value"),
+        F.countDistinct(F.col("ts").cast("date")).alias("n_active_days"),
+        F.round(F.avg(F.when(is_purchase, 1.0).otherwise(0.0)), 6).alias(
+            "purchase_rate"
+        ),
+    )
+
+
+def _embedding_training_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary task from the embeddings table: label' = (label < 5)."""
+    from pyspark.ml.functions import array_to_vector
+
+    emb = table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features_raw"),
+        (F.col("label") < 5).cast("int").alias("label"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q36 — class-weighted LR train/score (SURVEY M1-M4, M7, M9): returns the
+# confusion matrix of train-set predictions. Rows-only check (iterative
+# LBFGS fit), metric gates live in tests/test_ml.py.
+# --------------------------------------------------------------------------
+@register("lr_confusion_embeddings", oracle=None)
+def lr_confusion_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import StandardScaler
+
+    df = _embedding_training_df(spark, sf_dir)
+    weighted = class_weights(df, "label", num_classes=2)
+    scaler = StandardScaler(
+        inputCol="features_raw", outputCol="features", withStd=True, withMean=False
+    )
+    lr = LogisticRegression(
+        featuresCol="features",
+        labelCol="label",
+        weightCol="class_weight",
+        maxIter=50,
+        regParam=0.01,
+        elasticNetParam=0.0,
+    )
+    model = Pipeline(stages=[scaler, lr]).fit(weighted)
+    return confusion_matrix(model.transform(weighted))
+
+
+# --------------------------------------------------------------------------
+# q37 — weighted-LR pipeline over engineered user features (assembler →
+# scaler → LR, the reference's full batch-training shape). Rows-only.
+# --------------------------------------------------------------------------
+@register("lr_user_purchase", oracle=None)
+def lr_user_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = user_features(spark, sf_dir).withColumn(
+        "label", (F.col("purchase_rate") > 0.2).cast("int")
+    )
+    weighted = class_weights(feats, "label", num_classes=2)
+    pipeline = build_weighted_lr_pipeline(
+        ["n_events", "avg_value", "max_value", "n_active_days"]
+    )
+    model = pipeline.fit(weighted)
+    return confusion_matrix(model.transform(weighted))

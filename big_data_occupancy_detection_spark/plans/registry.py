@@ -1,0 +1,56 @@
+"""Query registry — the verified surface of the engine.
+
+Every capability from SURVEY.md §2 (plus the scale extension operators) is
+registered here as a named query: a ``(spark, sf_dir) -> DataFrame``
+callable and, wherever the semantics are ANSI-SQL-expressible, a DuckDB
+oracle SQL string computing the identical result (same column names, same
+types, same rounding). The driver hash-compares the two at sf0.01.
+
+Conventions that make hash parity work:
+- alias every computed column identically in Spark and SQL;
+- round floating aggregates (4-6 decimals) on BOTH sides so double
+  summation-order differences between engines vanish;
+- cast count-like results to BIGINT on both sides (DuckDB ``sum(int)``
+  is int128 otherwise);
+- deterministic tie-breaks (a unique key) in every top-k / window order.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # DuckDB SQL, or None → driver does rows-only check
+    doc: str
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    """Decorator: add a query to the registry."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=fn.__doc__ or "")
+        return fn
+
+    return deco
+
+
+def queries_map() -> dict[str, QueryFn]:
+    return {name: spec.fn for name, spec in REGISTRY.items()}
+
+
+def oracle_sql_map() -> dict[str, str]:
+    return {
+        name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None
+    }

@@ -1,0 +1,472 @@
+"""Relational query plans over the star schema (SURVEY.md §2.2-2.7 + joins).
+
+The reference's dominant relational pattern is "filtered grouped aggregate"
+(``eda/eda_analysis.py:148-166``, ``ml/train_model.py:239-243``); it has NO
+joins (SURVEY.md §2.3) — the join family here is the engine's required
+generalization, expressed declaratively so Catalyst picks broadcast vs
+sort-merge (dimensions get explicit ``broadcast()`` hints).
+
+Scale notes per query are inline; every aggregate is partial-aggregated
+map-side by Catalyst, every dimension join is broadcast, and no query
+collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.relational import (
+    describe_stats,
+    global_row_number,
+    grouped_percentiles,
+    null_census,
+)
+from ..operators.topk import top_k_per_group
+from ..sources.readers import table
+from .registry import register
+
+
+def _ts(s: str):
+    return F.lit(s).cast("timestamp")
+
+
+# --------------------------------------------------------------------------
+# q01 — pricing summary (TPC-H Q1 shape): scan → filter → 8-agg groupBy → sort.
+# Mirrors the reference's grouped-multi-agg pattern (eda/eda_analysis.py:79-86).
+# Scale: pure map-side partial agg into 6 groups; shuffle is 6 rows/partition.
+# --------------------------------------------------------------------------
+@register(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 4)                                        AS sum_qty,
+           round(sum(l_extendedprice), 4)                                   AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 4)                AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4)  AS sum_charge,
+           round(avg(l_quantity), 4)                                        AS avg_qty,
+           round(avg(l_extendedprice), 4)                                   AS avg_price,
+           round(avg(l_discount), 4)                                        AS avg_disc,
+           count(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= _ts("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q02 — shipping priority (TPC-H Q3 shape): 3-way join → agg → top-10.
+# Scale: customer filter prunes before the join; orders⋈lineitem is the big
+# shuffle join on l_orderkey (AQE handles skew); top-k is a global sort of
+# an already-aggregated (small) result.
+# --------------------------------------------------------------------------
+@register(
+    "shipping_priority",
+    oracle="""
+    SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15'
+      AND l.l_shipdate  > TIMESTAMP '1998-03-15'
+    GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < _ts("1998-03-15")
+    )
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > _ts("1998-03-15"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# q03 — region revenue (TPC-H Q5 shape): 5-way star join → per-region agg.
+# Scale: region/nation are broadcast (5/25 rows); customer joins orders on
+# the key both sides can pre-partition on; one big shuffle for o⋈l.
+# --------------------------------------------------------------------------
+@register(
+    "region_revenue",
+    oracle="""
+    SELECT r.r_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM region r
+    JOIN nation n   ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o   ON o.o_custkey  = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY r.r_name
+    """,
+)
+def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = table(spark, sf_dir, "region")
+    nation = table(spark, sf_dir, "nation")
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    dims = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "r_name")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
+        .groupBy("r_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q04 — semi join: order-priority census of orders having a heavy lineitem.
+# --------------------------------------------------------------------------
+@register(
+    "priority_semi_join",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+    GROUP BY o_orderpriority
+    """,
+)
+def priority_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    heavy = table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return (
+        orders.join(heavy, orders.o_orderkey == heavy.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q05 — anti join: customers with no 1995 order, per market segment.
+# --------------------------------------------------------------------------
+@register(
+    "inactive_customers_anti_join",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n_customers
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+                        AND o.o_orderdate <  TIMESTAMP '1996-01-01')
+    GROUP BY c_mktsegment
+    """,
+)
+def inactive_customers_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    o95 = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1995-01-01"))
+        & (F.col("o_orderdate") < _ts("1996-01-01"))
+    )
+    return (
+        cust.join(o95, cust.c_custkey == o95.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q06 — global agg under compound predicate (TPC-H Q6 / SURVEY A4 shape:
+# `eda_analysis.py:148-166` occupancy-rate-under-threshold).
+# Scale: scan-only with full predicate pushdown; zero shuffle (1-row reduce).
+# --------------------------------------------------------------------------
+@register(
+    "forecast_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
+           count(*) AS n_items,
+           round(avg(l_quantity), 6) AS avg_qty
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.04 AND 0.06 AND l_quantity < 24
+    """,
+)
+def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= _ts("1996-01-01"))
+            & (F.col("l_shipdate") < _ts("1997-01-01"))
+            & (F.col("l_discount").between(0.04, 0.06))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q07 — null census, one scan (SURVEY A5: eda_analysis.py:35-39).
+# --------------------------------------------------------------------------
+@register(
+    "null_census_events",
+    oracle="""
+    SELECT CAST(sum(CASE WHEN event_id  IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS event_id,
+           CAST(sum(CASE WHEN ts        IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ts,
+           CAST(sum(CASE WHEN user_id   IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS user_id,
+           CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS event_type,
+           CAST(sum(CASE WHEN value     IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS value,
+           CAST(sum(CASE WHEN props     IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS props
+    FROM events
+    """,
+)
+def null_census_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return null_census(table(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
+# q08 — describe (SURVEY A6) as a typed long-format single-pass aggregate.
+# --------------------------------------------------------------------------
+_DESCRIBE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+@register(
+    "describe_lineitem",
+    oracle="\nUNION ALL\n".join(
+        f"""
+    SELECT '{c}' AS col_name,
+           CAST(count({c}) AS DOUBLE)      AS n,
+           round(avg({c}), 6)              AS mean,
+           round(stddev_samp({c}), 6)      AS std,
+           CAST(min({c}) AS DOUBLE)        AS min,
+           CAST(max({c}) AS DOUBLE)        AS max
+    FROM lineitem"""
+        for c in _DESCRIBE_COLS
+    ),
+)
+def describe_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = describe_stats(table(spark, sf_dir, "lineitem"), _DESCRIBE_COLS)
+    return out.select(
+        "col_name",
+        "n",
+        F.round("mean", 6).alias("mean"),
+        F.round("std", 6).alias("std"),
+        "min",
+        "max",
+    )
+
+
+# --------------------------------------------------------------------------
+# q09 — exact grouped percentiles (SURVEY A7 generalized from approxQuantile).
+# --------------------------------------------------------------------------
+@register(
+    "grouped_percentiles_price",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.00), 6) AS p00,
+           round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+           round(quantile_cont(l_extendedprice, 0.50), 6) AS p50,
+           round(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
+           round(quantile_cont(l_extendedprice, 1.00), 6) AS p100
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def grouped_percentiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = grouped_percentiles(
+        table(spark, sf_dir, "lineitem"),
+        "l_returnflag",
+        "l_extendedprice",
+        [0.0, 0.25, 0.5, 0.75, 1.0],
+    )
+    return out.select(
+        "l_returnflag",
+        *[F.round(c, 6).alias(c) for c in ["p00", "p25", "p50", "p75", "p100"]],
+    )
+
+
+# --------------------------------------------------------------------------
+# q10 — Pearson correlation per group (SURVEY A8: df.stat.corr distributed).
+# --------------------------------------------------------------------------
+@register(
+    "grouped_correlation",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           round(corr(l_discount, l_tax), 6)           AS corr_disc_tax
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def grouped_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+            F.round(F.corr("l_discount", "l_tax"), 6).alias("corr_disc_tax"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q11 — top-k per group (rank window; deterministic tiebreak on the key).
+# --------------------------------------------------------------------------
+@register(
+    "top_orders_per_customer",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(row_number() OVER (PARTITION BY o_custkey
+                                     ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk
+      FROM orders)
+    WHERE rnk <= 3
+    """,
+)
+def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = top_k_per_group(
+        table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice"),
+        ["o_custkey"],
+        [F.desc("o_totalprice"), F.asc("o_orderkey")],
+        3,
+    )
+    return out.withColumn("rnk", F.col("rnk").cast("long"))
+
+
+# --------------------------------------------------------------------------
+# q12 — union + distinct (SURVEY U1/U4) over overlapping projections.
+# --------------------------------------------------------------------------
+@register(
+    "union_distinct_events",
+    oracle="""
+    SELECT event_id, event_type, value FROM events WHERE value > 400
+    UNION
+    SELECT event_id, event_type, value FROM events WHERE event_type = 'purchase' AND value > 350
+    """,
+)
+def union_distinct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    a = ev.filter(F.col("value") > 400)
+    b = ev.filter((F.col("event_type") == "purchase") & (F.col("value") > 350))
+    return a.unionByName(b).dropDuplicates()
+
+
+# --------------------------------------------------------------------------
+# q13 — dedup + deterministic global re-key (SURVEY U4/W1, merge_datasets.py
+# :58-80) — scalable two-phase row_number, not a single-task global window.
+# --------------------------------------------------------------------------
+@register(
+    "dedup_rekey_pairs",
+    oracle="""
+    SELECT CAST(row_number() OVER (ORDER BY user_id, event_type) AS BIGINT) AS id,
+           user_id, event_type
+    FROM (SELECT DISTINCT user_id, event_type FROM events)
+    """,
+)
+def dedup_rekey_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = table(spark, sf_dir, "events").select("user_id", "event_type").dropDuplicates()
+    out = global_row_number(pairs, ["user_id", "event_type"], id_col="id")
+    return out.select("id", "user_id", "event_type")
+
+
+# --------------------------------------------------------------------------
+# q14 — rollup over the region/nation hierarchy (grouping-sets family;
+# beyond the reference's flat groupBys, needed for OLAP completeness).
+# --------------------------------------------------------------------------
+@register(
+    "customer_rollup",
+    oracle="""
+    SELECT coalesce(r_name, 'ALL') AS region_name,
+           coalesce(n_name, 'ALL') AS nation_name,
+           count(*) AS n_customers,
+           round(avg(c_acctbal), 4) AS avg_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def customer_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    joined = cust.join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region_name"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation_name"),
+            "n_customers",
+            "avg_acctbal",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q15 — pivot: per-customer order-status counts (pivot/unpivot family).
+# --------------------------------------------------------------------------
+@register(
+    "order_status_pivot",
+    oracle="""
+    SELECT o_custkey,
+           CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+           CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_partial,
+           round(sum(o_totalprice), 4) AS total_spend
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def order_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    status = F.col("o_orderstatus")
+    return orders.groupBy("o_custkey").agg(
+        F.sum(F.when(status == "O", 1).otherwise(0)).alias("n_open"),
+        F.sum(F.when(status == "F", 1).otherwise(0)).alias("n_filled"),
+        F.sum(F.when(status == "P", 1).otherwise(0)).alias("n_partial"),
+        F.round(F.sum("o_totalprice"), 4).alias("total_spend"),
+    )

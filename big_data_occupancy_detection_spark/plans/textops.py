@@ -1,0 +1,366 @@
+"""Text / dedup / similarity / multimodal plans over documents+embeddings.
+
+The oracle SQL for these is BUILT programmatically from the same constants
+(hash recipe, marker lists, seeds, band layout) the Spark operators use —
+see ``ext.text`` / ``ext.dedup`` / ``ext.similarity`` — so both sides
+compute byte-identical signatures.
+
+DuckDB building blocks mirrored against Spark:
+  norm      trim(regexp_replace(lower(text),'\\s+',' ','g'))   ⇔ functions.text_fns.norm_text
+  tokens    regexp_split_to_array(norm, ' ')                   ⇔ tokens
+  hash64(e) CAST(('0x'||substr(md5(e),1,15)) AS BIGINT)        ⇔ md5_hash64 (60-bit, portable)
+  shingles  list_distinct(list_transform(range...))            ⇔ with_shingles
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..ext import dedup as D
+from ..ext import multimodal as MM
+from ..ext import similarity as SIM
+from ..ext import text as TX
+from ..sources.readers import table
+from .registry import register
+
+# ---------------------------------------------------------------- SQL helpers
+
+NORM_SQL = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+TOKENS_SQL = f"regexp_split_to_array({NORM_SQL}, ' ')"
+
+
+def hash64_sql(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+SHINGLES_SQL = (
+    "list_distinct(list_transform("
+    "range(1, greatest(len(t) - 2, 1) + 1), "
+    "i -> concat_ws(' ', t[i], t[i+1], t[i+2])))"
+)
+
+_TOKS_CTE = f"toks AS (SELECT doc_id, {TOKENS_SQL} AS t FROM documents)"
+_SH_CTE = f"sh AS (SELECT doc_id, {SHINGLES_SQL} AS shingles FROM toks)"
+
+
+# --------------------------------------------------------------------------
+# q23 — text statistics + quality score (token counting, quality heuristics).
+# --------------------------------------------------------------------------
+_STOPS = ", ".join(f"'{w}'" for w in TX.EN_STOPWORDS)
+
+_TEXT_STATS_ORACLE = f"""
+WITH {_TOKS_CTE},
+feat AS (
+  SELECT doc_id,
+         length({NORM_SQL}) AS n_char,
+         len(t) AS n_tok,
+         len(regexp_extract_all({NORM_SQL}, '{TX.BPE_REGEX}')) AS n_bpe,
+         len(list_filter(t, x -> list_contains([{_STOPS}], x))) AS stop_hits,
+         len(list_distinct(t)) AS n_distinct
+  FROM documents JOIN toks USING (doc_id))
+SELECT doc_id,
+       CAST(n_tok AS BIGINT) AS n_tokens,
+       CAST(n_bpe AS BIGINT) AS n_tokens_bpe,
+       round(CAST(n_char - (n_tok - 1) AS DOUBLE) / n_tok, 6) AS avg_token_len,
+       round(CAST(stop_hits AS DOUBLE) / n_tok, 6) AS stopword_ratio,
+       round(CAST(n_distinct AS DOUBLE) / n_tok, 6) AS distinct_token_ratio,
+       round((least(n_tok / 50.0, 1.0)
+              + least((CAST(stop_hits AS DOUBLE) / n_tok) * 5.0, 1.0)
+              + CAST(n_distinct AS DOUBLE) / n_tok) / 3.0, 6) AS quality
+FROM feat
+"""
+
+
+@register("text_stats", oracle=_TEXT_STATS_ORACLE)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    f = TX.quality_features("text")
+    return docs.select(
+        "doc_id",
+        f["n_tokens"].alias("n_tokens"),
+        TX.token_count_bpe("text").cast("long").alias("n_tokens_bpe"),
+        F.round(f["avg_token_len"], 6).alias("avg_token_len"),
+        F.round(f["stopword_ratio"], 6).alias("stopword_ratio"),
+        F.round(f["distinct_token_ratio"], 6).alias("distinct_token_ratio"),
+        F.round(TX.quality_score("text"), 6).alias("quality"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q24 — language ID (marker-profile argmax with fixed tie-break priority).
+# --------------------------------------------------------------------------
+def _lang_oracle() -> str:
+    score_cols = []
+    for lang in TX.LANG_PRIORITY:
+        marks = ", ".join(f"'{m}'" for m in TX.LANG_MARKERS[lang])
+        score_cols.append(
+            f"len(list_filter(t, x -> list_contains([{marks}], x))) AS s_{lang}"
+        )
+    cases = []
+    prio = TX.LANG_PRIORITY
+    for i, lang in enumerate(prio[:-1]):
+        conds = " AND ".join(f"s_{lang} >= s_{o}" for o in prio[i + 1 :])
+        cases.append(f"WHEN {conds} THEN '{lang}'")
+    case_sql = "CASE " + " ".join(cases) + f" ELSE '{prio[-1]}' END"
+    return f"""
+    WITH {_TOKS_CTE},
+    scores AS (SELECT doc_id, {', '.join(score_cols)} FROM toks)
+    SELECT d.doc_id, d.lang, {case_sql} AS pred_lang
+    FROM documents d JOIN scores USING (doc_id)
+    """
+
+
+@register("lang_id_pred", oracle=_lang_oracle())
+def lang_id_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", TX.lang_id("text").alias("pred_lang"))
+
+
+# --------------------------------------------------------------------------
+# q25 — exact dedup groups (md5 fingerprint, deterministic representative).
+# --------------------------------------------------------------------------
+@register(
+    "exact_dedup_groups",
+    oracle=f"""
+    SELECT md5({NORM_SQL}) AS fingerprint,
+           count(*) AS n_docs,
+           min(doc_id) AS keep_id
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def exact_dedup_groups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup_groups(table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# q26 — document fingerprints (whole-doc md5 + winnowing min-hash of char
+# 5-grams: stable under local edits).
+# --------------------------------------------------------------------------
+_CHAR_GRAMS_SQL = (
+    f"list_transform(range(1, greatest(length({NORM_SQL}) - 4, 1) + 1), "
+    f"i -> substr({NORM_SQL}, i, 5))"
+)
+
+
+@register(
+    "doc_fingerprints",
+    oracle=f"""
+    SELECT doc_id,
+           md5({NORM_SQL}) AS fp_md5,
+           list_min(list_transform({_CHAR_GRAMS_SQL}, g -> {hash64_sql('g')})) AS fp_rolling
+    FROM documents
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.fingerprint_md5("text").alias("fp_md5"),
+        TX.fingerprint_rolling_min("text", 5).alias("fp_rolling"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q27 — n-gram Jaccard near-dup pairs via inverted shingle index.
+# --------------------------------------------------------------------------
+_JACCARD_T = 0.5
+
+_NGRAM_ORACLE = f"""
+WITH {_TOKS_CTE},
+{_SH_CTE},
+sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+inv AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+pairs AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT d1, d2,
+       round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+FROM pairs p
+JOIN sizes sa ON sa.doc_id = p.d1
+JOIN sizes sb ON sb.doc_id = p.d2
+WHERE round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6) >= {_JACCARD_T}
+"""
+
+
+@register("ngram_jaccard_pairs", oracle=_NGRAM_ORACLE)
+def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.ngram_jaccard_pairs(
+        table(spark, sf_dir, "documents"), threshold=_JACCARD_T
+    )
+
+
+# --------------------------------------------------------------------------
+# q28 — MinHash-LSH near-dup pairs (banded candidates + exact verification).
+# --------------------------------------------------------------------------
+def _minhash_oracle() -> str:
+    nh, bands = D.DEFAULT_NUM_HASHES, D.DEFAULT_BANDS
+    r = nh // bands
+    sig_terms = ", ".join(
+        "list_min(list_transform(shingles, s -> "
+        + hash64_sql(f"'{i}|' || s")
+        + "))"
+        for i in range(nh)
+    )
+    band_selects = []
+    for bi in range(bands):
+        parts = ", ".join(f"sig[{bi * r + j + 1}]" for j in range(r))
+        band_selects.append(
+            f"SELECT doc_id, shingles, {bi} AS band, md5(concat_ws('-', {parts})) AS bkey FROM sig"
+        )
+    banded = " UNION ALL ".join(band_selects)
+    return f"""
+    WITH {_TOKS_CTE},
+    {_SH_CTE},
+    sig AS (SELECT doc_id, shingles, [{sig_terms}] AS sig FROM sh),
+    banded AS ({banded}),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+    verified AS (
+      SELECT c.d1, c.d2,
+             len(list_intersect(s1.shingles, s2.shingles)) AS inter,
+             len(s1.shingles) AS n1, len(s2.shingles) AS n2
+      FROM cands c
+      JOIN sh s1 ON s1.doc_id = c.d1
+      JOIN sh s2 ON s2.doc_id = c.d2)
+    SELECT d1, d2,
+           round(CAST(inter AS DOUBLE) / (n1 + n2 - inter), 6) AS jaccard
+    FROM verified
+    WHERE round(CAST(inter AS DOUBLE) / (n1 + n2 - inter), 6) >= {_JACCARD_T}
+    """
+
+
+@register("minhash_lsh_pairs", oracle=_minhash_oracle())
+def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_lsh_pairs(table(spark, sf_dir, "documents"), threshold=_JACCARD_T)
+
+
+# --------------------------------------------------------------------------
+# q29 — SimHash near-dup pairs (bit-majority signatures, Hamming-0 buckets).
+# --------------------------------------------------------------------------
+def _simhash_oracle() -> str:
+    bit_terms = " + ".join(
+        f"CASE WHEN 2 * len(list_filter(hs, h -> ((h >> {j}) & 1) = 1)) > len(hs) "
+        f"THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for j in range(D.SIMHASH_BITS)
+    )
+    return f"""
+    WITH {_TOKS_CTE},
+    hashed AS (SELECT doc_id, list_transform(t, x -> {hash64_sql('x')}) AS hs FROM toks),
+    sh AS (SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash FROM hashed)
+    SELECT a.doc_id AS d1, b.doc_id AS d2, a.simhash
+    FROM sh a JOIN sh b ON a.simhash = b.simhash AND a.doc_id < b.doc_id
+    """
+
+
+@register("simhash_pairs", oracle=_simhash_oracle())
+def simhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_dup_pairs(table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# q30 — brute-force cosine top-k (exact ANN baseline; queries broadcast).
+# --------------------------------------------------------------------------
+_TOPK_ORACLE = """
+WITH c AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings),
+norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM c GROUP BY vec_id),
+q AS (SELECT * FROM c WHERE vec_id < 10),
+dots AS (
+  SELECT q.vec_id AS qid, c.vec_id AS vec_id, sum(q.v * c.v) AS dot
+  FROM q JOIN c ON q.i = c.i AND q.vec_id <> c.vec_id
+  GROUP BY 1, 2),
+cos AS (
+  SELECT d.qid, d.vec_id,
+         round(d.dot / (nq.nrm * nc.nrm), 9) AS cos9
+  FROM dots d
+  JOIN norms nq ON nq.vec_id = d.qid
+  JOIN norms nc ON nc.vec_id = d.vec_id),
+ranked AS (
+  SELECT qid, vec_id, cos9,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY cos9 DESC, vec_id) AS BIGINT) AS rnk
+  FROM cos)
+SELECT qid, vec_id, round(cos9, 6) AS cos, rnk
+FROM ranked WHERE rnk <= 5
+"""
+
+
+@register("embedding_topk", oracle=_TOPK_ORACLE)
+def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return SIM.brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+# --------------------------------------------------------------------------
+# q31 — embedding near-dup pairs above a cosine threshold.
+# --------------------------------------------------------------------------
+_NEAR_T = 0.4
+
+_NEAR_ORACLE = f"""
+WITH c AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings),
+norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM c GROUP BY vec_id),
+dots AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id, sum(a.v * b.v) AS dot
+  FROM c a JOIN c b ON a.i = b.i AND a.vec_id < b.vec_id
+  GROUP BY 1, 2)
+SELECT a_id, b_id, round(d.dot / (na.nrm * nb.nrm), 6) AS cos
+FROM dots d
+JOIN norms na ON na.vec_id = d.a_id
+JOIN norms nb ON nb.vec_id = d.b_id
+WHERE round(d.dot / (na.nrm * nb.nrm), 6) >= {_NEAR_T}
+"""
+
+
+@register("embedding_near_pairs", oracle=_NEAR_ORACLE)
+def embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SIM.near_pairs_threshold(table(spark, sf_dir, "embeddings"), _NEAR_T)
+
+
+# --------------------------------------------------------------------------
+# q32 — LSH-bucketed approximate top-k (the ANN scale path).
+# Deterministic (hash-derived hyperplanes) but the bucket math is not
+# reasonably ANSI-SQL-expressible → rows-only check.
+# --------------------------------------------------------------------------
+@register("embedding_lsh_topk", oracle=None)
+def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return SIM.lsh_bucketed_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+# --------------------------------------------------------------------------
+# q33 — multimodal metadata: binary payload + typed, pruning-friendly meta.
+# --------------------------------------------------------------------------
+@register(
+    "media_metadata",
+    oracle=f"""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS content_hash,
+           CAST(ceil(octet_length(encode(text)) / {MM.CHUNK_BYTES}.0) AS BIGINT) AS n_chunks
+    FROM documents
+    """,
+)
+def media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return MM.with_binary_payload(docs).select(
+        "doc_id", F.col("n_bytes").cast("long").alias("n_bytes"), "content_hash", "n_chunks"
+    )
+
+
+# --------------------------------------------------------------------------
+# q34 — multimodal decode plumbing (Arrow mapInPandas, stubbed codec) —
+# deterministic fake features; not SQL-expressible → rows-only check.
+# --------------------------------------------------------------------------
+@register("media_fake_features", oracle=None)
+def media_fake_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return MM.decode_features(MM.with_binary_payload(docs))

@@ -1,0 +1,79 @@
+"""Batch sources.
+
+Reference surface (SURVEY.md §2.1): header CSV with type inference
+(``eda/main.py:22-27``, ``ml/train_model.py:120-125``), defensively cast
+afterwards because inference is untrusted. The engine keeps both paths but
+prefers **declared schemas** on hot paths — ``inferSchema`` scans the data
+twice, which is unacceptable at 100 TB (SURVEY.md §4 "double schema-inference
+scan").
+
+Parquet is the engine's primary columnar format: predicate pushdown, column
+pruning and partition pruning all reach the scan (verify with
+``df.explain('formatted')`` → ``PushedFilters`` / ``ReadSchema``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_csv_inferred(spark: SparkSession, path: str, sep: str = ",") -> DataFrame:
+    """Ad-hoc CSV ingestion with schema inference (two scans — small data only)."""
+    return (
+        spark.read.option("header", "true")
+        .option("inferSchema", "true")
+        .option("sep", sep)
+        .csv(path)
+    )
+
+
+def read_csv_declared(
+    spark: SparkSession, path: str, schema: StructType, sep: str = ","
+) -> DataFrame:
+    """Production CSV path: single scan, declared schema, malformed rows → nulls
+    (PERMISSIVE), mirroring the reference's nullable-by-default contract
+    (``infrastructure/stream_inference.py:28-42``)."""
+    return (
+        spark.read.option("header", "true")
+        .option("sep", sep)
+        .option("mode", "PERMISSIVE")
+        .schema(schema)
+        .csv(path)
+    )
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one synthetic star-schema table from an sf directory.
+
+    ``events.parquet`` carries TIMESTAMP(NANOS) which Spark's parquet reader
+    rejects natively; read it as long nanos (legacy conf, runtime-settable)
+    and rebuild a microsecond timestamp with exact integer division — NOT
+    double division, which loses sub-µs precision at 1.7e18 nanos.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    for field in df.schema.fields:
+        if field.name == "ts" and isinstance(field.dataType, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df

@@ -1,0 +1,44 @@
+"""Batch sinks.
+
+The reference's one custom sink is the single-file CSV writer: ``coalesce(1)``
++ write + driver-side rename of the ``part-*.csv`` (``eda/merge_datasets.py:87-119``).
+That is reproduced here as an explicit small-result edge utility — it funnels
+everything through one task, so it is only for driver-scale outputs (reports,
+samples); big results go to partitioned parquet via :func:`write_parquet`.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+from pyspark.sql import DataFrame
+
+
+def write_single_csv(df: DataFrame, out_path: str) -> str:
+    """Write ``df`` as ONE named CSV file with header.
+
+    Scale note: coalesce(1) serializes the final write through a single task;
+    use only for small (driver-scale) results.
+    """
+    tmp_dir = out_path + "._tmp"
+    (
+        df.coalesce(1)
+        .write.option("header", "true")
+        .mode("overwrite")
+        .csv(tmp_dir)
+    )
+    part = glob.glob(os.path.join(tmp_dir, "part-*.csv"))[0]
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    shutil.move(part, out_path)
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    return out_path
+
+
+def write_parquet(df: DataFrame, out_path: str, partition_by: list[str] | None = None) -> None:
+    """Partitioned parquet sink — the scale path for materialized results."""
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(out_path)
