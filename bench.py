@@ -1,0 +1,87 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line {"metric": ..., "value": total_sec, "unit": "sec", "queries":
+{name: sec}, "sf": ...}.
+
+Queries execute end-to-end into the noop sink (full plan runs, nothing
+collects to the driver), which is what a cluster job would do — the same
+execution profile that matters at 100 TB, minus the network.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from big_data_occupancy_detection_spark.plans import REGISTRY
+from big_data_occupancy_detection_spark.session import cpu_count, get_session
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: one representative of each heavy execution shape.
+HEADLINE = [
+    "pricing_summary",         # scan + 8-agg groupBy
+    "shipping_priority",       # 3-way join + agg + top-k
+    "region_revenue",          # 5-way star join
+    "priority_semi_join",      # semi join
+    "top_orders_per_customer", # ranking window
+    "user_sessions",           # lag window + sessionization
+    "user_running_totals",     # analytic windows, full output
+    "parse_route_score_events",# JSON parse + branch + union
+    "user_features",           # wide agg + countDistinct
+    "text_stats",              # text expressions (codegen-heavy)
+    "exact_dedup_groups",      # hash groupBy on md5
+    "minhash_lsh_pairs",       # shingle + LSH self-join
+    "ngram_jaccard_pairs",     # inverted-index self-join
+    "simhash_pairs",           # 32-bit expression fold + self-join
+    "embedding_topk",          # broadcast crossJoin + vector math
+    "embedding_lsh_topk",      # bucketed ANN
+    "media_metadata",          # binary column metadata
+]
+
+
+def main() -> None:
+    sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
+    spark = get_session(
+        app_name="bdo-spark-bench", master=f"local[{cpu_count()}]"
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # untimed warmup: JVM/codegen/parquet-footer costs are session constants,
+    # not per-query costs
+    spark.range(1000).selectExpr("sum(id) AS s").write.format("noop").mode(
+        "overwrite"
+    ).save()
+    spark.read.parquet(f"{SF_DIR}/region.parquet").write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = REGISTRY[name]
+        t0 = time.perf_counter()
+        df = spec.fn(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline-suite wall time (noop sink, local)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

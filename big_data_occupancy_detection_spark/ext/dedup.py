@@ -25,12 +25,13 @@ so a DuckDB oracle can recompute identical signatures.
 
 from __future__ import annotations
 
-from functools import reduce
+
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text_fns import md5_hash64, seeded_hash64, tokens, word_ngrams
+from ..operators.partitioning import repartition_for_compute
 
 DEFAULT_NUM_HASHES = 12
 DEFAULT_BANDS = 4  # rows per band r = num_hashes // bands = 3
@@ -41,7 +42,9 @@ def with_shingles(
     df: DataFrame, text_col: str = "text", n: int = 3, out: str = "shingles"
 ) -> DataFrame:
     """Distinct n-word shingles per document."""
-    return df.withColumn(out, F.array_distinct(word_ngrams(text_col, n)))
+    return repartition_for_compute(df).withColumn(
+        out, F.array_distinct(word_ngrams(text_col, n))
+    )
 
 
 def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -76,7 +79,13 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("doc"), "shingles"
     )
     sizes = sh.select("doc", F.size("shingles").alias("n_sh"))
-    inv = sh.select("doc", F.explode("shingles").alias("s"))
+    # join on the 60-bit hash of the shingle, not the string: the self-join
+    # shuffles 8-byte keys instead of ~20-byte text (hash collisions would
+    # need two different shingles with equal md5-60bit prefixes in the same
+    # doc pair — ~2^-60 per pair; the oracle hashes identically)
+    inv = sh.select(
+        "doc", F.explode(F.transform("shingles", md5_hash64)).alias("s")
+    )
     if max_shingle_df is not None:
         hot = (
             inv.groupBy("s")
@@ -145,19 +154,26 @@ def minhash_lsh_pairs(
     """
     r = num_hashes // bands
     signed = minhash_signatures(df, text_col, id_col, n, num_hashes)
-    band_rows = []
-    for bi in range(bands):
-        band_key = F.md5(
-            F.concat_ws("-", *[F.col("sig")[bi * r + j] for j in range(r)])
-        )
-        band_rows.append(
-            signed.select(
-                "doc", "shingles", F.lit(bi).alias("band"), band_key.alias("bkey")
+    # one band-struct array + explode: the signature (12 md5s per shingle)
+    # is computed ONCE per doc, not once per band
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.md5(
+                    F.concat_ws("-", *[F.col("sig")[bi * r + j] for j in range(r)])
+                ).alias("bkey"),
             )
-        )
-    banded = reduce(lambda x, y: x.unionByName(y), band_rows)
+            for bi in range(bands)
+        ]
+    )
+    banded = signed.select(
+        "doc", F.explode(band_structs).alias("b")
+    ).select("doc", F.col("b.band").alias("band"), F.col("b.bkey").alias("bkey"))
     a = banded.alias("a")
     b = banded.alias("b")
+    # candidates are id-pairs only (no array payload through the shuffle);
+    # shingle arrays re-attach after dedup, so each pair is verified once
     cands = (
         a.join(
             b,
@@ -165,13 +181,15 @@ def minhash_lsh_pairs(
             & (F.col("a.bkey") == F.col("b.bkey"))
             & (F.col("a.doc") < F.col("b.doc")),
         )
-        .select(
-            F.col("a.doc").alias("d1"),
-            F.col("b.doc").alias("d2"),
-            F.col("a.shingles").alias("sh1"),
-            F.col("b.shingles").alias("sh2"),
-        )
+        .select(F.col("a.doc").alias("d1"), F.col("b.doc").alias("d2"))
         .dropDuplicates(["d1", "d2"])
+    )
+    # re-attach shingle arrays from a signature-free plan — reusing `signed`
+    # here would recompute the 12-hash signatures two more times
+    sh = with_shingles(df, text_col, n).select(F.col(id_col).alias("doc"), "shingles")
+    cands = (
+        cands.join(sh.select(F.col("doc").alias("d1"), F.col("shingles").alias("sh1")), "d1")
+        .join(sh.select(F.col("doc").alias("d2"), F.col("shingles").alias("sh2")), "d2")
     )
     inter = F.size(F.array_intersect("sh1", "sh2"))
     jac = inter.cast("double") / (F.size("sh1") + F.size("sh2") - inter)
@@ -189,20 +207,34 @@ def simhash32(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     document's tokens have bit j set in their 60-bit portable hash.
     Pure expression over the token-hash array — no shuffle at all.
     """
-    hs = F.transform(tokens(text_col), md5_hash64)
-    n_tok = F.size(hs)
-    def _bit_counter(j: int):
-        # closure helper: PySpark infers higher-order-function arity from the
-        # lambda signature, so default-arg captures (lambda acc, h, j=j: ...)
-        # would be mis-read as a 3-arg lambda
-        return lambda acc, h: acc + F.shiftright(h, j).bitwiseAND(F.lit(1).cast("long"))
-
-    bit_terms = []
-    for j in range(SIMHASH_BITS):
-        cnt = F.aggregate(hs, F.lit(0).cast("long"), _bit_counter(j))
-        bit_terms.append(F.when(cnt * 2 > n_tok, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long")))
-    simhash = reduce(lambda x, y: x + y, bit_terms)
-    return df.select(F.col(id_col).alias("doc"), simhash.alias("simhash"))
+    # Explode to one row per token hash, project 32 static-shift bit columns
+    # (whole-stage codegen, no higher-order functions), then ONE hash
+    # aggregation per doc with map-side partial sums — the shuffle carries
+    # 33 ints per token row and combines to one row per doc.
+    one = F.lit(1).cast("long")
+    tok_bits = repartition_for_compute(df).select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.transform(tokens(text_col), md5_hash64)).alias("h"),
+    ).select(
+        "doc",
+        *[
+            F.shiftright("h", j).bitwiseAND(one).alias(f"b{j}")
+            for j in range(SIMHASH_BITS)
+        ],
+    )
+    counted = tok_bits.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        *[F.sum(f"b{j}").alias(f"c{j}") for j in range(SIMHASH_BITS)],
+    )
+    simhash = sum(
+        [
+            F.when(F.col(f"c{j}") * 2 > F.col("n_tok"), F.lit(1 << j).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+            for j in range(SIMHASH_BITS)
+        ],
+        start=F.lit(0).cast("long"),
+    )
+    return counted.select("doc", simhash.alias("simhash"))
 
 
 def simhash_dup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

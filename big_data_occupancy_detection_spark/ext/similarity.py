@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.vector_fns import cosine_similarity
+from ..operators.partitioning import repartition_for_compute
 
 LSH_PLANES = 8  # 2^8 = 256 buckets
 
@@ -40,7 +41,9 @@ def brute_force_topk(
     q = queries.select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")
     )
-    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cvec"))
+    c = repartition_for_compute(
+        corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cvec"))
+    )
     cos = F.round(cosine_similarity("qvec", "cvec"), 9)
     pairs = (
         c.crossJoin(F.broadcast(q))
@@ -66,7 +69,9 @@ def near_pairs_threshold(
     O(n²) form for correctness checking; the LSH bucketed variant below is
     the scale path (bucket first, pair only within buckets).
     """
-    a = emb.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"))
+    a = repartition_for_compute(
+        emb.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"))
+    )
     b = emb.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"))
     cos = cosine_similarity("a_vec", "b_vec")
     return (
@@ -119,7 +124,9 @@ def lsh_bucketed_topk(
     tuned by ``planes`` (fewer planes → bigger buckets → higher recall).
     """
     c = with_lsh_bucket(
-        corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cvec")),
+        repartition_for_compute(
+            corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cvec"))
+        ),
         planes,
         "cvec",
     )

@@ -69,6 +69,10 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     double division, which loses sub-µs precision at 1.7e18 nanos.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # parquet timestamps are UTC-naive; temporal extractions (hour/isodow)
+    # must agree with a UTC-naive oracle even if the caller's session was
+    # built on a non-UTC machine
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
