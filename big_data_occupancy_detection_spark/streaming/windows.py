@@ -1,0 +1,62 @@
+"""Stateful streaming aggregations: watermarked tumbling/sliding windows and
+session windows.
+
+The reference's stream is stateless (SURVEY.md §2.9 T2); these are the
+standard scale patterns for event streams the engine adds on top:
+watermarks bound state (late data older than the watermark is dropped, so
+state size is O(active windows), not O(stream history)) and
+``session_window`` gives gap-based sessionization identical in semantics to
+the batch lag/cumsum form in ``plans.events.user_sessions``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tumbling_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window_size: str = "1 hour",
+    watermark: str = "2 hours",
+    group_col: str = "event_type",
+) -> DataFrame:
+    """Per-window, per-group counts + value sums with bounded state."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window_size).alias("win"), F.col(group_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            group_col,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Gap-based session aggregation (streaming twin of the batch
+    lag/cumsum sessionization)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("sess"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col(key_col),
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            "n_events",
+        )
+    )

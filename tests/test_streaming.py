@@ -1,0 +1,200 @@
+"""Streaming-plane tests: the reference's 5-case malformed-payload taxonomy
+(the sharpest spec in the repo — ``infrastructure/test_stream_interfaces.py``)
+run against a file-source structured stream with a REAL batch-trained
+PipelineModel applied on-stream, plus stream-survival and multi-sink fusion."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from big_data_occupancy_detection_spark.ml.pipelines import build_weighted_lr_pipeline
+from big_data_occupancy_detection_spark.streaming.inference import (
+    build_inference_pipeline,
+    file_source,
+    logistic_score,
+    memory_sink,
+    model_score,
+)
+from big_data_occupancy_detection_spark.streaming.schemas import (
+    FEATURE_NAMES,
+    SENTINEL_PREDICTION,
+    SENTINEL_PROBABILITY,
+)
+
+# The 5-case taxonomy (FIXTURES.md §2).
+CASES = {
+    "valid": {
+        "request_id": "r-valid",
+        "timestamp": "2026-01-01T00:00:00Z",
+        "payload": {"Temperature": 23.1, "Humidity": 27.2, "CO2": 700.0, "HumidityRatio": 0.0048},
+    },
+    "missing_field": {
+        "request_id": "r-missing",
+        "timestamp": "2026-01-01T00:00:01Z",
+        "payload": {"Temperature": 23.1, "Humidity": 27.2, "HumidityRatio": 0.0048},
+    },
+    "null_field": {
+        "request_id": "r-null",
+        "timestamp": "2026-01-01T00:00:02Z",
+        "payload": {"Temperature": 23.1, "Humidity": 27.2, "CO2": None, "HumidityRatio": 0.0048},
+    },
+    "wrong_type": {
+        "request_id": "r-wrongtype",
+        "timestamp": "2026-01-01T00:00:03Z",
+        "payload": {"Temperature": "23.1C", "Humidity": 27.2, "CO2": 700.0, "HumidityRatio": 0.0048},
+    },
+    "broken_payload": {
+        "request_id": "r-broken",
+        "timestamp": "2026-01-01T00:00:04Z",
+        "payload": {"foo": "bar", "something": 123},
+    },
+}
+SENTINEL_IDS = {"r-missing", "r-null", "r-wrongtype", "r-broken"}
+
+
+@pytest.fixture(scope="module")
+def trained_model(spark):
+    """Tiny but real class-weighted LR pipeline, batch-trained (T5)."""
+    rows = []
+    for i in range(200):
+        occupied = i % 3 == 0
+        rows.append(
+            Row(
+                Temperature=22.0 + (2.5 if occupied else 0.0) + (i % 7) * 0.1,
+                Humidity=25.0 + (i % 11) * 0.5,
+                CO2=(900.0 if occupied else 500.0) + (i % 13) * 10,
+                HumidityRatio=0.004 + (0.001 if occupied else 0.0),
+                label=int(occupied),
+                class_weight=1.0,
+            )
+        )
+    train = spark.createDataFrame(rows)
+    return build_weighted_lr_pipeline(FEATURE_NAMES).fit(train)
+
+
+def _write_requests(dirpath, name, payloads):
+    path = dirpath / name
+    path.write_text("\n".join(json.dumps(p) for p in payloads))
+
+
+def test_taxonomy_with_model_on_stream(spark, tmp_path, trained_model):
+    src = tmp_path / "requests"
+    src.mkdir()
+    _write_requests(src, "batch1.json", list(CASES.values()))
+
+    raw = file_source(spark, str(src))
+    responses = build_inference_pipeline(raw, model_score(trained_model))
+    query = memory_sink(responses, "taxonomy_out", str(tmp_path / "ckpt"))
+    try:
+        query.processAllAvailable()
+        out = {
+            json.loads(r.value)["request_id"]: json.loads(r.value)
+            for r in spark.table("taxonomy_out").collect()
+        }
+    finally:
+        query.stop()
+
+    assert set(out) == {c["request_id"] for c in CASES.values()}
+    valid = out["r-valid"]
+    assert valid["prediction"] in (0, 1)
+    assert 0.0 <= valid["probability"] <= 1.0
+    assert valid["features"]["CO2"] == 700.0
+    for rid in SENTINEL_IDS:
+        assert out[rid]["prediction"] == SENTINEL_PREDICTION, rid
+        assert out[rid]["probability"] == SENTINEL_PROBABILITY, rid
+    # wrong-type field was nulled by from_json, not coerced
+    assert out["r-wrongtype"]["features"]["Temperature"] is None
+    # envelope echoes the request timestamp
+    assert out["r-valid"]["timestamp"] == "2026-01-01T00:00:00Z"
+
+
+def test_stream_survives_bad_data_across_batches(spark, tmp_path, trained_model):
+    """Malformed payloads must never kill the query (T3): feed garbage in
+    batch 1, valid data in batch 2, assert batch 2 still processes."""
+    src = tmp_path / "requests"
+    src.mkdir()
+    _write_requests(src, "b1.json", [CASES["broken_payload"], CASES["wrong_type"]])
+
+    raw = file_source(spark, str(src))
+    responses = build_inference_pipeline(raw, model_score(trained_model))
+    query = memory_sink(responses, "survival_out", str(tmp_path / "ckpt"))
+    try:
+        query.processAllAvailable()
+        n1 = spark.table("survival_out").count()
+        _write_requests(src, "b2.json", [CASES["valid"]])
+        query.processAllAvailable()
+        rows = spark.table("survival_out").collect()
+        assert query.isActive
+    finally:
+        query.stop()
+    assert n1 == 2
+    assert len(rows) == 3
+    by_id = {json.loads(r.value)["request_id"]: json.loads(r.value) for r in rows}
+    assert by_id["r-valid"]["prediction"] in (0, 1)
+
+
+def test_batch_stream_transform_equivalence(spark, tmp_path):
+    """The pipeline is one pure function: batch and streaming runs over the
+    same records must agree (backfill == live)."""
+    payloads = list(CASES.values())
+    batch_raw = spark.createDataFrame(
+        [(json.dumps(p),) for p in payloads], ["json"]
+    )
+    batch_out = {
+        r["request_id"]: (r["prediction"], round(r["probability"], 9))
+        for r in build_inference_pipeline(batch_raw, logistic_score).collect()
+    }
+
+    src = tmp_path / "requests"
+    src.mkdir()
+    _write_requests(src, "b.json", payloads)
+    raw = file_source(spark, str(src))
+    query = memory_sink(
+        build_inference_pipeline(raw, logistic_score), "equiv_out", str(tmp_path / "ckpt")
+    )
+    try:
+        query.processAllAvailable()
+        stream_out = {}
+        for r in spark.table("equiv_out").collect():
+            v = json.loads(r.value)
+            stream_out[v["request_id"]] = (v["prediction"], round(v["probability"], 9))
+    finally:
+        query.stop()
+    assert batch_out == stream_out
+
+
+def test_foreach_batch_multi_sink(spark, tmp_path, trained_model):
+    """foreachBatch fusion: two sinks, ONE source consumption."""
+    from big_data_occupancy_detection_spark.streaming.inference import (
+        foreach_batch_multi_sink,
+        to_response_json,
+    )
+
+    src = tmp_path / "requests"
+    src.mkdir()
+    _write_requests(src, "b.json", [CASES["valid"], CASES["null_field"]])
+
+    sink_a: list[int] = []
+    sink_b: list[int] = []
+
+    def a(df, batch_id):
+        sink_a.append(df.count())
+
+    def b(df, batch_id):
+        sink_b.append(df.count())
+
+    raw = file_source(spark, str(src))
+    responses = to_response_json(
+        build_inference_pipeline(raw, model_score(trained_model))
+    )
+    query = foreach_batch_multi_sink(responses, [a, b], str(tmp_path / "ckpt"))
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    assert sum(sink_a) == 2
+    assert sum(sink_b) == 2

@@ -1,0 +1,73 @@
+"""Watermarked window aggregation tests on a file-source event stream."""
+
+from __future__ import annotations
+
+import json
+
+from big_data_occupancy_detection_spark.streaming.windows import (
+    session_counts,
+    tumbling_counts,
+)
+
+EVENTS = [
+    # user 1: two sessions (09:00-09:10, then 10:30) given a 30-min gap
+    {"ts": "2026-01-01T09:00:00", "user_id": 1, "event_type": "click", "value": 1.0},
+    {"ts": "2026-01-01T09:10:00", "user_id": 1, "event_type": "click", "value": 2.0},
+    {"ts": "2026-01-01T10:30:00", "user_id": 1, "event_type": "view", "value": 3.0},
+    # user 2: one event
+    {"ts": "2026-01-01T09:45:00", "user_id": 2, "event_type": "click", "value": 4.0},
+]
+
+
+def _stream(spark, tmp_path):
+    src = tmp_path / "events"
+    src.mkdir(exist_ok=True)
+    (src / "b.json").write_text("\n".join(json.dumps(e) for e in EVENTS))
+    raw = (
+        spark.readStream.format("json")
+        .schema("ts timestamp, user_id long, event_type string, value double")
+        .load(str(src))
+    )
+    return raw
+
+
+def test_tumbling_counts(spark, tmp_path):
+    # complete output mode: a finite file source never advances the
+    # watermark past open windows, so append mode would emit nothing
+    out2 = tumbling_counts(_stream(spark, tmp_path))
+    q2 = (
+        out2.writeStream.format("memory")
+        .queryName("tumbling_complete")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q2.processAllAvailable()
+        rows = {
+            (r.window_start.hour, r.event_type): (r.n_events, r.sum_value)
+            for r in spark.table("tumbling_complete").collect()
+        }
+    finally:
+        q2.stop()
+    assert rows[(9, "click")] == (3, 7.0)   # 2 from user1 + 1 from user2
+    assert rows[(10, "view")] == (1, 3.0)
+
+
+def test_session_counts(spark, tmp_path):
+    out = session_counts(_stream(spark, tmp_path))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions_complete")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = sorted(
+            (r.user_id, r.session_start.strftime("%H:%M"), r.n_events)
+            for r in spark.table("sessions_complete").collect()
+        )
+    finally:
+        q.stop()
+    # user 1 splits into two sessions across the 80-minute gap; user 2 has one
+    assert rows == [(1, "09:00", 2), (1, "10:30", 1), (2, "09:45", 1)]
