@@ -15,3 +15,17 @@ def dow_monday(ts: Column | str) -> Column:
     """ISO day-of-week: Monday=1 … Sunday=7 (equals SQL ``isodow``)."""
     c = F.col(ts) if isinstance(ts, str) else ts
     return ((F.dayofweek(c) + F.lit(5)) % F.lit(7)) + F.lit(1)
+
+
+def tolerant_timestamp(col: Column | str) -> Column:
+    """Malformed-tolerant string→timestamp: NULL on garbage, never throws.
+
+    Spark 4 defaults to ANSI mode, where a plain ``cast`` raises
+    CAST_INVALID_INPUT on unparseable input; ``try_to_timestamp`` restores
+    the degrade-to-null contract the nullable-by-default pipeline depends
+    on. Accepts the formats seen in the wild (plain ``2015-02-04 17:51:00``,
+    ISO with offset ``2015-02-02T14:19:00.000+01:00``) via Spark's default
+    multi-format parser.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.try_to_timestamp(c)

@@ -1,0 +1,112 @@
+"""ML pipeline tests: metric-range gates (the reference's report-CSV quality
+gates turned into assertions), oversampling semantics, CV tuning, and model
+artifact round-trip."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from big_data_occupancy_detection_spark.ml.evaluation import (
+    confusion_matrix,
+    evaluate_classifier,
+)
+from big_data_occupancy_detection_spark.ml.pipelines import (
+    build_rf_cv_pipeline,
+    build_weighted_lr_pipeline,
+    oversample_minority,
+)
+from big_data_occupancy_detection_spark.operators.relational import class_weights
+
+FEATURES = ["Temperature", "Humidity", "CO2", "HumidityRatio"]
+
+
+@pytest.fixture(scope="module")
+def occupancy_df(spark):
+    """Deterministic separable occupancy-like data, ~25% positive (the
+    reference's class imbalance)."""
+    rows = []
+    for i in range(2000):
+        occupied = i % 4 == 0
+        rows.append(
+            Row(
+                Temperature=21.0 + (2.0 if occupied else 0.0) + (i % 10) * 0.05,
+                Humidity=25.0 + (i % 17) * 0.3,
+                CO2=(1000.0 if occupied else 480.0) + (i % 23) * 8,
+                HumidityRatio=0.0035 + (0.0012 if occupied else 0.0) + (i % 7) * 1e-5,
+                label=int(occupied),
+            )
+        )
+    return spark.createDataFrame(rows)
+
+
+def test_weighted_lr_end_to_end(spark, occupancy_df):
+    weighted = class_weights(occupancy_df, "label", num_classes=2)
+    train, test = weighted.randomSplit([0.7, 0.3], seed=42)
+    model = build_weighted_lr_pipeline(FEATURES).fit(train)
+    preds = model.transform(test)
+    metrics = evaluate_classifier(preds)
+    assert metrics["accuracy"] > 0.95
+    assert metrics["f1"] > 0.95
+    assert 0.0 <= metrics["weightedPrecision"] <= 1.0
+    cm = confusion_matrix(preds).collect()
+    assert sum(r.n for r in cm) == preds.count()
+    assert {(r.label, r.prediction) for r in cm} <= {(a, b) for a in (0, 1) for b in (0, 1)}
+
+
+def test_class_weights_formula(spark, occupancy_df):
+    weighted = class_weights(occupancy_df, "label", num_classes=2)
+    got = {
+        r.label: r.class_weight
+        for r in weighted.select("label", "class_weight").distinct().collect()
+    }
+    counts = {r.label: r.n for r in occupancy_df.groupBy("label").agg(F.count("*").alias("n")).collect()}
+    total = sum(counts.values())
+    for lbl, n in counts.items():
+        assert abs(got[lbl] - total / (2 * n)) < 1e-9
+
+
+def test_oversample_minority_poisson_semantics(spark, occupancy_df):
+    """fraction>1 sampling keeps per-row Poisson draws — totals land near
+    (not exactly at) balance, and all original majority rows survive."""
+    out = oversample_minority(occupancy_df, "label", minority=1, seed=42)
+    counts = {r.label: r.n for r in out.groupBy("label").agg(F.count("*").alias("n")).collect()}
+    major = occupancy_df.filter("label != 1").count()
+    minor_target = major
+    assert counts[0] == major
+    assert abs(counts[1] - minor_target) < 0.15 * minor_target
+    # deterministic under the same seed
+    again = oversample_minority(occupancy_df, "label", minority=1, seed=42).count()
+    assert again == out.count()
+
+
+def test_rf_cv_pipeline(spark, occupancy_df):
+    cv = build_rf_cv_pipeline(
+        FEATURES,
+        num_trees_grid=[10],
+        max_depth_grid=[3, 5],
+        subsampling_grid=[0.8],
+        num_folds=2,
+    )
+    model = cv.fit(oversample_minority(occupancy_df, "label", minority=1))
+    preds = model.transform(occupancy_df)
+    acc = evaluate_classifier(preds)["accuracy"]
+    assert acc > 0.95
+    best_rf = model.bestModel.stages[-1]
+    assert best_rf.getNumTrees == 10
+    assert best_rf.getMaxDepth() in (3, 5)
+
+
+def test_model_save_load_roundtrip(spark, occupancy_df, tmp_path):
+    """S6: directory-serialized PipelineModel artifact."""
+    from pyspark.ml import PipelineModel
+
+    weighted = class_weights(occupancy_df, "label", num_classes=2)
+    model = build_weighted_lr_pipeline(FEATURES).fit(weighted)
+    path = str(tmp_path / "model")
+    model.write().overwrite().save(path)
+    loaded = PipelineModel.load(path)
+    a = model.transform(weighted).select("prediction").collect()
+    b = loaded.transform(weighted).select("prediction").collect()
+    assert a == b

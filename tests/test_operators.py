@@ -1,0 +1,92 @@
+"""Unit tests for operators and IO not fully covered by the oracle suite."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from big_data_occupancy_detection_spark.operators.relational import (
+    global_row_number,
+    null_census,
+)
+from big_data_occupancy_detection_spark.sources.readers import (
+    read_csv_declared,
+    read_csv_inferred,
+)
+from big_data_occupancy_detection_spark.sources.sinks import write_single_csv
+
+
+def test_global_row_number_is_dense_and_ordered(spark):
+    df = spark.createDataFrame(
+        [Row(k=i % 7, v=f"x{i}") for i in range(500)]
+    ).repartition(13)
+    out = global_row_number(df, ["k", "v"], id_col="id").collect()
+    assert sorted(r.id for r in out) == list(range(1, 501))
+    by_id = sorted(out, key=lambda r: r.id)
+    keys = [(r.k, r.v) for r in by_id]
+    assert keys == sorted(keys)
+
+
+def test_null_census_counts(spark):
+    df = spark.createDataFrame(
+        [(1, None), (None, "a"), (None, None)], ["x", "y"]
+    )
+    row = null_census(df).collect()[0]
+    assert (row.x, row.y) == (2, 2)
+
+
+def test_single_file_csv_sink_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "name"])
+    out = write_single_csv(df, str(tmp_path / "out.csv"))
+    text = open(out).read().strip().splitlines()
+    assert text[0] == "id,name"
+    assert sorted(text[1:]) == ["1,a", "2,b"]
+    back = read_csv_inferred(spark, out)
+    assert back.count() == 2
+    assert dict(back.dtypes)["id"] == "int"
+
+
+def test_declared_schema_tolerates_malformed(spark, tmp_path):
+    """PERMISSIVE declared-schema CSV: bad cells null out, rows survive —
+    the reference's nullable-by-default contract, and the timestamp cast
+    tolerates multiple formats."""
+    p = tmp_path / "messy.csv"
+    p.write_text(
+        "id,date,Temperature\n"
+        "1,2015-02-04 17:51:00,21.5\n"
+        "2,2015-02-02T14:19:00.000+01:00,oops\n"
+        "3,not-a-date,22.0\n"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.IntegerType()),
+            T.StructField("date", T.StringType()),
+            T.StructField("Temperature", T.DoubleType()),
+        ]
+    )
+    from big_data_occupancy_detection_spark.functions.datetime_fns import (
+        tolerant_timestamp,
+    )
+
+    df = read_csv_declared(spark, str(p), schema).withColumn(
+        "ts", tolerant_timestamp("date")
+    )
+    rows = {r.id: r for r in df.collect()}
+    assert len(rows) == 3
+    assert rows[2].Temperature is None          # bad double -> null, row kept
+    assert rows[1].ts is not None               # plain format parses
+    assert rows[2].ts is not None               # ISO+offset parses
+    assert rows[3].ts is None                   # garbage -> null, not a crash
+
+
+def test_describe_stats_shape(spark):
+    from big_data_occupancy_detection_spark.operators.relational import describe_stats
+
+    df = spark.range(100).select(
+        (F.col("id") * 1.5).alias("a"), (F.col("id") % 7).cast("double").alias("b")
+    )
+    out = {r.col_name: r for r in describe_stats(df, ["a", "b"]).collect()}
+    assert out["a"].n == 100.0
+    assert abs(out["a"].mean - 74.25) < 1e-9
+    assert out["b"].min == 0.0 and out["b"].max == 6.0
