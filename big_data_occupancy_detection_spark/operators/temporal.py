@@ -1,0 +1,119 @@
+"""Temporal join operators — as-of join and band (range) self-join.
+
+The reference implements no joins at all (SURVEY.md §2.3); these are the
+two time-series join shapes a large-scale event pipeline needs that Spark
+has no built-in operator for. Both are expressed as compositions of
+existing DataFrame ops chosen for their 100 TB behavior:
+
+- ``asof_join``: the union+sort+last-value pattern — ONE shuffle on the
+  partition key (same cost as an equi-join), no range cross-product, no
+  per-key driver loops. This is how point-in-time joins are done at scale
+  (feature stores, tick data): tag both sides, sort each key's timeline
+  once, and carry the most recent right-side values forward with
+  ``last(ignorenulls=True)`` over a running window.
+- ``band_self_join_pairs``: the bucketed band-join pattern — quantize time
+  into buckets of the band width, replicate ONE side into its bucket and
+  the successor bucket, then equi-join on (key, bucket) so Catalyst gets a
+  hash join instead of the O(n·m) broadcast-nested-loop a raw inequality
+  join degenerates to. The final exact band predicate filters the small
+  candidate set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """Point-in-time (backward) as-of left join.
+
+    For each left row, attach ``value_cols`` from the right row with the
+    greatest ``right_ts`` <= ``left_ts`` within the same ``on`` key group
+    (ties at equal timestamps: the right row IS visible, matching SQL
+    ``ASOF JOIN ... ON l.ts >= r.ts``). Left rows with no prior right row
+    get nulls.
+
+    Requires ``right`` to be unique per (``on``, ``right_ts``) — pre-
+    aggregate it otherwise; with duplicates the surviving row would be
+    tie-order dependent. ``value_cols`` must be non-null in ``right``
+    (a null value would be skipped over by ``last(ignorenulls)`` and an
+    older row's value carried instead).
+
+    Scale: one hash shuffle on ``on`` + a per-key sort — the same cost
+    profile as a plain equi-join, independent of how far back matches are.
+    """
+    l_tagged = left.withColumn("__t", F.col(left_ts)).withColumn(
+        "__is_left", F.lit(1)
+    )
+    for c in value_cols:
+        l_tagged = l_tagged.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
+    r_tagged = right.select(
+        *on, F.col(right_ts).alias("__t"), *value_cols
+    ).withColumn("__is_left", F.lit(0))
+    for f in left.schema.fields:
+        if f.name not in r_tagged.columns:
+            r_tagged = r_tagged.withColumn(f.name, F.lit(None).cast(f.dataType))
+    unioned = l_tagged.unionByName(r_tagged)
+
+    # Right rows (0) sort before left rows (1) at equal __t, so a right row
+    # at exactly left_ts is already visible to the running last().
+    w = (
+        Window.partitionBy(*on)
+        .orderBy("__t", "__is_left")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        *[c for c in unioned.columns if c not in ("__t", "__is_left", *value_cols)],
+        F.col("__is_left"),
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in value_cols],
+    )
+    return filled.filter(F.col("__is_left") == 1).drop("__is_left")
+
+
+def band_self_join_pairs(
+    df: DataFrame,
+    on: list[str],
+    ts_col: str,
+    id_col: str,
+    band_seconds: int,
+) -> DataFrame:
+    """All ordered pairs (a, b) within the same ``on`` group with
+    ``0 <= b.ts - a.ts <= band_seconds`` (ties ordered by ``id_col`` so each
+    unordered pair appears exactly once).
+
+    Implementation: quantize to ``band_seconds`` buckets; the b-side is
+    replicated into its own bucket and the previous one, so every in-band
+    pair co-locates in exactly one (key, bucket) hash-join partition —
+    (a in bucket k, b in k or k+1) ⇒ a.bucket equals exactly one of b's two
+    replicas. Catalyst executes a shuffled hash/sort-merge join on
+    (key, bucket); the exact band predicate then prunes candidates.
+    Cost scales with rows × density-per-band, never O(n²) per key.
+    """
+    epoch = F.col(ts_col).cast("double")
+    bucket = F.floor(epoch / band_seconds)
+    a = df.select(
+        *on,
+        F.col(id_col).alias("a_id"),
+        F.col(ts_col).alias("a_ts"),
+        bucket.alias("__bucket"),
+    )
+    b = df.select(
+        *on,
+        F.col(id_col).alias("b_id"),
+        F.col(ts_col).alias("b_ts"),
+        F.explode(F.array(bucket, bucket - 1)).alias("__bucket"),
+    )
+    dt = F.col("b_ts").cast("double") - F.col("a_ts").cast("double")
+    in_band = (dt >= 0) & (dt <= band_seconds)
+    ordered = (F.col("a_ts") < F.col("b_ts")) | (
+        (F.col("a_ts") == F.col("b_ts")) & (F.col("a_id") < F.col("b_id"))
+    )
+    return a.join(b, on=[*on, "__bucket"]).filter(in_band & ordered).drop("__bucket")

@@ -1,0 +1,92 @@
+"""Temporal join plans — as-of and band joins over the events table.
+
+The reference has no joins (SURVEY.md §2.3); these cover the two
+time-series join shapes the engine adds for event pipelines. Oracles use
+DuckDB's native ``ASOF JOIN`` and inequality self-join respectively, so
+both Spark compositions are verified against a first-class implementation
+of the semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.temporal import asof_join, band_self_join_pairs
+from ..sources.readers import table
+from .registry import register
+
+# --------------------------------------------------------------------------
+# q38 — as-of join: each event picks up the user's most recent order at or
+# before the event timestamp. The right side is pre-aggregated to one row
+# per (custkey, orderdate) with a deterministic representative so the
+# as-of tie-break is well-defined on both engines.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "orders_asof_events",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey, o_orderdate,
+             max(o_orderkey) AS o_orderkey,
+             round(max_by(o_totalprice, o_orderkey), 4) AS o_totalprice
+      FROM orders GROUP BY 1, 2)
+    SELECT e.event_id, e.user_id, e.ts,
+           o.o_orderkey AS last_orderkey,
+           o.o_totalprice AS last_totalprice
+    FROM events e
+    ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+)
+def orders_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    orders = table(spark, sf_dir, "orders")
+    latest = orders.groupBy("o_custkey", "o_orderdate").agg(
+        F.max("o_orderkey").alias("last_orderkey"),
+        F.round(F.max_by("o_totalprice", "o_orderkey"), 4).alias("last_totalprice"),
+    )
+    joined = asof_join(
+        ev.select("event_id", F.col("user_id"), "ts"),
+        latest.withColumnRenamed("o_custkey", "user_id"),
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="o_orderdate",
+        value_cols=["last_orderkey", "last_totalprice"],
+    )
+    return joined.select("event_id", "user_id", "ts", "last_orderkey", "last_totalprice")
+
+
+# --------------------------------------------------------------------------
+# q39 — band self-join: pairs of events by the same user within 15 minutes,
+# via the bucketed-replication pattern (hash join, not a nested-loop range
+# join). 900 s at sf0.01 → ~230 pairs.
+# --------------------------------------------------------------------------
+_BAND_S = 900
+
+
+@register(
+    "event_band_pairs",
+    oracle=f"""
+    SELECT a.user_id,
+           a.event_id AS a_id, b.event_id AS b_id,
+           round(epoch(b.ts) - epoch(a.ts), 4) AS gap_s
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL {_BAND_S} SECOND
+     AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id))
+    """,
+)
+def event_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    pairs = band_self_join_pairs(
+        ev, on=["user_id"], ts_col="ts", id_col="event_id", band_seconds=_BAND_S
+    )
+    return pairs.select(
+        "user_id",
+        "a_id",
+        "b_id",
+        F.round(F.col("b_ts").cast("double") - F.col("a_ts").cast("double"), 4).alias(
+            "gap_s"
+        ),
+    )

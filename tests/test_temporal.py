@@ -1,0 +1,84 @@
+"""Unit tests for the temporal join operators (as-of join, band join)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Row
+
+from big_data_occupancy_detection_spark.operators.temporal import (
+    asof_join,
+    band_self_join_pairs,
+)
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_join_backward_semantics(spark):
+    left = spark.createDataFrame(
+        [
+            Row(k=1, lts=_ts("2024-01-01 10:00:00"), e="a"),
+            Row(k=1, lts=_ts("2024-01-01 12:00:00"), e="b"),
+            Row(k=1, lts=_ts("2024-01-01 09:00:00"), e="early"),
+            Row(k=2, lts=_ts("2024-01-01 11:00:00"), e="other-key"),
+            Row(k=3, lts=_ts("2024-01-01 11:00:00"), e="no-match-key"),
+        ]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(k=1, rts=_ts("2024-01-01 09:30:00"), price=10.0),
+            Row(k=1, rts=_ts("2024-01-01 12:00:00"), price=20.0),  # tie: visible
+            Row(k=2, rts=_ts("2024-01-01 10:59:59"), price=30.0),
+        ]
+    )
+    out = {
+        r.e: r.price
+        for r in asof_join(
+            left, right, on=["k"], left_ts="lts", right_ts="rts", value_cols=["price"]
+        ).collect()
+    }
+    assert out == {
+        "a": 10.0,        # most recent <= 10:00 is 09:30
+        "b": 20.0,        # equal timestamp is visible
+        "early": None,    # nothing at/before 09:00
+        "other-key": 30.0,
+        "no-match-key": None,  # left join: key with no right rows survives
+    }
+
+
+def test_band_self_join_pairs_exact_window(spark):
+    base = _ts("2024-01-01 00:00:00")
+    rows = [
+        Row(g=1, id=1, t=base),
+        Row(g=1, id=5, t=base),                              # tie with id 1
+        Row(g=1, id=2, t=base + dt.timedelta(seconds=50)),
+        Row(g=1, id=3, t=base + dt.timedelta(seconds=60)),   # boundary: inclusive
+        Row(g=1, id=4, t=base + dt.timedelta(seconds=121)),  # out of band of 3
+        Row(g=2, id=6, t=base),                              # other group: no pair
+    ]
+    df = spark.createDataFrame(rows)
+    pairs = {
+        (r.a_id, r.b_id)
+        for r in band_self_join_pairs(
+            df, on=["g"], ts_col="t", id_col="id", band_seconds=60
+        ).collect()
+    }
+    assert pairs == {(1, 5), (1, 2), (1, 3), (5, 2), (5, 3), (2, 3)}
+
+
+def test_band_join_crosses_bucket_boundary(spark):
+    """A pair whose two sides land in adjacent time buckets must be found
+    (the reason the b-side is replicated into its predecessor bucket)."""
+    base = _ts("2024-01-01 00:00:59")
+    df = spark.createDataFrame(
+        [
+            Row(g=1, id=1, t=base),                            # bucket 0
+            Row(g=1, id=2, t=base + dt.timedelta(seconds=2)),  # bucket 1
+        ]
+    )
+    out = band_self_join_pairs(
+        df, on=["g"], ts_col="t", id_col="id", band_seconds=60
+    ).collect()
+    assert [(r.a_id, r.b_id) for r in out] == [(1, 2)]
