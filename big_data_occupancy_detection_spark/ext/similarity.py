@@ -147,3 +147,153 @@ def lsh_bucketed_topk(
         .filter(F.col("rnk") <= k)
         .select("qid", "vec_id", F.round("cos", 6).alias("cos"), "rnk")
     )
+
+
+# ------------------------------------------------------------------ IVF ANN
+
+IVF_CENTROIDS = 16
+IVF_ITERS = 2
+IVF_PROBES = 4
+
+
+def _elementwise_mean(assigned: DataFrame, cluster_col: str, vec_col: str) -> DataFrame:
+    """Per-cluster element-wise mean of array vectors, shuffle-parallel.
+
+    posexplode → (cluster, dim, value) → per-(cluster, dim) average →
+    rebuild ordered arrays. Never materializes a cluster's member list in
+    one task, so cluster size is unbounded (the 100 TB-safe formulation;
+    ``collect_list`` of vectors per cluster would not be).
+    """
+    exploded = assigned.select(
+        F.col(cluster_col), F.posexplode(F.col(vec_col)).alias("dim", "val")
+    )
+    dim_means = exploded.groupBy(cluster_col, "dim").agg(
+        F.avg(F.col("val").cast("double")).alias("mean_val")
+    )
+    return dim_means.groupBy(cluster_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "mean_val"))),
+            lambda s: s.getField("mean_val"),
+        ).alias("centroid")
+    )
+
+
+def _nearest_centroid(vec_col: str, centroids: list[tuple[int, list[float]]]):
+    """Column expr: id of the max-dot-product centroid (deterministic
+    tie-break on centroid id). Centroid literals are compiled into the
+    plan, so assignment is a pure scan-parallel projection.
+
+    Implemented as array_sort over (−dot, cid) structs — linear expression
+    size; an incremental when/otherwise argmax would nest the running best
+    twice per step and grow the expression tree exponentially.
+    """
+    from ..functions.vector_fns import dot
+
+    entries = [
+        F.struct(
+            (-dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in vec]))).alias(
+                "nd"
+            ),
+            F.lit(cid).alias("cid"),
+        )
+        for cid, vec in centroids
+    ]
+    return F.array_sort(F.array(*entries))[0].getField("cid")
+
+
+def ivf_centroids(
+    emb: DataFrame,
+    n_centroids: int = IVF_CENTROIDS,
+    n_iters: int = IVF_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Deterministic spherical-k-means centroids as driver-side literals.
+
+    Seeding: the ``n_centroids`` vectors with the smallest portable
+    md5-hash of their id (a reproducible pseudo-random sample — no RNG
+    state, same pick on any engine). Lloyd iterations assign by dot
+    product against L2-normalized vectors and re-average element-wise;
+    every step is a DataFrame op, only the k centroid vectors themselves
+    ever reach the driver (k·dim doubles — constant in corpus size).
+    """
+    from ..functions.text_fns import md5_hash64
+    from ..functions.vector_fns import l2_norm
+
+    normed = emb.select(
+        F.col(id_col).alias("vid"),
+        F.zip_with(
+            F.col(vec_col),
+            F.array_repeat(l2_norm(vec_col), F.size(vec_col)),
+            lambda x, n: x.cast("double") / n,
+        ).alias("nvec"),
+    )
+    seeds = (
+        normed.withColumn("__h", md5_hash64(F.col("vid").cast("string")))
+        .orderBy("__h", "vid")
+        .limit(n_centroids)
+        .collect()
+    )
+    centroids = [(i, list(r.nvec)) for i, r in enumerate(seeds)]
+    for _ in range(n_iters):
+        assigned = normed.withColumn(
+            "cluster", _nearest_centroid("nvec", centroids)
+        )
+        means = _elementwise_mean(assigned, "cluster", "nvec").collect()
+        centroids = sorted((r.cluster, list(r.centroid)) for r in means)
+    return centroids
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = IVF_CENTROIDS,
+    n_probes: int = IVF_PROBES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: corpus partitioned into ``n_centroids``
+    inverted lists; each query probes its ``n_probes`` closest lists and
+    ranks only those candidates.
+
+    Scale shape: corpus assignment is a scan-parallel projection (centroid
+    literals compiled into the plan, no shuffle); the probe is an equi-join
+    on cluster id — the corpus can be persisted bucketed by cluster so
+    repeated query batches skip the shuffle entirely. Search cost drops by
+    ~``n_centroids / n_probes`` vs brute force; recall is tuned by
+    ``n_probes``.
+    """
+    cents = ivf_centroids(corpus, n_centroids, id_col=id_col, vec_col=vec_col)
+    c = repartition_for_compute(
+        corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cvec"))
+    ).withColumn("cluster", _nearest_centroid("cvec", cents))
+
+    q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"))
+    probe_sets = []
+    for cid, vec in cents:
+        from ..functions.vector_fns import dot
+
+        probe_sets.append(
+            F.struct(
+                dot(F.col("qvec"), F.array(*[F.lit(float(x)) for x in vec])).alias("d"),
+                F.lit(cid).alias("cid"),
+            )
+        )
+    probes = F.slice(F.reverse(F.array_sort(F.array(*probe_sets))), 1, n_probes)
+    q = q.withColumn(
+        "cluster", F.explode(F.transform(probes, lambda s: s.getField("cid")))
+    )
+
+    cos = F.round(cosine_similarity("qvec", "cvec"), 9)
+    pairs = (
+        c.join(F.broadcast(q), "cluster")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", cos.alias("cos"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "vec_id", F.round("cos", 6).alias("cos"), "rnk")
+    )

@@ -470,3 +470,46 @@ def order_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(status == "P", 1).otherwise(0)).alias("n_partial"),
         F.round(F.sum("o_totalprice"), 4).alias("total_spend"),
     )
+
+
+# --------------------------------------------------------------------------
+# q40 — GROUPING SETS with a distinct aggregate: order counts, distinct
+# customers and revenue at three grouping granularities in one pass.
+# Completes the multi-dimensional agg family (rollup q14, pivot q15); the
+# distinct agg forces Catalyst's two-phase expand+agg plan, which is the
+# shape that matters at 100 TB (partial aggregation before the shuffle).
+# --------------------------------------------------------------------------
+@register(
+    "priority_grouping_sets",
+    oracle="""
+    SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+           coalesce(o_orderstatus, 'ALL') AS status,
+           count(*) AS n_orders,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           round(sum(o_totalprice), 4) AS revenue
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                            (o_orderpriority), (o_orderstatus))
+    """,
+)
+def priority_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.groupingSets(
+            [["o_orderpriority", "o_orderstatus"], ["o_orderpriority"], ["o_orderstatus"]],
+            "o_orderpriority",
+            "o_orderstatus",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.count_distinct("o_custkey").alias("n_customers"),
+            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "n_orders",
+            "n_customers",
+            "revenue",
+        )
+    )

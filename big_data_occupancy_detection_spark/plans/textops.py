@@ -364,3 +364,15 @@ def media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 def media_fake_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return MM.decode_features(MM.with_binary_payload(docs))
+
+
+# --------------------------------------------------------------------------
+# q41 — IVF approximate top-k (inverted-list ANN: seeded spherical k-means
+# partitioning + multi-probe search). Deterministic, but the iterative
+# centroid refinement is not ANSI-SQL-expressible → rows-only check; the
+# recall-vs-brute-force contract is asserted in tests/test_similarity.py.
+# --------------------------------------------------------------------------
+@register("embedding_ivf_topk", oracle=None)
+def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return SIM.ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)

@@ -90,3 +90,16 @@ def test_describe_stats_shape(spark):
     assert out["a"].n == 100.0
     assert abs(out["a"].mean - 74.25) < 1e-9
     assert out["b"].min == 0.0 and out["b"].max == 6.0
+
+
+def test_approx_count_distinct_within_tolerance(spark, sf_dir):
+    """HLL++ sketch (the mergeable, constant-memory distinct-count path for
+    100 TB data) stays within its rsd envelope of the exact answer."""
+    from big_data_occupancy_detection_spark.sources.readers import table
+
+    li = table(spark, sf_dir, "lineitem")
+    row = li.agg(
+        F.count_distinct("l_partkey").alias("exact"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx"),
+    ).collect()[0]
+    assert abs(row.approx - row.exact) / row.exact < 0.06

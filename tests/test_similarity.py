@@ -1,0 +1,34 @@
+"""Recall contracts for the approximate similarity-search paths."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from big_data_occupancy_detection_spark.ext import similarity as SIM
+from big_data_occupancy_detection_spark.sources.readers import table
+
+
+def _topk_sets(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r.qid, set()).add(r.vec_id)
+    return out
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = _topk_sets(SIM.brute_force_topk(emb, queries, k=5))
+    approx = _topk_sets(SIM.ivf_topk(emb, queries, k=5))
+    hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+    total = sum(len(v) for v in exact.values())
+    assert hits / total >= 0.5, f"IVF recall {hits}/{total} too low"
+    # every query must come back with a full k list (probed lists non-empty)
+    assert all(len(v) == 5 for v in approx.values())
+
+
+def test_ivf_centroids_deterministic(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    c1 = SIM.ivf_centroids(emb, n_centroids=4, n_iters=1)
+    c2 = SIM.ivf_centroids(emb, n_centroids=4, n_iters=1)
+    assert c1 == c2
