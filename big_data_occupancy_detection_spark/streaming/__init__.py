@@ -1,4 +1,5 @@
 from .schemas import REQUEST_SCHEMA, RESPONSE_FIELDS, SENTINEL_PREDICTION, SENTINEL_PROBABILITY
+from .stateful import running_user_stats
 from .inference import (
     build_inference_pipeline,
     kafka_sink,
@@ -9,6 +10,7 @@ from .inference import (
 )
 
 __all__ = [
+    "running_user_stats",
     "REQUEST_SCHEMA",
     "RESPONSE_FIELDS",
     "SENTINEL_PREDICTION",
