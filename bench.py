@@ -40,7 +40,11 @@ HEADLINE = [
     "simhash_pairs",           # 32-bit expression fold + self-join
     "embedding_topk",          # broadcast crossJoin + vector math
     "embedding_lsh_topk",      # bucketed ANN
+    "embedding_ivf_topk",      # inverted-list ANN (seeded k-means)
     "media_metadata",          # binary column metadata
+    "orders_asof_events",      # as-of join (union + sort + last-value)
+    "event_band_pairs",        # band join (bucketed replication)
+    "priority_grouping_sets",  # multi-granularity agg + distinct
 ]
 
 

@@ -86,3 +86,61 @@ def decode_features(
             )
 
     return media.mapInPandas(extract, MEDIA_FEATURES_SCHEMA)
+
+
+FRAME_SAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_index", T.IntegerType()),
+        T.StructField("frame_bytes", T.BinaryType()),
+        T.StructField("frame_hash", T.StringType()),
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame,
+    every_n: int = 4,
+    payload_col: str = "payload",
+    real_codec: bool = False,
+) -> DataFrame:
+    """Frame sampling for video-like payloads: one output row per sampled
+    frame, via ``mapInPandas`` (a 1→N exploding Arrow transform).
+
+    The "video" is modeled as fixed-size chunks of the payload (a real
+    ffmpeg-backed decoder slots into ``_frames``; the Spark contract —
+    bytes in, (index, frame bytes) rows out — is identical). Sampling
+    every ``every_n``-th frame bounds the output to payload_size/(chunk·n)
+    rows per document; the transform is scan-parallel, stateless, and
+    never holds more than one Arrow batch of frames in memory.
+    """
+    if real_codec:
+        raise NotImplementedError(
+            "no video codecs in this environment — plug a frame decoder "
+            "into _frames; the mapInPandas plumbing is codec-agnostic"
+        )
+
+    def _frames(payload: bytes) -> list[tuple[int, bytes]]:
+        chunks = [
+            payload[i : i + CHUNK_BYTES]
+            for i in range(0, max(len(payload), 1), CHUNK_BYTES)
+        ]
+        return [(i, c) for i, c in enumerate(chunks) if i % every_n == 0]
+
+    def explode_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [],
+                "frame_index": [],
+                "frame_bytes": [],
+                "frame_hash": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                for idx, frame in _frames(bytes(payload)):
+                    out["doc_id"].append(doc_id)
+                    out["frame_index"].append(idx)
+                    out["frame_bytes"].append(frame)
+                    out["frame_hash"].append(hashlib.md5(frame).hexdigest())
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(explode_frames, FRAME_SAMPLE_SCHEMA)

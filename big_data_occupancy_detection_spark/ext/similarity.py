@@ -152,53 +152,104 @@ def lsh_bucketed_topk(
 # ------------------------------------------------------------------ IVF ANN
 
 IVF_CENTROIDS = 16
-IVF_ITERS = 2
+IVF_ITERS = 1
 IVF_PROBES = 4
 
 
-def _elementwise_mean(assigned: DataFrame, cluster_col: str, vec_col: str) -> DataFrame:
-    """Per-cluster element-wise mean of array vectors, shuffle-parallel.
+def _normalized(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(vid, nvec): L2-normalized double vectors."""
+    from ..functions.vector_fns import l2_norm
 
-    posexplode → (cluster, dim, value) → per-(cluster, dim) average →
-    rebuild ordered arrays. Never materializes a cluster's member list in
-    one task, so cluster size is unbounded (the 100 TB-safe formulation;
-    ``collect_list`` of vectors per cluster would not be).
-    """
-    exploded = assigned.select(
-        F.col(cluster_col), F.posexplode(F.col(vec_col)).alias("dim", "val")
-    )
-    dim_means = exploded.groupBy(cluster_col, "dim").agg(
-        F.avg(F.col("val").cast("double")).alias("mean_val")
-    )
-    return dim_means.groupBy(cluster_col).agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("dim", "mean_val"))),
-            lambda s: s.getField("mean_val"),
-        ).alias("centroid")
+    return emb.select(
+        F.col(id_col).alias("vid"),
+        F.zip_with(
+            F.col(vec_col),
+            F.array_repeat(l2_norm(vec_col), F.size(vec_col)),
+            lambda x, n: x.cast("double") / n,
+        ).alias("nvec"),
     )
 
 
-def _nearest_centroid(vec_col: str, centroids: list[tuple[int, list[float]]]):
-    """Column expr: id of the max-dot-product centroid (deterministic
-    tie-break on centroid id). Centroid literals are compiled into the
-    plan, so assignment is a pure scan-parallel projection.
+def _seed_centroids(normed: DataFrame, n_centroids: int) -> DataFrame:
+    """(cid, __cent) seed frame: the ``n_centroids`` vectors with the
+    smallest portable md5-hash of their id — a reproducible pseudo-random
+    sample with no RNG state, identical on any engine. The cid numbering
+    window runs on the already-limited ``n_centroids`` rows (single tiny
+    task, not a global-window hazard)."""
+    from ..functions.text_fns import md5_hash64
 
-    Implemented as array_sort over (−dot, cid) structs — linear expression
-    size; an incremental when/otherwise argmax would nest the running best
-    twice per step and grow the expression tree exponentially.
+    seeds = (
+        normed.withColumn("__h", md5_hash64(F.col("vid").cast("string")))
+        .orderBy("__h", "vid")
+        .limit(n_centroids)
+    )
+    w = Window.orderBy("__h", "vid")
+    return seeds.select(
+        (F.row_number().over(w) - 1).alias("cid"), F.col("nvec").alias("__cent")
+    )
+
+
+def _assign_nearest(df: DataFrame, cent: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Attach ``cluster`` = id of the max-dot-product centroid.
+
+    Broadcast crossJoin (map-side ×k fan-out) then a per-id ``max_by``
+    argmax — one hash shuffle on ``id_col``, deterministic tie-break to the
+    smallest centroid id. Centroids travel as a tiny broadcast DataFrame,
+    NOT as literal expressions: k·dim literals compiled into the plan make
+    analysis/codegen time scale with index size, dwarfing execution.
     """
     from ..functions.vector_fns import dot
 
-    entries = [
-        F.struct(
-            (-dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in vec]))).alias(
-                "nd"
-            ),
-            F.lit(cid).alias("cid"),
-        )
-        for cid, vec in centroids
-    ]
-    return F.array_sort(F.array(*entries))[0].getField("cid")
+    joined = df.crossJoin(F.broadcast(cent)).withColumn(
+        "__dot", dot(vec_col, "__cent")
+    )
+    return joined.groupBy(id_col).agg(
+        F.max_by("cid", F.struct(F.col("__dot"), -F.col("cid"))).alias("cluster"),
+        F.first(vec_col).alias(vec_col),
+    )
+
+
+def _mean_centroids(assigned: DataFrame, vec_col: str) -> DataFrame:
+    """(cid, __cent) per-cluster element-wise mean, shuffle-parallel.
+
+    posexplode → per-(cluster, dim) average → rebuild ordered arrays.
+    Never materializes a cluster's member list in one task, so cluster
+    size is unbounded (``collect_list`` of member vectors would not be).
+    """
+    exploded = assigned.select(
+        "cluster", F.posexplode(F.col(vec_col)).alias("dim", "val")
+    )
+    dim_means = exploded.groupBy("cluster", "dim").agg(
+        F.avg(F.col("val").cast("double")).alias("mean_val")
+    )
+    return dim_means.groupBy("cluster").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "mean_val"))),
+            lambda s: s.getField("mean_val"),
+        ).alias("__cent")
+    ).select(F.col("cluster").alias("cid"), "__cent")
+
+
+def _fit_centroids(
+    normed: DataFrame, n_centroids: int, n_iters: int
+) -> DataFrame:
+    """Spherical-k-means: seed frame refined by ``n_iters`` Lloyd rounds.
+
+    With the default single round the whole fit is one unbroken DataFrame
+    lineage — the caller's single action executes seeding + refinement +
+    its own query in one job. Extra rounds are separated by tiny eager
+    localCheckpoints (k rows each) so plan size stays constant per round."""
+    cent = _seed_centroids(normed, n_centroids)
+    for i in range(n_iters):
+        assigned = _assign_nearest(normed, cent, "vid", "nvec")
+        cent = _mean_centroids(assigned, "nvec")
+        if i < n_iters - 1:
+            # truncate lineage between rounds: without this, every further
+            # round re-embeds (and Catalyst re-optimizes) the whole prior
+            # fit, and plan cost grows superlinearly with n_iters. The
+            # checkpoint materializes only k rows of k·dim doubles.
+            cent = cent.localCheckpoint(eager=True)
+    return cent
 
 
 def ivf_centroids(
@@ -208,40 +259,15 @@ def ivf_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> list[tuple[int, list[float]]]:
-    """Deterministic spherical-k-means centroids as driver-side literals.
-
-    Seeding: the ``n_centroids`` vectors with the smallest portable
-    md5-hash of their id (a reproducible pseudo-random sample — no RNG
-    state, same pick on any engine). Lloyd iterations assign by dot
-    product against L2-normalized vectors and re-average element-wise;
-    every step is a DataFrame op, only the k centroid vectors themselves
-    ever reach the driver (k·dim doubles — constant in corpus size).
-    """
-    from ..functions.text_fns import md5_hash64
-    from ..functions.vector_fns import l2_norm
-
-    normed = emb.select(
-        F.col(id_col).alias("vid"),
-        F.zip_with(
-            F.col(vec_col),
-            F.array_repeat(l2_norm(vec_col), F.size(vec_col)),
-            lambda x, n: x.cast("double") / n,
-        ).alias("nvec"),
-    )
-    seeds = (
-        normed.withColumn("__h", md5_hash64(F.col("vid").cast("string")))
-        .orderBy("__h", "vid")
-        .limit(n_centroids)
-        .collect()
-    )
-    centroids = [(i, list(r.nvec)) for i, r in enumerate(seeds)]
-    for _ in range(n_iters):
-        assigned = normed.withColumn(
-            "cluster", _nearest_centroid("nvec", centroids)
-        )
-        means = _elementwise_mean(assigned, "cluster", "nvec").collect()
-        centroids = sorted((r.cluster, list(r.centroid)) for r in means)
-    return centroids
+    """Deterministic spherical-k-means centroids, collected to the driver
+    (k·dim doubles — constant in corpus size). For composing into a larger
+    plan without an action, use the lazy ``_fit_centroids``."""
+    normed = _normalized(emb, id_col, vec_col).persist()
+    try:
+        cent = _fit_centroids(normed, n_centroids, n_iters)
+        return sorted((r["cid"], list(r["__cent"])) for r in cent.collect())
+    finally:
+        normed.unpersist()
 
 
 def ivf_topk(
@@ -257,32 +283,37 @@ def ivf_topk(
     inverted lists; each query probes its ``n_probes`` closest lists and
     ranks only those candidates.
 
-    Scale shape: corpus assignment is a scan-parallel projection (centroid
-    literals compiled into the plan, no shuffle); the probe is an equi-join
-    on cluster id — the corpus can be persisted bucketed by cluster so
-    repeated query batches skip the shuffle entirely. Search cost drops by
-    ~``n_centroids / n_probes`` vs brute force; recall is tuned by
-    ``n_probes``.
+    Fully lazy — centroid fitting, corpus assignment, probing and ranking
+    are one Catalyst plan, executed by the caller's single action. Scale
+    shape: assignment is a broadcast ×k fan-out plus one hash shuffle on
+    the vector id; the probe is an equi-join on cluster id — in production
+    the assigned corpus is persisted bucketed by cluster so repeated query
+    batches skip both. Search cost drops ~``n_centroids / n_probes`` vs
+    brute force; recall is tuned by ``n_probes``.
     """
-    cents = ivf_centroids(corpus, n_centroids, id_col=id_col, vec_col=vec_col)
-    c = repartition_for_compute(
-        corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cvec"))
-    ).withColumn("cluster", _nearest_centroid("cvec", cents))
+    from ..functions.vector_fns import dot
 
+    normed = _normalized(corpus, id_col, vec_col)
+    cent = _fit_centroids(normed, n_centroids, IVF_ITERS).persist()
+
+    c = _assign_nearest(
+        repartition_for_compute(
+            corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cvec"))
+        ),
+        cent,
+        "vec_id",
+        "cvec",
+    )
+
+    # each query probes its n_probes closest inverted lists
     q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"))
-    probe_sets = []
-    for cid, vec in cents:
-        from ..functions.vector_fns import dot
-
-        probe_sets.append(
-            F.struct(
-                dot(F.col("qvec"), F.array(*[F.lit(float(x)) for x in vec])).alias("d"),
-                F.lit(cid).alias("cid"),
-            )
-        )
-    probes = F.slice(F.reverse(F.array_sort(F.array(*probe_sets))), 1, n_probes)
-    q = q.withColumn(
-        "cluster", F.explode(F.transform(probes, lambda s: s.getField("cid")))
+    probe_w = Window.partitionBy("qid").orderBy(F.desc("__dot"), F.asc("cid"))
+    q = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("__dot", dot("qvec", "__cent"))
+        .withColumn("__pr", F.row_number().over(probe_w))
+        .filter(F.col("__pr") <= n_probes)
+        .select("qid", "qvec", F.col("cid").alias("cluster"))
     )
 
     cos = F.round(cosine_similarity("qvec", "cvec"), 9)

@@ -376,3 +376,109 @@ def media_fake_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     return SIM.ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+# --------------------------------------------------------------------------
+# q42 — corpus curation: the composed training-data pipeline (exact dedup →
+# quality gate → near-dup removal) as ONE declarative plan. This is the
+# shape a 100 TB pretraining-data job takes: every stage is a shuffle-
+# bounded DataFrame op (hash agg on fingerprint, scan-parallel quality
+# expressions, inverted-index near-dup join + anti-join), so the whole
+# pipeline scales as its worst stage and Catalyst pipelines the rest.
+# --------------------------------------------------------------------------
+_CURATION_MIN_QUALITY = 0.5
+_CURATION_MIN_TOKENS = 5
+
+_CURATION_ORACLE = f"""
+WITH {_TOKS_CTE},
+{_SH_CTE},
+keep AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5({NORM_SQL})),
+feat AS (
+  SELECT doc_id,
+         length({NORM_SQL}) AS n_char,
+         len(t) AS n_tok,
+         len(list_filter(t, x -> list_contains([{_STOPS}], x))) AS stop_hits,
+         len(list_distinct(t)) AS n_distinct
+  FROM documents JOIN toks USING (doc_id)),
+q AS (
+  SELECT doc_id,
+         CAST(n_tok AS BIGINT) AS n_tokens,
+         round((least(n_tok / 50.0, 1.0)
+                + least((CAST(stop_hits AS DOUBLE) / n_tok) * 5.0, 1.0)
+                + CAST(n_distinct AS DOUBLE) / n_tok) / 3.0, 6) AS quality
+  FROM feat),
+sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+inv AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+pairs AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+neardup AS (
+  SELECT DISTINCT d2 FROM pairs p
+  JOIN sizes sa ON sa.doc_id = p.d1
+  JOIN sizes sb ON sb.doc_id = p.d2
+  WHERE round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6)
+        >= {_JACCARD_T})
+SELECT d.doc_id, d.lang, q.n_tokens, q.quality
+FROM documents d
+JOIN keep USING (doc_id)
+JOIN q USING (doc_id)
+WHERE q.quality >= {_CURATION_MIN_QUALITY}
+  AND q.n_tokens >= {_CURATION_MIN_TOKENS}
+  AND d.doc_id NOT IN (SELECT d2 FROM neardup)
+"""
+
+
+@register("corpus_curation", oracle=_CURATION_ORACLE)
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    keep = D.exact_dedup_groups(docs).select(F.col("keep_id").alias("doc_id"))
+    near_dup = (
+        D.ngram_jaccard_pairs(docs, threshold=_JACCARD_T)
+        .select(F.col("d2").alias("doc_id"))
+        .distinct()
+    )
+    f = TX.quality_features("text")
+    gated = docs.select(
+        "doc_id",
+        "lang",
+        f["n_tokens"].alias("n_tokens"),
+        F.round(TX.quality_score("text"), 6).alias("quality"),
+    ).filter(
+        (F.col("quality") >= _CURATION_MIN_QUALITY)
+        & (F.col("n_tokens") >= _CURATION_MIN_TOKENS)
+    )
+    return gated.join(keep, "doc_id", "left_semi").join(
+        near_dup, "doc_id", "left_anti"
+    )
+
+
+# --------------------------------------------------------------------------
+# q43 — multimodal frame sampling: 1→N exploding mapInPandas over binary
+# payloads (every 4th fixed-size chunk as a "frame"). The frame hashes are
+# oracle-verified; the corpus text is ASCII so DuckDB's char-based
+# substring equals the byte chunking Spark applies to the payload.
+# --------------------------------------------------------------------------
+_FRAME_EVERY_N = 4
+
+_FRAME_ORACLE = f"""
+WITH n AS (
+  SELECT doc_id, text,
+         greatest(CAST(ceil(length(text) / {MM.CHUNK_BYTES}.0) AS INT), 1) AS nch
+  FROM documents),
+fr AS (SELECT doc_id, text, unnest(range(0, nch)) AS i FROM n)
+SELECT doc_id,
+       CAST(i AS INT) AS frame_index,
+       md5(substring(text, CAST(i * {MM.CHUNK_BYTES} + 1 AS INT), {MM.CHUNK_BYTES}))
+         AS frame_hash
+FROM fr
+WHERE i % {_FRAME_EVERY_N} = 0
+"""
+
+
+@register("media_frame_sample", oracle=_FRAME_ORACLE)
+def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    frames = MM.sample_frames(MM.with_binary_payload(docs), every_n=_FRAME_EVERY_N)
+    return frames.select("doc_id", "frame_index", "frame_hash")
