@@ -260,3 +260,28 @@ def parse_route_score(ev: DataFrame) -> DataFrame:
 )
 def parse_route_score_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parse_route_score(table(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
+# q44 — map-typed JSON: props parsed as map<string,int>, exploded to
+# key/value rows, aggregated per key (MapType + explode coverage; the
+# schema-free twin of the struct-typed parse in parse_route_score).
+# --------------------------------------------------------------------------
+@register(
+    "event_props_kv_stats",
+    oracle="""
+    SELECT k AS key, count(*) AS n,
+           round(avg(CAST(json_extract(props, '$.' || k) AS INT)), 4) AS avg_val
+    FROM (SELECT props, unnest(json_keys(props)) AS k FROM events)
+    GROUP BY 1
+    """,
+)
+def event_props_kv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    kv = ev.select(
+        F.explode(F.from_json("props", "map<string,int>")).alias("key", "val")
+    )
+    return kv.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("val"), 4).alias("avg_val"),
+    )
