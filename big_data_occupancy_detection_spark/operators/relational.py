@@ -135,3 +135,31 @@ def global_row_number(
         .withColumn(id_col, (F.col("__local_rn") + F.col("__offset")).cast("long"))
         .drop("__pid", "__local_rn", "__offset")
     )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    how: str = "inner",
+    salt_buckets: int = 8,
+) -> DataFrame:
+    """Skew-safe equi-join: manual salting for when one join key is hot.
+
+    The big side gets a uniform random salt in [0, salt_buckets); the small
+    side is replicated once per salt value; the join runs on
+    ``on + [salt]`` so a hot key's rows spread across ``salt_buckets``
+    reducers instead of one straggler task. Results are identical to the
+    plain join — salting only changes physical placement.
+
+    AQE's skew-join split handles most skew automatically; reach for this
+    when skew is known ahead of time (a null-heavy foreign key, a
+    power-law entity) or when AQE is unavailable (streaming joins).
+    """
+    salted_big = big.withColumn(
+        "__salt", F.floor(F.rand(seed=42) * salt_buckets).cast("int")
+    )
+    salted_small = small.withColumn(
+        "__salt_arr", F.sequence(F.lit(0), F.lit(salt_buckets - 1))
+    ).withColumn("__salt", F.explode("__salt_arr")).drop("__salt_arr")
+    return salted_big.join(salted_small, on=[*on, "__salt"], how=how).drop("__salt")

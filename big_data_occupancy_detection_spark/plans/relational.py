@@ -13,7 +13,7 @@ collects to the driver.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.relational import (
@@ -513,3 +513,60 @@ def priority_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q45 — time-range window frame: per-customer trailing-30-day revenue
+# (RANGE frame over event time — the windowed twin of the band join; the
+# only frame type the registry didn't yet cover).
+# --------------------------------------------------------------------------
+@register(
+    "customer_rolling_revenue",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate
+                 RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW), 4)
+             AS rev_30d
+    FROM orders
+    """,
+)
+def customer_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        # parquet NTZ timestamps won't cast straight to long; hop through
+        # TIMESTAMP (session is pinned UTC, so epoch seconds are exact)
+        .orderBy(F.col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 4).alias("rev_30d"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q46 — set operations: INTERSECT / EXCEPT on customer key sets (the two
+# set ops the reference never used; union family is covered elsewhere).
+# --------------------------------------------------------------------------
+@register(
+    "customer_status_setops",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+    """,
+)
+def customer_status_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+
+    def by_status(s: str) -> DataFrame:
+        return orders.filter(F.col("o_orderstatus") == s).select("o_custkey")
+
+    return by_status("O").intersect(by_status("F")).exceptAll(
+        by_status("P")
+    ).distinct()

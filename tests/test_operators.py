@@ -103,3 +103,24 @@ def test_approx_count_distinct_within_tolerance(spark, sf_dir):
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx"),
     ).collect()[0]
     assert abs(row.approx - row.exact) / row.exact < 0.06
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Salting redistributes a hot key without changing join results."""
+    from big_data_occupancy_detection_spark.operators.relational import salted_join
+
+    # 10k rows on ONE hot key + a tail of normal keys
+    big = spark.range(10_000).select(
+        F.when(F.col("id") < 9_000, 1).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("v"),
+    )
+    small = spark.createDataFrame(
+        [(1, "hot"), (9_500, "cold")], ["k", "name"]
+    )
+    plain = big.join(small, "k").groupBy("name").count().collect()
+    salted = (
+        salted_join(big, small, ["k"]).groupBy("name").count().collect()
+    )
+    assert {(r.name, r["count"]) for r in salted} == {
+        (r.name, r["count"]) for r in plain
+    } == {("hot", 9_000), ("cold", 1)}
