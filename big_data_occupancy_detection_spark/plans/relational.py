@@ -570,3 +570,71 @@ def customer_status_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return by_status("O").intersect(by_status("F")).exceptAll(
         by_status("P")
     ).distinct()
+
+
+# --------------------------------------------------------------------------
+# q47 — outer-join family: customers LEFT OUTER orders (null-extending
+# side preserved, count(order) = 0 for orderless customers) and nation
+# customer-vs-supplier presence via FULL OUTER in one result.
+# --------------------------------------------------------------------------
+@register(
+    "nation_presence_full_outer",
+    oracle="""
+    WITH c AS (
+      SELECT c_nationkey AS nk, count(*) AS n_customers
+      FROM customer GROUP BY 1),
+    s AS (
+      SELECT s_nationkey AS nk, count(*) AS n_suppliers
+      FROM supplier GROUP BY 1)
+    SELECT coalesce(c.nk, s.nk) AS nationkey,
+           coalesce(n_customers, 0) AS n_customers,
+           coalesce(n_suppliers, 0) AS n_suppliers
+    FROM c FULL OUTER JOIN s ON c.nk = s.nk
+    """,
+)
+def nation_presence_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    supp = (
+        table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    return cust.join(supp, "nk", "full_outer").select(
+        F.col("nk").alias("nationkey"),
+        F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+        F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q48 — left outer with null-extension aggregation: every customer's order
+# count, INCLUDING zero-order customers (the null-preserving join shape a
+# pure inner-join suite never exercises).
+# --------------------------------------------------------------------------
+@register(
+    "customer_order_counts_outer",
+    oracle="""
+    SELECT c.c_custkey,
+           CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
+           round(coalesce(sum(o.o_totalprice), 0.0), 4) AS total_spend
+    FROM customer c LEFT OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY 1
+    """,
+)
+def customer_order_counts_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 4).alias(
+                "total_spend"
+            ),
+        )
+    )
