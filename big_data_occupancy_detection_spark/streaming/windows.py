@@ -60,3 +60,22 @@ def session_counts(
             "n_events",
         )
     )
+
+
+def dedup_stream(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact-once dedup on ``key_cols`` with bounded state.
+
+    ``dropDuplicates`` on a stream keeps every seen key in the state store
+    forever; ``dropDuplicatesWithinWatermark`` expires keys once the
+    watermark passes them, so state is O(keys per watermark window) — the
+    only formulation that survives an unbounded stream (e.g. request_id
+    dedup in the inference plane).
+    """
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )

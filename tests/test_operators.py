@@ -124,3 +124,21 @@ def test_salted_join_matches_plain_join(spark):
     assert {(r.name, r["count"]) for r in salted} == {
         (r.name, r["count"]) for r in plain
     } == {("hot", 9_000), ("cold", 1)}
+
+
+def test_stratified_sample_fractions(spark, sf_dir):
+    """sampleBy: per-stratum Bernoulli sampling, seed-deterministic."""
+    from big_data_occupancy_detection_spark.sources.readers import table
+
+    orders = table(spark, sf_dir, "orders")
+    fracs = {"O": 0.5, "F": 0.1, "P": 1.0}
+    s1 = orders.sampleBy("o_orderstatus", fracs, seed=42)
+    s2 = orders.sampleBy("o_orderstatus", fracs, seed=42)
+    assert s1.count() == s2.count()  # deterministic under a fixed seed
+    got = {r.o_orderstatus: r.n for r in s1.groupBy("o_orderstatus").agg(F.count("*").alias("n")).collect()}
+    base = {r.o_orderstatus: r.n for r in orders.groupBy("o_orderstatus").agg(F.count("*").alias("n")).collect()}
+    assert got.get("P", 0) == base["P"]               # fraction 1.0 keeps all
+    for k in ("O", "F"):
+        if base.get(k, 0) >= 50:
+            ratio = got.get(k, 0) / base[k]
+            assert abs(ratio - fracs[k]) < 0.35 * fracs[k] + 0.05

@@ -71,3 +71,38 @@ def test_session_counts(spark, tmp_path):
         q.stop()
     # user 1 splits into two sessions across the 80-minute gap; user 2 has one
     assert rows == [(1, "09:00", 2), (1, "10:30", 1), (2, "09:45", 1)]
+
+
+def test_dedup_stream_drops_in_window_duplicates(spark, tmp_path):
+    import json as _json
+
+    from big_data_occupancy_detection_spark.streaming.windows import dedup_stream
+
+    src = tmp_path / "dd"
+    src.mkdir()
+    rows = [
+        {"ts": "2026-01-01T09:00:00", "user_id": 1, "event_type": "a", "value": 1.0},
+        {"ts": "2026-01-01T09:00:30", "user_id": 1, "event_type": "a", "value": 1.0},
+        {"ts": "2026-01-01T09:05:00", "user_id": 2, "event_type": "b", "value": 2.0},
+    ]
+    (src / "b.json").write_text("\n".join(_json.dumps(e) for e in rows))
+    raw = (
+        spark.readStream.format("json")
+        .schema("ts timestamp, user_id long, event_type string, value double")
+        .load(str(src))
+    )
+    out = dedup_stream(raw, ["user_id", "event_type"], watermark="10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_stream_t")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(
+            (r.user_id, r.event_type) for r in spark.table("dedup_stream_t").collect()
+        )
+    finally:
+        q.stop()
+    assert got == [(1, "a"), (2, "b")]
