@@ -219,3 +219,18 @@ def foreach_batch_multi_sink(responses: DataFrame, sinks: list[Callable[[DataFra
         .outputMode("append")
         .start()
     )
+
+
+def console_sink(responses: DataFrame, truncate: bool = False):
+    """Debug sink (SURVEY §2.1 S4): print each micro-batch to stdout.
+
+    No checkpoint — a second console query re-executes the plan
+    independently of the durable Kafka sink, exactly as the reference runs
+    both (``stream_inference.py:171-178``).
+    """
+    return (
+        responses.writeStream.format("console")
+        .option("truncate", str(truncate).lower())
+        .outputMode("append")
+        .start()
+    )

@@ -110,3 +110,23 @@ def test_model_save_load_roundtrip(spark, occupancy_df, tmp_path):
     a = model.transform(weighted).select("prediction").collect()
     b = loaded.transform(weighted).select("prediction").collect()
     assert a == b
+
+
+def test_export_classifier_reports(spark, occupancy_df, tmp_path):
+    """S7/M10: metrics + cm + ROC/PR + coefficient CSV artifacts."""
+    from big_data_occupancy_detection_spark.ml.reports import (
+        export_classifier_reports,
+    )
+
+    weighted = class_weights(occupancy_df, "label", num_classes=2)
+    model = build_weighted_lr_pipeline(FEATURES).fit(weighted)
+    preds = model.transform(weighted)
+    paths = export_classifier_reports(model, preds, str(tmp_path), prefix="train")
+    assert set(paths) == {"metrics", "confusion_matrix", "roc", "pr", "coefficients"}
+    header = open(paths["metrics"]).readline().strip().split(",")
+    assert "accuracy" in header and "f1" in header
+    import pandas as pd
+
+    roc = pd.read_csv(paths["roc"])
+    assert {"FPR", "TPR"} <= set(roc.columns)
+    assert len(open(paths["coefficients"]).readlines()) == len(FEATURES) + 2
