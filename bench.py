@@ -45,6 +45,10 @@ HEADLINE = [
     "orders_asof_events",      # as-of join (union + sort + last-value)
     "event_band_pairs",        # band join (bucketed replication)
     "priority_grouping_sets",  # multi-granularity agg + distinct
+    "customer_rolling_revenue",# RANGE time-frame window
+    "customer_order_counts_outer",  # null-extending outer join + agg
+    "corpus_curation",         # composed dedup→quality→near-dup pipeline
+    "media_frame_sample",      # 1→N exploding mapInPandas (Arrow)
 ]
 
 
@@ -63,6 +67,10 @@ def main() -> None:
     spark.read.parquet(f"{SF_DIR}/region.parquet").write.format("noop").mode(
         "overwrite"
     ).save()
+    # spin up the Python/Arrow worker pool (session constant, like JVM codegen)
+    spark.range(100).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -143,4 +143,10 @@ def sample_frames(
                     out["frame_hash"].append(hashlib.md5(frame).hexdigest())
             yield pd.DataFrame(out)
 
-    return media.mapInPandas(explode_frames, FRAME_SAMPLE_SCHEMA)
+    from ..operators.partitioning import repartition_for_compute
+
+    # a single parquet file arrives as ONE partition, which would serialize
+    # the whole Python decode on one core — spread it first
+    return repartition_for_compute(media).mapInPandas(
+        explode_frames, FRAME_SAMPLE_SCHEMA
+    )
