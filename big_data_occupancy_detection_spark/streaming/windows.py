@@ -79,3 +79,30 @@ def dedup_stream(
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         key_cols
     )
+
+
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "l_ts",
+    right_ts: str = "r_ts",
+    max_delay: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: right rows within
+    [left_ts, left_ts + max_delay] of a same-key left row.
+
+    Both sides carry watermarks and the join condition bounds the time
+    skew, so Spark can expire buffered state for either side once the
+    watermark passes — the only stream-stream join formulation whose state
+    does not grow without bound.
+    """
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (lw[key] == rw[key])
+        & (rw[right_ts] >= lw[left_ts])
+        & (rw[right_ts] <= F.expr(f"{left_ts} + INTERVAL {max_delay}"))
+    )
+    return lw.join(rw, cond, "inner")

@@ -52,3 +52,40 @@ def test_asof_matches_naive(spark, left, right):
         candidates = [(rt, v) for (rk, rt), v in right_map.items() if rk == k and rt <= t]
         expect = float(max(candidates)[1]) if candidates else None
         assert got[i] == expect, f"row {i} key={k} t={t}: {got[i]} != {expect}"
+
+
+band_rows = st.lists(st.tuples(keys, ticks), min_size=1, max_size=20)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=band_rows, band=st.integers(min_value=1, max_value=10))
+def test_band_join_matches_naive(spark, rows, band):
+    from big_data_occupancy_detection_spark.operators.temporal import (
+        band_self_join_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (i, k, BASE + dt.timedelta(minutes=t))
+            for i, (k, t) in enumerate(rows)
+        ],
+        "id LONG, k LONG, t TIMESTAMP",
+    )
+    got = {
+        (r.a_id, r.b_id)
+        for r in band_self_join_pairs(
+            df, on=["k"], ts_col="t", id_col="id", band_seconds=band * 60
+        ).collect()
+    }
+    expect = set()
+    for i, (ki, ti) in enumerate(rows):
+        for j, (kj, tj) in enumerate(rows):
+            if ki != kj or i == j:
+                continue
+            if 0 <= (tj - ti) * 60 <= band * 60 and (ti, i) < (tj, j):
+                expect.add((i, j))
+    assert got == expect

@@ -106,3 +106,58 @@ def test_dedup_stream_drops_in_window_duplicates(spark, tmp_path):
     finally:
         q.stop()
     assert got == [(1, "a"), (2, "b")]
+
+
+def test_interval_join_streams(spark, tmp_path):
+    import json as _json
+
+    from big_data_occupancy_detection_spark.streaming.windows import (
+        interval_join_streams,
+    )
+
+    lsrc = tmp_path / "ljoin"
+    rsrc = tmp_path / "rjoin"
+    lsrc.mkdir(); rsrc.mkdir()
+    (lsrc / "l.json").write_text(
+        "\n".join(
+            _json.dumps(e)
+            for e in [
+                {"l_ts": "2026-01-01T09:00:00", "k": 1, "l_val": "a"},
+                {"l_ts": "2026-01-01T12:00:00", "k": 2, "l_val": "b"},
+            ]
+        )
+    )
+    (rsrc / "r.json").write_text(
+        "\n".join(
+            _json.dumps(e)
+            for e in [
+                {"r_ts": "2026-01-01T09:20:00", "k": 1, "r_val": "in-window"},
+                {"r_ts": "2026-01-01T11:00:00", "k": 1, "r_val": "too-late"},
+                {"r_ts": "2026-01-01T11:00:00", "k": 2, "r_val": "before-left"},
+            ]
+        )
+    )
+    ldf = (
+        spark.readStream.format("json")
+        .schema("l_ts timestamp, k long, l_val string")
+        .load(str(lsrc))
+    )
+    rdf = (
+        spark.readStream.format("json")
+        .schema("r_ts timestamp, k long, r_val string")
+        .load(str(rsrc))
+    )
+    out = interval_join_streams(ldf, rdf, "k")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sjoin")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = [(r.l_val, r.r_val) for r in spark.table("sjoin").collect()]
+    finally:
+        q.stop()
+    # only the right row within [l_ts, l_ts+1h] of a same-key left row joins
+    assert got == [("a", "in-window")]
