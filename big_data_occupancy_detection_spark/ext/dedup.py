@@ -254,3 +254,55 @@ def simhash_dup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
             F.col("a.simhash").alias("simhash"),
         )
     )
+
+
+SIMHASH_BANDS = 4  # 8 bits per band; pairs agreeing on >=1 band are candidates
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with Hamming distance <= max_hamming, via banded
+    SimHash (the generalization of Hamming-0 equality buckets).
+
+    Pigeonhole: a pair within Hamming-k of a 32-bit signature split into
+    4 bands must agree exactly on >=1 band whenever k < 4 — so candidate
+    generation is 4 equi-joins on (band, band-bits) unioned by explode,
+    and only candidates pay the popcount verification. No O(n²) compare.
+    """
+    sh = simhash32(df, text_col, id_col)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.shiftright("simhash", bi * 8).bitwiseAND(F.lit(255).cast("long")).alias("bits"),
+            )
+            for bi in range(SIMHASH_BANDS)
+        ]
+    )
+    banded = sh.select(
+        "doc", "simhash", F.explode(band_structs).alias("b")
+    ).select("doc", "simhash", F.col("b.band").alias("band"), F.col("b.bits").alias("bits"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    hamming = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bits") == F.col("b.bits"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("d1"),
+            F.col("b.doc").alias("d2"),
+            hamming.cast("int").alias("hamming"),
+        )
+        .dropDuplicates(["d1", "d2"])
+        .filter(F.col("hamming") <= max_hamming)
+    )

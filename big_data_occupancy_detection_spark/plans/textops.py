@@ -482,3 +482,81 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     frames = MM.sample_frames(MM.with_binary_payload(docs), every_n=_FRAME_EVERY_N)
     return frames.select("doc_id", "frame_index", "frame_hash")
+
+
+# --------------------------------------------------------------------------
+# q49 — banded Hamming-k SimHash near-dup pairs: pigeonhole candidate
+# generation (4×8-bit bands) + popcount verification of candidates only.
+# --------------------------------------------------------------------------
+_SIMHASH_MAX_HAMMING = 3
+
+
+def _simhash_near_oracle() -> str:
+    bit_terms = " + ".join(
+        f"CASE WHEN 2 * len(list_filter(hs, h -> ((h >> {j}) & 1) = 1)) > len(hs) "
+        f"THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for j in range(D.SIMHASH_BITS)
+    )
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {bi} AS band, (simhash >> {bi * 8}) & 255 AS bits FROM sh"
+        for bi in range(D.SIMHASH_BANDS)
+    )
+    return f"""
+    WITH {_TOKS_CTE},
+    hashed AS (SELECT doc_id, list_transform(t, x -> {hash64_sql('x')}) AS hs FROM toks),
+    sh AS (SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash FROM hashed),
+    banded AS ({bands}),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bits = b.bits AND a.doc_id < b.doc_id)
+    SELECT d1, d2, hamming FROM cands WHERE hamming <= {_SIMHASH_MAX_HAMMING}
+    """
+
+
+@register("simhash_near_pairs", oracle=_simhash_near_oracle())
+def simhash_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_near_pairs(
+        table(spark, sf_dir, "documents"), max_hamming=_SIMHASH_MAX_HAMMING
+    )
+
+
+# --------------------------------------------------------------------------
+# q50 — skew-guarded n-gram Jaccard: identical to q27 but ultra-common
+# shingles (document frequency > threshold) are dropped before the
+# inverted-index self-join. At corpus scale this is mandatory — one
+# boilerplate shingle in 10^6 docs makes 10^12 candidate pairs. The
+# computed Jaccard is then a lower bound (intersection counts only
+# non-hot shingles); the oracle applies the identical guard.
+# --------------------------------------------------------------------------
+_MAX_SHINGLE_DF = 20
+
+_NGRAM_GUARDED_ORACLE = f"""
+WITH {_TOKS_CTE},
+{_SH_CTE},
+sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+inv AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+kept AS (
+  SELECT * FROM inv
+  WHERE s NOT IN (SELECT s FROM inv GROUP BY s HAVING count(*) > {_MAX_SHINGLE_DF})),
+pairs AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+  FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT d1, d2,
+       round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+FROM pairs p
+JOIN sizes sa ON sa.doc_id = p.d1
+JOIN sizes sb ON sb.doc_id = p.d2
+WHERE round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6) >= {_JACCARD_T}
+"""
+
+
+@register("ngram_jaccard_pairs_guarded", oracle=_NGRAM_GUARDED_ORACLE)
+def ngram_jaccard_pairs_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.ngram_jaccard_pairs(
+        table(spark, sf_dir, "documents"),
+        threshold=_JACCARD_T,
+        max_shingle_df=_MAX_SHINGLE_DF,
+    )
