@@ -638,3 +638,30 @@ def customer_order_counts_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q51 — robust-statistics aggregate family: exact median (interpolated),
+# sample stddev/variance per group (the reference's describe() exposes
+# stddev only; median/variance complete the family).
+# --------------------------------------------------------------------------
+@register(
+    "order_price_robust_stats",
+    oracle="""
+    SELECT o_orderstatus,
+           round(median(o_totalprice), 4) AS median_price,
+           round(stddev_samp(o_totalprice), 4) AS sd_price,
+           round(var_samp(o_totalprice), 4) AS var_price,
+           count(*) AS n
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def order_price_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.round(F.median("o_totalprice"), 4).alias("median_price"),
+        F.round(F.stddev_samp("o_totalprice"), 4).alias("sd_price"),
+        F.round(F.var_samp("o_totalprice"), 4).alias("var_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
