@@ -21,6 +21,7 @@ right_rows = st.lists(st.tuples(keys, ticks, st.integers(0, 999)), max_size=25)
 @settings(
     max_examples=12,
     deadline=None,
+    derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(left=left_rows, right=right_rows)
@@ -60,6 +61,7 @@ band_rows = st.lists(st.tuples(keys, ticks), min_size=1, max_size=20)
 @settings(
     max_examples=10,
     deadline=None,
+    derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(rows=band_rows, band=st.integers(min_value=1, max_value=10))
