@@ -23,7 +23,8 @@ from pyspark.sql import functions as F
 from ..functions.vector_fns import cosine_similarity
 from ..operators.partitioning import repartition_for_compute
 
-LSH_PLANES = 8  # 2^8 = 256 buckets
+LSH_PLANES = 4   # 2^4 = 16 buckets
+LSH_PROBE_HAMMING = 1  # multiprobe: also search buckets within this Hamming distance
 
 
 def brute_force_topk(
@@ -114,14 +115,20 @@ def lsh_bucketed_topk(
     queries: DataFrame,
     k: int = 5,
     planes: int = LSH_PLANES,
+    probe_hamming: int = LSH_PROBE_HAMMING,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: rank only candidates in the query's LSH bucket.
+    """Approximate top-k with multiprobe: each query searches its own LSH
+    bucket plus every bucket within ``probe_hamming`` sign flips.
 
-    At scale the corpus is hash-partitioned by bucket, so each query's
-    search is a single-partition probe instead of a full scan. Recall is
-    tuned by ``planes`` (fewer planes → bigger buckets → higher recall).
+    At scale the corpus is hash-partitioned by bucket, so each query is a
+    (1 + planes·probe_hamming)-partition probe instead of a full scan.
+    Recall is tuned by ``planes`` (fewer → bigger buckets) and
+    ``probe_hamming`` (more → more buckets searched) — multiprobe buys
+    recall without shrinking the bucket count, the standard trade for
+    moderate-similarity neighbors (a cos≈0.4 neighbor agrees with a random
+    hyperplane with p≈0.63, so exact-bucket match decays as 0.63^planes).
     """
     c = with_lsh_bucket(
         repartition_for_compute(
@@ -135,6 +142,16 @@ def lsh_bucketed_topk(
         planes,
         "qvec",
     )
+    if probe_hamming >= 1:
+        # explode each query to its bucket + all single-bit-flip buckets
+        # (probe_hamming > 1 would extend the same expansion recursively)
+        flips = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(planes)
+            ],
+        )
+        q = q.withColumn("bucket", F.explode(flips))
     cos = F.round(cosine_similarity("qvec", "cvec"), 9)
     pairs = (
         c.join(F.broadcast(q), "bucket")

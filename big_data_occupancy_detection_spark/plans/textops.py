@@ -326,11 +326,58 @@ def embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q32 — LSH-bucketed approximate top-k (the ANN scale path).
-# Deterministic (hash-derived hyperplanes) but the bucket math is not
-# reasonably ANSI-SQL-expressible → rows-only check.
+# q32 — LSH-bucketed approximate top-k (the ANN scale path). The
+# hyperplanes are derived from the portable md5 hash of (plane, dim), so
+# the oracle rebuilds identical planes, buckets, candidates and ranking.
 # --------------------------------------------------------------------------
-@register("embedding_lsh_topk", oracle=None)
+def _lsh_topk_oracle() -> str:
+    planes = SIM.LSH_PLANES
+    probe = SIM.LSH_PROBE_HAMMING
+    comp = (
+        "(CAST(('0x' || substr(md5('plane' || p || '|' || CAST(i - 1 AS VARCHAR)), 1, 15)) "
+        "AS BIGINT) % 2000001) / 1000000.0 - 1.0"
+    )
+    return f"""
+    WITH c AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings),
+    planes AS (
+      SELECT p, i, {comp} AS comp
+      FROM (SELECT unnest(range({planes})) AS p),
+           (SELECT DISTINCT generate_subscripts(embedding, 1) AS i FROM embeddings)),
+    dots AS (
+      SELECT c.vec_id, pl.p, sum(c.v * pl.comp) AS d
+      FROM c JOIN planes pl ON c.i = pl.i GROUP BY 1, 2),
+    buckets AS (
+      SELECT vec_id, CAST(sum(CASE WHEN d >= 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+      FROM dots GROUP BY 1),
+    norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM c GROUP BY vec_id),
+    q AS (SELECT * FROM c WHERE vec_id < 10),
+    cand AS (
+      SELECT bq.vec_id AS qid, bc.vec_id AS vec_id
+      FROM buckets bq JOIN buckets bc
+        ON bit_count(xor(bq.bucket, bc.bucket)) <= {probe}
+       AND bq.vec_id < 10 AND bq.vec_id <> bc.vec_id),
+    cos AS (
+      SELECT cd.qid, cd.vec_id,
+             round(sum(q.v * c.v) / (nq.nrm * nc.nrm), 9) AS cos9
+      FROM cand cd
+      JOIN q ON q.vec_id = cd.qid
+      JOIN c ON c.vec_id = cd.vec_id AND c.i = q.i
+      JOIN norms nq ON nq.vec_id = cd.qid
+      JOIN norms nc ON nc.vec_id = cd.vec_id
+      GROUP BY cd.qid, cd.vec_id, nq.nrm, nc.nrm),
+    ranked AS (
+      SELECT qid, vec_id, cos9,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY cos9 DESC, vec_id) AS BIGINT) AS rnk
+      FROM cos)
+    SELECT qid, vec_id, round(cos9, 6) AS cos, rnk
+    FROM ranked WHERE rnk <= 5
+    """
+
+
+@register("embedding_lsh_topk", oracle=_lsh_topk_oracle())
 def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     return SIM.lsh_bucketed_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
@@ -357,13 +404,32 @@ def media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q34 — multimodal decode plumbing (Arrow mapInPandas, stubbed codec) —
-# deterministic fake features; not SQL-expressible → rows-only check.
+# q34 — multimodal decode plumbing (Arrow mapInPandas, stubbed codec).
+# The deterministic fake decoder is md5-derived, so the oracle recomputes
+# the identical features; exploding the feature array to scalar rows makes
+# the Python-side decode hash-verifiable end to end.
 # --------------------------------------------------------------------------
-@register("media_fake_features", oracle=None)
+_FAKE_FEATURES_ORACLE = f"""
+WITH f AS (SELECT doc_id, md5(text) AS h FROM documents),
+idx AS (SELECT doc_id, h, unnest(range({MM.FEATURE_DIM})) AS j FROM f)
+SELECT doc_id, CAST(j AS INT) AS feat_idx,
+       round(CAST(('0x' || substr(h, CAST(2 * j + 1 AS INT), 2)) AS INT) / 255.0, 4)
+         AS feat_val
+FROM idx
+"""
+
+
+@register("media_fake_features", oracle=_FAKE_FEATURES_ORACLE)
 def media_fake_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    return MM.decode_features(MM.with_binary_payload(docs))
+    decoded = MM.decode_features(MM.with_binary_payload(docs))
+    return decoded.select(
+        "doc_id", F.posexplode("features").alias("feat_idx", "feat_val")
+    ).select(
+        "doc_id",
+        "feat_idx",
+        F.round(F.col("feat_val").cast("double"), 4).alias("feat_val"),
+    )
 
 
 # --------------------------------------------------------------------------

@@ -32,3 +32,13 @@ def test_ivf_centroids_deterministic(spark, sf_dir):
     c1 = SIM.ivf_centroids(emb, n_centroids=4, n_iters=1)
     c2 = SIM.ivf_centroids(emb, n_centroids=4, n_iters=1)
     assert c1 == c2
+
+
+def test_lsh_recall_vs_brute_force(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = _topk_sets(SIM.brute_force_topk(emb, queries, k=5))
+    approx = _topk_sets(SIM.lsh_bucketed_topk(emb, queries, k=5))
+    hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+    total = sum(len(v) for v in exact.values())
+    assert hits / total >= 0.3, f"LSH recall {hits}/{total} too low"
