@@ -665,3 +665,29 @@ def order_price_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.var_samp("o_totalprice"), 4).alias("var_price"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# --------------------------------------------------------------------------
+# q52 — the SQL surface: the same engine through spark.sql() over temp
+# views (dialect-portable subset — identical text runs on DuckDB as the
+# oracle). Everything else in the registry uses the DataFrame API; this
+# proves the Catalyst SQL front-end is a first-class entry point.
+# --------------------------------------------------------------------------
+_SQL_API_QUERY = """
+SELECT n.n_name AS nation,
+       count(DISTINCT c.c_custkey) AS n_customers,
+       round(sum(o.o_totalprice), 4) AS revenue
+FROM nation n
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+WHERE o.o_orderstatus <> 'P'
+GROUP BY n.n_name
+HAVING count(DISTINCT c.c_custkey) > 5
+"""
+
+
+@register("sql_api_nation_revenue", oracle=_SQL_API_QUERY)
+def sql_api_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for name in ("nation", "customer", "orders"):
+        table(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(_SQL_API_QUERY)
