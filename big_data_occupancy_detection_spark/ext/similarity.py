@@ -345,3 +345,51 @@ def ivf_topk(
         .filter(F.col("rnk") <= k)
         .select("qid", "vec_id", F.round("cos", 6).alias("cos"), "rnk")
     )
+
+
+def lsh_near_pairs(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    planes: int = LSH_PLANES,
+    probe_hamming: int = LSH_PROBE_HAMMING,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs, LSH-bucketed — the scale path for
+    ``near_pairs_threshold``'s O(n²) cross join.
+
+    Candidates are pairs whose sign-buckets differ in at most
+    ``probe_hamming`` bits (one side pre-exploded to its flip set, so the
+    pair generation is an equi-join on bucket); cosine is verified exactly
+    on candidates only. Recall follows the multiprobe collision bound; at
+    the default (4 planes, Hamming ≤ 1) a cos-θ pair collides with
+    probability Σ_{i≤1} C(4,i) p^(4-i)(1-p)^i for p = 1 − θ/π.
+    """
+    a = with_lsh_bucket(
+        repartition_for_compute(
+            emb.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"))
+        ),
+        planes,
+        "a_vec",
+    )
+    if probe_hamming >= 1:
+        flips = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(planes)],
+        )
+        a = a.withColumn("bucket", F.explode(flips))
+    b = with_lsh_bucket(
+        emb.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec")),
+        planes,
+        "b_vec",
+    )
+    cos = cosine_similarity("a_vec", "b_vec")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("a_id") < F.col("b_id"))
+        # multiprobe explode can surface one pair via several buckets
+        .dropDuplicates(["a_id", "b_id"])
+        .withColumn("cos", F.round(cos, 6))
+        .filter(F.col("cos") >= threshold)
+        .select("a_id", "b_id", "cos")
+    )

@@ -626,3 +626,55 @@ def ngram_jaccard_pairs_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=_JACCARD_T,
         max_shingle_df=_MAX_SHINGLE_DF,
     )
+
+
+# --------------------------------------------------------------------------
+# q53 — embedding near-dup pairs, LSH-bucketed (scale path of q31's O(n²)
+# form): multiprobe bucket candidates + exact cosine verification. Oracle
+# rebuilds the identical md5-derived hyperplane buckets.
+# --------------------------------------------------------------------------
+def _lsh_near_pairs_oracle() -> str:
+    planes = SIM.LSH_PLANES
+    probe = SIM.LSH_PROBE_HAMMING
+    comp = (
+        "(CAST(('0x' || substr(md5('plane' || p || '|' || CAST(i - 1 AS VARCHAR)), 1, 15)) "
+        "AS BIGINT) % 2000001) / 1000000.0 - 1.0"
+    )
+    return f"""
+    WITH c AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings),
+    planes AS (
+      SELECT p, i, {comp} AS comp
+      FROM (SELECT unnest(range({planes})) AS p),
+           (SELECT DISTINCT generate_subscripts(embedding, 1) AS i FROM embeddings)),
+    dots AS (
+      SELECT c.vec_id, pl.p, sum(c.v * pl.comp) AS d
+      FROM c JOIN planes pl ON c.i = pl.i GROUP BY 1, 2),
+    buckets AS (
+      SELECT vec_id, CAST(sum(CASE WHEN d >= 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+      FROM dots GROUP BY 1),
+    norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM c GROUP BY vec_id),
+    cand AS (
+      SELECT ba.vec_id AS a_id, bb.vec_id AS b_id
+      FROM buckets ba JOIN buckets bb
+        ON bit_count(xor(ba.bucket, bb.bucket)) <= {probe}
+       AND ba.vec_id < bb.vec_id),
+    cos AS (
+      SELECT cd.a_id, cd.b_id,
+             round(sum(a.v * b.v) / (na.nrm * nb.nrm), 6) AS cos
+      FROM cand cd
+      JOIN c a ON a.vec_id = cd.a_id
+      JOIN c b ON b.vec_id = cd.b_id AND b.i = a.i
+      JOIN norms na ON na.vec_id = cd.a_id
+      JOIN norms nb ON nb.vec_id = cd.b_id
+      GROUP BY cd.a_id, cd.b_id, na.nrm, nb.nrm)
+    SELECT a_id, b_id, cos FROM cos WHERE cos >= {_NEAR_T}
+    """
+
+
+
+@register("embedding_near_pairs_lsh", oracle=_lsh_near_pairs_oracle())
+def embedding_near_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SIM.lsh_near_pairs(table(spark, sf_dir, "embeddings"), _NEAR_T)

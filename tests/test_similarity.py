@@ -42,3 +42,15 @@ def test_lsh_recall_vs_brute_force(spark, sf_dir):
     hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
     total = sum(len(v) for v in exact.values())
     assert hits / total >= 0.3, f"LSH recall {hits}/{total} too low"
+
+
+def test_lsh_near_pairs_subset_of_exact(spark, sf_dir):
+    """LSH near-pairs must be a subset of the exact O(n²) pairs (no false
+    positives — candidates are cosine-verified) with non-trivial recall."""
+    emb = table(spark, sf_dir, "embeddings")
+    exact = {
+        (r.a_id, r.b_id) for r in SIM.near_pairs_threshold(emb, 0.4).collect()
+    }
+    approx = {(r.a_id, r.b_id) for r in SIM.lsh_near_pairs(emb, 0.4).collect()}
+    assert approx <= exact
+    assert len(approx) >= 0.3 * len(exact), f"{len(approx)}/{len(exact)}"
