@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..ml.evaluation import confusion_matrix
-from ..ml.pipelines import SEED, build_weighted_lr_pipeline
+from ..ml.pipelines import build_weighted_lr_pipeline
 from ..operators.relational import class_weights
 from ..sources.readers import table
 from .registry import register

@@ -463,12 +463,21 @@ def customer_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def order_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders")
-    status = F.col("o_orderstatus")
-    return orders.groupBy("o_custkey").agg(
-        F.sum(F.when(status == "O", 1).otherwise(0)).alias("n_open"),
-        F.sum(F.when(status == "F", 1).otherwise(0)).alias("n_filled"),
-        F.sum(F.when(status == "P", 1).otherwise(0)).alias("n_partial"),
-        F.round(F.sum("o_totalprice"), 4).alias("total_spend"),
+    counts = (
+        orders.groupBy("o_custkey")
+        # explicit pivot values: no extra distinct-scan, deterministic columns
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    spend = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 4).alias("total_spend")
+    )
+    return counts.join(spend, "o_custkey").select(
+        "o_custkey",
+        F.coalesce(F.col("O"), F.lit(0)).alias("n_open"),
+        F.coalesce(F.col("F"), F.lit(0)).alias("n_filled"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("n_partial"),
+        "total_spend",
     )
 
 
