@@ -285,3 +285,82 @@ def event_props_kv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.avg("val"), 4).alias("avg_val"),
     )
+
+
+# --------------------------------------------------------------------------
+# q54 — session feature matrix: the composed feature-engineering pipeline
+# (lag-window sessionization → cumulative session ids → per-session
+# aggregates → broadcast-joined user order context) as ONE declarative
+# plan — the batch twin of a streaming feature store's offline backfill.
+# Scale: two window passes over the same (user_id, ts) sort order (one
+# shuffle, Catalyst reuses the partitioning), a hash agg, and a broadcast
+# join of a 1500-row dimension.
+# --------------------------------------------------------------------------
+@register(
+    "session_features",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sessioned AS (
+      SELECT user_id, event_id, ts, value,
+             CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_idx
+      FROM flagged),
+    sessions AS (
+      SELECT user_id, session_idx,
+             count(*) AS n_events,
+             round(epoch(max(ts)) - epoch(min(ts)), 4) AS duration_s,
+             round(sum(value), 4) AS sum_value
+      FROM sessioned GROUP BY 1, 2),
+    user_orders AS (
+      SELECT o_custkey AS user_id,
+             count(*) AS n_orders,
+             round(sum(o_totalprice), 4) AS total_spend
+      FROM orders GROUP BY 1)
+    SELECT s.user_id, s.session_idx, s.n_events, s.duration_s, s.sum_value,
+           coalesce(u.n_orders, 0) AS n_orders,
+           round(coalesce(u.total_spend, 0.0), 4) AS total_spend
+    FROM sessions s LEFT JOIN user_orders u USING (user_id)
+    """,
+)
+def session_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    orders = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    gap_s = F.col("ts").cast("double") - prev_ts.cast("double")
+    new_session = F.when(prev_ts.isNull() | (gap_s > 1800.0), 1).otherwise(0)
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sessioned = ev.withColumn("new_session", new_session).withColumn(
+        "session_idx", F.sum("new_session").over(w_cum)
+    )
+    sessions = sessioned.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(
+            F.max(F.col("ts").cast("double")) - F.min(F.col("ts").cast("double")), 4
+        ).alias("duration_s"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+    user_orders = orders.groupBy(F.col("o_custkey").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 4).alias("total_spend"),
+    )
+    return sessions.join(F.broadcast(user_orders), "user_id", "left").select(
+        "user_id",
+        "session_idx",
+        "n_events",
+        "duration_s",
+        "sum_value",
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.round(F.coalesce("total_spend", F.lit(0.0)), 4).alias("total_spend"),
+    )
