@@ -49,6 +49,10 @@ HEADLINE = [
     "customer_order_counts_outer",  # null-extending outer join + agg
     "corpus_curation",         # composed dedup→quality→near-dup pipeline
     "media_frame_sample",      # 1→N exploding mapInPandas (Arrow)
+    "session_features",        # sessionize→aggregate→join feature pipeline
+    # embedding_near_pairs_lsh is oracle-verified but excluded here: at 2k
+    # vectors its bucket pruning (~3x) is below the explode+join overhead —
+    # the operator pays off when per-bucket cardinality << corpus (real scale)
 ]
 
 
