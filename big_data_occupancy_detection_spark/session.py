@@ -51,6 +51,9 @@ def get_session(
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.shuffle.partitions": str(shuffle_partitions or cpus),
         "spark.sql.execution.arrow.pyspark.enabled": "true",
+        # bound each Arrow batch crossing into Python (multimodal payloads
+        # can be MBs per row; 10k-row default batches would balloon memory)
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "2048",
         # Keep scan tasks memory-bounded regardless of file layout; at
         # cluster scale this is the knob that sizes tasks, not file count.
         "spark.sql.files.maxPartitionBytes": "128m",

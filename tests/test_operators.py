@@ -142,3 +142,20 @@ def test_stratified_sample_fractions(spark, sf_dir):
         if base.get(k, 0) >= 50:
             ratio = got.get(k, 0) / base[k]
             assert abs(ratio - fracs[k]) < 0.35 * fracs[k] + 0.05
+
+
+def test_partitioned_parquet_prunes_partitions(spark, sf_dir, tmp_path):
+    """Hive-partitioned sink + read-back filter → partition pruning reaches
+    the scan (the file-level pruning that matters before any row is read)."""
+    from big_data_occupancy_detection_spark.sources.readers import table
+    from big_data_occupancy_detection_spark.sources.sinks import write_parquet
+
+    ev = table(spark, sf_dir, "events")
+    out = str(tmp_path / "ev_part")
+    write_parquet(ev, out, partition_by=["event_type"])
+    back = spark.read.parquet(out).filter(F.col("event_type") == "click")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(event_type" in plan
+    n_types = ev.select("event_type").distinct().count()
+    assert back.select("event_type").distinct().count() == 1
+    assert n_types > 1  # pruning actually skipped something
