@@ -150,3 +150,63 @@ def sample_frames(
     return repartition_for_compute(media).mapInPandas(
         explode_frames, FRAME_SAMPLE_SCHEMA
     )
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("resized", T.BinaryType()),
+        T.StructField("n_bytes_out", T.LongType()),
+    ]
+)
+
+
+def resize_media(
+    media: DataFrame,
+    width: int = 64,
+    height: int = 64,
+    bytes_per_pixel: int = 1,
+    payload_col: str = "payload",
+    real_codec: bool = False,
+) -> DataFrame:
+    """Resize plumbing for image-like payloads via ``mapInPandas``.
+
+    The codec is stubbed (no image libs in this container): the "resize"
+    deterministically resamples the payload bytes to exactly
+    width·height·bytes_per_pixel output bytes by nearest-neighbor index
+    mapping — the same shape contract as a real `PIL.Image.resize`
+    (bytes in → fixed-size bytes out), so swapping in a real decoder
+    changes one function, not the Spark plan, schema, or batch shape.
+    """
+    if real_codec:
+        raise NotImplementedError(
+            "no image codecs in this environment — plug PIL/opencv into "
+            "_resample; the mapInPandas plumbing is codec-agnostic"
+        )
+    out_len = width * height * bytes_per_pixel
+
+    def _resample(payload: bytes) -> bytes:
+        if not payload:
+            return bytes(out_len)
+        n = len(payload)
+        # nearest-neighbor index map, the 1-D analogue of NN image scaling
+        return bytes(payload[(i * n) // out_len] for i in range(out_len))
+
+    def do_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = [_resample(bytes(p)) for p in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": width,
+                    "height": height,
+                    "resized": resized,
+                    "n_bytes_out": [len(r) for r in resized],
+                }
+            )
+
+    from ..operators.partitioning import repartition_for_compute
+
+    return repartition_for_compute(media).mapInPandas(do_resize, RESIZE_SCHEMA)

@@ -159,3 +159,26 @@ def test_partitioned_parquet_prunes_partitions(spark, sf_dir, tmp_path):
     n_types = ev.select("event_type").distinct().count()
     assert back.select("event_type").distinct().count() == 1
     assert n_types > 1  # pruning actually skipped something
+
+
+def test_resize_media_shape_contract(spark):
+    """Multimodal resize stub: fixed-size output bytes, deterministic."""
+    from big_data_occupancy_detection_spark.ext.multimodal import (
+        resize_media,
+        with_binary_payload,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "hello world " * 40), (2, "x"), (3, "")], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r for r in resize_media(
+        with_binary_payload(docs), width=8, height=4
+    ).collect()}
+    assert all(r.n_bytes_out == 32 for r in out.values())
+    assert all(len(bytes(r.resized)) == 32 for r in out.values())
+    assert bytes(out[3].resized) == bytes(32)      # empty payload → zero frame
+    assert bytes(out[2].resized) == b"x" * 32      # 1-byte payload replicates
+    again = {r.doc_id: bytes(r.resized) for r in resize_media(
+        with_binary_payload(docs), width=8, height=4
+    ).collect()}
+    assert {k: bytes(v.resized) for k, v in out.items()} == again
