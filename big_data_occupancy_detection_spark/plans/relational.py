@@ -700,3 +700,65 @@ def sql_api_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name in ("nation", "customer", "orders"):
         table(spark, sf_dir, name).createOrReplaceTempView(name)
     return spark.sql(_SQL_API_QUERY)
+
+
+# --------------------------------------------------------------------------
+# q55 — customer distribution (TPC-H Q13 shape): left-join order counts
+# per customer (zero included), then the distribution of those counts —
+# a two-level aggregation over a null-extending join.
+# --------------------------------------------------------------------------
+@register(
+    "customer_distribution",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c LEFT OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey)
+    SELECT CAST(c_count AS BIGINT) AS c_count,
+           count(*) AS custdist
+    FROM per_cust
+    GROUP BY c_count
+    """,
+)
+def customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+# --------------------------------------------------------------------------
+# q56 — order priority checking (TPC-H Q4 shape): semi join whose condition
+# mixes an equality with an inequality across BOTH sides (late-shipment
+# EXISTS) — Catalyst keeps the equi part as the join key and evaluates the
+# inequality as a join residual, so this still hash-joins.
+# --------------------------------------------------------------------------
+@register(
+    "late_shipment_priority",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    # interval arithmetic, not date_add: date_add truncates to DATE and
+    # would silently drop any time-of-day component of o_orderdate
+    cond = (li.l_orderkey == orders.o_orderkey) & (
+        li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
