@@ -762,3 +762,39 @@ def late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
+
+
+# --------------------------------------------------------------------------
+# q57 — important parts (TPC-H Q11 shape): per-part revenue filtered by a
+# threshold derived from a WHOLE-TABLE aggregate — the scalar-subquery
+# shape. Spark side: the 1-row global aggregate broadcast-cross-joins onto
+# the grouped result (no driver collect, no second scan of the grouped
+# data).
+# --------------------------------------------------------------------------
+_SHARE_THRESHOLD = 0.0005  # 0.05% of total revenue
+
+
+@register(
+    "important_parts",
+    oracle=f"""
+    SELECT l_partkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS part_revenue
+    FROM lineitem
+    GROUP BY l_partkey
+    HAVING sum(l_extendedprice * (1 - l_discount)) >
+           (SELECT sum(l_extendedprice * (1 - l_discount)) * {_SHARE_THRESHOLD}
+            FROM lineitem)
+    """,
+)
+def important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    per_part = li.groupBy("l_partkey").agg(
+        rev.alias("__rev"),
+    )
+    total = li.agg((rev * _SHARE_THRESHOLD).alias("__threshold"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("__rev") > F.col("__threshold"))
+        .select("l_partkey", F.round("__rev", 4).alias("part_revenue"))
+    )
