@@ -798,3 +798,34 @@ def important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rev") > F.col("__threshold"))
         .select("l_partkey", F.round("__rev", 4).alias("part_revenue"))
     )
+
+
+# --------------------------------------------------------------------------
+# q58 — small-quantity revenue (TPC-H Q17 shape): each row compared against
+# ITS OWN group's aggregate (correlated scalar subquery in SQL; in Spark a
+# broadcast join of the per-part averages back onto lineitem — same one
+# shuffle as the aggregate itself, no per-row subquery execution).
+# --------------------------------------------------------------------------
+@register(
+    "small_quantity_revenue",
+    oracle="""
+    SELECT round(sum(l.l_extendedprice) / 7.0, 4) AS avg_yearly
+    FROM lineitem l
+    WHERE l.l_quantity < (
+      SELECT 0.5 * avg(l2.l_quantity)
+      FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+    """,
+)
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    part_avg = li.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.5).alias("__half_avg")
+    )
+    # no broadcast hint: the per-part aggregate scales with |parts|, so the
+    # join strategy must stay AQE's choice (broadcast locally, SMJ at scale
+    # where both sides are already partitioned on l_partkey)
+    return (
+        li.join(part_avg, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("__half_avg"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
+    )
