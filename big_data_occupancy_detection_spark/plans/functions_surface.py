@@ -1,0 +1,246 @@
+"""Scalar/array/generator function-surface plans.
+
+The reference keeps 100% of its expressions in built-in Catalyst functions
+(SURVEY.md §2.8/§2.11 — zero UDFs); this module widens that surface to the
+function families a general engine must expose, each oracle-verified:
+
+- unpivot/melt (wide→long reshape, the inverse of the pivot in
+  ``plans/relational.py:order_status_pivot``);
+- higher-order array functions (``transform``/``filter``/``aggregate``) over
+  the embeddings table — all JVM-side, no UDF;
+- regexp normalization + split + explode word counting over documents;
+- ranking-distribution windows (``ntile``/``percent_rank``/``cume_dist``);
+- date arithmetic with ``sequence``+``explode`` building a gap-filled
+  monthly spine (the generator/lateral family);
+- the string-function family (substring/lpad/upper/replace/length/concat).
+
+Scale notes: explode fan-out happens executor-side after the scan projects
+only the needed column; the word count is a classic map-side-combine
+aggregation; the month spine is ~100 rows built from a 1-row bound
+aggregate, then broadcast-joined to the grouped counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.readers import table
+from .registry import register
+
+
+# --------------------------------------------------------------------------
+# q72 — unpivot/melt: lineitem's four measures to long format, then one
+# grouped profile per measure. DataFrame.unpivot is Catalyst's Expand node
+# (same machinery as grouping sets), not a UDF.
+# --------------------------------------------------------------------------
+@register(
+    "lineitem_measures_unpivot",
+    oracle="""
+    WITH long AS (
+      SELECT 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+      UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+      UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+      UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
+    SELECT measure, count(*) AS n,
+           round(sum(val), 4) AS total,
+           round(avg(val), 6) AS mean,
+           round(min(val), 6) AS min_val,
+           round(max(val), 6) AS max_val
+    FROM long GROUP BY measure
+    """,
+)
+def lineitem_measures_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=[],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
+    return long.groupBy("measure").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("val"), 4).alias("total"),
+        F.round(F.avg("val"), 6).alias("mean"),
+        F.round(F.min("val"), 6).alias("min_val"),
+        F.round(F.max("val"), 6).alias("max_val"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q73 — higher-order array functions over embeddings: per-vector dimension,
+# positive-component count (filter), L2 norm (transform+aggregate), max
+# component — everything stays in Tungsten; elements are cast float→double
+# BEFORE arithmetic on both engines so the summation is bit-identical.
+# --------------------------------------------------------------------------
+@register(
+    "embedding_array_stats",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS BIGINT) AS dim,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+           round(sqrt(list_aggregate(
+                 list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                 'sum')), 5) AS l2_norm,
+           round(CAST(list_max(embedding) AS DOUBLE), 5) AS max_val
+    FROM embeddings
+    """,
+)
+def embedding_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.size(F.filter("embedding", lambda x: x > 0)).cast("long").alias("n_pos"),
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+                    F.lit(0.0).cast("double"),
+                    lambda acc, x: acc + x,
+                )
+            ),
+            5,
+        ).alias("l2_norm"),
+        F.round(F.array_max("embedding").cast("double"), 5).alias("max_val"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q74 — word frequency: lower + regexp normalization + split + explode over
+# documents, top-20 by count with a deterministic word tiebreak. The
+# explode fans out executor-side; counting is map-side-combined before the
+# single small shuffle.
+# --------------------------------------------------------------------------
+@register(
+    "top_words",
+    oracle="""
+    SELECT word, count(*) AS n
+    FROM (SELECT unnest(string_split_regex(
+                   regexp_replace(lower(text), '[^a-z]+', ' ', 'g'), ' ')) AS word
+          FROM documents)
+    WHERE word <> ''
+    GROUP BY word
+    ORDER BY n DESC, word
+    LIMIT 20
+    """,
+)
+def top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("text")
+    words = docs.select(
+        F.explode(
+            F.split(F.regexp_replace(F.lower("text"), "[^a-z]+", " "), " ")
+        ).alias("word")
+    ).filter(F.col("word") != "")
+    return (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "word")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# q75 — ranking-distribution windows: quartile (ntile), percent_rank and
+# cume_dist per order-status partition, totally ordered by (price, key) so
+# every rank is deterministic.
+# --------------------------------------------------------------------------
+@register(
+    "order_price_ntiles",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cum_dist
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def order_price_ntiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q76 — gap-filled monthly spine: sequence(min_month, max_month, 1 month)
+# exploded into a calendar spine, left-joined to per-month order aggregates
+# with zero fill — the generator + calendar-join shape every reporting
+# pipeline needs. The spine derives from a 1-row bound aggregate (scan-only
+# min/max), so it costs one tiny job regardless of fact size.
+# --------------------------------------------------------------------------
+@register(
+    "monthly_order_spine",
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('month', min(o_orderdate)) AS mn,
+             date_trunc('month', max(o_orderdate)) AS mx
+      FROM orders),
+    spine AS (
+      SELECT unnest(generate_series(mn, mx, INTERVAL 1 MONTH)) AS month FROM bounds),
+    counts AS (
+      SELECT date_trunc('month', o_orderdate) AS month,
+             count(*) AS n_orders,
+             round(sum(o_totalprice), 4) AS revenue
+      FROM orders GROUP BY 1)
+    SELECT s.month,
+           coalesce(c.n_orders, 0) AS n_orders,
+           coalesce(c.revenue, 0.0) AS revenue
+    FROM spine s LEFT JOIN counts c ON s.month = c.month
+    """,
+)
+def monthly_order_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("mn"),
+        F.date_trunc("month", F.max("o_orderdate")).alias("mx"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("mn", "mx", F.expr("INTERVAL 1 MONTH"))).alias("month")
+    )
+    counts = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+    )
+    return spine.join(counts, "month", "left_outer").select(
+        "month",
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q77 — string-function family: substring, lpad, upper, literal replace,
+# length, concat — pure projection (no shuffle), dialect-portable text.
+# --------------------------------------------------------------------------
+@register(
+    "customer_name_badges",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_mktsegment) AS seg_upper,
+           concat(substring(c_name, 1, 8), '-',
+                  lpad(CAST(c_custkey AS VARCHAR), 10, '0')) AS badge,
+           CAST(length(c_name) AS BIGINT) AS name_len,
+           replace(c_name, 'Customer#', 'C') AS short_name
+    FROM customer
+    """,
+)
+def customer_name_badges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.upper("c_mktsegment").alias("seg_upper"),
+        F.concat(
+            F.substring("c_name", 1, 8),
+            F.lit("-"),
+            F.lpad(F.col("c_custkey").cast("string"), 10, "0"),
+        ).alias("badge"),
+        F.length("c_name").cast("long").alias("name_len"),
+        F.expr("replace(c_name, 'Customer#', 'C')").alias("short_name"),
+    )
