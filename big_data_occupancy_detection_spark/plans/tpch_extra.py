@@ -611,3 +611,60 @@ def inactive_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 4).alias("totacctbal"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q78 — correlated lateral subquery (Spark 4 DataFrame.lateralJoin): per
+# customer, the top-2 orders by price via a LIMIT-ed subquery referencing
+# the outer row (Column.outer()). Catalyst rewrites the domain join; the
+# oracle uses SQL LATERAL directly. Deterministic via (price DESC, key).
+# --------------------------------------------------------------------------
+@register(
+    "lateral_top_orders",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey, t.o_totalprice
+    FROM customer c, LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 2) t
+    """,
+)
+def lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = table(spark, sf_dir, "orders")
+    return cust.lateralJoin(
+        orders.where(F.col("o_custkey") == F.col("c_custkey").outer())
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(2)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+# --------------------------------------------------------------------------
+# q79 — null-safe equality join (<=> / IS NOT DISTINCT FROM): two aggregates
+# keyed by a deliberately NULLable key (nullif) joined so the NULL group
+# matches itself — plain equality would silently drop it.
+# --------------------------------------------------------------------------
+@register(
+    "nullsafe_event_type_join",
+    oracle="""
+    WITH a AS (
+      SELECT nullif(event_type, 'view') AS etype, count(*) AS n_events
+      FROM events GROUP BY 1),
+    b AS (
+      SELECT nullif(event_type, 'view') AS etype, round(avg(value), 6) AS avg_value
+      FROM events GROUP BY 1)
+    SELECT a.etype, a.n_events, b.avg_value
+    FROM a JOIN b ON a.etype IS NOT DISTINCT FROM b.etype
+    """,
+)
+def nullsafe_event_type_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").withColumn(
+        "etype", F.nullif(F.col("event_type"), F.lit("view"))
+    )
+    a = ev.groupBy("etype").agg(F.count(F.lit(1)).alias("n_events"))
+    b = ev.groupBy("etype").agg(F.round(F.avg("value"), 6).alias("avg_value"))
+    return a.join(b, a["etype"].eqNullSafe(b["etype"])).select(
+        a["etype"].alias("etype"), "n_events", "avg_value"
+    )
