@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text_fns import md5_hash64, seeded_hash64, tokens, word_ngrams
+from ..functions.text_fns import hash64, tokens, word_ngrams
 from ..operators.partitioning import repartition_for_compute
 
 DEFAULT_NUM_HASHES = 12
@@ -84,7 +84,7 @@ def ngram_jaccard_pairs(
     # need two different shingles with equal md5-60bit prefixes in the same
     # doc pair — ~2^-60 per pair; the oracle hashes identically)
     inv = sh.select(
-        "doc", F.explode(F.transform("shingles", md5_hash64)).alias("s")
+        "doc", F.explode(F.transform("shingles", lambda s: hash64(s))).alias("s")
     )
     if max_shingle_df is not None:
         hot = (
@@ -126,7 +126,7 @@ def minhash_signatures(
     def _hasher(seed: int):
         # closure helper: a seed=seed default arg would make PySpark treat the
         # lambda as the 2-arg (element, index) transform variant
-        return lambda s: seeded_hash64(s, seed)
+        return lambda s: hash64(s, seed)
 
     sig = F.array(
         *[
@@ -214,7 +214,7 @@ def simhash32(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     one = F.lit(1).cast("long")
     tok_bits = repartition_for_compute(df).select(
         F.col(id_col).alias("doc"),
-        F.explode(F.transform(tokens(text_col), md5_hash64)).alias("h"),
+        F.explode(F.transform(tokens(text_col), lambda t: hash64(t))).alias("h"),
     ).select(
         "doc",
         *[

@@ -67,3 +67,30 @@ def md5_hash64(col: Column) -> Column:
 def seeded_hash64(col: Column, seed: int) -> Column:
     """Family of independent portable hashes h_seed(x) = md5_hash64(seed || x)."""
     return md5_hash64(F.concat(F.lit(f"{seed}|"), col))
+
+
+def fast_hash64(col: Column, seed: int = 0) -> Column:
+    """JVM xxhash64 — the production fast path (~3-5× md5 throughput).
+
+    NOT oracle-portable: xxhash64 is Spark-specific, so signatures computed
+    with it can never hash-match a DuckDB oracle. Use via ``hash64``.
+    """
+    return F.xxhash64(F.lit(seed), col)
+
+
+def hash64(col: Column, seed: int = 0) -> Column:
+    """Hash-family dispatcher for the dedup/similarity operators.
+
+    Default is the portable md5 60-bit family (oracle-verifiable — the
+    engine's correctness story). Set ``SPARK_GRAFT_FAST_HASH=1`` to swap in
+    xxhash64 at production scale: every operator built on ``hash64`` (n-gram
+    inverted index, MinHash signatures, SimHash bit-majority) keeps its
+    semantics — bucket/band assignments change but candidate verification
+    is exact, so output precision is unchanged; only oracle hash parity is
+    lost. Read per plan construction, so tests can toggle via monkeypatch.
+    """
+    import os
+
+    if os.environ.get("SPARK_GRAFT_FAST_HASH") == "1":
+        return fast_hash64(col, seed)
+    return seeded_hash64(col, seed) if seed else md5_hash64(col)

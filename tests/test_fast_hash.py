@@ -1,0 +1,55 @@
+"""Production fast-hash path (SPARK_GRAFT_FAST_HASH=1 → xxhash64).
+
+The dedup operators' correctness contract under ANY hash family:
+- candidate verification is exact, so emitted pairs are always a subset of
+  the exact-Jaccard ground truth (precision 1.0 by construction);
+- banding probability only moves RECALL, which must stay useful.
+
+These tests swap the hash family and assert both properties against the
+exact inverted-index ground truth, plus that SimHash stays total.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from big_data_occupancy_detection_spark.ext.dedup import (
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash32,
+)
+from big_data_occupancy_detection_spark.sources.readers import table
+
+from conftest import SF_DIR
+
+THRESHOLD = 0.5
+
+
+def _pairs(df) -> set[tuple]:
+    return {(r["d1"], r["d2"]) for r in df.select("d1", "d2").collect()}
+
+
+def test_fast_hash_lsh_precision_and_recall(spark, monkeypatch):
+    docs = table(spark, SF_DIR, "documents")
+    exact = _pairs(ngram_jaccard_pairs(docs, threshold=THRESHOLD))
+    assert exact, "corpus should contain near-dup pairs at this threshold"
+
+    monkeypatch.setenv("SPARK_GRAFT_FAST_HASH", "1")
+    fast = _pairs(minhash_lsh_pairs(docs, threshold=THRESHOLD))
+
+    # exact verification ⇒ every emitted pair is a true near-dup pair
+    assert fast <= exact, f"false positives under fast hash: {fast - exact}"
+    # banding with xxhash64 must still find most true pairs
+    recall = len(fast) / len(exact)
+    assert recall >= 0.5, f"fast-hash LSH recall {recall:.2f} < 0.5"
+
+
+def test_fast_hash_simhash_total(spark, monkeypatch):
+    docs = table(spark, SF_DIR, "documents")
+    n_docs = docs.count()
+    monkeypatch.setenv("SPARK_GRAFT_FAST_HASH", "1")
+    sh = simhash32(docs)
+    assert sh.count() == n_docs
+    # signatures are real 32-bit values, not degenerate zeros
+    n_nonzero = sh.filter(F.col("simhash") != 0).count()
+    assert n_nonzero > n_docs * 0.9
