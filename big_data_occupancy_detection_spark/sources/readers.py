@@ -56,6 +56,20 @@ def read_csv_declared(
     )
 
 
+def read_jsonl_declared(
+    spark: SparkSession, path: str, schema: StructType
+) -> DataFrame:
+    """Newline-delimited JSON source with a declared schema: single scan,
+    PERMISSIVE mode — type-mismatched fields degrade to nulls, the same
+    contract the streaming plane gets from ``from_json``
+    (``infrastructure/stream_inference.py:28-42``). Never use inference on
+    JSONL at scale: like CSV, it costs a full extra pass over the data.
+    """
+    return (
+        spark.read.option("mode", "PERMISSIVE").schema(schema).json(path)
+    )
+
+
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 

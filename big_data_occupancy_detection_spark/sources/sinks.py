@@ -44,6 +44,20 @@ def write_parquet(df: DataFrame, out_path: str, partition_by: list[str] | None =
     writer.parquet(out_path)
 
 
+def write_jsonl(df: DataFrame, out_path: str, compression: str | None = None) -> None:
+    """Newline-delimited JSON sink (the batch twin of the streaming
+    ``to_json`` wire format, ``stream_inference.py:132-148``).
+
+    Scale note: JSONL is ~5-10× bigger than parquet and loses types on
+    re-read — treat it as an interchange edge, not a storage format;
+    partitioned parquet remains the scale path.
+    """
+    writer = df.write.mode("overwrite")
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.json(out_path)
+
+
 def write_bucketed(
     df: DataFrame,
     table_name: str,

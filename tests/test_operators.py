@@ -13,8 +13,9 @@ from big_data_occupancy_detection_spark.operators.relational import (
 from big_data_occupancy_detection_spark.sources.readers import (
     read_csv_declared,
     read_csv_inferred,
+    read_jsonl_declared,
 )
-from big_data_occupancy_detection_spark.sources.sinks import write_single_csv
+from big_data_occupancy_detection_spark.sources.sinks import write_jsonl, write_single_csv
 
 
 def test_global_row_number_is_dense_and_ordered(spark):
@@ -182,3 +183,33 @@ def test_resize_media_shape_contract(spark):
         with_binary_payload(docs), width=8, height=4
     ).collect()}
     assert {k: bytes(v.resized) for k, v in out.items()} == again
+
+def test_jsonl_sink_source_roundtrip(spark, tmp_path):
+    """JSONL write → declared-schema read: values and types survive, and a
+    type-mismatched field degrades to null instead of killing the read —
+    the same PERMISSIVE contract as the streaming from_json plane."""
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", None)], ["id", "name", "score"]
+    )
+    out = str(tmp_path / "docs_jsonl")
+    write_jsonl(df, out)
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    back = read_jsonl_declared(spark, out, schema)
+    rows = {r.id: r for r in back.collect()}
+    assert len(rows) == 2
+    assert rows[1].score == 1.5 and rows[2].score is None
+    assert dict(back.dtypes) == {"id": "bigint", "name": "string", "score": "double"}
+
+    # malformed line: wrong-typed field nulls out, row survives
+    extra = tmp_path / "docs_jsonl" / "extra.json"
+    extra.write_text('{"id": 3, "name": "c", "score": "not-a-number"}\n')
+    back2 = read_jsonl_declared(spark, out, schema)
+    r3 = {r.id: r for r in back2.collect()}[3]
+    assert r3.name == "c" and r3.score is None
