@@ -50,6 +50,9 @@ HEADLINE = [
     "corpus_curation",         # composed dedup→quality→near-dup pipeline
     "media_frame_sample",      # 1→N exploding mapInPandas (Arrow)
     "session_features",        # sessionize→aggregate→join feature pipeline
+    "volume_shipping",         # Q7: disjunctive nation-pair 5-way join
+    "top_words",               # regexp normalize + explode + top-k count
+    "lateral_top_orders",      # Spark 4 lateralJoin correlated subquery
     # embedding_near_pairs_lsh is oracle-verified but excluded here: at 2k
     # vectors its bucket pruning (~3x) is below the explode+join overhead —
     # the operator pays off when per-bucket cardinality << corpus (real scale)

@@ -81,9 +81,13 @@ def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair = (
         (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
     ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    # join order matters: the nation filter keeps ~2/25 of customers, so
+    # pruning orders through the (broadcast) filtered customers FIRST shrinks
+    # the fact-fact join's small side ~12×; AQE can then broadcast it under
+    # the lineitem scan instead of shuffling all of lineitem
+    pair_orders = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
+        li.join(pair_orders, li.l_orderkey == pair_orders.o_orderkey)
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .filter(pair)
         .withColumn("l_year", F.year("l_shipdate").cast("long"))
@@ -139,10 +143,15 @@ def national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey")
     )
     vol = _rev()
+    # prune BOTH fact inputs before the fact-fact join: part filter (1/6)
+    # semi-prunes lineitem, region filter (1/5 of nations) semi-prunes
+    # orders — the orderkey join then moves a fraction of either table
+    asia_orders = orders.join(
+        asia_cust, orders.o_custkey == asia_cust.c_custkey, "left_semi"
+    )
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(asia_cust, orders.o_custkey == asia_cust.c_custkey, "left_semi")
+        .join(asia_orders, li.l_orderkey == asia_orders.o_orderkey)
         .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
         .withColumn("o_year", F.year("o_orderdate").cast("long"))
         .groupBy("o_year")
