@@ -200,6 +200,68 @@ def minhash_lsh_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "d1",
+    b_col: str = "d2",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(doc, cluster) — connected components of the near-dup pair graph.
+
+    Turns pairwise near-dup output into dedup CLUSTERS (the form a curation
+    pipeline actually consumes: keep min doc per cluster, drop the rest).
+    ``cluster`` is the minimum doc id in the component, so the labeling is
+    deterministic. Only docs that appear in at least one pair are returned.
+
+    Algorithm: iterative min-label propagation over the undirected edge
+    list — label(n) ← min(label(n), min label of n's neighbors) until
+    fixpoint. Each round is one shuffle-join + aggregate, with an eager
+    ``localCheckpoint`` breaking the lineage so Catalyst's analysis cost
+    stays O(1) per round (the plan-depth blowup documented in PERF.md).
+    Near-dup components are overwhelmingly tiny cliques, so convergence is
+    1-2 rounds; ``max_iter`` bounds pathological chains (a path graph of
+    diameter d needs ~d rounds — at true web scale swap in the
+    large-star/small-star variant, which converges in O(log d)).
+    """
+    e = pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    edges = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.groupBy(F.col("a").alias("node"))
+        .agg(F.min("b").alias("nb_min"))
+        .select("node", F.least("node", "nb_min").alias("lbl"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        prop = (
+            edges.join(labels, edges.b == labels.node)
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("lbl").alias("nb_lbl"))
+        )
+        new_labels = (
+            labels.join(prop, "node", "left_outer")
+            .select(
+                "node",
+                F.least("lbl", F.coalesce("nb_lbl", "lbl")).alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc"), F.col("lbl").alias("cluster"))
+
+
 def simhash32(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(doc, simhash): 32-bit bit-majority signature over token hashes.
 

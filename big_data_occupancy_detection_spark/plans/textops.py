@@ -678,3 +678,49 @@ def _lsh_near_pairs_oracle() -> str:
 @register("embedding_near_pairs_lsh", oracle=_lsh_near_pairs_oracle())
 def embedding_near_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.lsh_near_pairs(table(spark, sf_dir, "embeddings"), _NEAR_T)
+
+
+# --------------------------------------------------------------------------
+# q80 — near-dup CLUSTERS: connected components over the n-gram Jaccard
+# pair graph (pairs → the clusters a curation pipeline actually consumes;
+# keep min(doc) per cluster, drop the rest). Spark side is iterative
+# min-label propagation with per-round localCheckpoints (ext.dedup.
+# connected_components); the oracle computes the same fixpoint with a
+# recursive transitive-closure CTE.
+# --------------------------------------------------------------------------
+_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE {_TOKS_CTE},
+{_SH_CTE},
+sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+inv AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+prs AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT d1, d2
+  FROM prs p
+  JOIN sizes sa ON sa.doc_id = p.d1
+  JOIN sizes sb ON sb.doc_id = p.d2
+  WHERE round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6)
+        >= {_JACCARD_T}),
+edges AS (
+  SELECT d1 AS a, d2 AS b FROM pairs
+  UNION
+  SELECT d2, d1 FROM pairs),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+SELECT a AS doc, least(a, min(b)) AS cluster
+FROM reach
+GROUP BY a
+"""
+
+
+@register("near_dup_clusters", oracle=_CLUSTERS_ORACLE)
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = D.ngram_jaccard_pairs(
+        table(spark, sf_dir, "documents"), threshold=_JACCARD_T
+    )
+    return D.connected_components(pairs)

@@ -213,3 +213,21 @@ def test_jsonl_sink_source_roundtrip(spark, tmp_path):
     back2 = read_jsonl_declared(spark, out, schema)
     r3 = {r.id: r for r in back2.collect()}[3]
     assert r3.name == "c" and r3.score is None
+
+
+def test_connected_components_known_graph(spark):
+    """Min-label propagation on a graph with a clique, a long path (forces
+    multiple propagation rounds), and an isolated pair."""
+    from big_data_occupancy_detection_spark.ext.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        # clique {1,2,3} + path 10-11-12-13-14 (diameter 4) + pair {20,21}
+        [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (12, 13), (13, 14), (20, 21)],
+        ["d1", "d2"],
+    )
+    got = {r.doc: r.cluster for r in connected_components(pairs).collect()}
+    assert got == {
+        1: 1, 2: 1, 3: 1,
+        10: 10, 11: 10, 12: 10, 13: 10, 14: 10,
+        20: 20, 21: 20,
+    }
