@@ -25,7 +25,7 @@ distributed where the reference collected to the driver:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -163,3 +163,23 @@ def salted_join(
         "__salt_arr", F.sequence(F.lit(0), F.lit(salt_buckets - 1))
     ).withColumn("__salt", F.explode("__salt_arr")).drop("__salt_arr")
     return salted_big.join(salted_small, on=[*on, "__salt"], how=how).drop("__salt")
+
+
+def observed(
+    df: DataFrame, name: str, metric_cols: dict[str, Column]
+) -> tuple[DataFrame, "Observation"]:
+    """Attach accumulator-style data-quality metrics to a plan via
+    ``DataFrame.observe`` — metrics are collected DURING the action that
+    consumes ``df`` (zero extra scans, zero extra jobs), unlike a separate
+    ``count()``/``agg()`` which re-reads the input.
+
+    Returns ``(df_with_observation, observation)``; read
+    ``observation.get`` AFTER an action has run. The production use is
+    row-count / null-count / domain-violation counters piggybacked on every
+    pipeline write at 100 TB, where a second validation pass is unaffordable.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    exprs = [expr.alias(alias) for alias, expr in metric_cols.items()]
+    return df.observe(obs, *exprs), obs

@@ -244,3 +244,40 @@ def customer_name_badges(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("c_name").cast("long").alias("name_len"),
         F.expr("replace(c_name, 'Customer#', 'C')").alias("short_name"),
     )
+
+
+# --------------------------------------------------------------------------
+# q81 — VARIANT semi-structured path (Spark 4): parse the JSON props column
+# once into a variant, extract a typed field, aggregate per event type.
+# Unlike from_json, variant needs no declared schema and keeps the
+# shredded binary form through the plan; try_variant_get degrades to null
+# on path/type misses (the same nullable-by-default contract as the
+# streaming plane). Oracle uses DuckDB's JSON path extraction.
+# --------------------------------------------------------------------------
+@register(
+    "props_variant_stats",
+    oracle="""
+    SELECT event_type,
+           CAST(count(k) AS BIGINT) AS n_k,
+           round(avg(k), 6) AS avg_k,
+           CAST(max(k) AS BIGINT) AS max_k,
+           CAST(sum(CASE WHEN k > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+    FROM (SELECT event_type,
+                 CAST(json_extract(props, '$.k') AS BIGINT) AS k
+          FROM events)
+    GROUP BY event_type
+    """,
+)
+def props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.max("k").alias("max_k"),
+            F.sum(F.when(F.col("k") > 50, 1).otherwise(0)).cast("long").alias("n_high"),
+        )
+    )

@@ -231,3 +231,29 @@ def test_connected_components_known_graph(spark):
         10: 10, 11: 10, 12: 10, 13: 10, 14: 10,
         20: 20, 21: 20,
     }
+
+
+def test_observed_metrics_piggyback(spark, sf_dir):
+    """observe(): quality counters ride the consuming action — no second
+    scan — and match an independently computed ground truth."""
+    from big_data_occupancy_detection_spark.operators.relational import observed
+    from big_data_occupancy_detection_spark.sources.readers import table
+
+    li = table(spark, sf_dir, "lineitem")
+    df, obs = observed(
+        li,
+        "quality",
+        {
+            "n_rows": F.count(F.lit(1)),
+            "n_null_qty": F.sum(F.col("l_quantity").isNull().cast("long")),
+            "n_bad_discount": F.sum(
+                (~F.col("l_discount").between(0.0, 1.0)).cast("long")
+            ),
+        },
+    )
+    out = df.filter(F.col("l_quantity") > 0).count()  # the consuming action
+    got = obs.get
+    assert got["n_rows"] == li.count()
+    assert got["n_null_qty"] == 0
+    assert got["n_bad_discount"] == 0
+    assert out > 0
