@@ -113,3 +113,37 @@ def build_rf_cv_pipeline(
         seed=SEED,
         parallelism=4,
     )
+
+
+def strip_training_summary(model):
+    """Drop the driver-side training summary from a fitted model (recursing
+    into ``PipelineModel`` stages); returns the model for chaining.
+
+    Why this exists: Spark's summary impls (e.g.
+    ``BinaryLogisticRegressionTrainingSummaryImpl``) hold a NON-transient
+    ``SparkSession`` reference, and ``SparkSession.observationManager`` is a
+    lazily-initialized, non-serializable field. The moment any
+    ``DataFrame.observe`` runs in the session (our ``operators.relational.
+    observed`` quality-metric wrapper — standard practice on every production
+    write), that lazy field materializes, and every subsequent
+    ``model.transform`` whose prediction UDF captures a summary-bearing model
+    dies with ``NotSerializableException: ObservationManager`` at task
+    serialization. The summary is a training-time diagnostic that lives on
+    the driver; stripping it changes nothing about ``transform``.
+
+    Call this on every model that outlives its training step (serving,
+    streaming scorers, registry queries).
+    """
+    from pyspark.ml import PipelineModel
+
+    if isinstance(model, PipelineModel):
+        for stage in model.stages:
+            strip_training_summary(stage)
+        return model
+    java_obj = getattr(model, "_java_obj", None)
+    if java_obj is not None and getattr(model, "hasSummary", False):
+        from pyspark import SparkContext
+
+        jvm = SparkContext._active_spark_context._jvm
+        model._call_java("setSummary", jvm.scala.Option.empty())
+    return model

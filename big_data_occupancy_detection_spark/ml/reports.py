@@ -47,7 +47,7 @@ def export_classifier_reports(
     paths["confusion_matrix"] = cpath
 
     clf = model.stages[-1]
-    summary = getattr(clf, "summary", None)
+    summary = clf.summary if getattr(clf, "hasSummary", False) else None
     if summary is not None and hasattr(summary, "roc"):
         roc_path = os.path.join(out_dir, f"lr_roc_{prefix}.csv")
         summary.roc.toPandas().to_csv(roc_path, index=False)

@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..ml.evaluation import confusion_matrix
-from ..ml.pipelines import build_weighted_lr_pipeline
+from ..ml.pipelines import build_weighted_lr_pipeline, strip_training_summary
 from ..operators.relational import class_weights
 from ..sources.readers import table
 from .registry import register
@@ -85,7 +85,7 @@ def lr_confusion_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         regParam=0.01,
         elasticNetParam=0.0,
     )
-    model = Pipeline(stages=[scaler, lr]).fit(weighted)
+    model = strip_training_summary(Pipeline(stages=[scaler, lr]).fit(weighted))
     return confusion_matrix(model.transform(weighted))
 
 
@@ -102,5 +102,5 @@ def lr_user_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline = build_weighted_lr_pipeline(
         ["n_events", "avg_value", "max_value", "n_active_days"]
     )
-    model = pipeline.fit(weighted)
+    model = strip_training_summary(pipeline.fit(weighted))
     return confusion_matrix(model.transform(weighted))

@@ -28,6 +28,7 @@ from big_data_occupancy_detection_spark.ml.pipelines import (
     build_rf_cv_pipeline,
     build_weighted_lr_pipeline,
     oversample_minority,
+    strip_training_summary,
 )
 from big_data_occupancy_detection_spark.ml.reports import export_classifier_reports
 from big_data_occupancy_detection_spark.operators.relational import class_weights
@@ -75,6 +76,10 @@ def main() -> None:
         print(f"{prefix}: " + ", ".join(f"{k}={v:.4f}" for k, v in sorted(metrics.items())))
         export_classifier_reports(model, preds, out_dir, prefix=prefix)
 
+    # Summaries feed the reports above; strip before the model leaves this
+    # scope so downstream sessions can score it after any observe() use
+    # (see ml.pipelines.strip_training_summary).
+    strip_training_summary(model)
     model_dir = os.path.join(out_dir, f"occupancy_{algo}")
     model.write().overwrite().save(model_dir)
     print(f"model saved to {model_dir}; reports in {out_dir}")

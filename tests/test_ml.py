@@ -130,3 +130,29 @@ def test_export_classifier_reports(spark, occupancy_df, tmp_path):
     roc = pd.read_csv(paths["roc"])
     assert {"FPR", "TPR"} <= set(roc.columns)
     assert len(open(paths["coefficients"]).readlines()) == len(FEATURES) + 2
+
+
+def test_stripped_model_scores_after_observe(spark, occupancy_df):
+    """Regression: Observation use initializes the session's non-serializable
+    ObservationManager; a summary-bearing model then fails task serialization
+    in transform (summary impls hold a non-transient SparkSession). The strip
+    utility must make scoring observe-safe without changing predictions."""
+    from pyspark.sql import Observation
+
+    from big_data_occupancy_detection_spark.ml.pipelines import (
+        strip_training_summary,
+    )
+
+    weighted = class_weights(occupancy_df, "label", num_classes=2)
+    model = build_weighted_lr_pipeline(FEATURES).fit(weighted)
+    before = model.transform(weighted).groupBy("prediction").count().collect()
+
+    obs = Observation("strip-regression")
+    observed = occupancy_df.observe(obs, F.count(F.lit(1)).alias("n"))
+    observed.count()
+    assert obs.get["n"] == occupancy_df.count()
+
+    strip_training_summary(model)
+    assert not model.stages[-1].hasSummary
+    after = model.transform(weighted).groupBy("prediction").count().collect()
+    assert sorted(map(tuple, before)) == sorted(map(tuple, after))

@@ -11,7 +11,10 @@ import urllib.error
 import pytest
 from pyspark.sql import Row
 
-from big_data_occupancy_detection_spark.ml.pipelines import build_weighted_lr_pipeline
+from big_data_occupancy_detection_spark.ml.pipelines import (
+    build_weighted_lr_pipeline,
+    strip_training_summary,
+)
 from big_data_occupancy_detection_spark.operators.relational import class_weights
 from big_data_occupancy_detection_spark.serving import (
     FileRpcBus,
@@ -35,7 +38,7 @@ def tiny_model(spark):
         for i in range(200)
     ]
     df = class_weights(spark.createDataFrame(rows), "label")
-    return build_weighted_lr_pipeline(FEATURES).fit(df)
+    return strip_training_summary(build_weighted_lr_pipeline(FEATURES).fit(df))
 
 
 def _post(port, body: dict, timeout=40):

@@ -11,7 +11,10 @@ import pytest
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
-from big_data_occupancy_detection_spark.ml.pipelines import build_weighted_lr_pipeline
+from big_data_occupancy_detection_spark.ml.pipelines import (
+    build_weighted_lr_pipeline,
+    strip_training_summary,
+)
 from big_data_occupancy_detection_spark.streaming.inference import (
     build_inference_pipeline,
     file_source,
@@ -73,7 +76,7 @@ def trained_model(spark):
             )
         )
     train = spark.createDataFrame(rows)
-    return build_weighted_lr_pipeline(FEATURE_NAMES).fit(train)
+    return strip_training_summary(build_weighted_lr_pipeline(FEATURE_NAMES).fit(train))
 
 
 def _write_requests(dirpath, name, payloads):
