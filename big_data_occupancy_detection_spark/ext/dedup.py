@@ -262,6 +262,87 @@ def connected_components(
     return labels.select(F.col("node").alias("doc"), F.col("lbl").alias("cluster"))
 
 
+def connected_components_star(
+    pairs: DataFrame,
+    a_col: str = "d1",
+    b_col: str = "d2",
+    max_rounds: int = 12,
+) -> DataFrame:
+    """(doc, cluster) — connected components via alternating large-star /
+    small-star rounds (Kiveris et al., "Connected Components in MapReduce
+    and Beyond", SoCC'14). Same contract as ``connected_components``:
+    ``cluster`` is the component's minimum doc id; only docs appearing in
+    at least one pair are returned.
+
+    Why a second algorithm: min-label propagation needs ~diameter rounds —
+    fine for near-dup cliques, quadratic pain on chain-shaped components
+    (transcript near-dups, sliding-window shingles). Star contraction
+    converges in O(log d) rounds because every round re-points whole
+    subtrees at their local minimum, halving component height. Each round
+    is two groupBy-min + join stages over a canonical (hi, lo) edge list
+    that monotonically contracts toward stars, with eager
+    ``localCheckpoint`` per phase keeping Catalyst analysis O(1) per round
+    (PERF.md plan-depth note).
+
+    - large-star: for each node u, point every LARGER neighbor v at
+      m = min(N(u) ∪ {u})  (v > u ≥ m keeps edges canonical hi→lo);
+    - small-star: on the canonical list, point every smaller neighbor and
+      u itself at m = min(N(u)).
+
+    Fixpoints of the alternation are exactly min-rooted stars; the round
+    loop stops when a full round leaves the edge set unchanged.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        sym = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        large_min = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("u", "mn").alias("m"))
+        )
+        ls = (
+            sym.join(large_min, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .dropDuplicates()
+            .localCheckpoint(eager=True)
+        )
+        small_min = ls.groupBy("u").agg(F.min("v").alias("m"))
+        joined = ls.join(small_min, "u")
+        ss = (
+            joined.filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(joined.select("u", F.col("m").alias("v")))
+            .dropDuplicates()
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            ss.exceptAll(edges)
+            .unionByName(edges.exceptAll(ss))
+            .limit(1)
+            .count()
+        )
+        edges = ss
+        if changed == 0:
+            break
+    centers = edges.select(F.col("v").alias("doc"), F.col("v").alias("cluster"))
+    return (
+        edges.select(F.col("u").alias("doc"), F.col("v").alias("cluster"))
+        .unionByName(centers)
+        .dropDuplicates()
+    )
+
+
 def simhash32(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(doc, simhash): 32-bit bit-majority signature over token hashes.
 

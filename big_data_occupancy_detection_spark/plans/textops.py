@@ -724,3 +724,17 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "documents"), threshold=_JACCARD_T
     )
     return D.connected_components(pairs)
+
+
+# --------------------------------------------------------------------------
+# q82 — same clusters via alternating large-star/small-star contraction
+# (O(log d) rounds vs ~d for label propagation — the variant that survives
+# chain-shaped components at web scale). Identical output contract, so it
+# shares the recursive-CTE oracle with near_dup_clusters.
+# --------------------------------------------------------------------------
+@register("near_dup_clusters_star", oracle=_CLUSTERS_ORACLE)
+def near_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = D.ngram_jaccard_pairs(
+        table(spark, sf_dir, "documents"), threshold=_JACCARD_T
+    )
+    return D.connected_components_star(pairs)

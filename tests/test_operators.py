@@ -233,6 +233,30 @@ def test_connected_components_known_graph(spark):
     }
 
 
+def test_connected_components_star_matches_propagation(spark):
+    """Large-star/small-star contraction must produce identical labels to
+    min-label propagation — including on a diameter-16 path, where star
+    contraction converges in O(log d) rounds (max_rounds=6 < 16 proves it
+    is not silently doing per-hop propagation)."""
+    from big_data_occupancy_detection_spark.ext.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    path = [(i, i + 1) for i in range(100, 116)]  # diameter-16 chain
+    clique = [(1, 2), (2, 3), (1, 3)]
+    cross = [(50, 60), (60, 55), (55, 70), (70, 50)]  # cycle
+    pairs = spark.createDataFrame(path + clique + cross, ["d1", "d2"])
+
+    star = {
+        r.doc: r.cluster
+        for r in connected_components_star(pairs, max_rounds=6).collect()
+    }
+    prop = {r.doc: r.cluster for r in connected_components(pairs).collect()}
+    assert star == prop
+    assert star[115] == 100 and star[70] == 50 and star[3] == 1
+
+
 def test_observed_metrics_piggyback(spark, sf_dir):
     """observe(): quality counters ride the consuming action — no second
     scan — and match an independently computed ground truth."""
