@@ -11,7 +11,7 @@ can never drift.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text_fns import char_ngrams, md5_hash64, norm_text, tokens
@@ -111,3 +111,59 @@ def fingerprint_rolling_min(text_col: Column | str, n: int = 5) -> Column:
     character n-grams — stable under local edits elsewhere in the document."""
     grams = char_ngrams(text_col, n)
     return F.array_min(F.transform(grams, md5_hash64))
+
+
+def bm25_rank(
+    docs: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """(doc_id, bm25) — top-``k`` documents for a bag-of-terms query under
+    BM25 (Robertson/Sparck Jones probabilistic idf, ln(1 + (N-df+.5)/(df+.5))).
+
+    Shuffle shape at corpus scale: one shuffle builds the (doc, term) posting
+    counts (the explode is filtered to the query's terms BEFORE the
+    aggregation, so only matching tokens ever shuffle); per-term document
+    frequencies and the global (N, avgdl) scalars are broadcast back onto the
+    postings; the final top-k is orderBy+limit — Spark's TakeOrdered, a
+    per-partition heap + driver merge of k rows, never a global sort.
+    Document length rides the posting rows (functionally dependent on
+    doc_id), so the corpus is scanned exactly once.
+    """
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(text_col).alias("t")
+    ).withColumn("dl", F.size("t"))
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    posts = (
+        base.select("doc_id", "dl", F.explode("t").alias("term"))
+        .filter(F.col("term").isin(list(terms)))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfs = posts.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    contrib = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    ) * (
+        F.col("tf")
+        * (k1 + 1.0)
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    scored = (
+        posts.join(F.broadcast(dfs), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("contrib", contrib)
+        .groupBy("doc_id")
+        .agg(F.sum("contrib").alias("score"))
+    )
+    return (
+        scored.orderBy(F.desc("score"), "doc_id")
+        .limit(k)
+        .select("doc_id", F.round("score", 6).alias("bm25"))
+    )

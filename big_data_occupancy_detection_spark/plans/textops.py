@@ -738,3 +738,91 @@ def near_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "documents"), threshold=_JACCARD_T
     )
     return D.connected_components_star(pairs)
+
+
+# --------------------------------------------------------------------------
+# q83 — BM25 ranked retrieval (bag-of-terms query over the corpus).
+# Posting counts are one shuffle (term-filtered BEFORE aggregation);
+# df + (N, avgdl) broadcast back; top-k is TakeOrdered, not a global sort.
+# --------------------------------------------------------------------------
+_BM25_TERMS = ["spark", "join", "window"]
+_BM25_K1, _BM25_B, _BM25_K = 1.2, 0.75, 10
+
+_BM25_ORACLE = f"""
+WITH {_TOKS_CTE},
+base AS (SELECT doc_id, len(t) AS dl, t FROM toks),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM base),
+posts AS (
+  SELECT doc_id, dl, w AS term, count(*) AS tf
+  FROM (SELECT doc_id, dl, unnest(t) AS w FROM base)
+  WHERE w IN ({", ".join(f"'{t}'" for t in _BM25_TERMS)})
+  GROUP BY doc_id, dl, w),
+dfs AS (SELECT term, count(*) AS df FROM posts GROUP BY term),
+scored AS (
+  SELECT p.doc_id,
+         sum(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+             * p.tf * ({_BM25_K1} + 1.0)
+             / (p.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                                     + {_BM25_B} * p.dl / s.avgdl))) AS score
+  FROM posts p JOIN dfs d USING (term) CROSS JOIN stats s
+  GROUP BY p.doc_id)
+SELECT doc_id, round(score, 6) AS bm25
+FROM scored ORDER BY score DESC, doc_id LIMIT {_BM25_K}
+"""
+
+
+@register("bm25_search", oracle=_BM25_ORACLE)
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.bm25_rank(
+        table(spark, sf_dir, "documents"),
+        _BM25_TERMS,
+        k=_BM25_K,
+        k1=_BM25_K1,
+        b=_BM25_B,
+    )
+
+
+# --------------------------------------------------------------------------
+# q84 — curation keep-policy: for every near-dup cluster, keep the highest-
+# quality document (ties → lowest doc_id). One aggregation over the
+# cluster labels (max_by on a (quality, -doc) struct — no window, so the
+# shuffle carries partial aggregates, not whole clusters).
+# --------------------------------------------------------------------------
+_CLUSTER_REPS_ORACLE = f"""
+WITH clusters AS ({_CLUSTERS_ORACLE}),
+toksq AS (SELECT doc_id, {TOKENS_SQL} AS t FROM documents),
+q AS (
+  SELECT doc_id,
+         round((least(len(t) / 50.0, 1.0)
+                + least((CAST(len(list_filter(t, x -> list_contains([{_STOPS}], x)))
+                         AS DOUBLE) / len(t)) * 5.0, 1.0)
+                + CAST(len(list_distinct(t)) AS DOUBLE) / len(t)) / 3.0,
+               6) AS quality
+  FROM toksq),
+ranked AS (
+  SELECT c.cluster, c.doc, q.quality,
+         row_number() OVER (PARTITION BY c.cluster
+                            ORDER BY q.quality DESC, c.doc ASC) AS rn,
+         count(*) OVER (PARTITION BY c.cluster) AS n_docs
+  FROM clusters c JOIN q ON q.doc_id = c.doc)
+SELECT cluster, n_docs, doc AS rep_doc, quality AS rep_quality
+FROM ranked WHERE rn = 1
+"""
+
+
+@register("cluster_representatives", oracle=_CLUSTER_REPS_ORACLE)
+def cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, threshold=_JACCARD_T)
+    clusters = D.connected_components(pairs)
+    quality = docs.select(
+        "doc_id", F.round(TX.quality_score("text"), 6).alias("quality")
+    )
+    joined = clusters.join(quality, clusters.doc == quality.doc_id)
+    return joined.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max_by(
+            "doc", F.struct(F.col("quality"), (-F.col("doc")).alias("neg"))
+        ).alias("rep_doc"),
+        F.max("quality").alias("rep_quality"),
+    )
