@@ -70,6 +70,11 @@ def read_jsonl_declared(
     )
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — same Catalyst pushdown contract as parquet."""
+    return spark.read.orc(path)
+
+
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 

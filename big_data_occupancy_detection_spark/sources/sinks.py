@@ -84,3 +84,41 @@ def write_bucketed(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table_name)
+
+
+def write_orc(df: DataFrame, out_path: str, partition_by: list[str] | None = None) -> None:
+    """ORC sink (zlib, Spark-native writer). Interop surface for
+    Hive/Trino-resident warehouses; same pushdown/pruning contract as
+    parquet on re-read (predicate pushdown + column projection reach the
+    ORC reader, asserted in tests)."""
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(out_path)
+
+
+def write_range_sorted_parquet(
+    df: DataFrame,
+    out_path: str,
+    sort_cols: list[str],
+    num_files: int | None = None,
+) -> None:
+    """Range-partitioned, within-file-sorted parquet layout — the
+    data-skipping lever for time-series / range-scanned tables.
+
+    ``repartitionByRange`` (sampled range exchange) makes FILES disjoint on
+    the leading sort column and ``sortWithinPartitions`` makes ROW GROUPS
+    disjoint inside each file, so every parquet footer carries tight
+    min/max stats. A later ``WHERE ts BETWEEN …`` prunes whole files and
+    row groups at scan planning instead of reading 100 TB to filter it.
+    Unlike static ``partitionBy`` directories this works for high-cardinality
+    keys (no small-file explosion) and keeps file count = ``num_files``.
+    """
+    parted = (
+        df.repartitionByRange(num_files, *sort_cols)
+        if num_files
+        else df.repartitionByRange(*sort_cols)
+    )
+    parted.sortWithinPartitions(*sort_cols).write.mode("overwrite").parquet(
+        out_path
+    )

@@ -281,3 +281,61 @@ def test_observed_metrics_piggyback(spark, sf_dir):
     assert got["n_null_qty"] == 0
     assert got["n_bad_discount"] == 0
     assert out > 0
+
+
+def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
+    """ORC sink/source: typed roundtrip, and filters still reach the scan
+    (the pushdown contract must not silently vanish with the format)."""
+    from big_data_occupancy_detection_spark.sources.readers import read_orc, table
+    from big_data_occupancy_detection_spark.sources.sinks import write_orc
+
+    out = str(tmp_path / "nation_orc")
+    nation = table(spark, sf_dir, "nation")
+    write_orc(nation, out)
+
+    back = read_orc(spark, out)
+    assert back.count() == nation.count()
+    assert dict(back.dtypes) == dict(nation.dtypes)
+
+    filtered = back.filter(F.col("n_regionkey") == 0).select("n_name")
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "n_regionkey" in plan
+    assert filtered.count() == nation.filter("n_regionkey = 0").count()
+
+
+def test_range_sorted_parquet_files_are_disjoint(spark, sf_dir, tmp_path):
+    """write_range_sorted_parquet must yield files whose [min,max] ranges on
+    the sort key do not overlap, with row-group stats present — the physical
+    property parquet scan pruning depends on."""
+    import glob as g
+
+    import pyarrow.parquet as pq
+
+    from big_data_occupancy_detection_spark.sources.readers import table
+    from big_data_occupancy_detection_spark.sources.sinks import (
+        write_range_sorted_parquet,
+    )
+
+    out = str(tmp_path / "orders_sorted")
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    write_range_sorted_parquet(orders, out, ["o_orderkey"], num_files=4)
+
+    ranges = []
+    for f in sorted(g.glob(out + "/part-*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        col_idx = md.schema.names.index("o_orderkey")
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(col_idx).statistics
+            assert st is not None and st.has_min_max
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    assert len(ranges) == 4
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, f"file ranges overlap: {ranges}"
+
+    # and the data survives intact
+    back = spark.read.parquet(out)
+    assert back.count() == orders.count()
