@@ -364,3 +364,54 @@ def session_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
         F.round(F.coalesce("total_spend", F.lit(0.0)), 4).alias("total_spend"),
     )
+
+
+# --------------------------------------------------------------------------
+# LOCF gap-fill: user × day spine, last observation carried forward — the
+# hypertable `locf(time_bucket(...))` shape. Spine bounds are a broadcast
+# 1-row aggregate; the daily representative is a max_by aggregation (one
+# shuffle, map-side partials); the forward fill is a running `last(...,
+# ignorenulls)` frame per user — partition-parallel, no self-join chain.
+# Days before a user's first event stay NULL by design (both engines).
+# --------------------------------------------------------------------------
+@register(
+    "events_locf_daily",
+    oracle="""
+    WITH bounds AS (
+      SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1
+      FROM events),
+    days AS (
+      SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM bounds),
+    users AS (SELECT DISTINCT user_id FROM events),
+    daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             arg_max(value, event_id) AS day_value
+      FROM events GROUP BY 1, 2),
+    spine AS (SELECT u.user_id, d.day FROM users u CROSS JOIN days d)
+    SELECT s.user_id, s.day,
+           last_value(dl.day_value IGNORE NULLS) OVER (
+             PARTITION BY s.user_id ORDER BY s.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+    FROM spine s LEFT JOIN daily dl USING (user_id, day)
+    """,
+)
+def events_locf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    days = bounds.select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    users = ev.select("user_id").distinct()
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.max_by("value", "event_id").alias("day_value")
+    )
+    spine = users.crossJoin(F.broadcast(days))
+    fill = Window.partitionBy("user_id").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return spine.join(daily, ["user_id", "day"], "left").select(
+        "user_id",
+        "day",
+        F.last("day_value", ignorenulls=True).over(fill).alias("filled_value"),
+    )
