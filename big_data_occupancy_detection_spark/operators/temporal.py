@@ -117,3 +117,48 @@ def band_self_join_pairs(
         (F.col("a_ts") == F.col("b_ts")) & (F.col("a_id") < F.col("b_id"))
     )
     return a.join(b, on=[*on, "__bucket"]).filter(in_band & ordered).drop("__bucket")
+
+
+def grouped_ewma(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    alpha: float,
+) -> DataFrame:
+    """(key, n_events, ewma_value) — exponentially weighted moving average
+    per key, final value of the recursion y_i = (1-α)·y_{i-1} + α·x_i with
+    y_0 = x_0 over the group ordered by ``order_cols``.
+
+    The recursion is non-linear in window terms (every prefix feeds the
+    next), so it is NOT expressible as a SQL window frame — this is the
+    canonical case for ``applyInPandas``: Spark shuffles once on the key,
+    hands each group to Python as ONE Arrow batch, and the loop runs
+    vectorized-adjacent per group. At 100 TB the constraint to respect is
+    that a whole group must fit one task — keys here are users/sensors
+    (bounded series), not timestamps.
+
+    The accumulation is an explicit loop (not ``pandas.ewm``) so the
+    floating-point operation order is bit-identical to the DuckDB oracle's
+    ``list_reduce`` — engine-portable determinism over convenience.
+    """
+    import pandas as pd
+
+    out_schema = (
+        f"{key_col} long, n_events long, ewma_value double"
+    )
+
+    def _ewma(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(order_cols)
+        acc = None
+        for x in pdf[value_col].tolist():
+            acc = x if acc is None else acc * (1.0 - alpha) + alpha * x
+        return pd.DataFrame(
+            {
+                key_col: [pdf[key_col].iloc[0]],
+                "n_events": [len(pdf)],
+                "ewma_value": [acc],
+            }
+        )
+
+    return df.groupBy(key_col).applyInPandas(_ewma, schema=out_schema)

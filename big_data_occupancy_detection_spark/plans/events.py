@@ -415,3 +415,36 @@ def events_locf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         F.last("day_value", ignorenulls=True).over(fill).alias("filled_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# Per-user EWMA — the canonical applyInPandas (grouped-map) case: the
+# recursion y_i = (1-α)y_{i-1} + αx_i is not a SQL window frame. One
+# shuffle on user_id; each group crosses to Python as one Arrow batch.
+# Oracle: DuckDB list_reduce over the identically-ordered value list —
+# same float op order, bit-identical accumulation.
+# --------------------------------------------------------------------------
+_EWMA_ALPHA = 0.3
+
+
+@register(
+    "user_value_ewma",
+    oracle=f"""
+    SELECT user_id,
+           count(*) AS n_events,
+           round(list_reduce(list(value ORDER BY ts, event_id),
+                             (acc, x) -> acc * {1.0 - _EWMA_ALPHA} + {_EWMA_ALPHA} * x),
+                 6) AS ewma_value
+    FROM events GROUP BY user_id
+    """,
+)
+def user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.temporal import grouped_ewma
+
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    out = grouped_ewma(
+        ev, "user_id", ["ts", "event_id"], "value", alpha=_EWMA_ALPHA
+    )
+    return out.select(
+        "user_id", "n_events", F.round("ewma_value", 6).alias("ewma_value")
+    )
