@@ -21,6 +21,7 @@ from ..operators.relational import (
     global_row_number,
     grouped_percentiles,
     null_census,
+    salted_join,
 )
 from ..operators.topk import top_k_per_group
 from ..sources.readers import table
@@ -828,4 +829,104 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(part_avg, "l_partkey")
         .filter(F.col("l_quantity") < F.col("__half_avg"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
+    )
+
+
+# --------------------------------------------------------------------------
+# CUBE over (status, priority) — completes the grouping-sets family
+# (ROLLUP / GROUPING SETS / PIVOT already registered). grouping() markers
+# disambiguate real NULLs from subtotal rows, the OLAP-correct contract.
+# --------------------------------------------------------------------------
+@register(
+    "order_cube_counts",
+    oracle="""
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           CAST(grouping(o_orderstatus) AS INT) AS g_status,
+           CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 4) AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def order_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "g_status",
+            "g_priority",
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Linear-regression aggregate family (regr_slope/intercept/r2) — per-user
+# value drift over time. Pure JVM aggregates, one shuffle, map-side
+# partials; x is epoch-days so the slope is per-day drift.
+# --------------------------------------------------------------------------
+@register(
+    "user_value_trend",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n_events,
+           round(regr_slope(value, epoch_us(ts) / 86400000000.0), 6) AS slope_per_day,
+           round(regr_intercept(value, epoch_us(ts) / 86400000000.0), 4) AS intercept,
+           round(regr_r2(value, epoch_us(ts) / 86400000000.0), 6) AS r2
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    x = (F.unix_micros("ts") / F.lit(86400000000.0)).alias("x")
+    base = ev.select("user_id", F.col("value").alias("y"), x)
+    return base.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.regr_slope("y", "x"), 6).alias("slope_per_day"),
+        F.round(F.regr_intercept("y", "x"), 4).alias("intercept"),
+        F.round(F.regr_r2("y", "x"), 6).alias("r2"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Skew-safe salted join in the oracle registry: event_type is a genuinely
+# hot key (~5 values across all rows). The salt spreads each hot key over
+# salt_buckets reducers; results must equal the plain join — the oracle IS
+# the plain join.
+# --------------------------------------------------------------------------
+@register(
+    "salted_event_type_weights",
+    oracle="""
+    WITH dim AS (
+      SELECT DISTINCT event_type, length(event_type) AS w FROM events)
+    SELECT e.event_type,
+           count(*) AS n_events,
+           round(sum(e.value * d.w), 4) AS weighted_value
+    FROM events e JOIN dim d USING (event_type)
+    GROUP BY e.event_type
+    """,
+)
+def salted_event_type_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    dim = (
+        ev.select("event_type")
+        .distinct()
+        .withColumn("w", F.length("event_type"))
+    )
+    joined = salted_join(ev, dim, on=["event_type"], salt_buckets=8)
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.col("value") * F.col("w")), 4).alias("weighted_value"),
     )
