@@ -205,6 +205,7 @@ def connected_components(
     a_col: str = "d1",
     b_col: str = "d2",
     max_iter: int = 20,
+    strict: bool = True,
 ) -> DataFrame:
     """(doc, cluster) — connected components of the near-dup pair graph.
 
@@ -220,8 +221,15 @@ def connected_components(
     stays O(1) per round (the plan-depth blowup documented in PERF.md).
     Near-dup components are overwhelmingly tiny cliques, so convergence is
     1-2 rounds; ``max_iter`` bounds pathological chains (a path graph of
-    diameter d needs ~d rounds — at true web scale swap in the
-    large-star/small-star variant, which converges in O(log d)).
+    diameter d needs ~d rounds — at true web scale swap in
+    ``connected_components_star``, which converges in O(log d); measured:
+    a diameter-20k path converges under star contraction while 20 rounds
+    of propagation leave >99% of nodes mislabeled, PERF.md).
+
+    ``strict=True`` (default) raises if the fixpoint was NOT reached within
+    ``max_iter`` — a silently-wrong clustering poisons every downstream
+    keep/drop decision, which at corpus scale is unrecoverable. Pass
+    ``strict=False`` only if approximate labels are genuinely acceptable.
     """
     e = pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
     edges = (
@@ -259,6 +267,13 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        if strict:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} rounds "
+                "(high-diameter component?) — use connected_components_star "
+                "(O(log d) rounds) or raise max_iter / pass strict=False."
+            )
     return labels.select(F.col("node").alias("doc"), F.col("lbl").alias("cluster"))
 
 

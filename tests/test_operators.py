@@ -339,3 +339,28 @@ def test_range_sorted_parquet_files_are_disjoint(spark, sf_dir, tmp_path):
     # and the data survives intact
     back = spark.read.parquet(out)
     assert back.count() == orders.count()
+
+
+def test_connected_components_strict_raises_on_nonconvergence(spark):
+    """A silently-wrong clustering is the worst failure mode — propagation
+    must raise when the fixpoint is out of reach, and star contraction must
+    solve the same graph (log-depth convergence)."""
+    import pytest as _pytest
+
+    from big_data_occupancy_detection_spark.ext.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    # diameter-40 path: > max_iter=3 propagation rounds by construction
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(200, 240)], ["d1", "d2"]
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iter=3).collect()
+
+    star = {
+        r.doc: r.cluster
+        for r in connected_components_star(pairs, max_rounds=10).collect()
+    }
+    assert set(star.values()) == {200} and len(star) == 41
