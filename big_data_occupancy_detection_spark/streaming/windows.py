@@ -106,3 +106,21 @@ def interval_join_streams(
         & (rw[right_ts] <= F.expr(f"{left_ts} + INTERVAL {max_delay}"))
     )
     return lw.join(rw, cond, "inner")
+
+
+def enrich_stream_static(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: list[str],
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins against the
+    (batch) dimension — stateless, no watermark needed, and with a small
+    dim the planner broadcasts it so the stream side never shuffles.
+
+    This is the standard feature/metadata lookup on an event stream
+    (user → segment, sensor → site). The static side is re-evaluated per
+    micro-batch, so a dim backed by a refreshable source (parquet dir)
+    picks up slowly-changing updates without restarting the query.
+    """
+    return stream.join(F.broadcast(dim), on=on, how=how)

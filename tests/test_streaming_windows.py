@@ -161,3 +161,44 @@ def test_interval_join_streams(spark, tmp_path):
         q.stop()
     # only the right row within [l_ts, l_ts+1h] of a same-key left row joins
     assert got == [("a", "in-window")]
+
+
+def test_stream_static_enrichment(spark, tmp_path):
+    """Stream-static left join: every streamed row is enriched from the
+    static dim; unmatched keys survive with nulls (left semantics)."""
+    import json
+
+    from big_data_occupancy_detection_spark.streaming.windows import (
+        enrich_stream_static,
+    )
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    (src / "b1.json").write_text(
+        "\n".join(
+            json.dumps(x)
+            for x in [
+                {"user_id": 1, "v": 10.0},
+                {"user_id": 2, "v": 20.0},
+                {"user_id": 99, "v": 5.0},  # no dim row
+            ]
+        )
+    )
+    schema = "user_id long, v double"
+    stream = spark.readStream.schema(schema).json(str(src))
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "silver"), (3, "bronze")], ["user_id", "segment"]
+    )
+    out = enrich_stream_static(stream, dim, on=["user_id"])
+    q = (
+        out.writeStream.format("memory")
+        .queryName("enriched_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = {r.user_id: r.segment for r in spark.table("enriched_out").collect()}
+    finally:
+        q.stop()
+    assert rows == {1: "gold", 2: "silver", 99: None}
