@@ -500,8 +500,15 @@ WHERE q.quality >= {_CURATION_MIN_QUALITY}
 def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     keep = D.exact_dedup_groups(docs).select(F.col("keep_id").alias("doc_id"))
+    # Near-dup ONLY over exact-dedup representatives: pair output is
+    # quadratic in duplicate-group size (measured: a 10× replica corpus
+    # inflates pairs ~1000× and minhash wall-clock ~30×, PERF.md), while
+    # the kept set is provably identical — a non-rep's pairs are mirrored
+    # by its rep, which has a smaller id and byte-identical text, so every
+    # d2 dropped by a full-corpus pair is also dropped by a rep-only pair.
+    reps = docs.join(keep, "doc_id", "left_semi")
     near_dup = (
-        D.ngram_jaccard_pairs(docs, threshold=_JACCARD_T)
+        D.ngram_jaccard_pairs(reps, threshold=_JACCARD_T)
         .select(F.col("d2").alias("doc_id"))
         .distinct()
     )
