@@ -727,10 +727,12 @@ GROUP BY a
 
 @register("near_dup_clusters", oracle=_CLUSTERS_ORACLE)
 def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = D.ngram_jaccard_pairs(
+    # exact-dedup-first staging: identical clusters, pair graph shrinks
+    # from quadratic-in-dup-group to rep-level (58x on dup-heavy corpora,
+    # PERF.md); oracle (full-graph recursive CTE) unchanged.
+    return D.near_dup_clusters_staged(
         table(spark, sf_dir, "documents"), threshold=_JACCARD_T
     )
-    return D.connected_components(pairs)
 
 
 # --------------------------------------------------------------------------
@@ -741,10 +743,11 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register("near_dup_clusters_star", oracle=_CLUSTERS_ORACLE)
 def near_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = D.ngram_jaccard_pairs(
-        table(spark, sf_dir, "documents"), threshold=_JACCARD_T
+    return D.near_dup_clusters_staged(
+        table(spark, sf_dir, "documents"),
+        threshold=_JACCARD_T,
+        cc_fn=D.connected_components_star,
     )
-    return D.connected_components_star(pairs)
 
 
 # --------------------------------------------------------------------------
@@ -820,8 +823,7 @@ FROM ranked WHERE rn = 1
 @register("cluster_representatives", oracle=_CLUSTER_REPS_ORACLE)
 def cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    pairs = D.ngram_jaccard_pairs(docs, threshold=_JACCARD_T)
-    clusters = D.connected_components(pairs)
+    clusters = D.near_dup_clusters_staged(docs, threshold=_JACCARD_T)
     quality = docs.select(
         "doc_id", F.round(TX.quality_score("text"), 6).alias("quality")
     )

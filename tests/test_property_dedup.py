@@ -93,3 +93,37 @@ def test_prefix_jaccard_equals_exhaustive(spark, texts):
             for r in ngram_jaccard_pairs_prefix(df, threshold=threshold).collect()
         }
         assert pref == base
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=docs_strategy, dup_factor=st.integers(min_value=1, max_value=3))
+def test_staged_clusters_equal_direct(spark, texts, dup_factor):
+    """Exact-dedup-first staging must return the same (doc, cluster) set as
+    running CC over the full-corpus pair graph — including duplicate-heavy
+    corpora (every doc replicated dup_factor times)."""
+    from big_data_occupancy_detection_spark.ext.dedup import (
+        near_dup_clusters_staged,
+        ngram_jaccard_pairs,
+    )
+
+    rows = [
+        (i + 1000 * rep, t)
+        for i, t in enumerate(texts)
+        for rep in range(dup_factor)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    direct_pairs = ngram_jaccard_pairs(df, threshold=0.5)
+    direct = {
+        (r.doc, r.cluster)
+        for r in connected_components(direct_pairs, max_iter=40).collect()
+    }
+    staged = {
+        (r.doc, r.cluster)
+        for r in near_dup_clusters_staged(df, threshold=0.5).collect()
+    }
+    assert staged == direct
