@@ -445,22 +445,28 @@ def near_dup_clusters_staged(
     the full graph — i.e. its exact group has ≥2 docs, or its
     representative has a representative-level near-dup pair.
     """
+    from pyspark.sql import Window
+
     from .text import fingerprint_md5
 
     cc = cc_fn if cc_fn is not None else connected_components
-    fp = docs.select(
-        F.col(id_col).alias("doc"), fingerprint_md5(text_col).alias("fp")
+    # ONE shuffle (hash-partition by fingerprint) tags every doc with its
+    # exact-group representative and group size; the rep rows keep their
+    # text so pair generation needs no second scan or semi-join back.
+    grp_w = Window.partitionBy("fp")
+    tagged = (
+        docs.select(
+            F.col(id_col).alias("doc"),
+            F.col(text_col).alias("__text"),
+            fingerprint_md5(text_col).alias("fp"),
+        )
+        .withColumn("rep", F.min("doc").over(grp_w))
+        .withColumn("gsz", F.count(F.lit(1)).over(grp_w))
+        .localCheckpoint(eager=True)
     )
-    grp = fp.groupBy("fp").agg(
-        F.min("doc").alias("rep"), F.count(F.lit(1)).alias("gsz")
-    )
-    doc_rep = fp.join(grp, "fp").select("doc", "rep", "gsz")
-    reps = docs.join(
-        doc_rep.filter(F.col("doc") == F.col("rep")).select(
-            F.col("doc").alias(id_col)
-        ),
-        id_col,
-        "left_semi",
+    doc_rep = tagged.select("doc", "rep", "gsz")
+    reps = tagged.filter(F.col("doc") == F.col("rep")).select(
+        F.col("doc").alias(id_col), F.col("__text").alias(text_col)
     )
     rep_pairs = ngram_jaccard_pairs(
         reps, text_col=text_col, id_col=id_col, n=n, threshold=threshold
