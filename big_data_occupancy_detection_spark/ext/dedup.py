@@ -421,6 +421,34 @@ def connected_components_star(
     )
 
 
+def exact_tagged(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc, __text, fp, rep, gsz) — every doc tagged with its exact-dedup
+    fingerprint, group representative (min id) and group size in ONE
+    shuffle: a min/count window over the fingerprint hash-partition, text
+    carried so downstream rep-only stages need no second scan or join.
+    Eagerly checkpointed — it feeds multiple downstream branches
+    (keep-set, rep-only pair generation, group attach), and checkpointing
+    makes Spark compute the scan+shuffle once instead of per-branch.
+    """
+    from pyspark.sql import Window
+
+    from .text import fingerprint_md5
+
+    grp_w = Window.partitionBy("fp")
+    return (
+        docs.select(
+            F.col(id_col).alias("doc"),
+            F.col(text_col).alias("__text"),
+            fingerprint_md5(text_col).alias("fp"),
+        )
+        .withColumn("rep", F.min("doc").over(grp_w))
+        .withColumn("gsz", F.count(F.lit(1)).over(grp_w))
+        .localCheckpoint(eager=True)
+    )
+
+
 def near_dup_clusters_staged(
     docs: DataFrame,
     threshold: float = 0.5,
@@ -445,25 +473,8 @@ def near_dup_clusters_staged(
     the full graph — i.e. its exact group has ≥2 docs, or its
     representative has a representative-level near-dup pair.
     """
-    from pyspark.sql import Window
-
-    from .text import fingerprint_md5
-
     cc = cc_fn if cc_fn is not None else connected_components
-    # ONE shuffle (hash-partition by fingerprint) tags every doc with its
-    # exact-group representative and group size; the rep rows keep their
-    # text so pair generation needs no second scan or semi-join back.
-    grp_w = Window.partitionBy("fp")
-    tagged = (
-        docs.select(
-            F.col(id_col).alias("doc"),
-            F.col(text_col).alias("__text"),
-            fingerprint_md5(text_col).alias("fp"),
-        )
-        .withColumn("rep", F.min("doc").over(grp_w))
-        .withColumn("gsz", F.count(F.lit(1)).over(grp_w))
-        .localCheckpoint(eager=True)
-    )
+    tagged = exact_tagged(docs, text_col=text_col, id_col=id_col)
     doc_rep = tagged.select("doc", "rep", "gsz")
     reps = tagged.filter(F.col("doc") == F.col("rep")).select(
         F.col("doc").alias(id_col), F.col("__text").alias(text_col)

@@ -499,14 +499,19 @@ WHERE q.quality >= {_CURATION_MIN_QUALITY}
 @register("corpus_curation", oracle=_CURATION_ORACLE)
 def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    keep = D.exact_dedup_groups(docs).select(F.col("keep_id").alias("doc_id"))
     # Near-dup ONLY over exact-dedup representatives: pair output is
     # quadratic in duplicate-group size (measured: a 10× replica corpus
-    # inflates pairs ~1000× and minhash wall-clock ~30×, PERF.md), while
-    # the kept set is provably identical — a non-rep's pairs are mirrored
-    # by its rep, which has a smaller id and byte-identical text, so every
-    # d2 dropped by a full-corpus pair is also dropped by a rep-only pair.
-    reps = docs.join(keep, "doc_id", "left_semi")
+    # inflates pairs ~1000× and the full-corpus form runs 204.6 s vs
+    # 3.55 s staged, PERF.md), while the kept set is provably identical —
+    # a non-rep's pairs are mirrored by its rep, which has a smaller id
+    # and byte-identical text. exact_tagged computes keep-set + rep text
+    # in ONE shuffle (fingerprint window, checkpointed).
+    tagged = D.exact_tagged(docs)
+    rep_rows = tagged.filter(F.col("doc") == F.col("rep"))
+    keep = rep_rows.select(F.col("doc").alias("doc_id"))
+    reps = rep_rows.select(
+        F.col("doc").alias("doc_id"), F.col("__text").alias("text")
+    )
     near_dup = (
         D.ngram_jaccard_pairs(reps, threshold=_JACCARD_T)
         .select(F.col("d2").alias("doc_id"))
