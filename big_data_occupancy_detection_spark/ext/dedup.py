@@ -598,3 +598,69 @@ def simhash_near_pairs(
         .dropDuplicates(["d1", "d2"])
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def expand_pairs_over_exact_groups(
+    rep_pairs: DataFrame, tagged: DataFrame
+) -> DataFrame:
+    """Reconstruct the FULL near-dup pair set from representative-level
+    pairs: every (rep1, rep2, jaccard) fans out to all member pairs of the
+    two exact groups (Jaccard is a function of the shingle SET, so members
+    inherit the score), plus every exact group of size ≥ 2 contributes its
+    within-group pairs at jaccard 1.0.
+
+    This turns pair generation on a duplicate-heavy corpus from
+    verify-quadratic into output-linear: candidates are generated and
+    verified only among representatives; the expansion is two equi-joins
+    sized by the OUTPUT, which any correct algorithm must emit anyway.
+    """
+    members = tagged.select("rep", "doc")
+    m1 = members.select(F.col("rep").alias("d1"), F.col("doc").alias("m1"))
+    m2 = members.select(F.col("rep").alias("d2"), F.col("doc").alias("m2"))
+    cross = (
+        rep_pairs.join(m1, "d1")
+        .join(m2, "d2")
+        .select(
+            F.least("m1", "m2").alias("d1"),
+            F.greatest("m1", "m2").alias("d2"),
+            "jaccard",
+        )
+    )
+    g = tagged.filter(F.col("gsz") >= 2).select("rep", "doc")
+    a, b = g.alias("a"), g.alias("b")
+    within = (
+        a.join(
+            b,
+            (F.col("a.rep") == F.col("b.rep"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("d1"),
+            F.col("b.doc").alias("d2"),
+            F.round(F.lit(1.0), 6).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(within)
+
+
+def minhash_lsh_pairs_staged(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    **kwargs,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs with exact dedup staged first — identical
+    output to :func:`minhash_lsh_pairs` (identical docs have identical
+    signatures, so band collisions respect exact groups; shared oracle).
+    Measured on a 10×-replicated corpus: 124 s direct vs output-linear
+    staged (PERF.md) — banding + verification touch only representatives.
+    """
+    tagged = exact_tagged(df, text_col=text_col, id_col=id_col)
+    reps = tagged.filter(F.col("doc") == F.col("rep")).select(
+        F.col("doc").alias(id_col), F.col("__text").alias(text_col)
+    )
+    rep_pairs = minhash_lsh_pairs(
+        reps, text_col=text_col, id_col=id_col, threshold=threshold, **kwargs
+    )
+    return expand_pairs_over_exact_groups(rep_pairs, tagged)

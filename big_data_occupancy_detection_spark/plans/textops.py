@@ -856,3 +856,16 @@ def ngram_jaccard_pairs_prefix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs_prefix(
         table(spark, sf_dir, "documents"), threshold=_JACCARD_T
     )
+
+
+# --------------------------------------------------------------------------
+# Staged MinHash-LSH pairs: banding + verification over exact-dedup
+# representatives only, then output-linear expansion across exact groups
+# (identical docs have identical signatures, so collisions respect
+# groups). Same output as minhash_lsh_pairs — shared oracle.
+# --------------------------------------------------------------------------
+@register("minhash_lsh_pairs_staged", oracle=_minhash_oracle())
+def minhash_lsh_pairs_staged_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_lsh_pairs_staged(
+        table(spark, sf_dir, "documents"), threshold=_JACCARD_T
+    )

@@ -127,3 +127,35 @@ def test_staged_clusters_equal_direct(spark, texts, dup_factor):
         for r in near_dup_clusters_staged(df, threshold=0.5).collect()
     }
     assert staged == direct
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=docs_strategy, dup_factor=st.integers(min_value=1, max_value=3))
+def test_staged_minhash_pairs_equal_direct(spark, texts, dup_factor):
+    """Rep-level banding + output-linear group expansion must emit exactly
+    the direct MinHash-LSH pair set, scores included."""
+    from big_data_occupancy_detection_spark.ext.dedup import (
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_staged,
+    )
+
+    rows = [
+        (i + 1000 * rep, t)
+        for i, t in enumerate(texts)
+        for rep in range(dup_factor)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    direct = {
+        (r.d1, r.d2, r.jaccard)
+        for r in minhash_lsh_pairs(df, threshold=0.5).collect()
+    }
+    staged = {
+        (r.d1, r.d2, r.jaccard)
+        for r in minhash_lsh_pairs_staged(df, threshold=0.5).collect()
+    }
+    assert staged == direct
