@@ -364,3 +364,32 @@ def test_connected_components_strict_raises_on_nonconvergence(spark):
         for r in connected_components_star(pairs, max_rounds=10).collect()
     }
     assert set(star.values()) == {200} and len(star) == 41
+
+
+def test_python_udtf_lateral_generator(spark):
+    """Spark 4 Python UDTF surface: a table function lateral-joined per row
+    (API completeness check — production generators should stay with
+    explode/split, which run JVM-side; a UDTF is the imperative escape
+    hatch when the expansion logic can't be an expression)."""
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="chunk: string, idx: int")
+    class ChunkText:
+        def eval(self, text: str, size: int):
+            for i in range(0, len(text), size):
+                yield text[i : i + size], i // size
+
+    spark.udtf.register("chunk_text", ChunkText)
+    df = spark.createDataFrame([(1, "abcdefgh"), (2, "xy")], ["id", "text"])
+    df.createOrReplaceTempView("udtf_docs")
+    out = spark.sql(
+        "SELECT id, chunk, idx FROM udtf_docs, "
+        "LATERAL chunk_text(text, 3)"
+    ).collect()
+    got = {(r.id, r.idx): r.chunk for r in out}
+    assert got == {
+        (1, 0): "abc", (1, 1): "def", (1, 2): "gh", (2, 0): "xy",
+    }
+    # direct-call form
+    n = ChunkText(lit("hello"), lit(2)).count()
+    assert n == 3
