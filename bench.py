@@ -54,6 +54,7 @@ HEADLINE = [
     "top_words",               # regexp normalize + explode + top-k count
     "lateral_top_orders",      # Spark 4 lateralJoin correlated subquery
     "bm25_search",             # BM25 posting-list retrieval, broadcast idf
+    "user_value_ewma_sql",     # JVM-side EWMA fold (collect_list + aggregate)
     "near_dup_clusters",       # iterative label propagation (checkpointed)
     # embedding_near_pairs_lsh is oracle-verified but excluded here: at 2k
     # vectors its bucket pruning (~3x) is below the explode+join overhead —

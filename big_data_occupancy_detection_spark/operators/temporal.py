@@ -162,3 +162,41 @@ def grouped_ewma(
         )
 
     return df.groupBy(key_col).applyInPandas(_ewma, schema=out_schema)
+
+
+def grouped_ewma_jvm(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    alpha: float,
+) -> DataFrame:
+    """JVM-side twin of :func:`grouped_ewma`: the same left fold expressed
+    as ``array_sort(collect_list(struct(...)))`` + ``F.aggregate`` — one
+    shuffle, whole-stage-codegen lambda, NO Python/Arrow crossing.
+    Identical op order ⇒ bit-identical results to the applyInPandas form
+    and the DuckDB list_reduce oracle. Prefer this in production; the
+    grouped-map form exists for logic that genuinely can't be a Catalyst
+    lambda (model calls, C libraries). Measured at 1M rows / 10.5k groups:
+    6.1 s (Arrow) → JVM fold, see PERF.md.
+
+    Groups must still fit a task (collect_list materializes the series per
+    key) — the same constraint the grouped-map form has.
+    """
+    seq = F.array_sort(
+        F.collect_list(F.struct(*order_cols, F.col(value_col).alias("__v")))
+    )
+    grouped = df.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_events"), seq.alias("seq")
+    )
+    rest = F.slice(
+        "seq", F.lit(2), F.greatest(F.size("seq") - 1, F.lit(0))
+    )
+    fold = F.aggregate(
+        rest,
+        F.element_at("seq", 1)["__v"].cast("double"),
+        lambda acc, x: acc * F.lit(1.0 - alpha) + F.lit(alpha) * x["__v"],
+    )
+    return grouped.select(
+        key_col, "n_events", fold.alias("ewma_value")
+    )

@@ -448,3 +448,30 @@ def user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", "n_events", F.round("ewma_value", 6).alias("ewma_value")
     )
+
+
+# --------------------------------------------------------------------------
+# JVM-side EWMA twin: array_sort(collect_list) + F.aggregate fold — same
+# recursion, zero Python crossing. Shares the list_reduce oracle.
+# --------------------------------------------------------------------------
+@register(
+    "user_value_ewma_sql",
+    oracle=f"""
+    SELECT user_id,
+           count(*) AS n_events,
+           round(list_reduce(list(value ORDER BY ts, event_id),
+                             (acc, x) -> acc * {1.0 - _EWMA_ALPHA} + {_EWMA_ALPHA} * x),
+                 6) AS ewma_value
+    FROM events GROUP BY user_id
+    """,
+)
+def user_value_ewma_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.temporal import grouped_ewma_jvm
+
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    out = grouped_ewma_jvm(
+        ev, "user_id", ["ts", "event_id"], "value", alpha=_EWMA_ALPHA
+    )
+    return out.select(
+        "user_id", "n_events", F.round("ewma_value", 6).alias("ewma_value")
+    )
