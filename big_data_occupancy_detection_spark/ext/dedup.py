@@ -664,3 +664,24 @@ def minhash_lsh_pairs_staged(
         reps, text_col=text_col, id_col=id_col, threshold=threshold, **kwargs
     )
     return expand_pairs_over_exact_groups(rep_pairs, tagged)
+
+
+def ngram_jaccard_pairs_staged(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact-dedup-first twin of :func:`ngram_jaccard_pairs` — inverted
+    index + verification over representatives only, then output-linear
+    expansion across exact groups (see :func:`expand_pairs_over_exact_groups`
+    for the equivalence argument). Shared oracle with the direct form."""
+    tagged = exact_tagged(df, text_col=text_col, id_col=id_col)
+    reps = tagged.filter(F.col("doc") == F.col("rep")).select(
+        F.col("doc").alias(id_col), F.col("__text").alias(text_col)
+    )
+    rep_pairs = ngram_jaccard_pairs(
+        reps, text_col=text_col, id_col=id_col, n=n, threshold=threshold
+    )
+    return expand_pairs_over_exact_groups(rep_pairs, tagged)

@@ -869,3 +869,14 @@ def minhash_lsh_pairs_staged_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_pairs_staged(
         table(spark, sf_dir, "documents"), threshold=_JACCARD_T
     )
+
+
+# --------------------------------------------------------------------------
+# Staged n-gram Jaccard pairs (exact-dedup-first + output-linear group
+# expansion) — completes the staged family next to minhash_lsh_pairs_staged.
+# --------------------------------------------------------------------------
+@register("ngram_jaccard_pairs_staged", oracle=_NGRAM_ORACLE)
+def ngram_jaccard_pairs_staged_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.ngram_jaccard_pairs_staged(
+        table(spark, sf_dir, "documents"), threshold=_JACCARD_T
+    )
