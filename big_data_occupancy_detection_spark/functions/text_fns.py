@@ -78,7 +78,7 @@ def fast_hash64(col: Column, seed: int = 0) -> Column:
     return F.xxhash64(F.lit(seed), col)
 
 
-def hash64(col: Column, seed: int = 0) -> Column:
+def hash64(col: Column, seed: int | None = None) -> Column:
     """Hash-family dispatcher for the dedup/similarity operators.
 
     Default is the portable md5 60-bit family (oracle-verifiable — the
@@ -88,9 +88,14 @@ def hash64(col: Column, seed: int = 0) -> Column:
     semantics — bucket/band assignments change but candidate verification
     is exact, so output precision is unchanged; only oracle hash parity is
     lost. Read per plan construction, so tests can toggle via monkeypatch.
+
+    ``seed`` uses ``is not None`` semantics: ``hash64(c, 0)`` is the seeded
+    hash of ``'0|' || c`` (matching the DuckDB oracle's term-0 MinHash hash),
+    while ``hash64(c)`` is the unseeded portable hash. Seed 0 previously fell
+    through to the unseeded form, diverging from the oracle's band-0 keys.
     """
     import os
 
     if os.environ.get("SPARK_GRAFT_FAST_HASH") == "1":
-        return fast_hash64(col, seed)
-    return seeded_hash64(col, seed) if seed else md5_hash64(col)
+        return fast_hash64(col, seed if seed is not None else 0)
+    return seeded_hash64(col, seed) if seed is not None else md5_hash64(col)

@@ -53,3 +53,49 @@ def test_fast_hash_simhash_total(spark, monkeypatch):
     # signatures are real 32-bit values, not degenerate zeros
     n_nonzero = sh.filter(F.col("simhash") != 0).count()
     assert n_nonzero > n_docs * 0.9
+
+
+def test_minhash_signature_lockstep_with_oracle(spark):
+    """Byte-identical MinHash signatures, Spark vs DuckDB, term by term.
+
+    Locks in the seed-0 fix: hash64(c, 0) must hash '0|'||c exactly like the
+    oracle's term 0, not fall through to the unseeded hash (which silently
+    diverged band-0 LSH keys before exact verification masked it).
+    """
+    import duckdb
+
+    from big_data_occupancy_detection_spark.ext import dedup as D
+    from big_data_occupancy_detection_spark.plans.textops import (
+        _SH_CTE,
+        _TOKS_CTE,
+        hash64_sql,
+    )
+    from big_data_occupancy_detection_spark.sources.readers import TABLE_NAMES
+
+    docs = table(spark, SF_DIR, "documents").limit(50)
+    spark_sig = {
+        r["doc"]: list(r["sig"])
+        for r in D.minhash_signatures(docs, num_hashes=D.DEFAULT_NUM_HASHES).collect()
+    }
+
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    sig_terms = ", ".join(
+        "list_min(list_transform(shingles, s -> " + hash64_sql(f"'{i}|' || s") + "))"
+        for i in range(D.DEFAULT_NUM_HASHES)
+    )
+    oracle_sig = {
+        row[0]: list(row[1])
+        for row in con.execute(
+            f"WITH {_TOKS_CTE}, {_SH_CTE} "
+            f"SELECT doc_id, [{sig_terms}] AS sig FROM sh "
+            f"WHERE doc_id IN (SELECT doc_id FROM documents LIMIT 50)"
+        ).fetchall()
+    }
+    # compare on the intersection of ids (limit orders may differ); must be
+    # a healthy sample and every shared id byte-identical across engines
+    shared = set(spark_sig) & set(oracle_sig)
+    assert len(shared) >= 25
+    for doc in shared:
+        assert spark_sig[doc] == oracle_sig[doc], f"signature diverges for {doc}"
