@@ -49,7 +49,18 @@ def asof_join(
 
     Scale: one hash shuffle on ``on`` + a per-key sort — the same cost
     profile as a plain equi-join, independent of how far back matches are.
+
+    ``value_cols`` must be disjoint from the left side's columns (and from
+    the key/timestamp names): the implementation seeds those columns as
+    null on the left before the union, so a collision would silently null
+    out left data instead of erroring. Rename on the left first.
     """
+    clash = {c for c in value_cols} & (set(left.columns) | set(on) | {left_ts, right_ts})
+    if clash:
+        raise ValueError(
+            f"asof_join value_cols collide with left/key/timestamp columns: "
+            f"{sorted(clash)}; alias them on the right before joining"
+        )
     l_tagged = left.withColumn("__t", F.col(left_ts)).withColumn(
         "__is_left", F.lit(1)
     )
@@ -144,8 +155,9 @@ def grouped_ewma(
     """
     import pandas as pd
 
+    key_type = df.schema[key_col].dataType.simpleString()
     out_schema = (
-        f"{key_col} long, n_events long, ewma_value double"
+        f"{key_col} {key_type}, n_events long, ewma_value double"
     )
 
     def _ewma(pdf: "pd.DataFrame") -> "pd.DataFrame":

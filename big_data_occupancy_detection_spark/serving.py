@@ -52,9 +52,31 @@ class FileRpcBus:
         while time.monotonic() < end:
             if os.path.exists(path):
                 with open(path) as f:
-                    return json.loads(f.read())
+                    body = json.loads(f.read())
+                try:  # consumed — delete so the dir stays O(in-flight requests)
+                    os.unlink(path)
+                except OSError:
+                    pass
+                return body
             time.sleep(0.05)
         return None
+
+    def gc_responses(self, ttl_s: float = 60.0) -> int:
+        """Delete orphaned response files older than ``ttl_s`` (responses
+        whose requester hit the 504 deadline are never polled away). Returns
+        the number removed. Request files are cleaned by the stream source
+        itself (``cleanSource='delete'``)."""
+        cutoff = time.time() - ttl_s
+        removed = 0
+        for name in os.listdir(self.responses_dir):
+            path = os.path.join(self.responses_dir, name)
+            try:
+                if os.path.getmtime(path) < cutoff:
+                    os.unlink(path)
+                    removed += 1
+            except OSError:
+                pass  # concurrently consumed
+        return removed
 
 
 def start_scoring_query(spark, model, bus: FileRpcBus, checkpoint_dir: str):
@@ -67,7 +89,9 @@ def start_scoring_query(spark, model, bus: FileRpcBus, checkpoint_dir: str):
         to_response_json,
     )
 
-    raw = file_source(spark, bus.requests_dir, max_files_per_trigger=100)
+    raw = file_source(
+        spark, bus.requests_dir, max_files_per_trigger=100, clean_source="delete"
+    )
     responses = to_response_json(build_inference_pipeline(raw, model_score(model)))
 
     def write_batch(batch_df, _batch_id: int) -> None:
@@ -77,6 +101,8 @@ def start_scoring_query(spark, model, bus: FileRpcBus, checkpoint_dir: str):
             with open(tmp, "w") as f:
                 f.write(row.value)
             os.rename(tmp, path)
+        # sweep orphaned responses (timed-out requesters never poll theirs)
+        bus.gc_responses(ttl_s=12 * RPC_DEADLINE_S)
 
     return (
         responses.writeStream.foreachBatch(write_batch)

@@ -60,14 +60,27 @@ def kafka_source(
     return raw.select(F.col("value").cast("string").alias("json"))
 
 
-def file_source(spark: SparkSession, path: str, max_files_per_trigger: int = 10) -> DataFrame:
+def file_source(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int = 10,
+    clean_source: str | None = None,
+) -> DataFrame:
     """File-based request stream (JSON lines) — broker-free source with the
-    same downstream contract; used by tests and CI."""
-    raw = (
+    same downstream contract; used by tests and CI.
+
+    ``clean_source='delete'`` (or ``'archive'``) makes Spark remove each
+    input file once its micro-batch commits, so a long-running request dir
+    doesn't grow without bound and per-trigger directory listing stays O(new
+    files). Off by default: tests re-read their fixture dirs.
+    """
+    reader = (
         spark.readStream.format("text")
         .option("maxFilesPerTrigger", max_files_per_trigger)
-        .load(path)
     )
+    if clean_source:
+        reader = reader.option("cleanSource", clean_source)
+    raw = reader.load(path)
     return raw.select(F.col("value").alias("json"))
 
 

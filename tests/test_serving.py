@@ -87,3 +87,28 @@ def test_predict_rpc_end_to_end(spark, tmp_path, tiny_model):
     finally:
         server.shutdown()
         query.stop()
+
+
+def test_file_rpc_bus_cleanup(tmp_path):
+    """poll_response consumes (deletes) its file; gc_responses sweeps
+    orphans past the TTL but leaves fresh files (ADVICE r1)."""
+    import json
+    import os
+    import time
+
+    from big_data_occupancy_detection_spark.serving import FileRpcBus
+
+    bus = FileRpcBus(str(tmp_path / "bus"))
+    for rid in ("r1", "r2", "r3"):
+        with open(os.path.join(bus.responses_dir, f"{rid}.json"), "w") as f:
+            f.write(json.dumps({"request_id": rid, "prediction": 1}))
+
+    assert bus.poll_response("r1", deadline_s=1.0)["request_id"] == "r1"
+    assert not os.path.exists(os.path.join(bus.responses_dir, "r1.json"))
+
+    old = os.path.join(bus.responses_dir, "r2.json")
+    past = time.time() - 120
+    os.utime(old, (past, past))
+    assert bus.gc_responses(ttl_s=60.0) == 1
+    assert not os.path.exists(old)
+    assert os.path.exists(os.path.join(bus.responses_dir, "r3.json"))

@@ -82,3 +82,38 @@ def test_band_join_crosses_bucket_boundary(spark):
         df, on=["g"], ts_col="t", id_col="id", band_seconds=60
     ).collect()
     assert [(r.a_id, r.b_id) for r in out] == [(1, 2)]
+
+
+def test_asof_join_rejects_colliding_value_cols(spark):
+    """A value_col that already exists on the left must raise, not silently
+    null out the left column (ADVICE r1)."""
+    import pytest
+
+    left = spark.createDataFrame([Row(k=1, lts=_ts("2024-01-01 10:00:00"), price=1.0)])
+    right = spark.createDataFrame([Row(k=1, rts=_ts("2024-01-01 09:00:00"), price=2.0)])
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(
+            left, right, on=["k"], left_ts="lts", right_ts="rts", value_cols=["price"]
+        )
+
+
+def test_grouped_ewma_string_key(spark):
+    """grouped_ewma must work for non-integer keys (sensor/user ids) — the
+    output schema derives the key dtype from the input (ADVICE r1)."""
+    from big_data_occupancy_detection_spark.operators.temporal import grouped_ewma
+
+    df = spark.createDataFrame(
+        [
+            Row(sensor="a", seq=1, v=10.0),
+            Row(sensor="a", seq=2, v=20.0),
+            Row(sensor="b", seq=1, v=5.0),
+        ]
+    )
+    out = {
+        r.sensor: (r.n_events, r.ewma_value)
+        for r in grouped_ewma(
+            df, key_col="sensor", order_cols=["seq"], value_col="v", alpha=0.5
+        ).collect()
+    }
+    assert out["a"] == (2, 15.0)  # 10 -> 0.5*10 + 0.5*20
+    assert out["b"] == (1, 5.0)
