@@ -434,11 +434,81 @@ def media_fake_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # q41 — IVF approximate top-k (inverted-list ANN: seeded spherical k-means
-# partitioning + multi-probe search). Deterministic, but the iterative
-# centroid refinement is not ANSI-SQL-expressible → rows-only check; the
-# recall-vs-brute-force contract is asserted in tests/test_similarity.py.
+# partitioning + multi-probe search). The whole fit is deterministic —
+# md5-seeded centroids, one Lloyd round of double-precision means, argmax
+# assignment with a fixed tie-break — so the oracle replays the identical
+# seed → assign → mean → probe → rank pipeline in SQL. Engine-order float
+# summation differences sit far below the round-to-9 rank key.
 # --------------------------------------------------------------------------
-@register("embedding_ivf_topk", oracle=None)
+def _ivf_topk_oracle() -> str:
+    k_cent = SIM.IVF_CENTROIDS
+    n_probes = SIM.IVF_PROBES
+    vid_hash = hash64_sql("CAST(vec_id AS VARCHAR)")
+    return f"""
+    WITH c AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings),
+    norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM c GROUP BY 1),
+    nv AS (  -- L2-normalized vectors (ivf: _normalized)
+      SELECT c.vec_id, c.i, c.v / n.nrm AS nv
+      FROM c JOIN norms n USING (vec_id)),
+    seeds AS (  -- smallest-md5 sample, cid by (hash, vid) (ivf: _seed_centroids)
+      SELECT vec_id, CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INT) AS cid
+      FROM (SELECT vec_id, {vid_hash} AS h FROM embeddings)
+      ORDER BY h, vec_id LIMIT {k_cent}),
+    seedcent AS (
+      SELECT s.cid, nv.i, nv.nv AS cv FROM seeds s JOIN nv ON nv.vec_id = s.vec_id),
+    dots0 AS (  -- one Lloyd round: assign to argmax-dot seed
+      SELECT nv.vec_id, sc.cid, sum(nv.nv * sc.cv) AS d
+      FROM nv JOIN seedcent sc ON sc.i = nv.i GROUP BY 1, 2),
+    assign0 AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) AS rn
+        FROM dots0) WHERE rn = 1),
+    cent AS (  -- refined centroids: per-cluster per-dim mean (ivf: _mean_centroids)
+      SELECT a.cid, nv.i, avg(nv.nv) AS cv
+      FROM assign0 a JOIN nv ON nv.vec_id = a.vec_id GROUP BY 1, 2),
+    dotsc AS (  -- corpus assignment on RAW vectors (ivf: _assign_nearest)
+      SELECT c.vec_id, ct.cid, sum(c.v * ct.cv) AS d
+      FROM c JOIN cent ct ON ct.i = c.i GROUP BY 1, 2),
+    cassign AS (
+      SELECT vec_id, cid AS cluster FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) AS rn
+        FROM dotsc) WHERE rn = 1),
+    dotsq AS (  -- each query probes its top-n closest inverted lists
+      SELECT c.vec_id AS qid, ct.cid, sum(c.v * ct.cv) AS d
+      FROM c JOIN cent ct ON ct.i = c.i WHERE c.vec_id < 10 GROUP BY 1, 2),
+    probes AS (
+      SELECT qid, cid AS cluster FROM (
+        SELECT qid, cid,
+               row_number() OVER (PARTITION BY qid ORDER BY d DESC, cid) AS rn
+        FROM dotsq) WHERE rn <= {n_probes}),
+    cand AS (
+      SELECT p.qid, a.vec_id
+      FROM probes p JOIN cassign a USING (cluster)
+      WHERE a.vec_id <> p.qid),
+    cos AS (
+      SELECT cd.qid, cd.vec_id,
+             round(sum(q.v * c.v) / (nq.nrm * nc.nrm), 9) AS cos9
+      FROM cand cd
+      JOIN c q ON q.vec_id = cd.qid
+      JOIN c ON c.vec_id = cd.vec_id AND c.i = q.i
+      JOIN norms nq ON nq.vec_id = cd.qid
+      JOIN norms nc ON nc.vec_id = cd.vec_id
+      GROUP BY cd.qid, cd.vec_id, nq.nrm, nc.nrm),
+    ranked AS (
+      SELECT qid, vec_id, cos9,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY cos9 DESC, vec_id) AS BIGINT) AS rnk
+      FROM cos)
+    SELECT qid, vec_id, round(cos9, 6) AS cos, rnk
+    FROM ranked WHERE rnk <= 5
+    """
+
+
+@register("embedding_ivf_topk", oracle=_ivf_topk_oracle())
 def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     return SIM.ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
