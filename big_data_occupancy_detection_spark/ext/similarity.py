@@ -59,17 +59,33 @@ def brute_force_topk(
     )
 
 
+NEAR_PAIRS_EXACT_MAX_ROWS = 50_000
+
+
 def near_pairs_threshold(
     emb: DataFrame,
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_rows: int | None = NEAR_PAIRS_EXACT_MAX_ROWS,
 ) -> DataFrame:
     """All vector pairs (a < b) with cosine >= threshold — embedding near-dup.
 
-    O(n²) form for correctness checking; the LSH bucketed variant below is
-    the scale path (bucket first, pair only within buckets).
+    O(n²) form for correctness checking; :func:`lsh_near_pairs` is the
+    scale path (bucket first, pair only within buckets). Because the cross
+    join is quadratic, this raises when the input exceeds ``max_rows``
+    (one cheap count — parquet row-group metadata at best, one scan at
+    worst — versus n²/2 cosine evaluations it may prevent). Pass
+    ``max_rows=None`` to force the exact form on a big corpus.
     """
+    if max_rows is not None:
+        n = emb.count()
+        if n > max_rows:
+            raise ValueError(
+                f"near_pairs_threshold is O(n²) and the input has {n:,} rows "
+                f"(> {max_rows:,}); use lsh_near_pairs (same semantics, "
+                f"LSH-bucketed) or pass max_rows=None to override"
+            )
     a = repartition_for_compute(
         emb.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"))
     )
