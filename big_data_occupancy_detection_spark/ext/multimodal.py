@@ -1,11 +1,15 @@
 """Multimodal column support: image/audio/video as opaque binary columns
 with typed metadata, processed batch-wise via Arrow (mapInPandas).
 
-The container has no image/audio codecs, so the DECODE step is stubbed
-(deterministic fake features, or NotImplementedError when a real codec is
-demanded) — but everything Spark-side is real and tested: the schema, the
-binary column plumbing, the Arrow batch shape, the partition-parallel UDF
-signature, and the chunking math that keeps each Arrow batch memory-bounded.
+Two codec tiers share one Spark plumbing layer (schema, binary columns,
+Arrow batch shape, partition-parallel UDF signature, chunking math):
+
+- ``real_codec=False`` (default): a deterministic md5-derived fake decode,
+  kept because it is oracle-verifiable in SQL end to end;
+- ``real_codec=True``: a REAL stdlib-only PNG codec (ext/png_codec.py —
+  parse, unfilter, pixel math, re-encode). Native-lib formats (JPEG,
+  audio, mp4) still need codecs absent from this container; they slot in
+  beside the PNG functions without touching the Spark plan.
 
 At 100 TB the pattern is: binary payloads live in parquet alongside typed
 metadata columns; filters/pruning run on metadata (never deserializing
@@ -58,6 +62,19 @@ def _fake_decode(payload: bytes) -> list[float]:
     return [b / 255.0 for b in h[:FEATURE_DIM]]
 
 
+def _png_decode_features(payload: bytes) -> list[float]:
+    """REAL codec path: parse → unfilter → grayscale → tile-mean features.
+
+    Stdlib-only PNG decode (ext/png_codec.py), so the multimodal pipeline
+    exercises a genuine codec in this container. Same contract as
+    ``_fake_decode``: bytes in, FEATURE_DIM floats out.
+    """
+    from .png_codec import decode_png, grayscale, tile_means
+
+    _w, _h, channels, pixels = decode_png(bytes(payload))
+    return tile_means(grayscale(pixels, channels), FEATURE_DIM)
+
+
 def decode_features(
     media: DataFrame,
     payload_col: str = "payload",
@@ -68,12 +85,14 @@ def decode_features(
     ``mapInPandas`` streams bounded Arrow batches through Python — the only
     non-JVM hop in the multimodal path, vectorized per batch rather than
     per row.
+
+    ``real_codec=True`` runs the stdlib PNG decoder (payloads must be
+    PNGs; gray/RGB/alpha, any scanline filter). Other formats (JPEG,
+    audio, video containers) still need native libs absent from this
+    container — plug them in beside ``_png_decode_features``; the Spark
+    plan, schema and batch shape do not change.
     """
-    if real_codec:
-        raise NotImplementedError(
-            "no image/audio codecs in this environment — plug a decoder into "
-            "_fake_decode and pass real_codec=False semantics through"
-        )
+    decode = _png_decode_features if real_codec else _fake_decode
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -81,7 +100,7 @@ def decode_features(
                 {
                     "doc_id": pdf["doc_id"],
                     "n_bytes": pdf[payload_col].map(len).astype("int64"),
-                    "features": pdf[payload_col].map(_fake_decode),
+                    "features": pdf[payload_col].map(decode),
                 }
             )
 
@@ -107,25 +126,39 @@ def sample_frames(
     """Frame sampling for video-like payloads: one output row per sampled
     frame, via ``mapInPandas`` (a 1→N exploding Arrow transform).
 
-    The "video" is modeled as fixed-size chunks of the payload (a real
-    ffmpeg-backed decoder slots into ``_frames``; the Spark contract —
-    bytes in, (index, frame bytes) rows out — is identical). Sampling
-    every ``every_n``-th frame bounds the output to payload_size/(chunk·n)
-    rows per document; the transform is scan-parallel, stateless, and
-    never holds more than one Arrow batch of frames in memory.
+    The default "video" is modeled as fixed-size chunks of the payload.
+    ``real_codec=True`` instead treats the payload as a concatenated-PNG
+    frame stream (the motion-PNG shape) and splits on PNG signatures —
+    each sampled frame is a complete decodable PNG. Container formats
+    (mp4/mkv) still need ffmpeg, absent here; only ``_frames`` changes,
+    never the Spark contract (bytes in, (index, frame bytes) rows out).
+    Sampling every ``every_n``-th frame bounds the output; the transform
+    is scan-parallel, stateless, and never holds more than one Arrow
+    batch of frames in memory.
     """
-    if real_codec:
-        raise NotImplementedError(
-            "no video codecs in this environment — plug a frame decoder "
-            "into _frames; the mapInPandas plumbing is codec-agnostic"
-        )
 
-    def _frames(payload: bytes) -> list[tuple[int, bytes]]:
+    def _png_frames(payload: bytes) -> list[tuple[int, bytes]]:
+        from .png_codec import PNG_SIGNATURE
+
+        starts = []
+        pos = payload.find(PNG_SIGNATURE)
+        while pos != -1:
+            starts.append(pos)
+            pos = payload.find(PNG_SIGNATURE, pos + 1)
+        if not starts:
+            raise ValueError("real_codec=True expects concatenated PNG frames")
+        bounds = starts + [len(payload)]
+        frames = [payload[bounds[i] : bounds[i + 1]] for i in range(len(starts))]
+        return [(i, f) for i, f in enumerate(frames) if i % every_n == 0]
+
+    def _chunk_frames(payload: bytes) -> list[tuple[int, bytes]]:
         chunks = [
             payload[i : i + CHUNK_BYTES]
             for i in range(0, max(len(payload), 1), CHUNK_BYTES)
         ]
         return [(i, c) for i, c in enumerate(chunks) if i % every_n == 0]
+
+    _frames = _png_frames if real_codec else _chunk_frames
 
     def explode_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -173,26 +206,30 @@ def resize_media(
 ) -> DataFrame:
     """Resize plumbing for image-like payloads via ``mapInPandas``.
 
-    The codec is stubbed (no image libs in this container): the "resize"
-    deterministically resamples the payload bytes to exactly
-    width·height·bytes_per_pixel output bytes by nearest-neighbor index
-    mapping — the same shape contract as a real `PIL.Image.resize`
-    (bytes in → fixed-size bytes out), so swapping in a real decoder
-    changes one function, not the Spark plan, schema, or batch shape.
+    By default the "resize" deterministically resamples the raw payload
+    bytes to exactly width·height·bytes_per_pixel output bytes by 1-D
+    nearest-neighbor index mapping. ``real_codec=True`` runs the full
+    stdlib PNG path instead: decode → true 2-D nearest-neighbor resize →
+    re-encode, emitting a valid width×height PNG per row. Either way the
+    Spark plan, schema, and batch shape are identical.
     """
-    if real_codec:
-        raise NotImplementedError(
-            "no image codecs in this environment — plug PIL/opencv into "
-            "_resample; the mapInPandas plumbing is codec-agnostic"
-        )
     out_len = width * height * bytes_per_pixel
 
-    def _resample(payload: bytes) -> bytes:
+    def _resample_png(payload: bytes) -> bytes:
+        from .png_codec import decode_png, encode_png, resize_nn
+
+        w, h, channels, pixels = decode_png(bytes(payload))
+        resized = resize_nn(pixels, w, h, channels, width, height)
+        return encode_png(resized, width, height, channels)
+
+    def _resample_raw(payload: bytes) -> bytes:
         if not payload:
             return bytes(out_len)
         n = len(payload)
         # nearest-neighbor index map, the 1-D analogue of NN image scaling
         return bytes(payload[(i * n) // out_len] for i in range(out_len))
+
+    _resample = _resample_png if real_codec else _resample_raw
 
     def do_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

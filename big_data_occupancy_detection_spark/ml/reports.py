@@ -24,11 +24,14 @@ def export_classifier_reports(
     out_dir: str,
     prefix: str = "test",
 ) -> dict[str, str]:
-    """Write metrics, confusion-matrix, and (for LR) ROC/PR/coefficient CSVs.
+    """Write metrics, confusion-matrix, and (for LR) ROC/PR/coefficient
+    CSVs, plus PNG renderings of the confusion matrix and ROC/PR curves.
 
     Returns {artifact_name: path}. Mirrors the reference's report layout
-    (``ml/reports/metrics_test.csv`` etc.) so its quality gates can be
-    re-checked file-for-file.
+    (``ml/reports/metrics_test.csv`` + matplotlib PNGs,
+    ``ml/train_model.py:56-101,318-334``) so its quality gates can be
+    re-checked file-for-file; PNGs here come from the stdlib raster
+    renderer (ml/plotting.py) since matplotlib is not installable.
     """
     os.makedirs(out_dir, exist_ok=True)
     paths: dict[str, str] = {}
@@ -46,15 +49,40 @@ def export_classifier_reports(
     cm.sort_values(["label", "prediction"]).to_csv(cpath, index=False)
     paths["confusion_matrix"] = cpath
 
+    # PNG twin of the reference's matplotlib heatmap (train_model.py:56-101),
+    # rendered with the stdlib raster + PNG encoder (no matplotlib here)
+    from .plotting import confusion_matrix_png
+
+    cells = {
+        (int(r["label"]), int(r["prediction"])): int(r["n"]) for _, r in cm.iterrows()
+    }
+    cm_png = os.path.join(out_dir, f"confusion_matrix_{prefix}.png")
+    with open(cm_png, "wb") as f:
+        f.write(confusion_matrix_png(cells))
+    paths["confusion_matrix_png"] = cm_png
+
     clf = model.stages[-1]
     summary = clf.summary if getattr(clf, "hasSummary", False) else None
     if summary is not None and hasattr(summary, "roc"):
+        from .plotting import line_chart_png
+
+        roc = summary.roc.toPandas()
         roc_path = os.path.join(out_dir, f"lr_roc_{prefix}.csv")
-        summary.roc.toPandas().to_csv(roc_path, index=False)
+        roc.to_csv(roc_path, index=False)
         paths["roc"] = roc_path
+        roc_png = os.path.join(out_dir, f"lr_roc_{prefix}.png")
+        with open(roc_png, "wb") as f:
+            f.write(line_chart_png(list(zip(roc["FPR"], roc["TPR"])), diagonal=True))
+        paths["roc_png"] = roc_png
+
+        pr = summary.pr.toPandas()
         pr_path = os.path.join(out_dir, f"lr_pr_{prefix}.csv")
-        summary.pr.toPandas().to_csv(pr_path, index=False)
+        pr.to_csv(pr_path, index=False)
         paths["pr"] = pr_path
+        pr_png = os.path.join(out_dir, f"lr_pr_{prefix}.png")
+        with open(pr_png, "wb") as f:
+            f.write(line_chart_png(list(zip(pr["recall"], pr["precision"]))))
+        paths["pr_png"] = pr_png
     if hasattr(clf, "coefficients"):
         coef_path = os.path.join(out_dir, f"lr_coefficients_{prefix}.csv")
         with open(coef_path, "w") as f:

@@ -122,7 +122,16 @@ def test_export_classifier_reports(spark, occupancy_df, tmp_path):
     model = build_weighted_lr_pipeline(FEATURES).fit(weighted)
     preds = model.transform(weighted)
     paths = export_classifier_reports(model, preds, str(tmp_path), prefix="train")
-    assert set(paths) == {"metrics", "confusion_matrix", "roc", "pr", "coefficients"}
+    assert set(paths) == {
+        "metrics",
+        "confusion_matrix",
+        "confusion_matrix_png",
+        "roc",
+        "roc_png",
+        "pr",
+        "pr_png",
+        "coefficients",
+    }
     header = open(paths["metrics"]).readline().strip().split(",")
     assert "accuracy" in header and "f1" in header
     import pandas as pd
@@ -130,6 +139,13 @@ def test_export_classifier_reports(spark, occupancy_df, tmp_path):
     roc = pd.read_csv(paths["roc"])
     assert {"FPR", "TPR"} <= set(roc.columns)
     assert len(open(paths["coefficients"]).readlines()) == len(FEATURES) + 2
+
+    # PNG twins are valid images (validated with the repo's own decoder)
+    from big_data_occupancy_detection_spark.ext.png_codec import decode_png
+
+    for key in ("confusion_matrix_png", "roc_png", "pr_png"):
+        w, h, ch, _ = decode_png(open(paths[key], "rb").read())
+        assert ch == 3 and w > 50 and h > 50
 
 
 def test_stripped_model_scores_after_observe(spark, occupancy_df):
