@@ -201,3 +201,53 @@ def test_foreach_batch_multi_sink(spark, tmp_path, trained_model):
         query.stop()
     assert sum(sink_a) == 2
     assert sum(sink_b) == 2
+
+
+def test_checkpoint_recovery_exactly_once(spark, tmp_path):
+    """T4 hardened: stop a checkpointed file->file query, restart it from
+    the SAME checkpoint with old + new input present, and assert the output
+    holds every request exactly once — the restart must resume from the
+    committed offset log, not reprocess batch 1 (VERDICT r1 item 5;
+    reference behavior: infrastructure/stream_inference.py:165).
+    """
+    src = tmp_path / "requests"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        raw = file_source(spark, str(src), max_files_per_trigger=1)
+        responses = build_inference_pipeline(raw, logistic_score)
+        q = (
+            responses.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+
+    _write_requests(src, "batch1.json", list(CASES.values()))
+    run_once()
+    first = spark.read.parquet(out).select("request_id").collect()
+    assert sorted(r["request_id"] for r in first) == sorted(
+        c["request_id"] for c in CASES.values()
+    )
+
+    # second generation of requests lands while the query is DOWN
+    second_gen = []
+    for i in range(3):
+        env = dict(CASES["valid"])
+        env = {**env, "request_id": f"r-gen2-{i}"}
+        second_gen.append(env)
+    _write_requests(src, "batch2.json", second_gen)
+
+    run_once()  # restart from the same checkpoint
+    final = [r["request_id"] for r in spark.read.parquet(out).select("request_id").collect()]
+    expected = sorted(
+        [c["request_id"] for c in CASES.values()] + [p["request_id"] for p in second_gen]
+    )
+    # exactly once: batch-1 rows NOT duplicated, batch-2 rows all present
+    assert sorted(final) == expected
