@@ -1,0 +1,249 @@
+"""Training-data curation operators: PII redaction, benchmark
+contamination, repetition (Gopher-style) filters, deterministic
+stratified sampling, sequence packing, and export shuffling.
+
+These extend the engine beyond the reference's occupancy workload into
+the operations a large-scale LLM training-data pipeline needs (the
+reference has no text pipeline at all — its closest surface is the
+feature engineering in ``eda/merge_datasets.py``). Every operator is
+pure Catalyst expressions / windows — no Python UDFs — and every
+random-looking choice (sample ranks, shuffle order) is a deterministic
+hash so the DuckDB oracles can replay it byte-identically.
+
+Scale notes (100 TB):
+- redaction/repetition/contamination are map-side or one-shuffle;
+- sampling is a per-stratum window (shuffle on the strata key);
+- packing and shuffling need a GLOBAL order — both go through the
+  range-repartition + per-partition prefix + broadcast-offset pattern
+  (``operators.relational.global_row_number`` / ``global_cumsum``)
+  instead of a single-task ``Window.orderBy``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text_fns import norm_text, tokens
+from ..operators.relational import global_cumsum, global_row_number
+
+# Patterns chosen to parse identically under Java regex (Spark) and RE2
+# (DuckDB): no backreferences, no lookaround, no \b.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}",
+    "ipv4": r"([0-9]{1,3}\.){3}[0-9]{1,3}",
+}
+
+
+def pii_counts(text_col: Column | str) -> dict[str, Column]:
+    """One count column per PII class (whole-match occurrences)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return {
+        f"n_{kind}": F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0)))
+        .cast("long")
+        .alias(f"n_{kind}")
+        for kind, pat in PII_PATTERNS.items()
+    }
+
+
+def redact_pii(text_col: Column | str) -> Column:
+    """Replace every PII occurrence with a ``[CLASS]`` placeholder.
+
+    Order matters: ipv4 before phone would not collide, but email must
+    run before the generic patterns so ``user@host`` isn't half-eaten;
+    we apply in the fixed dict order on both engines.
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    for kind, pat in PII_PATTERNS.items():
+        c = F.regexp_replace(c, pat, f"[{kind.upper()}]")
+    return c
+
+
+def shingle_contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    flag_threshold: float = 0.2,
+) -> DataFrame:
+    """(doc, n_shingles, n_hit, contamination, contaminated) — fraction of
+    each corpus document's distinct word ``n``-grams that appear anywhere
+    in the benchmark set. The standard eval-decontamination check run
+    before training (n-gram overlap against benchmark suites).
+
+    Plan: explode distinct shingles on both sides, LEFT SEMI-style hit
+    marking via a left join on the shingle string, one aggregation back
+    to doc grain. The benchmark side is deduplicated to its distinct
+    shingle set first, so join input is minimal; Catalyst broadcasts it
+    when small, and at 100 TB the join keys are uniform hash-partitioned
+    strings (no skew: shingles heavier than ``max_df``-style caps are a
+    dedup concern, not a containment one — a hit is a hit).
+    """
+    from .dedup import with_shingles
+
+    doc_sh = with_shingles(docs, text_col=text_col, n=n).select(
+        F.col(id_col).alias("doc"), F.explode("shingles").alias("shingle")
+    )
+    bench_sh = (
+        with_shingles(benchmark, text_col=text_col, n=n)
+        .select(F.explode("shingles").alias("shingle"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    return (
+        doc_sh.join(bench_sh, "shingle", "left_outer")
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_hit"),
+        )
+        .select(
+            "doc",
+            "n_shingles",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("n_shingles"), 6).alias("contamination"),
+            (F.col("n_hit") / F.col("n_shingles") > flag_threshold).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
+def repetition_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_top_token_frac: float = 0.12,
+    max_dup_bigram_frac: float = 0.55,
+) -> DataFrame:
+    """(doc, n_tok, top_token_frac, dup_bigram_frac, keep) — Gopher-style
+    within-document repetition signals (Rae et al. 2021 §A1.1: fraction
+    of the document made of the most frequent token / of duplicated
+    n-grams), with a keep flag under the given thresholds.
+
+    top-token counting goes explode → (doc, token) count → doc max: two
+    map-side-combinable aggregations rather than any per-doc loop, so the
+    shuffle carries one row per DISTINCT (doc, token). The bigram ratio
+    needs no shuffle at all — ``array_distinct`` over the in-row bigram
+    array."""
+    toks = tokens(text_col)
+    base = docs.select(
+        F.col(id_col).alias("doc"),
+        toks.alias("__t"),
+        F.size(toks).alias("n_tok"),
+    )
+    bigrams = F.expr(
+        "transform(slice(__t, 1, size(__t) - 1), (x, i) -> concat(x, ' ', __t[i + 1]))"
+    )
+    bigram_side = base.select(
+        "doc",
+        "n_tok",
+        F.when(F.col("n_tok") < 2, F.lit(0.0))
+        .otherwise(
+            F.round(
+                1.0 - F.size(F.array_distinct(bigrams)) / (F.col("n_tok") - 1), 6
+            )
+        )
+        .alias("dup_bigram_frac"),
+    )
+    top_tok = (
+        base.select("doc", F.explode("__t").alias("tok"))
+        .groupBy("doc", "tok")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .groupBy("doc")
+        .agg(F.max("__c").alias("__top"))
+    )
+    return (
+        bigram_side.join(top_tok, "doc")
+        .select(
+            "doc",
+            F.col("n_tok").cast("long").alias("n_tok"),
+            F.round(F.col("__top") / F.col("n_tok"), 6).alias("top_token_frac"),
+            "dup_bigram_frac",
+            (
+                (F.col("__top") / F.col("n_tok") <= max_top_token_frac)
+                & (F.col("dup_bigram_frac") <= max_dup_bigram_frac)
+            ).alias("keep"),
+        )
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: list[str],
+    k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic k-per-stratum sample: rank rows inside each stratum
+    by ``md5(id)`` (a uniform, engine-portable pseudo-random order) and
+    keep the first ``k``. Unlike ``sampleBy`` this is exactly replayable
+    (oracle-able) and gives exact per-stratum quotas — the quota sampling
+    a curriculum/data-mixture builder needs. One shuffle on the strata
+    key; skewed strata are bounded by the window's streaming rank."""
+    w = Window.partitionBy(*strata_cols).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int,
+    token_count_col: Column | str = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc, n_tok, start_offset, bin_start, bin_end) — concat-and-chunk
+    sequence packing: documents are laid out contiguously in ``id``
+    order and cut into fixed ``budget``-token training sequences; each
+    doc reports the bins it lands in (straddling is the standard
+    pretraining packing; bin_end - bin_start > 0 marks a straddle).
+
+    The global token offset is an EXCLUSIVE running sum in a total
+    order — computed scalably via range repartition + per-partition
+    prefix sums + broadcast partition offsets (``global_cumsum``), not a
+    one-task ``Window.orderBy``."""
+    n_tok = (
+        F.size(tokens(text_col))
+        if token_count_col is None
+        else (
+            F.col(token_count_col)
+            if isinstance(token_count_col, str)
+            else token_count_col
+        )
+    )
+    base = docs.select(F.col(id_col).alias("doc"), n_tok.cast("long").alias("n_tok"))
+    summed = global_cumsum(base, order_cols=["doc"], value_col="n_tok", out_col="__cum")
+    start = F.col("__cum") - F.col("n_tok")
+    return summed.select(
+        "doc",
+        "n_tok",
+        start.alias("start_offset"),
+        F.floor(start / budget).cast("long").alias("bin_start"),
+        F.floor((F.col("__cum") - 1) / budget).cast("long").alias("bin_end"),
+    )
+
+
+def export_shuffle(
+    df: DataFrame, seed: int = 0, id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc, shuffle_pos) — deterministic global shuffle for training
+    export: total order by ``md5(seed || id)`` (uniform, seeded,
+    engine-portable), positions assigned 1..N with the scalable
+    range-repartition numbering. Changing ``seed`` reshuffles; the same
+    seed replays byte-identically on any engine."""
+    keyed = df.select(
+        F.col(id_col).alias("doc"),
+        F.md5(F.concat(F.lit(str(seed)), F.lit("|"), F.col(id_col).cast("string"))).alias(
+            "__shufkey"
+        ),
+    )
+    return global_row_number(
+        keyed, order_cols=["__shufkey", "doc"], id_col="shuffle_pos"
+    ).select("doc", "shuffle_pos")

@@ -137,6 +137,42 @@ def global_row_number(
     )
 
 
+def global_cumsum(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "cumsum",
+) -> DataFrame:
+    """INCLUSIVE running sum of ``value_col`` in a deterministic total
+    order, scalably — same shape as :func:`global_row_number`: range
+    repartition on the order keys, per-partition prefix sums in
+    parallel, then add each partition's exclusive offset (the sum of all
+    earlier partitions' totals) via a tiny broadcast join. Feeds
+    sequence packing / byte-offset layout jobs where a one-task
+    ``Window.orderBy`` running sum would serialize the corpus."""
+    order_exprs = [F.col(c) for c in order_cols]
+    parted = df.repartitionByRange(*order_exprs).sortWithinPartitions(*order_exprs)
+    with_pid = parted.withColumn("__pid", F.spark_partition_id())
+    w_local = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_exprs)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = with_pid.withColumn("__local_sum", F.sum(value_col).over(w_local))
+    sizes = local.groupBy("__pid").agg(F.sum(value_col).alias("__tot"))
+    w_off = Window.partitionBy().orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = sizes.withColumn(
+        "__offset", F.coalesce(F.sum("__tot").over(w_off), F.lit(0))
+    ).select("__pid", "__offset")
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn(out_col, (F.col("__local_sum") + F.col("__offset")).cast("long"))
+        .drop("__pid", "__local_sum", "__offset")
+    )
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,

@@ -1,0 +1,91 @@
+"""Unit tests for the training-data curation operators.
+
+The registry queries over these (pii_redaction, benchmark_contamination,
+repetition_filter, stratified_sample_docs, pack_training_sequences,
+export_shuffle_order) are hash-verified against DuckDB oracles in
+``test_oracle_parity.py``; these tests pin the operator-level semantics
+on hand-built inputs where the expected values are human-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from big_data_occupancy_detection_spark.ext import curation as C
+from big_data_occupancy_detection_spark.operators.relational import global_cumsum
+
+
+def test_global_cumsum_matches_serial_prefix_sum(spark):
+    rows = [Row(k=i, v=(i * 7) % 13 + 1) for i in range(500)]
+    df = spark.createDataFrame(rows).repartition(13)
+    out = {
+        r.k: r.cumsum
+        for r in global_cumsum(df, ["k"], "v", out_col="cumsum").collect()
+    }
+    acc = 0
+    for r in rows:
+        acc += r.v
+        assert out[r.k] == acc
+
+
+def test_redact_pii_masks_all_classes(spark):
+    df = spark.createDataFrame(
+        [(1, "write a@b.co or call +1-555-0101 from 10.0.0.1 ok")], ["id", "t"]
+    )
+    out = df.select(
+        C.redact_pii("t").alias("r"), *C.pii_counts("t").values()
+    ).collect()[0]
+    assert out.r == "write [EMAIL] or call [PHONE] from [IPV4] ok"
+    assert (out.n_email, out.n_phone, out.n_ipv4) == (1, 1, 1)
+
+
+def test_repetition_stats_flags_degenerate_doc(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam"),
+            (2, " ".join(f"word{i}" for i in range(30))),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc: r for r in C.repetition_stats(df).collect()}
+    assert out[1].top_token_frac == 1.0
+    assert out[1].dup_bigram_frac == 0.75  # 4 bigrams, 1 distinct
+    assert not out[1].keep
+    assert out[2].keep
+
+
+def test_stratified_sample_exact_quota(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=i, g=i % 3) for i in range(90)]
+    )
+    out = C.stratified_sample(df, ["g"], k=5)
+    counts = {r.g: r.n for r in out.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    assert counts == {0: 5, 1: 5, 2: 5}
+    # deterministic: same input -> same sample
+    a = sorted(r.doc_id for r in out.collect())
+    b = sorted(r.doc_id for r in C.stratified_sample(df, ["g"], k=5).collect())
+    assert a == b
+
+
+def test_pack_sequences_straddle_and_offsets(spark):
+    # 3 docs of 100 tokens each at budget 256: doc 2 straddles bins 0->1.
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"t{j}" for j in range(100))) for i in range(1, 4)],
+        ["doc_id", "text"],
+    )
+    out = {r.doc: r for r in C.pack_sequences(docs, budget=256).collect()}
+    assert [out[i].start_offset for i in (1, 2, 3)] == [0, 100, 200]
+    assert (out[1].bin_start, out[1].bin_end) == (0, 0)
+    assert (out[2].bin_start, out[2].bin_end) == (0, 0)
+    assert (out[3].bin_start, out[3].bin_end) == (0, 1)  # 200..299 straddles
+
+
+def test_export_shuffle_is_seeded_permutation(spark):
+    df = spark.createDataFrame([Row(doc_id=i) for i in range(200)])
+    a = C.export_shuffle(df, seed=7).collect()
+    assert sorted(r.shuffle_pos for r in a) == list(range(1, 201))
+    b = {r.doc: r.shuffle_pos for r in C.export_shuffle(df, seed=7).collect()}
+    assert {r.doc: r.shuffle_pos for r in a} == b  # replayable
+    c = {r.doc: r.shuffle_pos for r in C.export_shuffle(df, seed=8).collect()}
+    assert {r.doc: r.shuffle_pos for r in a} != c  # seed changes the order
