@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text_fns import norm_text, tokens
+from ..functions.text_fns import hash64, norm_text, tokens
 from ..operators.relational import global_cumsum, global_row_number
 
 # Patterns chosen to parse identically under Java regex (Spark) and RE2
@@ -247,3 +247,120 @@ def export_shuffle(
     return global_row_number(
         keyed, order_cols=["__shufkey", "doc"], id_col="shuffle_pos"
     ).select("doc", "shuffle_pos")
+
+
+def c4_quality_flags(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 10,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_alpha_ratio: float = 0.6,
+) -> DataFrame:
+    """(doc, n_words, mean_word_len, alpha_ratio, has_curly, has_boilerplate,
+    keep) — C4-style heuristic quality battery (Raffel et al. 2020 §2.2,
+    applied at document grain): word-count bounds, mean word length in a
+    human-language band, alphabetic-character ratio, and the curly-brace /
+    "lorem ipsum" boilerplate rejects.
+
+    Map-only: every signal is a whole-stage-codegen expression over the
+    normalized text; zero shuffles, so at 100 TB this is scan-bound."""
+    toks = tokens(text_col)
+    norm = norm_text(text_col)
+    n_words = F.size(toks)
+    # single-space normalization => token chars = len(norm) - (n_words - 1)
+    mean_wl = (F.length(norm) - (n_words - 1)) / n_words
+    alpha = F.length(F.regexp_replace(norm, "[^a-z]", "")) / F.length(norm)
+    has_curly = F.col(text_col).contains("{") | F.col(text_col).contains("}")
+    has_boiler = norm.contains("lorem ipsum")
+    return docs.select(
+        F.col(id_col).alias("doc"),
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(alpha, 6).alias("alpha_ratio"),
+        has_curly.alias("has_curly"),
+        has_boiler.alias("has_boilerplate"),
+        (
+            n_words.between(min_words, max_words)
+            & mean_wl.between(min_mean_word_len, max_mean_word_len)
+            & (alpha >= min_alpha_ratio)
+            & ~has_curly
+            & ~has_boiler
+        ).alias("keep"),
+    )
+
+
+def hashed_token_weight(tok: Column, dim: int = 1024, seed: int = 11) -> Column:
+    """Deterministic pseudo-weight in [-0.5, 0.5] for a token: the token is
+    hashed into one of ``dim`` feature buckets, and the bucket's weight is
+    itself a portable hash — a fixed random-looking linear model both
+    engines can replay (the shape of a fasttext-style quality scorer with
+    hashed features; the weights here are synthetic stand-ins for a
+    trained vector)."""
+    bucket = hash64(tok, seed) % dim
+    return (hash64(bucket.cast("string"), seed + 1) % 1001) / 1000.0 - 0.5
+
+
+def hashed_quality_score(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 1024,
+    seed: int = 11,
+) -> DataFrame:
+    """(doc, n_tok, score, prob, keep) — linear quality score over hashed
+    token features: mean bucket weight over the document's tokens, squashed
+    through a logistic. The classifier-filter shape (CCNet / fasttext
+    quality scoring) with a deterministic weight table.
+
+    Map-only: the per-token weights are folded inside ``F.aggregate`` over
+    the in-row token array — no explode, no shuffle; scan-bound at scale."""
+    toks = tokens(text_col)
+    total = F.aggregate(
+        toks,
+        F.lit(0.0),
+        lambda acc, x: acc + hashed_token_weight(x, dim, seed),
+    )
+    score = F.round(total / F.size(toks), 9)
+    prob = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-score)), 6)
+    return docs.select(
+        F.col(id_col).alias("doc"),
+        F.size(toks).cast("long").alias("n_tok"),
+        F.round(score, 6).alias("score"),
+        prob.alias("prob"),
+        (prob >= 0.5).alias("keep"),
+    )
+
+
+def domain_mixture(
+    docs: DataFrame,
+    strata_cols: list[str],
+    text_col: str = "text",
+) -> DataFrame:
+    """(strata..., n_docs, n_tokens, token_share, target_share,
+    sampling_weight) — the data-mixture planning table: each domain's
+    actual token share vs a uniform target, and the per-domain sampling
+    weight (target/actual) a mixture-aware sampler would apply (the
+    DoReMi/Pile-style domain-reweighting precursor).
+
+    One map-side-combined aggregation on the strata key; the global totals
+    join back as a broadcast of a 1-row aggregate."""
+    per = docs.groupBy(*strata_cols).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens(text_col))).cast("long").alias("n_tokens"),
+    )
+    totals = per.agg(
+        F.sum("n_tokens").alias("__tot"), F.count(F.lit(1)).alias("__groups")
+    )
+    return per.crossJoin(F.broadcast(totals)).select(
+        *strata_cols,
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens") / F.col("__tot"), 6).alias("token_share"),
+        F.round(F.lit(1.0) / F.col("__groups"), 6).alias("target_share"),
+        F.round(
+            (F.lit(1.0) / F.col("__groups")) / (F.col("n_tokens") / F.col("__tot")), 6
+        ).alias("sampling_weight"),
+    )

@@ -409,3 +409,53 @@ def lsh_near_pairs(
         .filter(F.col("cos") >= threshold)
         .select("a_id", "b_id", "cos")
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    n_centroids: int = None,
+    n_iters: int = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vid, cluster, dup_of, keep) — SemDeDup-style semantic deduplication
+    (Abbas et al. 2023): partition the corpus with deterministic spherical
+    k-means, then inside each cluster drop every vector whose cosine
+    similarity to a LOWER-ID cluster member exceeds ``threshold``
+    (``dup_of`` = the smallest such earlier id; kept rows carry NULL).
+
+    The k-means partition is what makes this survive 100 TB: pairwise
+    similarity runs per-cluster (Σ m_c² work instead of n²), with the
+    cluster id as the join key — one fit (md5-seeded, Lloyd-refined,
+    shared with ``ivf_topk``), one hash shuffle for assignment, one
+    per-cluster self-join. The keep rule is position-free and engine-
+    portable (drop iff ∃ earlier similar member), so the whole output is
+    oracle-replayable, unlike the sequential greedy scan in the paper."""
+    if n_centroids is None:
+        n_centroids = IVF_CENTROIDS
+    if n_iters is None:
+        n_iters = IVF_ITERS
+    normed = _normalized(emb, id_col, vec_col)
+    cent = _fit_centroids(normed, n_centroids, n_iters)
+    assigned = _assign_nearest(
+        emb.select(F.col(id_col).alias("vid"), vec_col), cent, "vid", vec_col
+    )
+    a = assigned.select(
+        F.col("cluster"), F.col("vid").alias("a_id"), F.col(vec_col).alias("a_vec")
+    )
+    b = assigned.select(
+        F.col("cluster"), F.col("vid").alias("b_id"), F.col(vec_col).alias("b_vec")
+    )
+    dup_edges = (
+        a.join(b, "cluster")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(F.round(cosine_similarity("a_vec", "b_vec"), 9) > threshold)
+        .groupBy(F.col("b_id").alias("vid"))
+        .agg(F.min("a_id").alias("dup_of"))
+    )
+    return (
+        assigned.select("vid", "cluster")
+        .join(dup_edges, "vid", "left_outer")
+        .select("vid", "cluster", "dup_of", F.col("dup_of").isNull().alias("keep"))
+    )

@@ -229,3 +229,241 @@ def export_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     positions from the scalable global numbering over md5(seed|id)."""
     docs = table(spark, sf_dir, "documents")
     return C.export_shuffle(docs, seed=7)
+
+
+# --------------------------------------------------------------------------
+# C4-style heuristic quality battery (map-only rule scan).
+# --------------------------------------------------------------------------
+
+_C4_NRM = NORM_SQL
+_C4_MWL = "(len(nrm) - (len(t) - 1)) / CAST(len(t) AS DOUBLE)"
+_C4_ALPHA = "len(regexp_replace(nrm, '[^a-z]', '', 'g')) / CAST(len(nrm) AS DOUBLE)"
+_C4_CURLY = "(contains(text, '{') OR contains(text, '}'))"
+_C4_BOILER = "contains(nrm, 'lorem ipsum')"
+
+_C4_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, text, {_C4_NRM} AS nrm, {TOKENS_SQL} AS t FROM documents)
+SELECT doc_id AS doc,
+       CAST(len(t) AS BIGINT) AS n_words,
+       round({_C4_MWL}, 6) AS mean_word_len,
+       round({_C4_ALPHA}, 6) AS alpha_ratio,
+       {_C4_CURLY} AS has_curly,
+       {_C4_BOILER} AS has_boilerplate,
+       (len(t) BETWEEN 10 AND 100000
+        AND {_C4_MWL} BETWEEN 3.0 AND 10.0
+        AND {_C4_ALPHA} >= 0.6
+        AND NOT {_C4_CURLY}
+        AND NOT {_C4_BOILER}) AS keep
+FROM base
+"""
+
+
+@register("c4_quality_filter", oracle=_C4_ORACLE)
+def c4_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style heuristic quality rules (word-count bounds, mean word
+    length, alphabetic ratio, boilerplate rejects) — a zero-shuffle
+    whole-stage-codegen scan."""
+    return C.c4_quality_flags(table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Hashed linear quality scorer (fasttext-shape with a deterministic
+# weight table, folded in-row with F.aggregate — no explode, no shuffle).
+# --------------------------------------------------------------------------
+
+_HQ_DIM, _HQ_SEED = 1024, 11
+
+
+def _hq_weight_sql(tok_expr: str) -> str:
+    from .textops import hash64_sql
+
+    seeded_tok = "'" + str(_HQ_SEED) + "|' || " + tok_expr
+    bucket = "(" + hash64_sql(seeded_tok) + " % " + str(_HQ_DIM) + ")"
+    seeded_bucket = "'" + str(_HQ_SEED + 1) + "|' || CAST(" + bucket + " AS VARCHAR)"
+    return hash64_sql(seeded_bucket) + " % 1001 / 1000.0 - 0.5"
+
+
+_HQ_ORACLE = f"""
+WITH {_TOKS_CTE},
+s AS (
+  SELECT doc_id, len(t) AS n_tok,
+         round(list_sum(list_transform(t, x -> {_hq_weight_sql('x')}))
+               / CAST(len(t) AS DOUBLE), 9) AS s9
+  FROM toks)
+SELECT doc_id AS doc,
+       CAST(n_tok AS BIGINT) AS n_tok,
+       round(s9, 6) AS score,
+       round(1.0 / (1.0 + exp(-s9)), 6) AS prob,
+       round(1.0 / (1.0 + exp(-s9)), 6) >= 0.5 AS keep
+FROM s
+"""
+
+
+@register("quality_score_hashed", oracle=_HQ_ORACLE)
+def quality_score_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality score over hashed token features with a logistic
+    squash — the classifier-filter shape (CCNet/fasttext) with an
+    engine-portable deterministic weight table."""
+    return C.hashed_quality_score(
+        table(spark, sf_dir, "documents"), dim=_HQ_DIM, seed=_HQ_SEED
+    )
+
+
+# --------------------------------------------------------------------------
+# Data-mixture planning: per-source token shares vs a uniform target.
+# --------------------------------------------------------------------------
+
+_MIX_ORACLE = f"""
+WITH {_TOKS_CTE},
+d AS (SELECT source, t FROM documents JOIN toks USING (doc_id)),
+per AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(t)) AS BIGINT) AS n_tokens
+  FROM d GROUP BY source),
+tot AS (SELECT sum(n_tokens) AS tot, count(*) AS groups FROM per)
+SELECT source, n_docs, n_tokens,
+       round(n_tokens / CAST(tot AS DOUBLE), 6) AS token_share,
+       round(1.0 / groups, 6) AS target_share,
+       round((1.0 / groups) / (n_tokens / CAST(tot AS DOUBLE)), 6)
+           AS sampling_weight
+FROM per, tot
+"""
+
+
+@register("domain_mixture_plan", oracle=_MIX_ORACLE)
+def domain_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain token shares vs a uniform target mixture with the
+    resampling weight a mixture-aware sampler would apply — one map-side
+    combined aggregation plus a broadcast 1-row totals join."""
+    return C.domain_mixture(table(spark, sf_dir, "documents"), ["source"])
+
+
+# --------------------------------------------------------------------------
+# SemDeDup-style semantic dedup: k-means partition (shared with the IVF
+# oracle's CTE chain) + within-cluster cosine prune. Threshold 0.3 chosen
+# for the synthetic embeddings (max pairwise cosine ~0.5) so the output
+# exercises both kept and dropped rows; production default is 0.95.
+# --------------------------------------------------------------------------
+
+_SEMDEDUP_T = 0.3
+
+
+def _semantic_dedup_oracle() -> str:
+    from .textops import kmeans_cassign_ctes
+
+    return f"""
+    WITH {kmeans_cassign_ctes()},
+    pairsim AS (
+      SELECT a.vec_id AS aid, b.vec_id AS bid,
+             round(sum(ca.v * cb.v) / (na.nrm * nb.nrm), 9) AS cos9
+      FROM cassign a JOIN cassign b
+        ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      JOIN c ca ON ca.vec_id = a.vec_id
+      JOIN c cb ON cb.vec_id = b.vec_id AND cb.i = ca.i
+      JOIN norms na ON na.vec_id = a.vec_id
+      JOIN norms nb ON nb.vec_id = b.vec_id
+      GROUP BY a.vec_id, b.vec_id, na.nrm, nb.nrm),
+    dups AS (
+      SELECT bid AS vec_id, min(aid) AS dup_of
+      FROM pairsim WHERE cos9 > {_SEMDEDUP_T} GROUP BY bid)
+    SELECT ca.vec_id AS vid, ca.cluster, d.dup_of,
+           d.dup_of IS NULL AS keep
+    FROM cassign ca LEFT JOIN dups d USING (vec_id)
+    """
+
+
+@register("semantic_dedup", oracle=_semantic_dedup_oracle())
+def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: deterministic spherical-k-means
+    partition, then drop every vector cosine-similar (> threshold) to an
+    earlier member of its cluster — Σ m_c² pairwise work instead of n²."""
+    from ..ext import similarity as SIM
+
+    return SIM.semantic_dedup(
+        table(spark, sf_dir, "embeddings"), threshold=_SEMDEDUP_T
+    )
+
+
+# --------------------------------------------------------------------------
+# PageRank over the document near-duplicate similarity graph (Jaccard
+# >= 0.5 pairs, undirected) — centrality for canonical-copy selection.
+# 3 synchronous power iterations, damping 0.85, per-iteration round-12 so
+# both engines' float summation stays byte-identical.
+# --------------------------------------------------------------------------
+
+_PR_ITERS, _PR_DAMP = 3, 0.85
+
+
+def _pagerank_oracle() -> str:
+    from .textops import _SH_CTE, _JACCARD_T
+
+    head = f"""
+    WITH {_TOKS_CTE},
+    {_SH_CTE},
+    sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+    inv AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    prs AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+      FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    jp AS (
+      SELECT d1, d2 FROM prs p
+      JOIN sizes sa ON sa.doc_id = p.d1
+      JOIN sizes sb ON sb.doc_id = p.d2
+      WHERE round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6)
+            >= {_JACCARD_T}),
+    e AS (SELECT d1 AS src, d2 AS dst FROM jp
+          UNION ALL SELECT d2, d1 FROM jp),
+    nodes AS (SELECT DISTINCT src AS node FROM e),
+    base AS (
+      SELECT n.node, coalesce(o.outdeg, 0) AS outdeg
+      FROM nodes n LEFT JOIN
+        (SELECT src, count(*) AS outdeg FROM e GROUP BY 1) o
+        ON o.src = n.node),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM base),
+    r0 AS (SELECT node, round(1.0 / (SELECT n FROM nn), 12) AS pr FROM base)"""
+    iters = []
+    for i in range(1, _PR_ITERS + 1):
+        p = i - 1
+        iters.append(f"""
+    c{i} AS (
+      SELECT e.dst AS node, sum(r.pr / b.outdeg) AS inflow
+      FROM e JOIN r{p} r ON r.node = e.src JOIN base b ON b.node = e.src
+      GROUP BY 1),
+    d{i} AS (
+      SELECT coalesce(sum(pr), 0.0) AS dmass
+      FROM r{p} JOIN base USING (node) WHERE outdeg = 0),
+    r{i} AS (
+      SELECT b.node,
+             round((1.0 - {_PR_DAMP}) / (SELECT n FROM nn)
+                   + {_PR_DAMP} * (coalesce(c{i}.inflow, 0.0)
+                       + (SELECT dmass FROM d{i}) / (SELECT n FROM nn)),
+                   12) AS pr
+      FROM base b LEFT JOIN c{i} ON c{i}.node = b.node)""")
+    return (
+        head
+        + ","
+        + ",".join(iters)
+        + f"\n    SELECT node AS doc, pr AS pagerank FROM r{_PR_ITERS}"
+    )
+
+
+@register("doc_pagerank", oracle=_pagerank_oracle())
+def doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the Jaccard>=0.5 near-duplicate graph
+    (both orientations of every pair): one shuffle per iteration, rank
+    frame O(|V|), lineage cut per round with localCheckpoint."""
+    from ..ext import dedup as D
+    from ..ext import graph as G
+    from .textops import _JACCARD_T
+
+    pairs = D.ngram_jaccard_pairs(
+        table(spark, sf_dir, "documents"), threshold=_JACCARD_T
+    ).select("d1", "d2")
+    edges = pairs.select(
+        F.col("d1").alias("src"), F.col("d2").alias("dst")
+    ).unionAll(pairs.select(F.col("d2").alias("src"), F.col("d1").alias("dst")))
+    return G.pagerank(edges, n_iters=_PR_ITERS, damping=_PR_DAMP).select(
+        F.col("node").alias("doc"), "pagerank"
+    )

@@ -440,12 +440,15 @@ def media_fake_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # seed → assign → mean → probe → rank pipeline in SQL. Engine-order float
 # summation differences sit far below the round-to-9 rank key.
 # --------------------------------------------------------------------------
-def _ivf_topk_oracle() -> str:
+def kmeans_cassign_ctes() -> str:
+    """WITH-body fragment replaying the deterministic spherical-k-means fit
+    and corpus assignment (``ext.similarity``'s ``_seed_centroids`` →
+    ``_fit_centroids`` → ``_assign_nearest``) through the ``cassign``
+    (vec_id, cluster) CTE — shared by the IVF top-k and semantic-dedup
+    oracles."""
     k_cent = SIM.IVF_CENTROIDS
-    n_probes = SIM.IVF_PROBES
     vid_hash = hash64_sql("CAST(vec_id AS VARCHAR)")
-    return f"""
-    WITH c AS (
+    return f"""c AS (
       SELECT vec_id, generate_subscripts(embedding, 1) AS i,
              CAST(unnest(embedding) AS DOUBLE) AS v
       FROM embeddings),
@@ -477,7 +480,13 @@ def _ivf_topk_oracle() -> str:
       SELECT vec_id, cid AS cluster FROM (
         SELECT vec_id, cid,
                row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) AS rn
-        FROM dotsc) WHERE rn = 1),
+        FROM dotsc) WHERE rn = 1)"""
+
+
+def _ivf_topk_oracle() -> str:
+    n_probes = SIM.IVF_PROBES
+    return f"""
+    WITH {kmeans_cassign_ctes()},
     dotsq AS (  -- each query probes its top-n closest inverted lists
       SELECT c.vec_id AS qid, ct.cid, sum(c.v * ct.cv) AS d
       FROM c JOIN cent ct ON ct.i = c.i WHERE c.vec_id < 10 GROUP BY 1, 2),

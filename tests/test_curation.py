@@ -89,3 +89,49 @@ def test_export_shuffle_is_seeded_permutation(spark):
     assert {r.doc: r.shuffle_pos for r in a} == b  # replayable
     c = {r.doc: r.shuffle_pos for r in C.export_shuffle(df, seed=8).collect()}
     assert {r.doc: r.shuffle_pos for r in a} != c  # seed changes the order
+
+
+def test_pagerank_star_graph(spark):
+    # star: hub 0 <-> leaves 1..4 (undirected). Leaves are symmetric, hub
+    # gets the most mass; ranks sum to ~1.
+    from big_data_occupancy_detection_spark.ext.graph import pagerank
+
+    pairs = [(0, i) for i in range(1, 5)]
+    edges = spark.createDataFrame(
+        pairs + [(b, a) for a, b in pairs], ["src", "dst"]
+    )
+    out = {r.node: r.pagerank for r in pagerank(edges, n_iters=3).collect()}
+    assert set(out) == {0, 1, 2, 3, 4}
+    assert abs(sum(out.values()) - 1.0) < 1e-9
+    leaves = {out[i] for i in range(1, 5)}
+    assert len(leaves) == 1  # symmetric leaves identical
+    assert out[0] > max(leaves)
+
+
+def test_pagerank_dangling_mass_conserved(spark):
+    # 1 -> 2 -> 3, node 3 dangling: total rank stays 1.
+    from big_data_occupancy_detection_spark.ext.graph import pagerank
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], ["src", "dst"])
+    out = {r.node: r.pagerank for r in pagerank(edges, n_iters=4).collect()}
+    assert abs(sum(out.values()) - 1.0) < 1e-9
+    assert out[3] > out[2] > out[1]
+
+
+def test_semantic_dedup_drops_near_identical(spark):
+    from big_data_occupancy_detection_spark.ext.similarity import semantic_dedup
+
+    base = [1.0] + [0.0] * 7
+    rows = [
+        (1, base),
+        (2, [0.999] + [0.001] * 7),          # near-dup of 1
+        (3, [0.0] * 7 + [1.0]),              # orthogonal
+        (4, [float(i) / 10 for i in range(8)]),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"]).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+    out = {r.vid: r for r in semantic_dedup(emb, threshold=0.95, n_centroids=2).collect()}
+    assert out[1].keep and out[1].dup_of is None
+    assert not out[2].keep and out[2].dup_of == 1
+    assert out[3].keep
