@@ -120,9 +120,16 @@ def global_row_number(
     """
     order_exprs = [F.col(c) for c in order_cols]
     parted = df.repartitionByRange(*order_exprs).sortWithinPartitions(*order_exprs)
-    with_pid = parted.withColumn("__pid", F.spark_partition_id())
-    w_local = Window.partitionBy("__pid").orderBy(*order_exprs)
-    local = with_pid.withColumn("__local_rn", F.row_number().over(w_local))
+    # monotonically_increasing_id = (partition_id << 33) | record_number:
+    # its low 33 bits ARE the 0-based within-partition position in sorted
+    # order, so no Window.partitionBy(__pid) is needed — which matters
+    # because that window would force a SECOND full-data exchange
+    # (hashpartitioning(__pid)) right after the range exchange, reshuffling
+    # data the range partitioner already co-located. Caps partitions at
+    # 2^33 rows (the same practical bound as row_number's int).
+    local = parted.withColumn("__mid", F.monotonically_increasing_id()).withColumn(
+        "__pid", F.spark_partition_id()
+    )
     sizes = local.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
     w_off = Window.partitionBy().orderBy("__pid").rowsBetween(
         Window.unboundedPreceding, -1
@@ -132,8 +139,15 @@ def global_row_number(
     ).select("__pid", "__offset")
     return (
         local.join(F.broadcast(offsets), "__pid")
-        .withColumn(id_col, (F.col("__local_rn") + F.col("__offset")).cast("long"))
-        .drop("__pid", "__local_rn", "__offset")
+        .withColumn(
+            id_col,
+            (
+                F.col("__mid").bitwiseAND(F.lit((1 << 33) - 1))
+                + F.col("__offset")
+                + 1
+            ).cast("long"),
+        )
+        .drop("__pid", "__mid", "__offset")
     )
 
 
@@ -144,32 +158,77 @@ def global_cumsum(
     out_col: str = "cumsum",
 ) -> DataFrame:
     """INCLUSIVE running sum of ``value_col`` in a deterministic total
-    order, scalably — same shape as :func:`global_row_number`: range
-    repartition on the order keys, per-partition prefix sums in
-    parallel, then add each partition's exclusive offset (the sum of all
-    earlier partitions' totals) via a tiny broadcast join. Feeds
-    sequence packing / byte-offset layout jobs where a one-task
-    ``Window.orderBy`` running sum would serialize the corpus."""
+    order, scalably: bucket the order key into ordered ranges, prefix-sum
+    inside each bucket in parallel, then add each bucket's exclusive
+    offset (the sum of all earlier buckets' totals) via a tiny broadcast
+    join. Feeds sequence packing / byte-offset layout jobs where a
+    one-task ``Window.orderBy`` running sum would serialize the corpus.
+
+    With a single numeric order key (the common case) the buckets come
+    from an ``approx_percentile`` pass, so the prefix window's own
+    exchange is the ONLY full-data shuffle; otherwise falls back to
+    ``repartitionByRange`` + partition-id buckets (two narrow shuffles).
+    Order keys must be non-null and jointly unique."""
+    from pyspark.sql import types as T
+
     order_exprs = [F.col(c) for c in order_cols]
-    parted = df.repartitionByRange(*order_exprs).sortWithinPartitions(*order_exprs)
-    with_pid = parted.withColumn("__pid", F.spark_partition_id())
-    w_local = (
-        Window.partitionBy("__pid")
-        .orderBy(*order_exprs)
-        .rowsBetween(Window.unboundedPreceding, 0)
+    numeric_key = len(order_cols) == 1 and isinstance(
+        df.schema[order_cols[0]].dataType, T.NumericType
     )
-    local = with_pid.withColumn("__local_sum", F.sum(value_col).over(w_local))
-    sizes = local.groupBy("__pid").agg(F.sum(value_col).alias("__tot"))
-    w_off = Window.partitionBy().orderBy("__pid").rowsBetween(
+    if numeric_key:
+        # Single order key: bucket on percentile boundaries so the prefix
+        # window's OWN exchange (hashpartitioning(__bkt)) is the only
+        # full-data shuffle. repartitionByRange + Window.partitionBy(pid)
+        # would shuffle everything twice — the window's required
+        # distribution can't see that the range partitioner already
+        # co-located the rows. Bucket boundaries come from one cheap
+        # map-side-combined approx_percentile pass; boundary quality only
+        # affects balance, never values.
+        key = order_cols[0]
+        n_bkt = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        n_bkt = max(int(n_bkt), 1)
+        qs = [i / n_bkt for i in range(1, n_bkt)]
+        brow = df.select(
+            F.percentile_approx(F.col(key).cast("double"), qs, 1000).alias("b")
+        ).first()
+        bounds = sorted(set((brow["b"] if brow else None) or []))
+        bkt = F.aggregate(
+            F.array(*[F.lit(float(b)) for b in bounds]),
+            F.lit(0),
+            lambda acc, b: acc + F.when(F.col(key).cast("double") > b, 1).otherwise(0),
+        )
+        w_local = (
+            Window.partitionBy("__bkt")
+            .orderBy(*order_exprs)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        local = df.withColumn("__bkt", bkt).withColumn(
+            "__local_sum", F.sum(value_col).over(w_local)
+        )
+        part_key = "__bkt"
+    else:
+        parted = df.repartitionByRange(*order_exprs).sortWithinPartitions(
+            *order_exprs
+        )
+        with_pid = parted.withColumn("__bkt", F.spark_partition_id())
+        w_local = (
+            Window.partitionBy("__bkt")
+            .orderBy(*order_exprs)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        local = with_pid.withColumn("__local_sum", F.sum(value_col).over(w_local))
+        part_key = "__bkt"
+    sizes = local.groupBy(part_key).agg(F.sum(value_col).alias("__tot"))
+    w_off = Window.partitionBy().orderBy(part_key).rowsBetween(
         Window.unboundedPreceding, -1
     )
     offsets = sizes.withColumn(
         "__offset", F.coalesce(F.sum("__tot").over(w_off), F.lit(0))
-    ).select("__pid", "__offset")
+    ).select(part_key, "__offset")
     return (
-        local.join(F.broadcast(offsets), "__pid")
+        local.join(F.broadcast(offsets), part_key)
         .withColumn(out_col, (F.col("__local_sum") + F.col("__offset")).cast("long"))
-        .drop("__pid", "__local_sum", "__offset")
+        .drop(part_key, "__local_sum", "__offset")
     )
 
 
