@@ -60,6 +60,11 @@ HEADLINE = [
     "bm25_search",             # BM25 posting-list retrieval, broadcast idf
     "user_value_ewma_sql",     # JVM-side EWMA fold (collect_list + aggregate)
     "near_dup_clusters",       # iterative label propagation (checkpointed)
+    "quality_score_hashed",    # hashed-feature linear scorer (in-row fold)
+    "benchmark_contamination", # shingle explode + hash join + agg
+    "pack_training_sequences", # scalable global prefix sum (1 data shuffle)
+    "semantic_dedup",          # k-means partition + per-cluster cosine prune
+    "doc_pagerank",            # iterative PageRank (checkpointed rounds)
     # embedding_near_pairs_lsh is oracle-verified but excluded here: at 2k
     # vectors its bucket pruning (~3x) is below the explode+join overhead —
     # the operator pays off when per-bucket cardinality << corpus (real scale)

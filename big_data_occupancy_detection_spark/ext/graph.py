@@ -40,7 +40,12 @@ def pagerank(
 
     PR_{t+1}(v) = (1-d)/N + d * (Σ_{u→v} PR_t(u)/outdeg(u) + dangling/N)
     """
-    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    # The edge list feeds every iteration; without materializing it, each
+    # round re-executes the caller's (possibly expensive) edge-discovery
+    # plan — e.g. a Jaccard self-join — from scratch. O(|E|) id pairs.
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionAll(e.select(F.col("dst").alias("node")))

@@ -438,13 +438,23 @@ def semantic_dedup(
         n_iters = IVF_ITERS
     normed = _normalized(emb, id_col, vec_col)
     cent = _fit_centroids(normed, n_centroids, n_iters)
-    assigned = _assign_nearest(
-        emb.select(F.col(id_col).alias("vid"), vec_col), cent, "vid", vec_col
+    # The assignment feeds both self-join sides AND the final keep join.
+    # Checkpoint only the slim (vid, cluster) map — ids + ints, tiny even
+    # at corpus scale — so the k-means fit and argmax assignment execute
+    # exactly once; the vector payloads are re-read from the (column-
+    # pruned) source scan rather than materialized three times.
+    assigned = (
+        _assign_nearest(
+            emb.select(F.col(id_col).alias("vid"), vec_col), cent, "vid", vec_col
+        )
+        .select("vid", "cluster")
+        .localCheckpoint(eager=True)
     )
-    a = assigned.select(
+    ev = emb.select(F.col(id_col).alias("vid"), vec_col)
+    a = ev.join(assigned, "vid").select(
         F.col("cluster"), F.col("vid").alias("a_id"), F.col(vec_col).alias("a_vec")
     )
-    b = assigned.select(
+    b = ev.join(assigned, "vid").select(
         F.col("cluster"), F.col("vid").alias("b_id"), F.col(vec_col).alias("b_vec")
     )
     dup_edges = (
@@ -454,8 +464,6 @@ def semantic_dedup(
         .groupBy(F.col("b_id").alias("vid"))
         .agg(F.min("a_id").alias("dup_of"))
     )
-    return (
-        assigned.select("vid", "cluster")
-        .join(dup_edges, "vid", "left_outer")
-        .select("vid", "cluster", "dup_of", F.col("dup_of").isNull().alias("keep"))
+    return assigned.join(dup_edges, "vid", "left_outer").select(
+        "vid", "cluster", "dup_of", F.col("dup_of").isNull().alias("keep")
     )
