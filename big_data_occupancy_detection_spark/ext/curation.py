@@ -364,3 +364,56 @@ def domain_mixture(
             (F.lit(1.0) / F.col("__groups")) / (F.col("n_tokens") / F.col("__tot")), 6
         ).alias("sampling_weight"),
     )
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int | None = None,
+) -> DataFrame:
+    """(doc, n_par, n_kept, clean_text) — corpus-level paragraph
+    deduplication (the RefinedWeb/CCNet recipe): every paragraph that
+    already occurred earlier in the corpus (smaller (doc, position)) is
+    removed, and each document's text is reassembled from its surviving
+    paragraphs in order.
+
+    Paragraphs are ``\\n``-separated blocks; for corpora without newline
+    structure pass ``chunk_tokens`` to use fixed token windows instead.
+
+    Plan: explode paragraphs with position, ONE hash shuffle partitioned
+    by the paragraph string (row_number over (doc, pos) marks the global
+    first), then one shuffle back to doc grain for reassembly. At 100 TB
+    this is the same two-shuffle budget as any exact dedup; the paragraph
+    strings ride the first shuffle once."""
+    if chunk_tokens is None:
+        pars = F.split(F.col(text_col), r"\n+")
+    else:
+        toks = tokens(text_col)
+        n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
+        pars = F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.array_join(
+                F.slice(toks, i * chunk_tokens + 1, chunk_tokens), " "
+            ),
+        )
+    ex = docs.select(
+        F.col(id_col).alias("doc"), F.posexplode(pars).alias("pos0", "par")
+    ).select("doc", (F.col("pos0") + 1).alias("pos"), "par")
+    w = Window.partitionBy("par").orderBy("doc", "pos")
+    ranked = ex.withColumn("__rn", F.row_number().over(w))
+    return ranked.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_par"),
+        F.sum((F.col("__rn") == 1).cast("int")).cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("__rn") == 1, F.struct("pos", "par"))
+                    )
+                ),
+                lambda s: s.getField("par"),
+            ),
+            " ",
+        ).alias("clean_text"),
+    )

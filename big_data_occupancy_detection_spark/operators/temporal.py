@@ -212,3 +212,42 @@ def grouped_ewma_jvm(
     return grouped.select(
         key_col, "n_events", fold.alias("ewma_value")
     )
+
+
+def scd2_history(
+    df: DataFrame,
+    key_cols: list[str],
+    attr_col: str,
+    ts_col: str,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 history: collapse an event log to
+    one row per (key, consecutive run of ``attr_col``), with
+    ``valid_from`` / ``valid_to`` / ``version`` / ``is_current``.
+
+    Change rows are detected with ``lag`` (value differs from the previous
+    event, null-safe), the interval close with ``lead`` over the change
+    rows only — two windows over ONE shuffle on the key (the second window
+    reuses the first's partitioning, no new exchange). This is the
+    standard warehouse dimension-build; at 100 TB the only cost is the
+    hash shuffle on the dimension key.
+    """
+    order = [ts_col] + list(tiebreak_cols or [])
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    # "no previous row" is detected via lag(ts) (ts is non-null by
+    # contract), NOT lag(attr) — a mid-stream NULL attr following a NULL
+    # attr is a non-change, while the first row always opens a version.
+    changed = df.withColumn(
+        "__changed",
+        F.lag(F.col(ts_col)).over(w).isNull()
+        | ~F.col(attr_col).eqNullSafe(F.lag(F.col(attr_col)).over(w)),
+    ).filter("__changed")
+    w2 = Window.partitionBy(*key_cols).orderBy(*order)
+    return changed.select(
+        *key_cols,
+        F.col(attr_col),
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w2).alias("valid_to"),
+        F.row_number().over(w2).cast("long").alias("version"),
+        F.lead(ts_col).over(w2).isNull().alias("is_current"),
+    )

@@ -467,3 +467,47 @@ def doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.pagerank(edges, n_iters=_PR_ITERS, damping=_PR_DAMP).select(
         F.col("node").alias("doc"), "pagerank"
     )
+
+
+# --------------------------------------------------------------------------
+# Corpus-level paragraph dedup (RefinedWeb recipe). The synthetic corpus
+# has no newline structure, so the query chunks 12-token pseudo-paragraphs;
+# the operator's default splits real corpora on newlines.
+# --------------------------------------------------------------------------
+
+_PAR_CT = 12
+
+_PARDEDUP_ORACLE = f"""
+WITH {_TOKS_CTE},
+chunks AS (
+  SELECT doc_id,
+         list_transform(
+           range(0, CAST(ceil(len(t) / {_PAR_CT}.0) AS INT)),
+           i -> array_to_string(t[(i * {_PAR_CT} + 1):(i * {_PAR_CT} + {_PAR_CT})], ' ')
+         ) AS pars
+  FROM toks),
+ex AS (
+  SELECT doc_id, unnest(pars) AS par,
+         generate_subscripts(pars, 1) AS pos
+  FROM chunks),
+ranked AS (
+  SELECT doc_id, pos, par,
+         row_number() OVER (PARTITION BY par ORDER BY doc_id, pos) AS rn
+  FROM ex)
+SELECT doc_id AS doc,
+       CAST(count(*) AS BIGINT) AS n_par,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       coalesce(string_agg(CASE WHEN rn = 1 THEN par END, ' ' ORDER BY pos), '')
+           AS clean_text
+FROM ranked GROUP BY doc_id
+"""
+
+
+@register("paragraph_dedup_docs", oracle=_PARDEDUP_ORACLE)
+def paragraph_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level paragraph dedup: drop every paragraph already seen at
+    a smaller (doc, position), reassemble surviving text per document —
+    one shuffle on the paragraph, one back to doc grain."""
+    return C.paragraph_dedup(
+        table(spark, sf_dir, "documents"), chunk_tokens=_PAR_CT
+    )

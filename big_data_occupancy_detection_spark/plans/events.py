@@ -475,3 +475,40 @@ def user_value_ewma_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", "n_events", F.round("ewma_value", 6).alias("ewma_value")
     )
+
+
+# --------------------------------------------------------------------------
+# SCD type-2 dimension build: collapse each user's event_type stream into
+# versioned validity intervals — the standard warehouse history table.
+# --------------------------------------------------------------------------
+@register(
+    "user_type_scd2",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(ts) OVER w IS NULL
+               OR event_type IS DISTINCT FROM lag(event_type) OVER w AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    runs AS (SELECT * FROM marked WHERE chg)
+    SELECT user_id, event_type,
+           ts AS valid_from,
+           lead(ts) OVER w2 AS valid_to,
+           CAST(row_number() OVER w2 AS BIGINT) AS version,
+           lead(ts) OVER w2 IS NULL AS is_current
+    FROM runs
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def user_type_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 history of each user's event_type: one row per consecutive
+    run with valid_from/valid_to/version/is_current — lag change marking +
+    lead interval close, both windows sharing one shuffle on user_id."""
+    from ..operators.temporal import scd2_history
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    return scd2_history(
+        ev, ["user_id"], "event_type", "ts", tiebreak_cols=["event_id"]
+    )

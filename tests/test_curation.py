@@ -135,3 +135,49 @@ def test_semantic_dedup_drops_near_identical(spark):
     assert out[1].keep and out[1].dup_of is None
     assert not out[2].keep and out[2].dup_of == 1
     assert out[3].keep
+
+
+def test_paragraph_dedup_newline_default(spark):
+    from big_data_occupancy_detection_spark.ext.curation import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta\nshared para\ngamma"),
+            (2, "shared para\ndelta"),        # 'shared para' seen in doc 1
+            (3, "delta\nalpha beta"),          # both seen earlier
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc: r for r in paragraph_dedup(docs).collect()}
+    assert (out[1].n_par, out[1].n_kept) == (3, 3)
+    assert out[1].clean_text == "alpha beta shared para gamma"
+    assert (out[2].n_par, out[2].n_kept) == (2, 1)
+    assert out[2].clean_text == "delta"
+    assert (out[3].n_par, out[3].n_kept) == (2, 0)
+    assert out[3].clean_text == ""
+
+
+def test_scd2_history_runs_and_versions(spark):
+    from big_data_occupancy_detection_spark.operators.temporal import scd2_history
+
+    rows = [
+        (1, "a", 10, 100),
+        (1, "a", 20, 101),  # same run
+        (1, "b", 30, 102),  # change -> v2
+        (1, "a", 40, 103),  # change back -> v3
+        (2, "x", 15, 104),
+    ]
+    df = spark.createDataFrame(rows, ["uid", "attr", "ts", "eid"])
+    out = sorted(
+        scd2_history(df, ["uid"], "attr", "ts", ["eid"]).collect(),
+        key=lambda r: (r.uid, r.version),
+    )
+    u1 = [r for r in out if r.uid == 1]
+    assert [(r.attr, r.valid_from, r.valid_to, r.version) for r in u1] == [
+        ("a", 10, 30, 1),
+        ("b", 30, 40, 2),
+        ("a", 40, None, 3),
+    ]
+    assert [r.is_current for r in u1] == [False, False, True]
+    u2 = [r for r in out if r.uid == 2]
+    assert len(u2) == 1 and u2[0].is_current
