@@ -281,3 +281,152 @@ def props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("k") > 50, 1).otherwise(0)).cast("long").alias("n_high"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Custom connector: the Python DataSource API generator source. A source-
+# level correctness gate — every row the connector emits is a pure md5
+# function of the row id, so the oracle regenerates the identical table.
+# --------------------------------------------------------------------------
+
+_EVENTGEN_ROWS = 5000
+
+
+def _eventgen_hash(prefix: str) -> str:
+    return (
+        f"CAST(('0x' || substr(md5('{prefix}|' || CAST(i AS VARCHAR)), 1, 15)) "
+        "AS BIGINT)"
+    )
+
+
+@register(
+    "eventgen_source_scan",
+    oracle=f"""
+    SELECT CAST(i AS BIGINT) AS event_id,
+           {_eventgen_hash('u')} % 1000 AS user_id,
+           CASE {_eventgen_hash('t')} % 4
+             WHEN 0 THEN 'view' WHEN 1 THEN 'click'
+             WHEN 2 THEN 'purchase' ELSE 'refund' END AS event_type,
+           round(({_eventgen_hash('v')} % 1000000) / 10000.0, 4) AS value
+    FROM range({_EVENTGEN_ROWS}) t(i)
+    """,
+)
+def eventgen_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan of the eventgen custom Python DataSource (partition-parallel
+    deterministic generator): the connector itself is the unit under
+    test — the oracle regenerates its full output from the row-id hash
+    recipe."""
+    from ..sources.pyds import register_eventgen
+
+    register_eventgen(spark)
+    return (
+        spark.read.format("eventgen")
+        .option("rows", _EVENTGEN_ROWS)
+        .option("parts", 16)
+        .load()
+    )
+
+
+# --------------------------------------------------------------------------
+# Recursive CTE (Spark 4 WITH RECURSIVE ... UNION ALL): ancestor-chain
+# walk over the deterministic custkey decimal hierarchy (parent = key DIV
+# 10) — the classic org-chart recursion. Each node has exactly ONE path
+# to its root, so UNION ALL terminates naturally; Spark 4 does not yet
+# support deduplicating UNION in recursive CTEs, which rules out cyclic-
+# graph closures (the iterative min-label operator in ext.dedup covers
+# those).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "customer_key_hierarchy",
+    oracle="""
+    WITH RECURSIVE walk(custkey, anc, depth) AS (
+      SELECT c_custkey, c_custkey, 0 FROM customer
+      UNION ALL
+      SELECT w.custkey, w.anc // 10, w.depth + 1 FROM walk w WHERE w.anc >= 10
+    )
+    SELECT custkey,
+           CAST(max(depth) AS BIGINT) AS depth,
+           CAST(min(anc) AS BIGINT) AS root
+    FROM walk GROUP BY custkey
+    """,
+)
+def customer_key_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive ancestor walk (WITH RECURSIVE, Spark 4): every customer
+    key climbs its decimal parent chain (k DIV 10) to the single-digit
+    root; depth = chain length. One recursion level per digit — bounded,
+    duplicate-free, so UNION ALL reaches the fixpoint."""
+    table(spark, sf_dir, "customer").createOrReplaceTempView("__cust_hier")
+    return spark.sql(
+        """
+        WITH RECURSIVE walk(custkey, anc, depth) AS (
+          SELECT c_custkey, c_custkey, 0 FROM __cust_hier
+          UNION ALL
+          SELECT w.custkey, w.anc DIV 10, w.depth + 1 FROM walk w
+          WHERE w.anc >= 10
+        )
+        SELECT custkey,
+               CAST(max(depth) AS BIGINT) AS depth,
+               CAST(min(anc) AS BIGINT) AS root
+        FROM walk GROUP BY custkey
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# BPE merge candidates: corpus-wide adjacent-token-pair frequencies — the
+# statistic a tokenizer-training job computes for its first merge round.
+# --------------------------------------------------------------------------
+@register(
+    "bpe_merge_candidates",
+    oracle="""
+    WITH toks AS (
+      SELECT regexp_split_to_array(
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+      FROM documents),
+    pairs AS (
+      SELECT unnest(list_transform(range(1, len(t)),
+                    i -> concat(t[i], ' ', t[i + 1]))) AS pair
+      FROM toks)
+    SELECT pair, CAST(count(*) AS BIGINT) AS freq
+    FROM pairs GROUP BY pair
+    ORDER BY freq DESC, pair LIMIT 50
+    """,
+)
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 adjacent token pairs by corpus frequency (the BPE merge-
+    selection statistic): in-row bigram build, one map-side-combined
+    count, TakeOrdered top-k — no shuffle carries raw text."""
+    from ..functions.text_fns import tokens
+
+    docs = table(spark, sf_dir, "documents")
+    t = tokens("text")
+    bigrams = F.expr(
+        "transform(slice(__t, 1, size(__t) - 1), (x, i) -> concat(x, ' ', __t[i + 1]))"
+    )
+    return (
+        docs.select(t.alias("__t"))
+        .select(F.explode(bigrams).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), "pair")
+        .limit(50)
+    )
+
+
+# --------------------------------------------------------------------------
+# Approximate distinct (HyperLogLog++): rows-only registry entry — the
+# sketch's exact value is engine-specific by nature, so correctness is a
+# tolerance gate in tests/test_curation.py instead of a value hash.
+# --------------------------------------------------------------------------
+@register("approx_distinct_users", oracle=None)
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type approx_count_distinct(user_id) (HLL++, rsd 2%) next
+    to the exact count — the constant-memory cardinality path for 100 TB
+    streams where exact countDistinct shuffles every key."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )

@@ -393,3 +393,46 @@ def test_python_udtf_lateral_generator(spark):
     # direct-call form
     n = ChunkText(lit("hello"), lit(2)).count()
     assert n == 3
+
+
+def test_eventgen_custom_source_partitions_and_determinism(spark):
+    """The Python DataSource API connector: partition-parallel generation,
+    stable values across reads, option-driven sizing."""
+    from big_data_occupancy_detection_spark.sources.pyds import (
+        gen_row,
+        register_eventgen,
+    )
+
+    register_eventgen(spark)
+    df = (
+        spark.read.format("eventgen")
+        .option("rows", 1000)
+        .option("parts", 7)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 7
+    rows = {r.event_id: r for r in df.collect()}
+    assert len(rows) == 1000
+    # row 0 and row 999 match the shared single-row recipe exactly
+    for i in (0, 999):
+        eid, uid, etype, val = gen_row(i)
+        r = rows[i]
+        assert (r.event_id, r.user_id, r.event_type, r.value) == (
+            eid,
+            uid,
+            etype,
+            val,
+        )
+
+
+def test_approx_distinct_within_tolerance(spark):
+    """HLL++ rsd=2%: approx within 10% of exact on every group (the
+    rows-only registry entry's correctness gate)."""
+    from big_data_occupancy_detection_spark.plans import REGISTRY
+
+    out = REGISTRY["approx_distinct_users"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert out
+    for r in out:
+        assert abs(r.approx_users - r.exact_users) <= max(0.1 * r.exact_users, 2)
