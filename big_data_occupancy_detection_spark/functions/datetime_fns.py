@@ -17,6 +17,20 @@ def dow_monday(ts: Column | str) -> Column:
     return ((F.dayofweek(c) + F.lit(5)) % F.lit(7)) + F.lit(1)
 
 
+def epoch_seconds(col: Column | str) -> Column:
+    """Timestamp → fractional epoch seconds, tolerant of NTZ columns.
+
+    Parquet timestamps arrive as TIMESTAMP_NTZ or TIMESTAMP_LTZ depending
+    on how the writer set ``isAdjustedToUTC``; Spark forbids casting NTZ
+    directly to a number, so go through ``timestamp`` first (a no-op for
+    LTZ, wall-clock-in-session-TZ for NTZ — with the engine's pinned UTC
+    session the two coincide). Fractional seconds survive (``unix_timestamp``
+    truncates, which would disagree with exact interval oracles).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("timestamp").cast("double")
+
+
 def tolerant_timestamp(col: Column | str) -> Column:
     """Malformed-tolerant string→timestamp: NULL on garbage, never throws.
 

@@ -108,7 +108,7 @@ def band_self_join_pairs(
     (key, bucket); the exact band predicate then prunes candidates.
     Cost scales with rows × density-per-band, never O(n²) per key.
     """
-    epoch = F.col(ts_col).cast("double")
+    epoch = F.col(ts_col).cast("timestamp").cast("double")
     bucket = F.floor(epoch / band_seconds)
     a = df.select(
         *on,
@@ -122,7 +122,9 @@ def band_self_join_pairs(
         F.col(ts_col).alias("b_ts"),
         F.explode(F.array(bucket, bucket - 1)).alias("__bucket"),
     )
-    dt = F.col("b_ts").cast("double") - F.col("a_ts").cast("double")
+    dt = F.col("b_ts").cast("timestamp").cast("double") - F.col("a_ts").cast(
+        "timestamp"
+    ).cast("double")
     in_band = (dt >= 0) & (dt <= band_seconds)
     ordered = (F.col("a_ts") < F.col("b_ts")) | (
         (F.col("a_ts") == F.col("b_ts")) & (F.col("a_id") < F.col("b_id"))

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions.datetime_fns import dow_monday
+from ..functions.datetime_fns import dow_monday, epoch_seconds
 from ..operators.relational import class_weights
 from ..sources.readers import table
 from .registry import register
@@ -170,7 +170,7 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev_ts = F.lag("ts").over(w)
     # cast-to-double keeps fractional seconds (unix_timestamp truncates,
     # which would disagree with the oracle's exact interval comparison)
-    gap_s = F.col("ts").cast("double") - prev_ts.cast("double")
+    gap_s = epoch_seconds("ts") - epoch_seconds(prev_ts)
     new_session = F.when(prev_ts.isNull() | (gap_s > 1800.0), 1).otherwise(0)
     return (
         ev.withColumn("new_session", new_session)
@@ -334,7 +334,7 @@ def session_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev_ts = F.lag("ts").over(w)
-    gap_s = F.col("ts").cast("double") - prev_ts.cast("double")
+    gap_s = epoch_seconds("ts") - epoch_seconds(prev_ts)
     new_session = F.when(prev_ts.isNull() | (gap_s > 1800.0), 1).otherwise(0)
     w_cum = (
         Window.partitionBy("user_id")
@@ -347,7 +347,7 @@ def session_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessions = sessioned.groupBy("user_id", "session_idx").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.round(
-            F.max(F.col("ts").cast("double")) - F.min(F.col("ts").cast("double")), 4
+            F.max(epoch_seconds("ts")) - F.min(epoch_seconds("ts")), 4
         ).alias("duration_s"),
         F.round(F.sum("value"), 4).alias("sum_value"),
     )

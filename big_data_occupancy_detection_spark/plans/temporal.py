@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.datetime_fns import epoch_seconds
 from ..operators.temporal import asof_join, band_self_join_pairs
 from ..sources.readers import table
 from .registry import register
@@ -86,7 +87,7 @@ def event_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "a_id",
         "b_id",
-        F.round(F.col("b_ts").cast("double") - F.col("a_ts").cast("double"), 4).alias(
+        F.round(epoch_seconds("b_ts") - epoch_seconds("a_ts"), 4).alias(
             "gap_s"
         ),
     )
