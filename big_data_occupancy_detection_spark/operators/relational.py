@@ -127,8 +127,16 @@ def global_row_number(
     # (hashpartitioning(__pid)) right after the range exchange, reshuffling
     # data the range partitioner already co-located. Caps partitions at
     # 2^33 rows (the same practical bound as row_number's int).
-    local = parted.withColumn("__mid", F.monotonically_increasing_id()).withColumn(
-        "__pid", F.spark_partition_id()
+    # Eagerly pin the ranged partitioning BEFORE branching: the sizes
+    # aggregate below re-reads this same materialized RDD, so __pid means
+    # the same partition in both branches. Without the pin, AQE may
+    # coalesce the tiny aggregate branch's read of the range shuffle
+    # differently from the main branch — the two branches then disagree
+    # on partition ids and the inner join on __pid silently drops rows.
+    local = (
+        parted.withColumn("__mid", F.monotonically_increasing_id())
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     sizes = local.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
     w_off = Window.partitionBy().orderBy("__pid").rowsBetween(
@@ -210,7 +218,12 @@ def global_cumsum(
         parted = df.repartitionByRange(*order_exprs).sortWithinPartitions(
             *order_exprs
         )
-        with_pid = parted.withColumn("__bkt", F.spark_partition_id())
+        # Same branch-consistency pin as global_row_number: __bkt is a
+        # runtime partition id, so materialize before the sizes branch
+        # re-reads it (AQE must not re-coalesce the two reads differently).
+        with_pid = parted.withColumn(
+            "__bkt", F.spark_partition_id()
+        ).localCheckpoint(eager=True)
         w_local = (
             Window.partitionBy("__bkt")
             .orderBy(*order_exprs)

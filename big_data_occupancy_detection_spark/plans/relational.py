@@ -890,7 +890,9 @@ def order_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
-    x = (F.unix_micros("ts") / F.lit(86400000000.0)).alias("x")
+    # cast first: unix_micros rejects TIMESTAMP_NTZ (NTZ→LTZ is wall-clock
+    # UTC under the pinned session TZ, matching the oracle's epoch_us)
+    x = (F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(86400000000.0)).alias("x")
     base = ev.select("user_id", F.col("value").alias("y"), x)
     return base.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),

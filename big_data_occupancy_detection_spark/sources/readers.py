@@ -82,10 +82,17 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one synthetic star-schema table from an sf directory.
 
-    ``events.parquet`` carries TIMESTAMP(NANOS) which Spark's parquet reader
-    rejects natively; read it as long nanos (legacy conf, runtime-settable)
-    and rebuild a microsecond timestamp with exact integer division — NOT
-    double division, which loses sub-µs precision at 1.7e18 nanos.
+    Two timestamp flavors seen across driver-generated datasets, both
+    normalized here to a plain (LTZ) timestamp under the UTC session pin:
+
+    - TIMESTAMP(NANOS), which Spark's parquet reader rejects natively:
+      read as long nanos (legacy conf, runtime-settable) and rebuild a
+      microsecond timestamp with exact integer division — NOT double
+      division, which loses sub-µs precision at 1.7e18 nanos.
+    - TIMESTAMP(MICROS) without isAdjustedToUTC, which Spark infers as
+      TIMESTAMP_NTZ: cast to TIMESTAMP (wall-clock == UTC instant under
+      the pinned session TZ) so downstream numeric casts — which Spark
+      forbids on NTZ — keep working.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # parquet timestamps are UTC-naive; temporal extractions (hour/isodow)
@@ -99,4 +106,6 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for field in df.schema.fields:
         if field.name == "ts" and isinstance(field.dataType, T.LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif field.name == "ts" and isinstance(field.dataType, T.TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
