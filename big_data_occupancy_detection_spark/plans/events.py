@@ -512,3 +512,140 @@ def user_type_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_history(
         ev, ["user_id"], "event_type", "ts", tiebreak_cols=["event_id"]
     )
+
+
+# --------------------------------------------------------------------------
+# q — hierarchical multi-grain time rollup (hypertable-style continuous
+# aggregate): hour/day/week activity in ONE pass over the raw data. Only
+# the hourly aggregation touches the events table; day and week re-aggregate
+# the (tiny) hourly partials — all the aggregates chosen (count/sum/min/max)
+# are decomposable, which is exactly what makes rollup trees work at 100 TB
+# (one big shuffle + two ~1000-row shuffles, vs 3 full scans for the naive
+# per-grain GROUP BYs the oracle runs).
+# --------------------------------------------------------------------------
+@register(
+    "events_time_rollup",
+    oracle="""
+    WITH g AS (
+      SELECT 'hour' AS grain, date_trunc('hour', ts) AS bucket_ts,
+             count(*) AS n_events, sum(value) AS s, min(value) AS mn, max(value) AS mx
+      FROM events GROUP BY 2
+      UNION ALL
+      SELECT 'day', date_trunc('day', ts), count(*), sum(value), min(value), max(value)
+      FROM events GROUP BY 2
+      UNION ALL
+      SELECT 'week', date_trunc('week', ts), count(*), sum(value), min(value), max(value)
+      FROM events GROUP BY 2)
+    SELECT grain, bucket_ts, n_events,
+           round(s, 4) AS sum_value,
+           round(mn, 4) AS min_value,
+           round(mx, 4) AS max_value
+    FROM g
+    """,
+)
+def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour→day→week rollup where coarser grains reuse the finer grain's
+    partial aggregates instead of rescanning the fact table."""
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("bucket_ts")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("s"),
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+    )
+    def _up(src: DataFrame, grain: str) -> DataFrame:
+        return src.groupBy(F.date_trunc(grain, "bucket_ts").alias("bucket_ts")).agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("s").alias("s"),
+            F.min("mn").alias("mn"),
+            F.max("mx").alias("mx"),
+        )
+    daily = _up(hourly, "day")
+    weekly = _up(daily, "week")
+    tagged = (
+        hourly.withColumn("grain", F.lit("hour"))
+        .unionByName(daily.withColumn("grain", F.lit("day")))
+        .unionByName(weekly.withColumn("grain", F.lit("week")))
+    )
+    return tagged.select(
+        "grain",
+        "bucket_ts",
+        "n_events",
+        F.round("s", 4).alias("sum_value"),
+        F.round("mn", 4).alias("min_value"),
+        F.round("mx", 4).alias("max_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q — key-skew profile: the pre-flight check for any join/agg keyed on
+# user_id at scale. Two-level aggregation (per-key counts, then per-type
+# distribution stats) — both map-side combined — ending in the salt-bucket
+# count the skew-safe join (operators.relational.salted_join) would need:
+# ceil(max/avg) splits the hottest key into ~avg-sized slices.
+# --------------------------------------------------------------------------
+@register(
+    "event_key_skew_profile",
+    oracle="""
+    WITH per_key AS (
+      SELECT event_type, user_id, count(*) AS cnt
+      FROM events GROUP BY 1, 2)
+    SELECT event_type,
+           count(*) AS n_keys,
+           sum(cnt) AS total_rows,
+           max(cnt) AS max_cnt,
+           round(avg(cnt), 4) AS avg_cnt,
+           round(max(cnt) / avg(cnt), 4) AS skew_ratio,
+           CAST(ceil(max(cnt) / avg(cnt)) AS BIGINT) AS salt_buckets
+    FROM per_key
+    GROUP BY 1
+    """,
+)
+def event_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    per_key = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return per_key.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("total_rows"),
+        F.max("cnt").alias("max_cnt"),
+        F.round(F.avg("cnt"), 4).alias("avg_cnt"),
+        F.round(F.max("cnt") / F.avg("cnt"), 4).alias("skew_ratio"),
+        F.ceil(F.max("cnt") / F.avg("cnt")).cast("long").alias("salt_buckets"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q — Z-order layout key: Morton interleave of (user_id, value) low bits,
+# the clustering key write_zorder_parquet sorts by so parquet min/max stats
+# stay tight on BOTH dimensions. Pure Catalyst bit arithmetic; the oracle
+# runs the byte-identical interleave built by zvalue16_sql, so the layout
+# key itself is hash-verified, not just the plumbing.
+# --------------------------------------------------------------------------
+from ..operators.layout import zvalue16, zvalue16_sql  # noqa: E402
+
+_ZX = "user_id % 65536"
+_ZY = "((CAST(floor(value) AS BIGINT) % 65536) + 65536) % 65536"
+
+
+@register(
+    "zorder_events_key",
+    oracle=f"""
+    SELECT event_id,
+           CAST({_ZX} AS BIGINT) AS zx,
+           CAST({_ZY} AS BIGINT) AS zy,
+           {zvalue16_sql(_ZX, _ZY)} AS zval
+    FROM events
+    """,
+)
+def zorder_events_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    zx = (F.col("user_id") % 65536).cast("long")
+    zy = F.pmod(F.floor("value").cast("long") % 65536, F.lit(65536)).cast("long")
+    return ev.select(
+        "event_id",
+        zx.alias("zx"),
+        zy.alias("zy"),
+        zvalue16(zx, zy).alias("zval"),
+    )
