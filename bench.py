@@ -65,6 +65,8 @@ HEADLINE = [
     "pack_training_sequences", # scalable global prefix sum (1 data shuffle)
     "semantic_dedup",          # k-means partition + per-cluster cosine prune
     "doc_pagerank",            # iterative PageRank (checkpointed rounds)
+    "events_time_rollup",      # hierarchical hour->day->week rollup
+    "user_session_windows",    # native session_window merging agg
     # embedding_near_pairs_lsh is oracle-verified but excluded here: at 2k
     # vectors its bucket pruning (~3x) is below the explode+join overhead —
     # the operator pays off when per-bucket cardinality << corpus (real scale)

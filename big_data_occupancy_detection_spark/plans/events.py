@@ -649,3 +649,94 @@ def zorder_events_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         zy.alias("zy"),
         zvalue16(zx, zy).alias("zval"),
     )
+
+
+# --------------------------------------------------------------------------
+# q — native session windows (batch form of the streaming session_window
+# operator): gap-merged [start, last+gap) intervals per user, a different
+# physical operator (SessionWindow expand + merging agg) than the
+# lag/running-sum sessionization of user_sessions. Boundary semantics: a
+# gap of EXACTLY the timeout starts a new session (event joins only while
+# ts < prev_end), hence the oracle's >= comparison.
+# --------------------------------------------------------------------------
+@register(
+    "user_session_windows",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    runs AS (
+      SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged)
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM runs
+    GROUP BY user_id, sid
+    """,
+)
+def user_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q — sliding time windows: 2-hour windows advancing hourly, so every
+# event lands in exactly two windows (Spark's TimeWindow expand). The
+# oracle replays the expansion as a 2-way shifted union.
+# --------------------------------------------------------------------------
+@register(
+    "sliding_hour_activity",
+    oracle="""
+    WITH x AS (SELECT date_trunc('hour', ts) AS h, value FROM events),
+    ex AS (
+      SELECT h AS win_start, value FROM x
+      UNION ALL
+      SELECT h - INTERVAL 1 HOUR, value FROM x)
+    SELECT win_start,
+           win_start + INTERVAL 2 HOUR AS win_end,
+           count(*) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM ex
+    GROUP BY 1
+    """,
+)
+def sliding_hour_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            # sum, not avg: the synthetic values carry fixed decimals, so
+            # sums round exactly on both engines while an avg (sum/24) can
+            # land exactly on a half-boundary where float summation order
+            # decides the rounded digit
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("win_start"),
+            F.col("window.end").alias("win_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
