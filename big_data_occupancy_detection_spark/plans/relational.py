@@ -932,3 +932,36 @@ def salted_event_type_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum(F.col("value") * F.col("w")), 4).alias("weighted_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# q — footer-stats table profile: unfiltered min/max/count answered from
+# parquet footer statistics via aggregate pushdown (v2 scan shows
+# `PushedAggregation: [MIN(...), MAX(...), COUNT(*)]`; asserted in
+# tests/test_operators.py). At 100 TB this reads metadata only — no data
+# pages — which is THE way to profile a table before planning heavier work.
+# Only numeric/date/bool columns push (timestamp min/max would silently
+# fall back to a full scan, so it is kept out of this query).
+# --------------------------------------------------------------------------
+@register(
+    "lineitem_footer_stats",
+    oracle="""
+    SELECT min(l_quantity) AS min_qty,
+           max(l_quantity) AS max_qty,
+           min(l_extendedprice) AS min_price,
+           max(l_extendedprice) AS max_price,
+           count(*) AS n_rows
+    FROM lineitem
+    """,
+)
+def lineitem_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.readers import read_parquet_stats_only
+
+    li = read_parquet_stats_only(spark, f"{sf_dir}/lineitem.parquet")
+    return li.agg(
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

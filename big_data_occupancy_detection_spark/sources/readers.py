@@ -109,3 +109,26 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         elif field.name == "ts" and isinstance(field.dataType, T.TimestampNTZType):
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
+
+
+def read_parquet_stats_only(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet scan prepared for AGGREGATE pushdown: unfiltered
+    min/max/count over the returned frame are answered from file footer
+    statistics — zero data pages read, the cheapest possible full-table
+    profile at 100 TB.
+
+    Spark only implements aggregate pushdown in the v2 parquet source, so
+    the v1 fallback list is emptied just for this read's resolution and
+    restored immediately (v1 bucketed-table reads elsewhere in the session
+    stay on v1); ``spark.sql.parquet.aggregatePushdown`` stays on, which
+    v1 scans ignore. Pushdown applies to min/max/count WITHOUT filters or
+    nested fields — anything else falls back to a normal scan, still
+    correct.
+    """
+    prior = spark.conf.get("spark.sql.sources.useV1SourceList")
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    try:
+        return spark.read.parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.useV1SourceList", prior)

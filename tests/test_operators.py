@@ -436,3 +436,13 @@ def test_approx_distinct_within_tolerance(spark):
     assert out
     for r in out:
         assert abs(r.approx_users - r.exact_users) <= max(0.1 * r.exact_users, 2)
+
+
+def test_footer_stats_aggregate_is_pushed_down(spark, sf_dir):
+    from big_data_occupancy_detection_spark.plans import REGISTRY
+
+    df = REGISTRY["lineitem_footer_stats"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedAggregation: [MIN(l_quantity)" in plan, plan[:800]
+    row = df.collect()[0]
+    assert row.n_rows > 0 and row.min_qty <= row.max_qty
