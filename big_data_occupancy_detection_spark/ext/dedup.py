@@ -685,3 +685,59 @@ def ngram_jaccard_pairs_staged(
         reps, text_col=text_col, id_col=id_col, n=n, threshold=threshold
     )
     return expand_pairs_over_exact_groups(rep_pairs, tagged)
+
+
+def cross_corpus_near_dups(
+    corpus: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """(doc_id, dup_of, keep) for every NEW doc: the incremental-ingest
+    form of near-dedup — a new document is dropped iff its n-gram Jaccard
+    with ANY existing corpus document reaches ``threshold`` (``dup_of`` =
+    smallest such corpus id; survivors carry NULL/keep=true).
+
+    Same inverted-shingle-index shape as :func:`ngram_jaccard_pairs` but
+    bipartite: candidates come from corpus×new shingle matches only, so a
+    daily delta costs |delta|-proportional work against a pre-sharded
+    corpus index instead of re-deduplicating the whole corpus. At 100 TB
+    the corpus side of the index is written once (bucketed by shingle
+    hash) and each ingest batch joins against it.
+    """
+    shc = with_shingles(corpus, text_col, n).select(
+        F.col(id_col).alias("cdoc"), "shingles"
+    )
+    shn = with_shingles(new, text_col, n).select(
+        F.col(id_col).alias("ndoc"), "shingles"
+    )
+    sc = shc.select("cdoc", F.size("shingles").alias("n_c"))
+    sn = shn.select("ndoc", F.size("shingles").alias("n_n"))
+    invc = shc.select(
+        "cdoc", F.explode(F.transform("shingles", lambda s: hash64(s))).alias("s")
+    )
+    invn = shn.select(
+        "ndoc", F.explode(F.transform("shingles", lambda s: hash64(s))).alias("s")
+    )
+    inter = (
+        invc.join(invn, "s")
+        .groupBy("cdoc", "ndoc")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.round(
+        F.col("inter") / (F.col("n_c") + F.col("n_n") - F.col("inter")), 6
+    )
+    dups = (
+        inter.join(sc, "cdoc")
+        .join(sn, "ndoc")
+        .filter(jac >= threshold)
+        .groupBy("ndoc")
+        .agg(F.min("cdoc").alias("dup_of"))
+    )
+    return (
+        new.select(F.col(id_col).alias("doc_id"))
+        .join(dups, F.col("doc_id") == F.col("ndoc"), "left_outer")
+        .select("doc_id", "dup_of", F.col("dup_of").isNull().alias("keep"))
+    )

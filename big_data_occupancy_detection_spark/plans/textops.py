@@ -959,3 +959,47 @@ def ngram_jaccard_pairs_staged_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs_staged(
         table(spark, sf_dir, "documents"), threshold=_JACCARD_T
     )
+
+
+# --------------------------------------------------------------------------
+# q — incremental-ingest near-dedup: treat five sources as the incoming
+# batch and the rest as the existing corpus; a new doc survives iff no
+# corpus doc reaches Jaccard 0.5 against it. The bipartite inverted-index
+# join makes each ingest delta cost |delta|-proportional work — the 100 TB
+# alternative to re-running corpus-wide dedup per batch.
+# --------------------------------------------------------------------------
+_NEW_SRC = "('src15','src16','src17','src18','src19')"
+
+_INCR_ORACLE = f"""
+WITH {_TOKS_CTE},
+{_SH_CTE},
+lab AS (SELECT doc_id, source IN {_NEW_SRC} AS isnew FROM documents),
+sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+inv AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+pairs AS (
+  SELECT c.doc_id AS cdoc, nw.doc_id AS ndoc, count(*) AS inter
+  FROM inv c
+  JOIN lab lc ON lc.doc_id = c.doc_id AND NOT lc.isnew
+  JOIN inv nw ON nw.s = c.s
+  JOIN lab ln ON ln.doc_id = nw.doc_id AND ln.isnew
+  GROUP BY 1, 2),
+dups AS (
+  SELECT ndoc, min(cdoc) AS dup_of
+  FROM pairs p
+  JOIN sizes sc ON sc.doc_id = p.cdoc
+  JOIN sizes sn ON sn.doc_id = p.ndoc
+  WHERE round(CAST(inter AS DOUBLE) / (sc.n_sh + sn.n_sh - inter), 6) >= {_JACCARD_T}
+  GROUP BY 1)
+SELECT l.doc_id, d.dup_of, d.dup_of IS NULL AS keep
+FROM lab l LEFT JOIN dups d ON d.ndoc = l.doc_id
+WHERE l.isnew
+"""
+
+
+@register("incremental_near_dedup", oracle=_INCR_ORACLE)
+def incremental_near_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    is_new = F.col("source").isin("src15", "src16", "src17", "src18", "src19")
+    return D.cross_corpus_near_dups(
+        docs.filter(~is_new), docs.filter(is_new), threshold=_JACCARD_T
+    )
