@@ -251,3 +251,44 @@ def test_checkpoint_recovery_exactly_once(spark, tmp_path):
     )
     # exactly once: batch-1 rows NOT duplicated, batch-2 rows all present
     assert sorted(final) == expected
+
+
+def test_available_now_trigger_drains_and_stops(spark, tmp_path, trained_model):
+    """Trigger.AvailableNow: the incremental-backfill mode — process every
+    pending file in bounded micro-batches, then stop on its own. This is
+    how a 100 TB catch-up run works without a long-lived query (vs
+    processAllAvailable, which needs a live driver loop). The parquet file
+    sink + shared checkpoint also proves exactly-once across reruns: a
+    second drain with no new input emits nothing."""
+    from big_data_occupancy_detection_spark.streaming.inference import (
+        to_response_json,
+    )
+
+    src = tmp_path / "requests"
+    src.mkdir()
+    _write_requests(src, "batch1.json", list(CASES.values()))
+    _write_requests(src, "batch2.json", [CASES["valid"]])
+
+    raw = file_source(spark, str(src), max_files_per_trigger=1)
+    responses = build_inference_pipeline(raw, model_score(trained_model))
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = (
+            to_response_json(responses)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        # availableNow terminates by itself once the backlog is drained
+        assert q.awaitTermination(120), "query did not self-terminate"
+
+    drain()
+    assert spark.read.parquet(out_dir).count() == len(CASES) + 1
+    # rerun from the same checkpoint with no new files: exactly-once, no dupes
+    drain()
+    assert spark.read.parquet(out_dir).count() == len(CASES) + 1
