@@ -740,3 +740,93 @@ def sliding_hour_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q — linear-interpolation gap fill on the daily spine (the two-sided twin
+# of events_locf_daily): each missing day gets the straight line between
+# its surrounding observations; edges degrade to nearest-observation.
+# Both directional fills are frames over ONE (user_id, day) sort — a
+# single shuffle feeds the backward last() and forward first() passes.
+# --------------------------------------------------------------------------
+@register(
+    "events_interp_daily",
+    oracle="""
+    WITH bounds AS (
+      SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1
+      FROM events),
+    days AS (
+      SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM bounds),
+    users AS (SELECT DISTINCT user_id FROM events),
+    daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             arg_max(value, event_id) AS day_value
+      FROM events GROUP BY 1, 2),
+    spine AS (SELECT u.user_id, d.day FROM users u CROSS JOIN days d),
+    marked AS (
+      SELECT s.user_id, s.day,
+             last_value(dl.day_value IGNORE NULLS) OVER wb AS pv,
+             last_value(CASE WHEN dl.day_value IS NOT NULL THEN s.day END
+                        IGNORE NULLS) OVER wb AS pd,
+             first_value(dl.day_value IGNORE NULLS) OVER wf AS nv,
+             first_value(CASE WHEN dl.day_value IS NOT NULL THEN s.day END
+                         IGNORE NULLS) OVER wf AS nd
+      FROM spine s LEFT JOIN daily dl USING (user_id, day)
+      WINDOW wb AS (PARTITION BY s.user_id ORDER BY s.day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY s.user_id ORDER BY s.day
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT user_id, day,
+           round(CASE WHEN pv IS NULL THEN nv
+                      WHEN nv IS NULL THEN pv
+                      WHEN nd = pd THEN pv
+                      ELSE pv + (nv - pv) * (CAST(day - pd AS DOUBLE)
+                                             / CAST(nd - pd AS DOUBLE))
+                 END, 6) AS interp_value
+    FROM marked
+    """,
+)
+def events_interp_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    days = bounds.select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    users = ev.select("user_id").distinct()
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.max_by("value", "event_id").alias("day_value")
+    )
+    spine = users.crossJoin(F.broadcast(days))
+    base = spine.join(daily, ["user_id", "day"], "left")
+    wb = Window.partitionBy("user_id").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wf = Window.partitionBy("user_id").orderBy("day").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    obs_day = F.when(F.col("day_value").isNotNull(), F.col("day"))
+    # materialize each window expression ONCE: reusing the Column objects
+    # inside the CASE tree would otherwise plan 13 running aggregates in
+    # the WindowExec (Catalyst does not CSE window expressions)
+    marked = base.select(
+        "user_id",
+        "day",
+        F.last("day_value", ignorenulls=True).over(wb).alias("pv"),
+        F.last(obs_day, ignorenulls=True).over(wb).alias("pd"),
+        F.first("day_value", ignorenulls=True).over(wf).alias("nv"),
+        F.first(obs_day, ignorenulls=True).over(wf).alias("nd"),
+    )
+    pv, nv, pd_, nd = F.col("pv"), F.col("nv"), F.col("pd"), F.col("nd")
+    frac = F.datediff(F.col("day"), pd_).cast("double") / F.datediff(
+        nd, pd_
+    ).cast("double")
+    interp = (
+        F.when(pv.isNull(), nv)
+        .when(nv.isNull(), pv)
+        .when(nd == pd_, pv)
+        .otherwise(pv + (nv - pv) * frac)
+    )
+    return marked.select(
+        "user_id", "day", F.round(interp, 6).alias("interp_value")
+    )
