@@ -417,3 +417,47 @@ def paragraph_dedup(
             " ",
         ).alias("clean_text"),
     )
+
+
+def mixture_resample(
+    docs: DataFrame,
+    strata_cols: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, strata..., n_copies, copy_idx) — EXECUTE the mixture plan:
+    each document is replicated ``floor(w)`` times plus one more when its
+    deterministic md5-uniform draw falls under the fractional remainder,
+    where ``w`` is the stratum's :func:`domain_mixture` sampling weight.
+    Expected copy count per doc equals exactly ``w`` (stochastic rounding),
+    so the output token mixture converges to the target share per stratum.
+
+    All randomness is ``hash64('mix|' || id) / 2^60`` — reproducible
+    across engines and runs, which is what makes a 100 TB resample both
+    restartable (no RNG state) and oracle-verifiable.
+    """
+    from ..functions.text_fns import hash64
+
+    mix = domain_mixture(docs, strata_cols, text_col=text_col)
+    w = F.col("sampling_weight")
+    u = hash64(
+        F.concat(F.lit("mix|"), F.col(id_col).cast("string"))
+    ) / F.lit(float(1 << 60))
+    n_copies = (
+        F.floor(w) + F.when(u < (w - F.floor(w)), F.lit(1)).otherwise(F.lit(0))
+    ).cast("long")
+    keyed = docs.select(id_col, *strata_cols).join(
+        F.broadcast(mix.select(*strata_cols, "sampling_weight")), strata_cols
+    )
+    return (
+        keyed.select(
+            id_col, *strata_cols, n_copies.alias("n_copies")
+        )
+        .filter(F.col("n_copies") > 0)
+        .select(
+            id_col,
+            *strata_cols,
+            "n_copies",
+            F.explode(F.sequence(F.lit(1), F.col("n_copies"))).alias("copy_idx"),
+        )
+    )

@@ -511,3 +511,40 @@ def paragraph_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.paragraph_dedup(
         table(spark, sf_dir, "documents"), chunk_tokens=_PAR_CT
     )
+
+
+# --------------------------------------------------------------------------
+# Mixture resampling EXECUTION: replicate each doc floor(w) times plus a
+# stochastic-rounding extra copy drawn from a deterministic md5-uniform,
+# so expected copies = the domain_mixture sampling weight exactly. The
+# md5 draw makes a 100 TB resample restartable (no RNG state) and lets
+# the oracle replay every copy decision.
+# --------------------------------------------------------------------------
+
+_RESAMPLE_ORACLE = f"""
+WITH {_TOKS_CTE},
+d AS (SELECT source, t, doc_id FROM documents JOIN toks USING (doc_id)),
+per AS (
+  SELECT source, CAST(sum(len(t)) AS BIGINT) AS n_tokens
+  FROM d GROUP BY source),
+tot AS (SELECT sum(n_tokens) AS tot, count(*) AS groups FROM per),
+mixw AS (
+  SELECT source,
+         round((1.0 / groups) / (n_tokens / CAST(tot AS DOUBLE)), 6) AS w
+  FROM per, tot),
+cop AS (
+  SELECT doc_id, source,
+         CAST(floor(w) + CASE WHEN
+             CAST(('0x' || substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+               / 1152921504606846976.0 < w - floor(w)
+           THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+  FROM documents JOIN mixw USING (source))
+SELECT doc_id, source, n_copies,
+       CAST(unnest(generate_series(1, n_copies)) AS BIGINT) AS copy_idx
+FROM cop WHERE n_copies > 0
+"""
+
+
+@register("mixture_resampled_docs", oracle=_RESAMPLE_ORACLE)
+def mixture_resampled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return C.mixture_resample(table(spark, sf_dir, "documents"), ["source"])

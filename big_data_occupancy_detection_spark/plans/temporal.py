@@ -91,3 +91,49 @@ def event_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "gap_s"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# q — temporal motif counting: triangles in the per-user 15-minute band
+# graph (three events mutually within the band = a burst triple). Edge
+# enumeration reuses the bucketed band join; the triangle closure is two
+# hash joins on (user, event-id) — the standard distributed triangle
+# pattern where every edge is oriented by the total order (ts, id), so
+# each triangle is counted exactly once as i<j<k.
+# --------------------------------------------------------------------------
+@register(
+    "event_burst_triangles",
+    oracle=f"""
+    WITH e AS (
+      SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id
+      FROM events a JOIN events b
+        ON a.user_id = b.user_id
+       AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL {_BAND_S} SECOND
+       AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id)))
+    SELECT e1.user_id, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM e e1
+    JOIN e e2 ON e2.user_id = e1.user_id AND e2.a_id = e1.b_id
+    JOIN e e3 ON e3.user_id = e1.user_id
+             AND e3.a_id = e1.a_id AND e3.b_id = e2.b_id
+    GROUP BY 1
+    """,
+)
+def event_burst_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    edges = band_self_join_pairs(
+        ev, on=["user_id"], ts_col="ts", id_col="event_id", band_seconds=_BAND_S
+    ).select("user_id", "a_id", "b_id")
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = e1.join(
+        e2,
+        (F.col("e2.user_id") == F.col("e1.user_id"))
+        & (F.col("e2.a_id") == F.col("e1.b_id")),
+    ).join(
+        e3,
+        (F.col("e3.user_id") == F.col("e1.user_id"))
+        & (F.col("e3.a_id") == F.col("e1.a_id"))
+        & (F.col("e3.b_id") == F.col("e2.b_id")),
+    )
+    return tri.groupBy(F.col("e1.user_id").alias("user_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )
