@@ -24,7 +24,12 @@ from __future__ import annotations
 import hashlib
 from typing import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 EVENT_TYPES = ["view", "click", "purchase", "refund"]
 
@@ -71,6 +76,33 @@ class EventGenReader(DataSourceReader):
             yield gen_row(i)
 
 
+class EventGenStreamReader(SimpleDataSourceStreamReader):
+    """Streaming twin of the generator: each micro-batch emits the next
+    ``batch_rows`` ids (bounded by ``max_rows``), offset = last id emitted.
+
+    The rows are a pure function of the offset range, so
+    ``readBetweenOffsets`` replays any committed-but-lost batch exactly —
+    the determinism that gives a custom Python stream source exactly-once
+    semantics across restarts (offsets live in the checkpoint; no state
+    in the reader itself).
+    """
+
+    def __init__(self, options: dict):
+        self.batch_rows = int(options.get("batch_rows", 100))
+        self.max_rows = int(options.get("max_rows", 1 << 40))
+
+    def initialOffset(self) -> dict:
+        return {"i": 0}
+
+    def read(self, start: dict):
+        s = int(start["i"])
+        e = min(s + self.batch_rows, self.max_rows)
+        return iter([gen_row(i) for i in range(s, e)]), {"i": e}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter([gen_row(i) for i in range(int(start["i"]), int(end["i"]))])
+
+
 class EventGenDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -81,6 +113,9 @@ class EventGenDataSource(DataSource):
 
     def reader(self, schema) -> EventGenReader:
         return EventGenReader(self.options)
+
+    def simpleStreamReader(self, schema) -> EventGenStreamReader:
+        return EventGenStreamReader(self.options)
 
 
 def register_eventgen(spark) -> None:

@@ -292,3 +292,52 @@ def test_available_now_trigger_drains_and_stops(spark, tmp_path, trained_model):
     # rerun from the same checkpoint with no new files: exactly-once, no dupes
     drain()
     assert spark.read.parquet(out_dir).count() == len(CASES) + 1
+
+
+def test_python_datasource_stream_source(spark, tmp_path):
+    """Custom Python streaming connector (SimpleDataSourceStreamReader):
+    micro-batches advance a deterministic offset; a restart from the same
+    checkpoint continues exactly-once (no duplicate ids, no gaps)."""
+    import time
+
+    from big_data_occupancy_detection_spark.sources.pyds import (
+        gen_row,
+        register_eventgen,
+    )
+
+    register_eventgen(spark)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run_until(n_rows, max_rows):
+        stream = (
+            spark.readStream.format("eventgen")
+            .option("batch_rows", 50)
+            .option("max_rows", max_rows)
+            .load()
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            deadline = time.time() + 120
+            while time.time() < deadline:
+                q.processAllAvailable()
+                if spark.read.parquet(out).count() >= n_rows:
+                    break
+            return [tuple(r) for r in spark.read.parquet(out).collect()]
+        finally:
+            q.stop()
+
+    first = run_until(150, max_rows=150)
+    assert sorted(r[0] for r in first) == list(range(150))
+    # every row matches the deterministic recipe
+    assert sorted(first) == sorted(gen_row(i) for i in range(150))
+    # restart from the same checkpoint with a higher cap: continues, no dups
+    second = run_until(250, max_rows=250)
+    ids = sorted(r[0] for r in second)
+    assert ids == list(range(250)), (len(ids), ids[:3], ids[-3:])
