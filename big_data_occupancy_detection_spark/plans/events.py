@@ -830,3 +830,51 @@ def events_interp_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return marked.select(
         "user_id", "day", F.round(interp, 6).alias("interp_value")
     )
+
+
+# --------------------------------------------------------------------------
+# q — CDC apply: reconstruct the current snapshot from a changelog. The
+# events stream doubles as a change feed — per (user_id) key, ops ordered
+# by (ts, event_id); 'refund' acts as DELETE, everything else UPSERTs its
+# value. One max_by-style aggregation per key (no window, no sort of the
+# full feed): the last op decides existence, the last non-delete op the
+# value — both computed with max_by over a monotonic (ts, event_id) rank.
+# --------------------------------------------------------------------------
+@register(
+    "cdc_user_snapshot",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_type, value, ts, event_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rk
+      FROM events),
+    last_op AS (
+      SELECT user_id,
+             arg_max(event_type, rk) AS final_op,
+             arg_max(value, rk) FILTER (WHERE event_type <> 'refund')
+               AS last_upsert_value,
+             CAST(count(*) AS BIGINT) AS n_changes
+      FROM ranked GROUP BY user_id)
+    SELECT user_id,
+           round(last_upsert_value, 4) AS current_value,
+           n_changes
+    FROM last_op
+    WHERE final_op <> 'refund'
+    """,
+)
+def cdc_user_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = ev.withColumn("rk", F.row_number().over(w))
+    snap = ranked.groupBy("user_id").agg(
+        F.max_by("event_type", "rk").alias("final_op"),
+        F.max_by(
+            F.when(F.col("event_type") != "refund", F.col("value")),
+            F.when(F.col("event_type") != "refund", F.col("rk")),
+        ).alias("last_upsert_value"),
+        F.count(F.lit(1)).alias("n_changes"),
+    )
+    return snap.filter(F.col("final_op") != "refund").select(
+        "user_id",
+        F.round("last_upsert_value", 4).alias("current_value"),
+        "n_changes",
+    )

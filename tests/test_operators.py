@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -446,3 +447,19 @@ def test_footer_stats_aggregate_is_pushed_down(spark, sf_dir):
     assert "PushedAggregation: [MIN(l_quantity)" in plan, plan[:800]
     row = df.collect()[0]
     assert row.n_rows > 0 and row.min_qty <= row.max_qty
+
+
+@pytest.mark.parametrize("n_rows,n_parts", [(1, 1), (37, 16), (400, 3), (1000, 64)])
+def test_global_row_number_preserves_rows_across_layouts(spark, n_rows, n_parts):
+    """Regression for the AQE pid-branch bug: the sizes aggregate and the
+    main branch must agree on partition ids for ANY input layout, or the
+    inner join silently drops rows (seen: 400 -> 13)."""
+    df = spark.range(n_rows).select(
+        (F.col("id") * 977 % 10007).alias("k"), F.col("id").alias("v")
+    ).repartition(n_parts)
+    out = global_row_number(df, ["k", "v"], id_col="rid").collect()
+    assert len(out) == n_rows
+    assert sorted(r.rid for r in out) == list(range(1, n_rows + 1))
+    by_id = sorted(out, key=lambda r: r.rid)
+    keys = [(r.k, r.v) for r in by_id]
+    assert keys == sorted(keys)
