@@ -67,6 +67,10 @@ HEADLINE = [
     "doc_pagerank",            # iterative PageRank (checkpointed rounds)
     "events_time_rollup",      # hierarchical hour->day->week rollup
     "user_session_windows",    # native session_window merging agg
+    "events_interp_daily",     # dual-direction window gap fill, one shuffle
+    "incremental_near_dedup",  # bipartite delta-vs-corpus shingle join
+    "mixture_resampled_docs",  # deterministic stochastic-rounding resample
+    "cdc_user_snapshot",       # last-op-wins changelog apply (max_by)
     # embedding_near_pairs_lsh is oracle-verified but excluded here: at 2k
     # vectors its bucket pruning (~3x) is below the explode+join overhead —
     # the operator pays off when per-bucket cardinality << corpus (real scale)

@@ -548,3 +548,56 @@ FROM cop WHERE n_copies > 0
 @register("mixture_resampled_docs", oracle=_RESAMPLE_ORACLE)
 def mixture_resampled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.mixture_resample(table(spark, sf_dir, "documents"), ["source"])
+
+
+# --------------------------------------------------------------------------
+# Weighted sampling (Efraimidis-Spirakis A-Res): per stratum keep the k
+# docs with the largest u^(1/w) priority, u deterministic md5-uniform,
+# w = n_chars — longer docs proportionally likelier. Ranking uses the
+# equivalent log-domain key ln(u)/w (same order, far better float
+# discrimination than u^(1/w), whose values crush against 1.0 for large
+# w); rounding to 9 decimals + id tiebreak makes the rank boundary
+# engine-exact. Fully distributed: one window per stratum, no RNG state.
+# --------------------------------------------------------------------------
+
+_WS_K = 2
+_WS_U = (
+    "(CAST(('0x' || substr(md5('samp|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+    " / 1152921504606846976.0)"
+)
+
+_WEIGHTED_ORACLE = f"""
+SELECT doc_id, source, priority FROM (
+  SELECT doc_id, source,
+         round(ln(greatest({_WS_U}, 1e-18)) / n_chars, 9) AS priority,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY round(ln(greatest({_WS_U}, 1e-18)) / n_chars, 9) DESC,
+                    doc_id) AS rk
+  FROM documents)
+WHERE rk <= {_WS_K}
+"""
+
+
+@register("weighted_sample_docs", oracle=_WEIGHTED_ORACLE)
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.text_fns import hash64
+
+    docs = table(spark, sf_dir, "documents")
+    u = hash64(
+        F.concat(F.lit("samp|"), F.col("doc_id").cast("string"))
+    ) / F.lit(float(1 << 60))
+    priority = F.round(
+        F.log(F.greatest(u, F.lit(1e-18))) / F.col("n_chars"), 9
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("priority").desc(), F.col("doc_id")
+    )
+    return (
+        docs.select("doc_id", "source", priority.alias("priority"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _WS_K)
+        .drop("rk")
+    )
