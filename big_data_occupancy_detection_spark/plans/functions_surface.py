@@ -430,3 +430,35 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
     )
+
+
+# --------------------------------------------------------------------------
+# Mergeable cardinality sketches (Apache DataSketches HLL): per-group
+# sketches that UNION to coarser grains without touching raw data — the
+# property that makes sketch rollup trees work at 100 TB (a daily job
+# materializes per-(type, day) sketches once; any later grain is a cheap
+# sketch union, never a rescan). The estimates are sketch-implementation-
+# specific, so this is a rows-only registry entry; the merge property
+# itself (union of per-type sketches == direct global sketch) is asserted
+# exactly in tests/test_curation.py.
+# --------------------------------------------------------------------------
+@register("hll_rollup_users", oracle=None)
+def hll_rollup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count_distinct("user_id").alias("exact_users"),
+    )
+    per_rows = per.select(
+        "event_type",
+        F.hll_sketch_estimate("sk").alias("est_users"),
+        "exact_users",
+    )
+    merged = per.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"),
+    ).select(
+        F.lit("ALL").alias("event_type"),
+        "est_users",
+        F.lit(None).cast("long").alias("exact_users"),
+    )
+    return per_rows.unionByName(merged)

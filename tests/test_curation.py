@@ -181,3 +181,22 @@ def test_scd2_history_runs_and_versions(spark):
     assert [r.is_current for r in u1] == [False, False, True]
     u2 = [r for r in out if r.uid == 2]
     assert len(u2) == 1 and u2[0].is_current
+
+
+def test_hll_sketch_union_equals_direct_sketch(spark, sf_dir):
+    """The rollup-tree property: union of per-group HLL sketches gives the
+    SAME estimate as sketching the whole column directly (register-max
+    merge is lossless), and the estimate is within rsd of exact."""
+    from big_data_occupancy_detection_spark.sources.readers import table
+
+    ev = table(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(F.hll_sketch_agg("user_id").alias("sk"))
+    merged = per.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("e")
+    ).collect()[0].e
+    direct = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("e")
+    ).collect()[0].e
+    exact = ev.select("user_id").distinct().count()
+    assert merged == direct
+    assert abs(merged - exact) / exact < 0.05
