@@ -291,3 +291,30 @@ def observed(
     obs = Observation(name)
     exprs = [expr.alias(alias) for alias, expr in metric_cols.items()]
     return df.observe(obs, *exprs), obs
+
+
+def quality_checks(df: DataFrame, checks: dict[str, Column]) -> DataFrame:
+    """(check, n_rows, n_violations, violation_rate) — one-pass data-quality
+    expectation census: every check is a boolean Column that should hold
+    per row; violations are conditional sums inside a SINGLE aggregation
+    (one scan however many rules), then stack()-unpivoted to long form.
+    The 100 TB version of an expectations suite: no per-rule passes, no
+    driver-side row iteration.
+    """
+    aggs = [
+        F.sum((~c).cast("long")).alias(f"__v{i}")
+        for i, (name, c) in enumerate(checks.items())
+    ]
+    row = df.agg(F.count(F.lit(1)).alias("__n"), *aggs)
+    pairs = ", ".join(
+        f"'{name}', __v{i}" for i, name in enumerate(checks)
+    )
+    return row.select(
+        F.col("__n").alias("n_rows"),
+        F.expr(f"stack({len(checks)}, {pairs}) AS (rule, n_violations)"),
+    ).select(
+        "rule",
+        "n_rows",
+        "n_violations",
+        F.round(F.col("n_violations") / F.col("n_rows"), 6).alias("violation_rate"),
+    )

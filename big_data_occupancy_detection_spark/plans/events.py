@@ -878,3 +878,50 @@ def cdc_user_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("last_upsert_value", 4).alias("current_value"),
         "n_changes",
     )
+
+
+# --------------------------------------------------------------------------
+# q — data-quality expectations: five rules checked in ONE scan (conditional
+# sums inside a single aggregation, stack-unpivoted to long form). The
+# value_lt_100 rule fires on real rows so the violation path is exercised,
+# not just zeros.
+# --------------------------------------------------------------------------
+@register(
+    "events_quality_checks",
+    oracle="""
+    WITH agg AS (
+      SELECT count(*) AS n_rows,
+             sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS v0,
+             sum(CASE WHEN event_type NOT IN
+                 ('view','click','purchase','signup','error')
+                 THEN 1 ELSE 0 END) AS v1,
+             sum(CASE WHEN NOT (value >= 0) THEN 1 ELSE 0 END) AS v2,
+             sum(CASE WHEN NOT (ts >= TIMESTAMP '2020-01-01') THEN 1 ELSE 0 END) AS v3,
+             sum(CASE WHEN NOT (value < 100) THEN 1 ELSE 0 END) AS v4
+      FROM events)
+    SELECT u.rule, a.n_rows, u.n_violations,
+           round(u.n_violations / CAST(a.n_rows AS DOUBLE), 6) AS violation_rate
+    FROM agg a, LATERAL (VALUES
+      ('user_id_not_null', CAST(a.v0 AS BIGINT)),
+      ('event_type_allowed', CAST(a.v1 AS BIGINT)),
+      ('value_non_negative', CAST(a.v2 AS BIGINT)),
+      ('ts_after_2020', CAST(a.v3 AS BIGINT)),
+      ('value_lt_100', CAST(a.v4 AS BIGINT))) AS u(rule, n_violations)
+    """,
+)
+def events_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.relational import quality_checks
+
+    ev = table(spark, sf_dir, "events")
+    return quality_checks(
+        ev,
+        {
+            "user_id_not_null": F.col("user_id").isNotNull(),
+            "event_type_allowed": F.col("event_type").isin(
+                "view", "click", "purchase", "signup", "error"
+            ),
+            "value_non_negative": F.col("value") >= 0,
+            "ts_after_2020": F.col("ts") >= F.lit("2020-01-01").cast("timestamp"),
+            "value_lt_100": F.col("value") < 100,
+        },
+    )

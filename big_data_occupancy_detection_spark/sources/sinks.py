@@ -122,3 +122,13 @@ def write_range_sorted_parquet(
     parted.sortWithinPartitions(*sort_cols).write.mode("overwrite").parquet(
         out_path
     )
+
+
+def write_xml(df: DataFrame, out_path: str, row_tag: str = "row") -> None:
+    """XML sink (Spark 4 built-in) — interchange edge only."""
+    (
+        df.write.format("xml")
+        .option("rowTag", row_tag)
+        .mode("overwrite")
+        .save(out_path)
+    )

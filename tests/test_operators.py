@@ -463,3 +463,21 @@ def test_global_row_number_preserves_rows_across_layouts(spark, n_rows, n_parts)
     by_id = sorted(out, key=lambda r: r.rid)
     keys = [(r.k, r.v) for r in by_id]
     assert keys == sorted(keys)
+
+
+def test_xml_roundtrip(spark, tmp_path):
+    from big_data_occupancy_detection_spark.sources.readers import read_xml
+    from big_data_occupancy_detection_spark.sources.sinks import write_xml
+
+    df = spark.createDataFrame(
+        [(1, "alpha", 1.5), (2, "beta", -2.0), (3, None, 0.25)],
+        ["id", "name", "score"],
+    )
+    out = str(tmp_path / "xml_out")
+    write_xml(df, out, row_tag="rec")
+    back = read_xml(spark, out, row_tag="rec")
+    assert sorted((r.id, r.name, float(r.score)) for r in back.collect()) == [
+        (1, "alpha", 1.5),
+        (2, "beta", -2.0),
+        (3, None, 0.25),
+    ]
