@@ -66,3 +66,57 @@ def running_user_stats(events: DataFrame, alpha: float = EMA_ALPHA) -> DataFrame
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas (Spark 4): the successor API to
+# applyInPandasWithState — typed state handles (value/list/map), timers,
+# and RocksDB-only state storage. Same running-stats semantics as
+# running_user_stats so the two APIs are comparable side by side.
+# ---------------------------------------------------------------------------
+
+
+def running_user_totals_tws(events: DataFrame) -> DataFrame:
+    """Per-user running (count, sum) via ``transformWithStateInPandas``.
+
+    State is a typed ValueState carried by the RocksDB state store
+    (``spark.sql.streaming.stateStore.providerClass`` must point at the
+    RocksDB provider — transformWithState does not support the HDFS-backed
+    store). Emits one row per touched user per micro-batch.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("agg", "n LONG, total DOUBLE")
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            n, total = (
+                tuple(self._state.get()) if self._state.exists() else (0, 0.0)
+            )
+            for pdf in rows:
+                n += int(len(pdf))
+                total += float(pdf["value"].sum())
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [round(total, 6)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType="user_id long, n_events long, total_value double",
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -63,3 +63,63 @@ def test_running_user_stats_across_batches(spark, tmp_path):
         )
     finally:
         q.stop()
+
+
+def test_transform_with_state_across_batches(spark, tmp_path):
+    """transformWithStateInPandas: typed ValueState carries across
+    micro-batches on the RocksDB state store.
+
+    The state protocol between the JVM and the Python driver worker is
+    protobuf-based; without the google.protobuf package the worker dies at
+    handshake (STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE), so this
+    skips where the dependency is absent — full attempt log in PERF.md."""
+    import pytest
+
+    pytest.importorskip("google.protobuf.descriptor")
+    from big_data_occupancy_detection_spark.streaming.stateful import (
+        running_user_totals_tws,
+    )
+
+    prior = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        src = tmp_path / "ev"
+        src.mkdir()
+        (src / "b1.json").write_text("\n".join(json.dumps(e) for e in BATCH1))
+        stream = (
+            spark.readStream.format("json")
+            .schema("ts timestamp, user_id long, value double")
+            .option("maxFilesPerTrigger", "1")
+            .load(str(src))
+        )
+        q = (
+            running_user_totals_tws(stream)
+            .writeStream.format("memory")
+            .queryName("user_totals_tws")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .outputMode("update")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            first = {r.user_id: r for r in spark.table("user_totals_tws").collect()}
+            assert (first[1].n_events, first[1].total_value) == (2, 30.0)
+            assert (first[2].n_events, first[2].total_value) == (1, 5.0)
+
+            (src / "b2.json").write_text("\n".join(json.dumps(e) for e in BATCH2))
+            q.processAllAvailable()
+            rows = spark.table("user_totals_tws").collect()
+            latest = max(
+                (r for r in rows if r.user_id == 1), key=lambda r: r.n_events
+            )
+            assert (latest.n_events, latest.total_value) == (3, 60.0)
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", prior)
