@@ -481,3 +481,53 @@ def test_xml_roundtrip(spark, tmp_path):
         (2, "beta", -2.0),
         (3, None, 0.25),
     ]
+
+
+def test_zstd_parquet_roundtrip_with_pushdown(spark, tmp_path, sf_dir):
+    """zstd is the scale-default codec (better ratio than snappy at similar
+    decode speed); the write path must keep footer stats + pushdown intact."""
+    from big_data_occupancy_detection_spark.sources.readers import table
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_shipdate"
+    )
+    out = str(tmp_path / "zstd_pq")
+    (
+        li.write.mode("overwrite")
+        .option("compression", "zstd")
+        .parquet(out)
+    )
+    import glob
+
+    import pyarrow.parquet as pq
+
+    f = glob.glob(f"{out}/part-*.parquet")[0]
+    md = pq.ParquetFile(f).metadata
+    assert md.row_group(0).column(0).compression.lower() == "zstd"
+    back = spark.read.parquet(out).filter(F.col("l_quantity") > 45)
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)]" in plan
+    assert back.count() == li.filter(F.col("l_quantity") > 45).count()
+
+
+def test_jsonl_corrupt_record_column(spark, tmp_path):
+    """PERMISSIVE + columnNameOfCorruptRecord: malformed lines survive as
+    raw text in a side column instead of vanishing — the audit trail a
+    lossy-at-scale ingest needs."""
+    p = tmp_path / "mixed.jsonl"
+    p.write_text(
+        '{"a": 1, "b": "x"}\n'
+        "not json at all\n"
+        '{"a": "wrong-type", "b": "y"}\n'
+    )
+    df = (
+        spark.read.option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .schema("a long, b string, _bad string")
+        .json(str(p))
+    )
+    rows = df.collect()
+    assert len(rows) == 3
+    bad = [r for r in rows if r._bad is not None]
+    assert len(bad) == 2  # the garbage line and the type-mismatch line
+    assert any("not json" in r._bad for r in bad)
