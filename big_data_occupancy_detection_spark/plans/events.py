@@ -925,3 +925,100 @@ def events_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value_lt_100": F.col("value") < 100,
         },
     )
+
+
+# --------------------------------------------------------------------------
+# q — ordered funnel: per user, how far through view → click → purchase
+# they progressed, requiring each step to happen strictly AFTER the
+# previous one. Aggregation-only (min-ts per step + conditional ordering),
+# no window, no self-join — the funnel shape that stays one shuffle at
+# any scale. Tie policy: equal timestamps do NOT advance the funnel.
+# --------------------------------------------------------------------------
+@register(
+    "user_funnel_steps",
+    oracle="""
+    WITH per AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id),
+    steps AS (
+      SELECT user_id,
+             CASE WHEN t_view IS NULL THEN 0
+                  WHEN t_click IS NULL OR t_click <= t_view THEN 1
+                  WHEN t_purchase IS NULL OR t_purchase <= t_click THEN 2
+                  ELSE 3 END AS funnel_step
+      FROM per)
+    SELECT funnel_step, count(*) AS n_users
+    FROM steps GROUP BY funnel_step
+    """,
+)
+def user_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    per = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    step = (
+        F.when(F.col("t_view").isNull(), 0)
+        .when(
+            F.col("t_click").isNull() | (F.col("t_click") <= F.col("t_view")), 1
+        )
+        .when(
+            F.col("t_purchase").isNull()
+            | (F.col("t_purchase") <= F.col("t_click")),
+            2,
+        )
+        .otherwise(3)
+    )
+    return (
+        per.select(step.alias("funnel_step"))
+        .groupBy("funnel_step")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q — retention cohorts: users grouped by first-seen week, activity counted
+# per week offset — the (cohort, offset) retention matrix in long form.
+# Two aggregations sharing the user_id shuffle key, then a broadcast of
+# the tiny per-user cohort map back onto per-week activity.
+# --------------------------------------------------------------------------
+@register(
+    "weekly_retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      FROM events GROUP BY user_id),
+    weekly AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week
+      FROM events)
+    SELECT f.cohort_week,
+           CAST(date_diff('week', f.cohort_week, w.active_week) AS BIGINT)
+             AS week_offset,
+           CAST(count(*) AS BIGINT) AS n_active_users
+    FROM weekly w JOIN firsts f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def weekly_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        # to_date: DuckDB's standalone date_trunc('week') yields DATE while
+        # Spark yields TIMESTAMP — pin both engines to DATE
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort_week")
+    )
+    weekly = ev.select(
+        "user_id", F.to_date(F.date_trunc("week", "ts")).alias("active_week")
+    ).distinct()
+    joined = weekly.join(F.broadcast(firsts), "user_id")
+    offset = (
+        F.datediff(F.col("active_week"), F.col("cohort_week")) / 7
+    ).cast("long")
+    return joined.groupBy(
+        "cohort_week", offset.alias("week_offset")
+    ).agg(F.count(F.lit(1)).alias("n_active_users"))
