@@ -1,0 +1,55 @@
+"""Physical-plan regression gate over the bench headline queries.
+
+Wall-clock catches regressions statistically; this catches them
+deterministically: a code change that adds a shuffle, flips a broadcast
+join to sort-merge, or introduces a cartesian product fails here at
+sf0.001 before it costs anything at scale.
+
+Regenerate after an INTENTIONAL plan change:
+    python tools/regen_plan_baseline.py
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from pathlib import Path
+
+import pytest
+
+from big_data_occupancy_detection_spark.planaudit import plan_metrics
+from big_data_occupancy_detection_spark.plans import REGISTRY
+
+BASELINE = json.loads(
+    (Path(__file__).parent / "plan_baseline.json").read_text()
+)
+
+
+def _headline_names() -> list[str]:
+    src = (Path(__file__).parent.parent / "bench.py").read_text()
+    block = re.search(r"HEADLINE = \[(.*?)\]", src, re.S).group(1)
+    return [
+        line.strip().split('"')[1]
+        for line in block.splitlines()
+        if line.strip().startswith('"')
+    ]
+
+
+def test_baseline_covers_headline():
+    assert sorted(_headline_names()) == sorted(BASELINE)
+
+
+@pytest.mark.parametrize("name", sorted(BASELINE))
+def test_plan_matches_baseline(spark, sf_dir, name):
+    got = plan_metrics(REGISTRY[name].fn(spark, sf_dir))
+    want = BASELINE[name]
+    assert not got["cartesian"], f"{name} grew a CartesianProduct"
+    assert got["exchanges"] <= want["exchanges"], (
+        f"{name}: shuffles grew {want['exchanges']} -> {got['exchanges']}"
+    )
+    # a broadcast join degrading to a shuffle join is a regression; the
+    # reverse (more broadcasts, fewer shuffle joins) is an improvement
+    shuffly = lambda j: j.get("SortMergeJoin", 0) + j.get("ShuffledHashJoin", 0)
+    assert shuffly(got["joins"]) <= shuffly(want["joins"]), (
+        f"{name}: shuffle-join count grew {want['joins']} -> {got['joins']}"
+    )
