@@ -71,6 +71,10 @@ HEADLINE = [
     "incremental_near_dedup",  # bipartite delta-vs-corpus shingle join
     "mixture_resampled_docs",  # deterministic stochastic-rounding resample
     "cdc_user_snapshot",       # last-op-wins changelog apply (max_by)
+    "user_funnel_steps",       # aggregation-only ordered funnel
+    "weekly_retention_cohorts",# cohort x offset retention matrix
+    "events_quality_checks",   # N expectation rules in one scan
+    "zorder_events_key",       # Morton interleave, pure codegen
     # embedding_near_pairs_lsh is oracle-verified but excluded here: at 2k
     # vectors its bucket pruning (~3x) is below the explode+join overhead —
     # the operator pays off when per-bucket cardinality << corpus (real scale)
