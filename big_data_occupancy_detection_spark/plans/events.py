@@ -1022,3 +1022,45 @@ def weekly_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy(
         "cohort_week", offset.alias("week_offset")
     ).agg(F.count(F.lit(1)).alias("n_active_users"))
+
+
+# --------------------------------------------------------------------------
+# q — event-transition matrix: (prev_type → type) bigram counts per user
+# ordering with the per-prev transition probability — the Markov-chain
+# estimate behind next-event prediction. One window shuffle on user_id,
+# then a tiny (K², K=5) aggregation.
+# --------------------------------------------------------------------------
+@register(
+    "event_type_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events),
+    pairs AS (
+      SELECT prev_type, event_type, count(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY 1, 2)
+    SELECT prev_type, event_type, n,
+           round(n / CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE), 6)
+             AS p_transition
+    FROM pairs
+    """,
+)
+def event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    pairs = seq.groupBy("prev_type", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w_prev = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "event_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(w_prev), 6).alias("p_transition"),
+    )
