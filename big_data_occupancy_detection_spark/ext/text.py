@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..operators.generate import explode_fused
+
 from ..functions.text_fns import char_ngrams, md5_hash64, norm_text, tokens
 
 # Marker vocabularies for the language-ID heuristic. A deterministic
@@ -141,7 +143,7 @@ def bm25_rank(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )
     posts = (
-        base.select("doc_id", "dl", F.explode("t").alias("term"))
+        explode_fused(base, "t", "term", keep=["doc_id", "dl"])
         .filter(F.col("term").isin(list(terms)))
         .groupBy("doc_id", "dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))

@@ -117,6 +117,17 @@ def global_row_number(
     Requires ``order_cols`` to be a unique key for a fully deterministic
     assignment (same contract as the reference's 7-column sort,
     ``eda/merge_datasets.py:65-69``).
+
+    Tradeoff of the eager ``localCheckpoint`` below: it runs a full job at
+    DataFrame-construction time (laziness is lost), pins the data
+    UNREPLICATED on executors (an executor loss mid-pipeline fails the
+    query unrecoverably — acceptable for the short window between
+    checkpoint and consumption; rerun on failure), and downstream
+    ``explain``/plan-metrics see only the post-checkpoint plan fragment.
+    The alternative — deriving bucket ids from value-based range bounds
+    (percentile sampling) instead of ``spark_partition_id`` — would stay
+    lazy and AQE-stable; adopt it if executor loss during numbering ever
+    becomes a real operational concern.
     """
     order_exprs = [F.col(c) for c in order_cols]
     parted = df.repartitionByRange(*order_exprs).sortWithinPartitions(*order_exprs)
@@ -301,13 +312,18 @@ def quality_checks(df: DataFrame, checks: dict[str, Column]) -> DataFrame:
     The 100 TB version of an expectations suite: no per-rule passes, no
     driver-side row iteration.
     """
+    from ..functions.rounding import portable_round
+
     aggs = [
         F.sum((~c).cast("long")).alias(f"__v{i}")
         for i, (name, c) in enumerate(checks.items())
     ]
     row = df.agg(F.count(F.lit(1)).alias("__n"), *aggs)
+    # SQL-escape rule names ('' doubling) — a quote in a caller-supplied
+    # name must not break (or inject into) the stack() expression
     pairs = ", ".join(
-        f"'{name}', __v{i}" for i, name in enumerate(checks)
+        "'{}', __v{}".format(name.replace("'", "''"), i)
+        for i, name in enumerate(checks)
     )
     return row.select(
         F.col("__n").alias("n_rows"),
@@ -316,5 +332,7 @@ def quality_checks(df: DataFrame, checks: dict[str, Column]) -> DataFrame:
         "rule",
         "n_rows",
         "n_violations",
-        F.round(F.col("n_violations") / F.col("n_rows"), 6).alias("violation_rate"),
+        portable_round(F.col("n_violations") / F.col("n_rows"), 6).alias(
+            "violation_rate"
+        ),
     )

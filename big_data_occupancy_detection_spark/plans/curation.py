@@ -15,9 +15,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..ext import curation as C
+from ..functions.rounding import portable_round_sql
 from ..sources.readers import table
 from .registry import register
 from .textops import NORM_SQL, TOKENS_SQL, SHINGLES_SQL
+
+
+def PR6(e: str) -> str:
+    return portable_round_sql(e, 6)
 
 _TOKS_CTE = f"toks AS (SELECT doc_id, {TOKENS_SQL} AS t FROM documents)"
 
@@ -105,8 +110,8 @@ SELECT e.doc_id AS doc,
        CAST(count(*) AS BIGINT) AS n_shingles,
        CAST(sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
            AS n_hit,
-       round(sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)
-             / CAST(count(*) AS DOUBLE), 6) AS contamination,
+       (floor(CAST((sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE)) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS contamination,
        sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)
              / CAST(count(*) AS DOUBLE) > 0.2 AS contaminated
 FROM ex e LEFT JOIN bench b USING (shingle)
@@ -136,15 +141,15 @@ top AS (SELECT doc_id, max(c) AS top FROM tc GROUP BY 1),
 big AS (
   SELECT doc_id, len(t) AS n_tok,
          CASE WHEN len(t) < 2 THEN 0.0
-              ELSE round(1.0 - len(list_distinct(list_transform(
+              ELSE (floor(CAST((1.0 - len(list_distinct(list_transform(
                        range(1, len(t)),
                        i -> concat(t[i], ' ', t[i + 1]))))
-                   / CAST(len(t) - 1 AS DOUBLE), 6)
+                   / CAST(len(t) - 1 AS DOUBLE)) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0)
          END AS dup_bigram_frac
   FROM toks)
 SELECT b.doc_id AS doc,
        CAST(b.n_tok AS BIGINT) AS n_tok,
-       round(top.top / CAST(b.n_tok AS DOUBLE), 6) AS top_token_frac,
+       (floor(CAST((top.top / CAST(b.n_tok AS DOUBLE)) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS top_token_frac,
        b.dup_bigram_frac,
        (top.top / CAST(b.n_tok AS DOUBLE) <= 0.12
         AND b.dup_bigram_frac <= 0.55) AS keep
@@ -246,8 +251,8 @@ WITH base AS (
   SELECT doc_id, text, {_C4_NRM} AS nrm, {TOKENS_SQL} AS t FROM documents)
 SELECT doc_id AS doc,
        CAST(len(t) AS BIGINT) AS n_words,
-       round({_C4_MWL}, 6) AS mean_word_len,
-       round({_C4_ALPHA}, 6) AS alpha_ratio,
+       {PR6(_C4_MWL)} AS mean_word_len,
+       {PR6(_C4_ALPHA)} AS alpha_ratio,
        {_C4_CURLY} AS has_curly,
        {_C4_BOILER} AS has_boilerplate,
        (len(t) BETWEEN 10 AND 100000
@@ -288,12 +293,12 @@ _HQ_ORACLE = f"""
 WITH {_TOKS_CTE},
 s AS (
   SELECT doc_id, len(t) AS n_tok,
-         round(list_sum(list_transform(t, x -> {_hq_weight_sql('x')}))
-               / CAST(len(t) AS DOUBLE), 9) AS s9
+         (floor(CAST((list_sum(list_transform(t, x -> {_hq_weight_sql('x')}))
+               / CAST(len(t) AS DOUBLE)) AS DOUBLE) * 1000000000.0 + 0.5) / 1000000000.0) AS s9
   FROM toks)
 SELECT doc_id AS doc,
        CAST(n_tok AS BIGINT) AS n_tok,
-       round(s9, 6) AS score,
+       (floor(CAST((s9) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS score,
        round(1.0 / (1.0 + exp(-s9)), 6) AS prob,
        round(1.0 / (1.0 + exp(-s9)), 6) >= 0.5 AS keep
 FROM s
@@ -323,9 +328,9 @@ per AS (
   FROM d GROUP BY source),
 tot AS (SELECT sum(n_tokens) AS tot, count(*) AS groups FROM per)
 SELECT source, n_docs, n_tokens,
-       round(n_tokens / CAST(tot AS DOUBLE), 6) AS token_share,
-       round(1.0 / groups, 6) AS target_share,
-       round((1.0 / groups) / (n_tokens / CAST(tot AS DOUBLE)), 6)
+       (floor(CAST((n_tokens / CAST(tot AS DOUBLE)) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS token_share,
+       (floor(CAST((1.0 / groups) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS target_share,
+       (floor(CAST(((1.0 / groups) / (n_tokens / CAST(tot AS DOUBLE))) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0)
            AS sampling_weight
 FROM per, tot
 """
@@ -411,7 +416,7 @@ def _pagerank_oracle() -> str:
       SELECT d1, d2 FROM prs p
       JOIN sizes sa ON sa.doc_id = p.d1
       JOIN sizes sb ON sb.doc_id = p.d2
-      WHERE round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6)
+      WHERE (floor(CAST((CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter)) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0)
             >= {_JACCARD_T}),
     e AS (SELECT d1 AS src, d2 AS dst FROM jp
           UNION ALL SELECT d2, d1 FROM jp),
@@ -422,7 +427,7 @@ def _pagerank_oracle() -> str:
         (SELECT src, count(*) AS outdeg FROM e GROUP BY 1) o
         ON o.src = n.node),
     nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM base),
-    r0 AS (SELECT node, round(1.0 / (SELECT n FROM nn), 12) AS pr FROM base)"""
+    r0 AS (SELECT node, (floor(CAST((1.0 / (SELECT n FROM nn)) AS DOUBLE) * 1000000000000.0 + 0.5) / 1000000000000.0) AS pr FROM base)"""
     iters = []
     for i in range(1, _PR_ITERS + 1):
         p = i - 1
@@ -436,10 +441,9 @@ def _pagerank_oracle() -> str:
       FROM r{p} JOIN base USING (node) WHERE outdeg = 0),
     r{i} AS (
       SELECT b.node,
-             round((1.0 - {_PR_DAMP}) / (SELECT n FROM nn)
+             (floor(CAST(((1.0 - {_PR_DAMP}) / (SELECT n FROM nn)
                    + {_PR_DAMP} * (coalesce(c{i}.inflow, 0.0)
-                       + (SELECT dmass FROM d{i}) / (SELECT n FROM nn)),
-                   12) AS pr
+                       + (SELECT dmass FROM d{i}) / (SELECT n FROM nn))) AS DOUBLE) * 1000000000000.0 + 0.5) / 1000000000000.0) AS pr
       FROM base b LEFT JOIN c{i} ON c{i}.node = b.node)""")
     return (
         head
@@ -530,7 +534,7 @@ per AS (
 tot AS (SELECT sum(n_tokens) AS tot, count(*) AS groups FROM per),
 mixw AS (
   SELECT source,
-         round((1.0 / groups) / (n_tokens / CAST(tot AS DOUBLE)), 6) AS w
+         (floor(CAST(((1.0 / groups) / (n_tokens / CAST(tot AS DOUBLE))) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS w
   FROM per, tot),
 cop AS (
   SELECT doc_id, source,

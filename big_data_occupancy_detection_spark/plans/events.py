@@ -17,9 +17,19 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.datetime_fns import dow_monday, epoch_seconds
+from ..functions.rounding import portable_round, portable_round_sql
+from ..operators.generate import explode_fused
 from ..operators.relational import class_weights
 from ..sources.readers import table
 from .registry import register
+
+# Shorthand for oracle f-strings: PR4("expr") / PR6("expr").
+def PR4(e: str) -> str:
+    return portable_round_sql(e, 4)
+
+
+def PR6(e: str) -> str:
+    return portable_round_sql(e, 6)
 
 
 # --------------------------------------------------------------------------
@@ -27,10 +37,10 @@ from .registry import register
 # --------------------------------------------------------------------------
 @register(
     "hourly_activity",
-    oracle="""
+    oracle=f"""
     SELECT CAST(extract(hour FROM ts) AS INTEGER) AS hour,
            count(*) AS n_events,
-           round(avg(value), 4) AS avg_value
+           {PR4('avg(value)')} AS avg_value
     FROM events
     GROUP BY 1
     """,
@@ -41,7 +51,7 @@ def hourly_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.hour("ts").alias("hour"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            portable_round(F.avg("value"), 4).alias("avg_value"),
         )
     )
 
@@ -52,11 +62,11 @@ def hourly_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "dow_activity",
-    oracle="""
+    oracle=f"""
     SELECT CAST(isodow(ts) AS INTEGER) AS dow,
            count(*) AS n_events,
-           round(avg(value), 4) AS avg_value,
-           round(avg(CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END), 6) AS purchase_rate
+           {PR4('avg(value)')} AS avg_value,
+           {PR6("avg(CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END)")} AS purchase_rate
     FROM events
     GROUP BY 1
     """,
@@ -67,8 +77,8 @@ def dow_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(dow_monday("ts").cast("int").alias("dow"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
-            F.round(
+            portable_round(F.avg("value"), 4).alias("avg_value"),
+            portable_round(
                 F.avg(F.when(F.col("event_type") == "purchase", 1.0).otherwise(0.0)), 6
             ).alias("purchase_rate"),
         )
@@ -188,10 +198,9 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "event_class_weights",
-    oracle="""
+    oracle=f"""
     SELECT event_type,
-           round(CAST((SELECT count(*) FROM events) AS DOUBLE)
-                 / (5 * count(*)), 6) AS class_weight
+           {PR6('CAST((SELECT count(*) FROM events) AS DOUBLE) / (5 * count(*))')} AS class_weight
     FROM events
     GROUP BY event_type
     """,
@@ -202,7 +211,7 @@ def event_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         weighted.select("event_type", "class_weight")
         .dropDuplicates(["event_type"])
-        .select("event_type", F.round("class_weight", 6).alias("class_weight"))
+        .select("event_type", portable_round("class_weight", 6).alias("class_weight"))
     )
 
 
@@ -269,21 +278,21 @@ def parse_route_score_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "event_props_kv_stats",
-    oracle="""
+    oracle=f"""
     SELECT k AS key, count(*) AS n,
-           round(avg(CAST(json_extract(props, '$.' || k) AS INT)), 4) AS avg_val
+           {PR4("avg(CAST(json_extract(props, '$.' || k) AS INT))")} AS avg_val
     FROM (SELECT props, unnest(json_keys(props)) AS k FROM events)
     GROUP BY 1
     """,
 )
 def event_props_kv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
-    kv = ev.select(
-        F.explode(F.from_json("props", "map<string,int>")).alias("key", "val")
+    kv = explode_fused(
+        ev, F.from_json("props", "map<string,int>"), ("key", "val"), keep=[]
     )
     return kv.groupBy("key").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.avg("val"), 4).alias("avg_val"),
+        portable_round(F.avg("val"), 4).alias("avg_val"),
     )
 
 
@@ -298,7 +307,7 @@ def event_props_kv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "session_features",
-    oracle="""
+    oracle=f"""
     WITH flagged AS (
       SELECT user_id, event_id, ts, value,
              CASE WHEN lag(ts) OVER w IS NULL
@@ -315,7 +324,7 @@ def event_props_kv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessions AS (
       SELECT user_id, session_idx,
              count(*) AS n_events,
-             round(epoch(max(ts)) - epoch(min(ts)), 4) AS duration_s,
+             {PR4('epoch(max(ts)) - epoch(min(ts))')} AS duration_s,
              round(sum(value), 4) AS sum_value
       FROM sessioned GROUP BY 1, 2),
     user_orders AS (
@@ -346,7 +355,7 @@ def session_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sessions = sessioned.groupBy("user_id", "session_idx").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(
+        portable_round(
             F.max(epoch_seconds("ts")) - F.min(epoch_seconds("ts")), 4
         ).alias("duration_s"),
         F.round(F.sum("value"), 4).alias("sum_value"),
@@ -432,9 +441,8 @@ _EWMA_ALPHA = 0.3
     oracle=f"""
     SELECT user_id,
            count(*) AS n_events,
-           round(list_reduce(list(value ORDER BY ts, event_id),
-                             (acc, x) -> acc * {1.0 - _EWMA_ALPHA} + {_EWMA_ALPHA} * x),
-                 6) AS ewma_value
+           {PR6(f'''list_reduce(list(value ORDER BY ts, event_id),
+                             (acc, x) -> acc * {1.0 - _EWMA_ALPHA} + {_EWMA_ALPHA} * x)''')} AS ewma_value
     FROM events GROUP BY user_id
     """,
 )
@@ -446,7 +454,7 @@ def user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, "user_id", ["ts", "event_id"], "value", alpha=_EWMA_ALPHA
     )
     return out.select(
-        "user_id", "n_events", F.round("ewma_value", 6).alias("ewma_value")
+        "user_id", "n_events", portable_round("ewma_value", 6).alias("ewma_value")
     )
 
 
@@ -459,9 +467,8 @@ def user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT user_id,
            count(*) AS n_events,
-           round(list_reduce(list(value ORDER BY ts, event_id),
-                             (acc, x) -> acc * {1.0 - _EWMA_ALPHA} + {_EWMA_ALPHA} * x),
-                 6) AS ewma_value
+           {PR6(f'''list_reduce(list(value ORDER BY ts, event_id),
+                             (acc, x) -> acc * {1.0 - _EWMA_ALPHA} + {_EWMA_ALPHA} * x)''')} AS ewma_value
     FROM events GROUP BY user_id
     """,
 )
@@ -473,7 +480,7 @@ def user_value_ewma_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, "user_id", ["ts", "event_id"], "value", alpha=_EWMA_ALPHA
     )
     return out.select(
-        "user_id", "n_events", F.round("ewma_value", 6).alias("ewma_value")
+        "user_id", "n_events", portable_round("ewma_value", 6).alias("ewma_value")
     )
 
 
@@ -586,7 +593,7 @@ def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "event_key_skew_profile",
-    oracle="""
+    oracle=f"""
     WITH per_key AS (
       SELECT event_type, user_id, count(*) AS cnt
       FROM events GROUP BY 1, 2)
@@ -594,8 +601,8 @@ def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_keys,
            sum(cnt) AS total_rows,
            max(cnt) AS max_cnt,
-           round(avg(cnt), 4) AS avg_cnt,
-           round(max(cnt) / avg(cnt), 4) AS skew_ratio,
+           {PR4('avg(cnt)')} AS avg_cnt,
+           {PR4('max(cnt) / avg(cnt)')} AS skew_ratio,
            CAST(ceil(max(cnt) / avg(cnt)) AS BIGINT) AS salt_buckets
     FROM per_key
     GROUP BY 1
@@ -610,8 +617,8 @@ def event_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_keys"),
         F.sum("cnt").alias("total_rows"),
         F.max("cnt").alias("max_cnt"),
-        F.round(F.avg("cnt"), 4).alias("avg_cnt"),
-        F.round(F.max("cnt") / F.avg("cnt"), 4).alias("skew_ratio"),
+        portable_round(F.avg("cnt"), 4).alias("avg_cnt"),
+        portable_round(F.max("cnt") / F.avg("cnt"), 4).alias("skew_ratio"),
         F.ceil(F.max("cnt") / F.avg("cnt")).cast("long").alias("salt_buckets"),
     )
 
@@ -751,7 +758,7 @@ def sliding_hour_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "events_interp_daily",
-    oracle="""
+    oracle=f"""
     WITH bounds AS (
       SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1
       FROM events),
@@ -778,12 +785,12 @@ def sliding_hour_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
              wf AS (PARTITION BY s.user_id ORDER BY s.day
                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
     SELECT user_id, day,
-           round(CASE WHEN pv IS NULL THEN nv
+           {PR6('''CASE WHEN pv IS NULL THEN nv
                       WHEN nv IS NULL THEN pv
                       WHEN nd = pd THEN pv
                       ELSE pv + (nv - pv) * (CAST(day - pd AS DOUBLE)
                                              / CAST(nd - pd AS DOUBLE))
-                 END, 6) AS interp_value
+                 END''')} AS interp_value
     FROM marked
     """,
 )
@@ -828,7 +835,7 @@ def events_interp_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(pv + (nv - pv) * frac)
     )
     return marked.select(
-        "user_id", "day", F.round(interp, 6).alias("interp_value")
+        "user_id", "day", portable_round(interp, 6).alias("interp_value")
     )
 
 
@@ -888,7 +895,7 @@ def cdc_user_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "events_quality_checks",
-    oracle="""
+    oracle=f"""
     WITH agg AS (
       SELECT count(*) AS n_rows,
              sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS v0,
@@ -900,7 +907,7 @@ def cdc_user_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
              sum(CASE WHEN NOT (value < 100) THEN 1 ELSE 0 END) AS v4
       FROM events)
     SELECT u.rule, a.n_rows, u.n_violations,
-           round(u.n_violations / CAST(a.n_rows AS DOUBLE), 6) AS violation_rate
+           {PR6('u.n_violations / CAST(a.n_rows AS DOUBLE)')} AS violation_rate
     FROM agg a, LATERAL (VALUES
       ('user_id_not_null', CAST(a.v0 AS BIGINT)),
       ('event_type_allowed', CAST(a.v1 AS BIGINT)),
@@ -1032,7 +1039,7 @@ def weekly_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "event_type_transitions",
-    oracle="""
+    oracle=f"""
     WITH seq AS (
       SELECT user_id, event_type,
              lag(event_type) OVER (PARTITION BY user_id
@@ -1043,7 +1050,7 @@ def weekly_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM seq WHERE prev_type IS NOT NULL
       GROUP BY 1, 2)
     SELECT prev_type, event_type, n,
-           round(n / CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE), 6)
+           {PR6('n / CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE)')}
              AS p_transition
     FROM pairs
     """,
@@ -1062,5 +1069,5 @@ def event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "prev_type",
         "event_type",
         "n",
-        F.round(F.col("n") / F.sum("n").over(w_prev), 6).alias("p_transition"),
+        portable_round(F.col("n") / F.sum("n").over(w_prev), 6).alias("p_transition"),
     )

@@ -26,6 +26,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.readers import table
+from ..functions.rounding import portable_round
+from ..operators.generate import explode_fused
 from .registry import register
 
 
@@ -44,7 +46,7 @@ from .registry import register
       UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
     SELECT measure, count(*) AS n,
            round(sum(val), 4) AS total,
-           round(avg(val), 6) AS mean,
+           (floor(CAST((avg(val)) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS mean,
            round(min(val), 6) AS min_val,
            round(max(val), 6) AS max_val
     FROM long GROUP BY measure
@@ -61,7 +63,7 @@ def lineitem_measures_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return long.groupBy("measure").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("val"), 4).alias("total"),
-        F.round(F.avg("val"), 6).alias("mean"),
+        portable_round(F.avg("val"), 6).alias("mean"),
         F.round(F.min("val"), 6).alias("min_val"),
         F.round(F.max("val"), 6).alias("max_val"),
     )
@@ -150,8 +152,8 @@ def top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderkey, o_orderstatus,
            CAST(ntile(4) OVER w AS BIGINT) AS quartile,
-           round(percent_rank() OVER w, 6) AS pct_rank,
-           round(cume_dist() OVER w, 6) AS cum_dist
+           (floor(CAST((percent_rank() OVER w) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS pct_rank,
+           (floor(CAST((cume_dist() OVER w) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS cum_dist
     FROM orders
     WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
     """,
@@ -162,8 +164,8 @@ def order_price_ntiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         "o_orderstatus",
         F.ntile(4).over(w).cast("long").alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
+        portable_round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        portable_round(F.cume_dist().over(w), 6).alias("cum_dist"),
     )
 
 
@@ -259,7 +261,7 @@ def customer_name_badges(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            CAST(count(k) AS BIGINT) AS n_k,
-           round(avg(k), 6) AS avg_k,
+           (floor(CAST((avg(k)) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS avg_k,
            CAST(max(k) AS BIGINT) AS max_k,
            CAST(sum(CASE WHEN k > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_high
     FROM (SELECT event_type,
@@ -276,7 +278,7 @@ def props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count("k").alias("n_k"),
-            F.round(F.avg("k"), 6).alias("avg_k"),
+            portable_round(F.avg("k"), 6).alias("avg_k"),
             F.max("k").alias("max_k"),
             F.sum(F.when(F.col("k") > 50, 1).otherwise(0)).cast("long").alias("n_high"),
         )
@@ -406,8 +408,7 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         "transform(slice(__t, 1, size(__t) - 1), (x, i) -> concat(x, ' ', __t[i + 1]))"
     )
     return (
-        docs.select(t.alias("__t"))
-        .select(F.explode(bigrams).alias("pair"))
+        explode_fused(docs.select(t.alias("__t")), bigrams, "pair", keep=[])
         .groupBy("pair")
         .agg(F.count(F.lit(1)).alias("freq"))
         .orderBy(F.desc("freq"), "pair")
@@ -416,19 +417,39 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Approximate distinct (HyperLogLog++): rows-only registry entry — the
-# sketch's exact value is engine-specific by nature, so correctness is a
-# tolerance gate in tests/test_curation.py instead of a value hash.
+# Approximate distinct (HyperLogLog++): the sketch's raw estimate is
+# engine-specific by nature (Spark HLL++ vs any oracle's own sketch), so
+# the PORTABLE contract — |approx − exact| / exact within the advertised
+# error envelope — is what the oracle hash-verifies: the query emits the
+# exact count plus a boolean tolerance verdict, both engine-deterministic.
+# The raw estimate's tolerance is additionally gated in
+# tests/test_curation.py.
 # --------------------------------------------------------------------------
-@register("approx_distinct_users", oracle=None)
+_HLL_TOL = 0.05  # rsd=0.02 → 2.5σ envelope; deterministic per dataset
+
+
+@register(
+    "approx_distinct_users",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS exact_users,
+           true AS approx_ok
+    FROM events GROUP BY 1
+    """,
+)
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-event-type approx_count_distinct(user_id) (HLL++, rsd 2%) next
-    to the exact count — the constant-memory cardinality path for 100 TB
-    streams where exact countDistinct shuffles every key."""
+    """Per-event-type approx_count_distinct(user_id) (HLL++, rsd 2%)
+    checked in-plan against the exact count — the constant-memory
+    cardinality path for 100 TB streams where exact countDistinct
+    shuffles every key."""
     ev = table(spark, sf_dir, "events")
+    approx = F.approx_count_distinct("user_id", rsd=0.02)
+    exact = F.countDistinct("user_id")
     return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.countDistinct("user_id").alias("exact_users"),
+        exact.alias("exact_users"),
+        (
+            F.abs(approx.cast("double") - exact) / exact <= F.lit(_HLL_TOL)
+        ).alias("approx_ok"),
     )
 
 
@@ -437,28 +458,52 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sketches that UNION to coarser grains without touching raw data — the
 # property that makes sketch rollup trees work at 100 TB (a daily job
 # materializes per-(type, day) sketches once; any later grain is a cheap
-# sketch union, never a rescan). The estimates are sketch-implementation-
-# specific, so this is a rows-only registry entry; the merge property
-# itself (union of per-type sketches == direct global sketch) is asserted
-# exactly in tests/test_curation.py.
+# sketch union, never a rescan). Raw estimates are sketch-implementation-
+# specific, so — like approx_distinct_users above — the oracle verifies
+# the portable contract: exact counts per grain, plus a boolean that each
+# estimate (including the UNIONED rollup) lands within the error envelope
+# of its grain's exact count. The merge property itself (union of
+# per-type sketches == direct global sketch) is asserted exactly in
+# tests/test_curation.py.
 # --------------------------------------------------------------------------
-@register("hll_rollup_users", oracle=None)
+@register(
+    "hll_rollup_users",
+    oracle="""
+    SELECT event_type, count(DISTINCT user_id) AS exact_users, true AS est_ok
+    FROM events GROUP BY 1
+    UNION ALL
+    SELECT 'ALL', count(DISTINCT user_id), true FROM events
+    """,
+)
 def hll_rollup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     per = ev.groupBy("event_type").agg(
         F.hll_sketch_agg("user_id").alias("sk"),
         F.count_distinct("user_id").alias("exact_users"),
     )
+    tol = F.lit(_HLL_TOL)
     per_rows = per.select(
         "event_type",
-        F.hll_sketch_estimate("sk").alias("est_users"),
         "exact_users",
+        (
+            F.abs(F.hll_sketch_estimate("sk").cast("double") - F.col("exact_users"))
+            / F.col("exact_users")
+            <= tol
+        ).alias("est_ok"),
     )
-    merged = per.agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"),
-    ).select(
-        F.lit("ALL").alias("event_type"),
-        "est_users",
-        F.lit(None).cast("long").alias("exact_users"),
+    # the rollup row unions the per-type sketches — never rescans raw data —
+    # and is checked against the global exact count (computed once here for
+    # verification; a production rollup would carry only the sketches)
+    global_exact = ev.agg(F.count_distinct("user_id").alias("g")).select("g")
+    merged = (
+        per.agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .crossJoin(F.broadcast(global_exact))
+        .select(
+            F.lit("ALL").alias("event_type"),
+            F.col("g").alias("exact_users"),
+            (F.abs(F.col("est").cast("double") - F.col("g")) / F.col("g") <= tol).alias(
+                "est_ok"
+            ),
+        )
     )
     return per_rows.unionByName(merged)

@@ -13,6 +13,7 @@ from ..ml.evaluation import confusion_matrix
 from ..ml.pipelines import build_weighted_lr_pipeline, strip_training_summary
 from ..operators.relational import class_weights
 from ..sources.readers import table
+from ..functions.rounding import portable_round
 from .registry import register
 
 
@@ -26,10 +27,10 @@ from .registry import register
     SELECT user_id,
            count(*) AS n_events,
            CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
-           round(avg(value), 4) AS avg_value,
+           (floor(CAST((avg(value)) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS avg_value,
            round(max(value), 4) AS max_value,
            CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_active_days,
-           round(avg(CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END), 6) AS purchase_rate
+           (floor(CAST((avg(CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END)) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS purchase_rate
     FROM events
     GROUP BY user_id
     """,
@@ -40,10 +41,10 @@ def user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.when(is_purchase, 1).otherwise(0)).alias("n_purchases"),
-        F.round(F.avg("value"), 4).alias("avg_value"),
+        portable_round(F.avg("value"), 4).alias("avg_value"),
         F.round(F.max("value"), 4).alias("max_value"),
         F.countDistinct(F.col("ts").cast("date")).alias("n_active_days"),
-        F.round(F.avg(F.when(is_purchase, 1.0).otherwise(0.0)), 6).alias(
+        portable_round(F.avg(F.when(is_purchase, 1.0).otherwise(0.0)), 6).alias(
             "purchase_rate"
         ),
     )
@@ -61,10 +62,33 @@ def _embedding_training_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _gate_confusion(cm: DataFrame, min_accuracy: float, name: str) -> DataFrame:
+    """Self-validating rows-only entry: an MLlib fit has no ANSI oracle, so
+    the registry path itself enforces the metric-range gates test_ml.py
+    applies (well-formed binary matrix, accuracy above the floor) and
+    RAISES on violation — a driver round then records an ERROR row instead
+    of silently passing a degenerate model. The matrix is ≤4 rows, so the
+    collect is a driver-side scalar check, not a data move; the fitted
+    model is already materialized, so the returned frame re-runs only the
+    cheap transform."""
+    rows = cm.collect()
+    total = sum(r.n for r in rows)
+    labels = {r.label for r in rows} | {r.prediction for r in rows}
+    if total <= 0 or not labels <= {0, 1}:
+        raise ValueError(f"{name}: malformed confusion matrix {rows}")
+    acc = sum(r.n for r in rows if r.label == r.prediction) / total
+    if acc < min_accuracy:
+        raise ValueError(
+            f"{name}: train accuracy {acc:.4f} below gate {min_accuracy}"
+        )
+    return cm
+
+
 # --------------------------------------------------------------------------
 # q36 — class-weighted LR train/score (SURVEY M1-M4, M7, M9): returns the
 # confusion matrix of train-set predictions. Rows-only check (iterative
-# LBFGS fit), metric gates live in tests/test_ml.py.
+# LBFGS fit) with in-path metric gates via _gate_confusion; dataset-specific
+# gates live in tests/test_ml.py.
 # --------------------------------------------------------------------------
 @register("lr_confusion_embeddings", oracle=None)
 def lr_confusion_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -86,7 +110,10 @@ def lr_confusion_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         elasticNetParam=0.0,
     )
     model = strip_training_summary(Pipeline(stages=[scaler, lr]).fit(weighted))
-    return confusion_matrix(model.transform(weighted))
+    cm = confusion_matrix(model.transform(weighted))
+    # better-than-chance floor: the synthetic labels cap attainable
+    # accuracy ~0.64; the gate catches degenerate/constant models
+    return _gate_confusion(cm, 0.5, "lr_confusion_embeddings")
 
 
 # --------------------------------------------------------------------------
@@ -103,4 +130,5 @@ def lr_user_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["n_events", "avg_value", "max_value", "n_active_days"]
     )
     model = strip_training_summary(pipeline.fit(weighted))
-    return confusion_matrix(model.transform(weighted))
+    cm = confusion_matrix(model.transform(weighted))
+    return _gate_confusion(cm, 0.5, "lr_user_purchase")

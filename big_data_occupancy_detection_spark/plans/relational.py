@@ -25,6 +25,7 @@ from ..operators.relational import (
 )
 from ..operators.topk import top_k_per_group
 from ..sources.readers import table
+from ..functions.rounding import portable_round, portable_round_sql
 from .registry import register
 
 
@@ -45,9 +46,9 @@ def _ts(s: str):
            round(sum(l_extendedprice), 4)                                   AS sum_base_price,
            round(sum(l_extendedprice * (1 - l_discount)), 4)                AS sum_disc_price,
            round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4)  AS sum_charge,
-           round(avg(l_quantity), 4)                                        AS avg_qty,
-           round(avg(l_extendedprice), 4)                                   AS avg_price,
-           round(avg(l_discount), 4)                                        AS avg_disc,
+           (floor(CAST((avg(l_quantity)) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS avg_qty,
+           (floor(CAST((avg(l_extendedprice)) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS avg_price,
+           (floor(CAST((avg(l_discount)) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS avg_disc,
            count(*)                                                         AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -65,9 +66,9 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
             F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
             F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            portable_round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            portable_round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            portable_round(F.avg("l_discount"), 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -219,7 +220,7 @@ def inactive_customers_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
            count(*) AS n_items,
-           round(avg(l_quantity), 6) AS avg_qty
+           (floor(CAST((avg(l_quantity)) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS avg_qty
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
       AND l_discount BETWEEN 0.04 AND 0.06 AND l_quantity < 24
@@ -239,7 +240,7 @@ def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "revenue"
             ),
             F.count(F.lit(1)).alias("n_items"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            portable_round(F.avg("l_quantity"), 6).alias("avg_qty"),
         )
     )
 
@@ -275,7 +276,7 @@ _DESCRIBE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
         f"""
     SELECT '{c}' AS col_name,
            CAST(count({c}) AS DOUBLE)      AS n,
-           round(avg({c}), 6)              AS mean,
+           {portable_round_sql(f'avg({c})', 6)}              AS mean,
            round(stddev_samp({c}), 6)      AS std,
            CAST(min({c}) AS DOUBLE)        AS min,
            CAST(max({c}) AS DOUBLE)        AS max
@@ -288,7 +289,7 @@ def describe_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "col_name",
         "n",
-        F.round("mean", 6).alias("mean"),
+        portable_round("mean", 6).alias("mean"),
         F.round("std", 6).alias("std"),
         "min",
         "max",
@@ -418,7 +419,7 @@ def dedup_rekey_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT coalesce(r_name, 'ALL') AS region_name,
            coalesce(n_name, 'ALL') AS nation_name,
            count(*) AS n_customers,
-           round(avg(c_acctbal), 4) AS avg_acctbal
+           (floor(CAST((avg(c_acctbal)) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS avg_acctbal
     FROM customer c
     JOIN nation n ON c.c_nationkey = n.n_nationkey
     JOIN region r ON n.n_regionkey = r.r_regionkey
@@ -436,7 +437,7 @@ def customer_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.rollup("r_name", "n_name")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
+            portable_round(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
         )
         .select(
             F.coalesce("r_name", F.lit("ALL")).alias("region_name"),
@@ -661,7 +662,7 @@ def customer_order_counts_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderstatus,
            round(median(o_totalprice), 4) AS median_price,
            round(stddev_samp(o_totalprice), 4) AS sd_price,
-           round(var_samp(o_totalprice), 4) AS var_price,
+           (floor(CAST((var_samp(o_totalprice)) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS var_price,
            count(*) AS n
     FROM orders
     GROUP BY o_orderstatus
@@ -672,7 +673,7 @@ def order_price_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.groupBy("o_orderstatus").agg(
         F.round(F.median("o_totalprice"), 4).alias("median_price"),
         F.round(F.stddev_samp("o_totalprice"), 4).alias("sd_price"),
-        F.round(F.var_samp("o_totalprice"), 4).alias("var_price"),
+        portable_round(F.var_samp("o_totalprice"), 4).alias("var_price"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -881,9 +882,9 @@ def order_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT user_id,
            count(*) AS n_events,
-           round(regr_slope(value, epoch_us(ts) / 86400000000.0), 6) AS slope_per_day,
-           round(regr_intercept(value, epoch_us(ts) / 86400000000.0), 4) AS intercept,
-           round(regr_r2(value, epoch_us(ts) / 86400000000.0), 6) AS r2
+           (floor(CAST((regr_slope(value, epoch_us(ts) / 86400000000.0)) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS slope_per_day,
+           (floor(CAST((regr_intercept(value, epoch_us(ts) / 86400000000.0)) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS intercept,
+           (floor(CAST((regr_r2(value, epoch_us(ts) / 86400000000.0)) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS r2
     FROM events
     GROUP BY user_id
     """,
@@ -896,9 +897,9 @@ def user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = ev.select("user_id", F.col("value").alias("y"), x)
     return base.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.regr_slope("y", "x"), 6).alias("slope_per_day"),
-        F.round(F.regr_intercept("y", "x"), 4).alias("intercept"),
-        F.round(F.regr_r2("y", "x"), 6).alias("r2"),
+        portable_round(F.regr_slope("y", "x"), 6).alias("slope_per_day"),
+        portable_round(F.regr_intercept("y", "x"), 4).alias("intercept"),
+        portable_round(F.regr_r2("y", "x"), 6).alias("r2"),
     )
 
 

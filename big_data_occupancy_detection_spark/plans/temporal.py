@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from ..functions.datetime_fns import epoch_seconds
 from ..operators.temporal import asof_join, band_self_join_pairs
 from ..sources.readers import table
+from ..functions.rounding import portable_round
 from .registry import register
 
 # --------------------------------------------------------------------------
@@ -71,7 +72,7 @@ _BAND_S = 900
     oracle=f"""
     SELECT a.user_id,
            a.event_id AS a_id, b.event_id AS b_id,
-           round(epoch(b.ts) - epoch(a.ts), 4) AS gap_s
+           (floor(CAST((epoch(b.ts) - epoch(a.ts)) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS gap_s
     FROM events a JOIN events b
       ON a.user_id = b.user_id
      AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL {_BAND_S} SECOND
@@ -87,7 +88,7 @@ def event_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "a_id",
         "b_id",
-        F.round(epoch_seconds("b_ts") - epoch_seconds("a_ts"), 4).alias(
+        portable_round(epoch_seconds("b_ts") - epoch_seconds("a_ts"), 4).alias(
             "gap_s"
         ),
     )

@@ -21,6 +21,7 @@ from ..ext import dedup as D
 from ..ext import multimodal as MM
 from ..ext import similarity as SIM
 from ..ext import text as TX
+from ..functions.rounding import portable_round
 from ..sources.readers import table
 from .registry import register
 
@@ -62,12 +63,12 @@ feat AS (
 SELECT doc_id,
        CAST(n_tok AS BIGINT) AS n_tokens,
        CAST(n_bpe AS BIGINT) AS n_tokens_bpe,
-       round(CAST(n_char - (n_tok - 1) AS DOUBLE) / n_tok, 6) AS avg_token_len,
-       round(CAST(stop_hits AS DOUBLE) / n_tok, 6) AS stopword_ratio,
-       round(CAST(n_distinct AS DOUBLE) / n_tok, 6) AS distinct_token_ratio,
-       round((least(n_tok / 50.0, 1.0)
+       (floor(CAST((CAST(n_char - (n_tok - 1) AS DOUBLE) / n_tok) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS avg_token_len,
+       (floor(CAST((CAST(stop_hits AS DOUBLE) / n_tok) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS stopword_ratio,
+       (floor(CAST((CAST(n_distinct AS DOUBLE) / n_tok) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS distinct_token_ratio,
+       (floor(CAST(((least(n_tok / 50.0, 1.0)
               + least((CAST(stop_hits AS DOUBLE) / n_tok) * 5.0, 1.0)
-              + CAST(n_distinct AS DOUBLE) / n_tok) / 3.0, 6) AS quality
+              + CAST(n_distinct AS DOUBLE) / n_tok) / 3.0) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS quality
 FROM feat
 """
 
@@ -80,10 +81,10 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         f["n_tokens"].alias("n_tokens"),
         TX.token_count_bpe("text").cast("long").alias("n_tokens_bpe"),
-        F.round(f["avg_token_len"], 6).alias("avg_token_len"),
-        F.round(f["stopword_ratio"], 6).alias("stopword_ratio"),
-        F.round(f["distinct_token_ratio"], 6).alias("distinct_token_ratio"),
-        F.round(TX.quality_score("text"), 6).alias("quality"),
+        portable_round(f["avg_token_len"], 6).alias("avg_token_len"),
+        portable_round(f["stopword_ratio"], 6).alias("stopword_ratio"),
+        portable_round(f["distinct_token_ratio"], 6).alias("distinct_token_ratio"),
+        portable_round(TX.quality_score("text"), 6).alias("quality"),
     )
 
 
@@ -177,11 +178,11 @@ pairs AS (
   FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
   GROUP BY 1, 2)
 SELECT d1, d2,
-       round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+       (floor(CAST((CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter)) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS jaccard
 FROM pairs p
 JOIN sizes sa ON sa.doc_id = p.d1
 JOIN sizes sb ON sb.doc_id = p.d2
-WHERE round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6) >= {_JACCARD_T}
+WHERE (floor(CAST((CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter)) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) >= {_JACCARD_T}
 """
 
 
@@ -228,9 +229,9 @@ def _minhash_oracle() -> str:
       JOIN sh s1 ON s1.doc_id = c.d1
       JOIN sh s2 ON s2.doc_id = c.d2)
     SELECT d1, d2,
-           round(CAST(inter AS DOUBLE) / (n1 + n2 - inter), 6) AS jaccard
+           (floor(CAST((CAST(inter AS DOUBLE) / (n1 + n2 - inter)) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS jaccard
     FROM verified
-    WHERE round(CAST(inter AS DOUBLE) / (n1 + n2 - inter), 6) >= {_JACCARD_T}
+    WHERE (floor(CAST((CAST(inter AS DOUBLE) / (n1 + n2 - inter)) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) >= {_JACCARD_T}
     """
 
 
@@ -380,7 +381,11 @@ def _lsh_topk_oracle() -> str:
 @register("embedding_lsh_topk", oracle=_lsh_topk_oracle())
 def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
-    return SIM.lsh_bucketed_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    # plane_dim=64: the embeddings table's dimension (TESTDATA.md) — plane
+    # components become literal arrays instead of per-row md5 expressions
+    return SIM.lsh_bucketed_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, plane_dim=64
+    )
 
 
 # --------------------------------------------------------------------------
@@ -549,9 +554,9 @@ feat AS (
 q AS (
   SELECT doc_id,
          CAST(n_tok AS BIGINT) AS n_tokens,
-         round((least(n_tok / 50.0, 1.0)
+         (floor(CAST(((least(n_tok / 50.0, 1.0)
                 + least((CAST(stop_hits AS DOUBLE) / n_tok) * 5.0, 1.0)
-                + CAST(n_distinct AS DOUBLE) / n_tok) / 3.0, 6) AS quality
+                + CAST(n_distinct AS DOUBLE) / n_tok) / 3.0) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS quality
   FROM feat),
 sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
 inv AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
@@ -563,7 +568,7 @@ neardup AS (
   SELECT DISTINCT d2 FROM pairs p
   JOIN sizes sa ON sa.doc_id = p.d1
   JOIN sizes sb ON sb.doc_id = p.d2
-  WHERE round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6)
+  WHERE (floor(CAST((CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter)) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0)
         >= {_JACCARD_T})
 SELECT d.doc_id, d.lang, q.n_tokens, q.quality
 FROM documents d
@@ -601,7 +606,7 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         f["n_tokens"].alias("n_tokens"),
-        F.round(TX.quality_score("text"), 6).alias("quality"),
+        portable_round(TX.quality_score("text"), 6).alias("quality"),
     ).filter(
         (F.col("quality") >= _CURATION_MIN_QUALITY)
         & (F.col("n_tokens") >= _CURATION_MIN_TOKENS)
@@ -702,11 +707,11 @@ pairs AS (
   FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
   GROUP BY 1, 2)
 SELECT d1, d2,
-       round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+       (floor(CAST((CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter)) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS jaccard
 FROM pairs p
 JOIN sizes sa ON sa.doc_id = p.d1
 JOIN sizes sb ON sb.doc_id = p.d2
-WHERE round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6) >= {_JACCARD_T}
+WHERE (floor(CAST((CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter)) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) >= {_JACCARD_T}
 """
 
 
@@ -768,7 +773,9 @@ def _lsh_near_pairs_oracle() -> str:
 
 @register("embedding_near_pairs_lsh", oracle=_lsh_near_pairs_oracle())
 def embedding_near_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return SIM.lsh_near_pairs(table(spark, sf_dir, "embeddings"), _NEAR_T)
+    return SIM.lsh_near_pairs(
+        table(spark, sf_dir, "embeddings"), _NEAR_T, plane_dim=64
+    )
 
 
 # --------------------------------------------------------------------------
@@ -793,7 +800,7 @@ pairs AS (
   FROM prs p
   JOIN sizes sa ON sa.doc_id = p.d1
   JOIN sizes sb ON sb.doc_id = p.d2
-  WHERE round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6)
+  WHERE (floor(CAST((CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter)) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0)
         >= {_JACCARD_T}),
 edges AS (
   SELECT d1 AS a, d2 AS b FROM pairs
@@ -887,11 +894,10 @@ WITH clusters AS ({_CLUSTERS_ORACLE}),
 toksq AS (SELECT doc_id, {TOKENS_SQL} AS t FROM documents),
 q AS (
   SELECT doc_id,
-         round((least(len(t) / 50.0, 1.0)
+         (floor(CAST(((least(len(t) / 50.0, 1.0)
                 + least((CAST(len(list_filter(t, x -> list_contains([{_STOPS}], x)))
                          AS DOUBLE) / len(t)) * 5.0, 1.0)
-                + CAST(len(list_distinct(t)) AS DOUBLE) / len(t)) / 3.0,
-               6) AS quality
+                + CAST(len(list_distinct(t)) AS DOUBLE) / len(t)) / 3.0) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS quality
   FROM toksq),
 ranked AS (
   SELECT c.cluster, c.doc, q.quality,
@@ -909,7 +915,7 @@ def cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     clusters = D.near_dup_clusters_staged(docs, threshold=_JACCARD_T)
     quality = docs.select(
-        "doc_id", F.round(TX.quality_score("text"), 6).alias("quality")
+        "doc_id", portable_round(TX.quality_score("text"), 6).alias("quality")
     )
     joined = clusters.join(quality, clusters.doc == quality.doc_id)
     return joined.groupBy("cluster").agg(
@@ -988,7 +994,7 @@ dups AS (
   FROM pairs p
   JOIN sizes sc ON sc.doc_id = p.cdoc
   JOIN sizes sn ON sn.doc_id = p.ndoc
-  WHERE round(CAST(inter AS DOUBLE) / (sc.n_sh + sn.n_sh - inter), 6) >= {_JACCARD_T}
+  WHERE (floor(CAST((CAST(inter AS DOUBLE) / (sc.n_sh + sn.n_sh - inter)) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) >= {_JACCARD_T}
   GROUP BY 1)
 SELECT l.doc_id, d.dup_of, d.dup_of IS NULL AS keep
 FROM lab l LEFT JOIN dups d ON d.ndoc = l.doc_id

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.readers import table
+from ..functions.rounding import portable_round
 from .registry import register
 
 
@@ -118,8 +119,8 @@ def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN nation ns  ON ns.n_nationkey = s.s_nationkey
       WHERE r.r_name = 'ASIA' AND p.p_type = 'STANDARD')
     SELECT o_year,
-           round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
-                 / sum(volume), 6) AS mkt_share
+           (floor(CAST((sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
+                 / sum(volume)) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS mkt_share
     FROM base GROUP BY o_year
     """,
 )
@@ -156,7 +157,7 @@ def national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("o_year", F.year("o_orderdate").cast("long"))
         .groupBy("o_year")
         .agg(
-            F.round(
+            portable_round(
                 F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(0.0))
                 / F.sum(vol),
                 6,
@@ -294,10 +295,10 @@ def urgent_linestatus_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "promo_revenue",
     oracle="""
-    SELECT round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+    SELECT (floor(CAST((100.0 * sum(CASE WHEN p.p_type = 'PROMO'
                                   THEN l.l_extendedprice * (1 - l.l_discount)
                                   ELSE 0 END)
-                 / sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS promo_share
+                 / sum(l.l_extendedprice * (1 - l.l_discount))) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS promo_share
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
       AND l.l_shipdate <  TIMESTAMP '1997-10-01'
@@ -313,7 +314,7 @@ def promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .agg(
-            F.round(
+            portable_round(
                 100.0
                 * F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(0.0))
                 / F.sum(vol),
@@ -662,7 +663,7 @@ def lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT nullif(event_type, 'view') AS etype, count(*) AS n_events
       FROM events GROUP BY 1),
     b AS (
-      SELECT nullif(event_type, 'view') AS etype, round(avg(value), 6) AS avg_value
+      SELECT nullif(event_type, 'view') AS etype, (floor(CAST((avg(value)) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS avg_value
       FROM events GROUP BY 1)
     SELECT a.etype, a.n_events, b.avg_value
     FROM a JOIN b ON a.etype IS NOT DISTINCT FROM b.etype
@@ -673,7 +674,7 @@ def nullsafe_event_type_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "etype", F.nullif(F.col("event_type"), F.lit("view"))
     )
     a = ev.groupBy("etype").agg(F.count(F.lit(1)).alias("n_events"))
-    b = ev.groupBy("etype").agg(F.round(F.avg("value"), 6).alias("avg_value"))
+    b = ev.groupBy("etype").agg(portable_round(F.avg("value"), 6).alias("avg_value"))
     return a.join(b, a["etype"].eqNullSafe(b["etype"])).select(
         a["etype"].alias("etype"), "n_events", "avg_value"
     )

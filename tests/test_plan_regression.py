@@ -51,6 +51,13 @@ def test_plan_matches_baseline(spark, sf_dir, name):
     assert got["exchanges"] <= want["exchanges"], (
         f"{name}: shuffles grew {want['exchanges']} -> {got['exchanges']}"
     )
+    # per-kind: a new range/single-partition exchange must not appear even
+    # if the total stayed flat (e.g. a hash exchange traded for a sort)
+    for kind, n in got["exchange_kinds"].items():
+        assert n <= want["exchange_kinds"].get(kind, 0), (
+            f"{name}: exchange kind {kind} grew "
+            f"{want['exchange_kinds'].get(kind, 0)} -> {n}"
+        )
     # a broadcast join degrading to a shuffle join is a regression; the
     # reverse (more broadcasts, fewer shuffle joins) is an improvement
     shuffly = lambda j: j.get("SortMergeJoin", 0) + j.get("ShuffledHashJoin", 0)

@@ -71,3 +71,22 @@ def test_near_pairs_exact_guard(spark):
         SIM.near_pairs_threshold(emb, 0.4, max_rows=100)
     # override still allows the exact form
     assert SIM.near_pairs_threshold(emb, 0.99, max_rows=None).count() >= 0
+
+
+def test_plane_dim_fast_path_bucket_equivalence(spark, sf_dir):
+    """The literal-array plane fast path (plane_dim=64) must produce
+    bit-identical buckets to the per-row md5 expression path — the
+    precondition for sharing the md5-replaying DuckDB oracles."""
+    from pyspark.sql import functions as F
+
+    emb = table(spark, sf_dir, "embeddings")
+    slow = SIM.with_lsh_bucket(emb, 4, "embedding").select(
+        "vec_id", F.col("bucket").alias("b_slow")
+    )
+    fast = SIM.with_lsh_bucket(emb, 4, "embedding", plane_dim=64).select(
+        "vec_id", F.col("bucket").alias("b_fast")
+    )
+    diff = slow.join(fast, "vec_id").filter(
+        F.col("b_slow") != F.col("b_fast")
+    ).count()
+    assert diff == 0

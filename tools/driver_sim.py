@@ -2,12 +2,14 @@
 way the round driver does (fresh module load, stock SparkSession) and
 hash-compare each against its DuckDB oracle, timing both sides.
 
-Usage: python tools/driver_sim.py [sf_dir]   (default /root/testdata/sf0.01)
+Usage: python tools/driver_sim.py [sf_dir] [name1,name2,...]
+(default /root/testdata/sf0.01, all queries; SPARK_GRAFT_ONLY also filters)
 
 This is the pre-flight for CORRECTNESS_r{N}: if this prints 0 failures,
 the driver's own sweep will too."""
-import os
 import importlib.util
+import itertools
+import os
 import sys
 import time
 
@@ -28,6 +30,13 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders",
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
 
 qs, osql = m.queries(), m.oracle_sql()
+only = sys.argv[2] if len(sys.argv) > 2 else os.environ.get("SPARK_GRAFT_ONLY", "")
+if only:
+    wanted = {w.strip() for w in only.split(",") if w.strip()}
+    missing = wanted - qs.keys()
+    if missing:
+        sys.exit(f"unknown query name(s): {sorted(missing)}")
+    qs = {k: v for k, v in qs.items() if k in wanted}
 key = lambda t: tuple((v is None, str(v)) for v in t)
 
 results = []
@@ -51,9 +60,10 @@ for name in sorted(qs):
         ok = srows == orows
         results.append((name, "PASS" if ok else "FAIL", len(srows), t_spark, t_ora))
         if not ok:
-            for a, b in zip(srows, orows):
+            print(f"MISMATCH {name}: spark {len(srows)} rows vs oracle {len(orows)} rows")
+            for a, b in itertools.zip_longest(srows, orows):
                 if a != b:
-                    print("MISMATCH", name, "\n  s:", a, "\n  o:", b)
+                    print("  first diff\n  s:", a, "\n  o:", b)
                     break
     except Exception as ex:
         results.append((name, "ERROR: " + str(ex)[:80], 0, time.perf_counter() - t0, 0.0))
