@@ -91,3 +91,137 @@ def test_band_join_matches_naive(spark, rows, band):
             if 0 <= (tj - ti) * 60 <= band * 60 and (ti, i) < (tj, j):
                 expect.add((i, j))
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# Regenerated-data edge cases (round-2 VERDICT item 10): the driver rebuilds
+# testdata every round, so the tie/boundary behavior most likely to diverge
+# from an oracle on NEW data gets pinned explicitly — equal timestamps, rows
+# exactly ON band-bucket edges, duplicate keys — plus a second
+# boundary-biased hypothesis sweep (different value distribution than the
+# uniform one above, standing in for a second data seed).
+# ---------------------------------------------------------------------------
+
+def test_asof_equal_timestamp_and_duplicate_left(spark):
+    """Backward as-of is INCLUSIVE (left.ts == right.ts matches) and
+    duplicate left rows each resolve independently."""
+    ldf = spark.createDataFrame(
+        [
+            (0, 1, BASE),                               # exactly on a right ts
+            (1, 1, BASE),                               # duplicate left row
+            (2, 1, BASE - dt.timedelta(seconds=1)),     # just before any right
+            (3, 1, BASE + dt.timedelta(minutes=5)),     # exactly on 2nd right
+        ],
+        "lid LONG, k LONG, lts TIMESTAMP",
+    )
+    rdf = spark.createDataFrame(
+        [
+            (1, BASE, 10.0),
+            (1, BASE + dt.timedelta(minutes=5), 20.0),
+        ],
+        "k LONG, rts TIMESTAMP, val DOUBLE",
+    )
+    got = {
+        r.lid: r.val
+        for r in asof_join(
+            ldf, rdf, on=["k"], left_ts="lts", right_ts="rts", value_cols=["val"]
+        ).collect()
+    }
+    assert got == {0: 10.0, 1: 10.0, 2: None, 3: 20.0}
+
+
+def test_band_join_rows_exactly_on_bucket_edges(spark):
+    """Rows at exact multiples of band_seconds sit on the quantization
+    boundary between buckets; the two-replica scheme must still surface
+    every in-band pair exactly once, including dt == 0 and dt == band."""
+    from big_data_occupancy_detection_spark.operators.temporal import (
+        band_self_join_pairs,
+    )
+
+    band = 60  # seconds; BASE is already a whole-minute boundary
+    rows = [
+        (0, 1, BASE),                                # bucket edge
+        (1, 1, BASE),                                # tie at the same edge
+        (2, 1, BASE + dt.timedelta(seconds=band)),   # next edge: dt == band
+        (3, 1, BASE + dt.timedelta(seconds=2 * band)),
+        (4, 2, BASE),                                # other key, same edges
+        (5, 2, BASE + dt.timedelta(seconds=band)),
+    ]
+    df = spark.createDataFrame(rows, "id LONG, k LONG, t TIMESTAMP")
+    got = {
+        (r.a_id, r.b_id)
+        for r in band_self_join_pairs(
+            df, on=["k"], ts_col="t", id_col="id", band_seconds=band
+        ).collect()
+    }
+    assert got == {(0, 1), (0, 2), (1, 2), (2, 3), (4, 5)}
+
+
+boundary_ticks = st.sampled_from(
+    # concentrate mass ON and AROUND multiples of the band width (minutes)
+    [0, 1, 4, 5, 6, 9, 10, 11, 14, 15, 16, 59, 60]
+)
+boundary_rows = st.lists(st.tuples(keys, boundary_ticks), min_size=2, max_size=20)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=boundary_rows, band=st.sampled_from([5, 10, 15]))
+def test_band_join_boundary_biased(spark, rows, band):
+    from big_data_occupancy_detection_spark.operators.temporal import (
+        band_self_join_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(i, k, BASE + dt.timedelta(minutes=t)) for i, (k, t) in enumerate(rows)],
+        "id LONG, k LONG, t TIMESTAMP",
+    )
+    got = {
+        (r.a_id, r.b_id)
+        for r in band_self_join_pairs(
+            df, on=["k"], ts_col="t", id_col="id", band_seconds=band * 60
+        ).collect()
+    }
+    expect = set()
+    for i, (ki, ti) in enumerate(rows):
+        for j, (kj, tj) in enumerate(rows):
+            if ki != kj or i == j:
+                continue
+            if 0 <= (tj - ti) * 60 <= band * 60 and (ti, i) < (tj, j):
+                expect.add((i, j))
+    assert got == expect
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(left=st.lists(st.tuples(keys, boundary_ticks), min_size=1, max_size=20),
+       right=st.lists(st.tuples(keys, boundary_ticks, st.integers(0, 99)), max_size=20))
+def test_asof_boundary_biased(spark, left, right):
+    right_map = {(k, t): v for k, t, v in right}
+    right_list = [(k, t, v) for (k, t), v in right_map.items()]
+    ldf = spark.createDataFrame(
+        [(i, k, BASE + dt.timedelta(minutes=t)) for i, (k, t) in enumerate(left)],
+        "lid LONG, k LONG, lts TIMESTAMP",
+    )
+    rdf = spark.createDataFrame(
+        [(k, BASE + dt.timedelta(minutes=t), float(v)) for k, t, v in right_list],
+        "k LONG, rts TIMESTAMP, val DOUBLE",
+    ) if right_list else spark.createDataFrame([], "k LONG, rts TIMESTAMP, val DOUBLE")
+    got = {
+        r.lid: r.val
+        for r in asof_join(
+            ldf, rdf, on=["k"], left_ts="lts", right_ts="rts", value_cols=["val"]
+        ).collect()
+    }
+    for i, (k, t) in enumerate(left):
+        cands = [(rt, v) for (rk, rt), v in right_map.items() if rk == k and rt <= t]
+        expect = float(max(cands)[1]) if cands else None
+        assert got[i] == expect

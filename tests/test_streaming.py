@@ -171,7 +171,15 @@ def test_batch_stream_transform_equivalence(spark, tmp_path):
 
 
 def test_foreach_batch_multi_sink(spark, tmp_path, trained_model):
-    """foreachBatch fusion: two sinks, ONE source consumption."""
+    """foreachBatch fusion: two sinks, ONE source consumption — including
+    the single-EXECUTION guarantee: an accumulator tagged onto every
+    upstream row must end at exactly the row count, proving the batch plan
+    materialized once (the persist inside the handler) and both sinks read
+    the cache rather than re-executing the pipeline the way the
+    reference's two independent queries re-read the topic."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType
+
     from big_data_occupancy_detection_spark.streaming.inference import (
         foreach_batch_multi_sink,
         to_response_json,
@@ -180,6 +188,13 @@ def test_foreach_batch_multi_sink(spark, tmp_path, trained_model):
     src = tmp_path / "requests"
     src.mkdir()
     _write_requests(src, "b.json", [CASES["valid"], CASES["null_field"]])
+
+    executions = spark.sparkContext.accumulator(0)
+
+    @F.udf(StringType())
+    def tag(v):  # test-only instrumentation, not engine code
+        executions.add(1)
+        return v
 
     sink_a: list[int] = []
     sink_b: list[int] = []
@@ -193,7 +208,7 @@ def test_foreach_batch_multi_sink(spark, tmp_path, trained_model):
     raw = file_source(spark, str(src))
     responses = to_response_json(
         build_inference_pipeline(raw, model_score(trained_model))
-    )
+    ).withColumn("value", tag(F.col("value")))
     query = foreach_batch_multi_sink(responses, [a, b], str(tmp_path / "ckpt"))
     try:
         query.processAllAvailable()
@@ -201,6 +216,8 @@ def test_foreach_batch_multi_sink(spark, tmp_path, trained_model):
         query.stop()
     assert sum(sink_a) == 2
     assert sum(sink_b) == 2
+    # 2 rows, 2 sinks: a re-executing plan would tag 4+ rows
+    assert executions.value == 2
 
 
 def test_checkpoint_recovery_exactly_once(spark, tmp_path):
