@@ -470,6 +470,22 @@ def lsh_near_pairs(
     )
 
 
+def _split_bits(size_col, cap: int, max_bits: int):
+    """Smallest b in [0, max_bits] with size <= cap·2^b, as a when-chain of
+    INTEGER comparisons — deliberately not ``ceil(log2(size/cap))``: at an
+    exact power-of-two ratio the float log2 can land a half-ulp above the
+    integer on one engine and below on the other (Spark computes
+    log(x)/log(2); DuckDB uses std::log2), flipping ceil. Integer
+    comparisons have no boundary."""
+    expr = F.lit(max_bits)
+    for b in range(max_bits - 1, -1, -1):
+        expr = F.when(size_col <= F.lit(cap << b), F.lit(b)).otherwise(expr)
+    return expr
+
+
+SEMDEDUP_SPLIT_PLANES = 4
+
+
 def semantic_dedup(
     emb: DataFrame,
     threshold: float = 0.95,
@@ -477,6 +493,9 @@ def semantic_dedup(
     n_iters: int = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_cluster_size: int | None = None,
+    split_planes: int = SEMDEDUP_SPLIT_PLANES,
+    plane_dim: int | None = None,
 ) -> DataFrame:
     """(vid, cluster, dup_of, keep) — SemDeDup-style semantic deduplication
     (Abbas et al. 2023): partition the corpus with deterministic spherical
@@ -490,7 +509,24 @@ def semantic_dedup(
     shared with ``ivf_topk``), one hash shuffle for assignment, one
     per-cluster self-join. The keep rule is position-free and engine-
     portable (drop iff ∃ earlier similar member), so the whole output is
-    oracle-replayable, unlike the sequential greedy scan in the paper."""
+    oracle-replayable, unlike the sequential greedy scan in the paper.
+
+    ``max_cluster_size`` is the skew guard for the Σ m_c² pair stage: a
+    cluster of m rows costs m² cosines, so one hot cluster (near-duplicate
+    floods are exactly the corpora this operator targets) can dominate the
+    whole job. When set, every cluster larger than the cap is split by the
+    sign bits of b deterministic md5-derived hyperplanes (the
+    ``with_lsh_bucket`` family), with b = the smallest integer such that
+    size ≤ cap·2^b (capped at ``split_planes``) — so pair work per refined
+    cell is ~cap² and total extra cost is one vector scan + one hash
+    shuffle. Near-duplicates at threshold t land in the same sub-bucket
+    with probability ≥ (1 − arccos(t)/π)^b per pair (t=0.95 → 0.9^b):
+    bounded, documented recall loss in exchange for a bounded worst case —
+    the same trade SemDeDup itself makes by pruning with k-means. Output
+    schema/semantics are unchanged (``cluster`` stays the k-means id);
+    ``keep`` becomes a superset of the unguarded keeps (pairs crossing a
+    sub-bucket boundary are not examined). Guarded and unguarded forms are
+    identical whenever no cluster exceeds the cap (test-asserted)."""
     if n_centroids is None:
         n_centroids = IVF_CENTROIDS
     if n_iters is None:
@@ -509,6 +545,41 @@ def semantic_dedup(
         .select("vid", "cluster")
         .localCheckpoint(eager=True)
     )
+    if max_cluster_size is not None:
+        # Skew guard: split oversized clusters on LSH sign-bit sub-buckets.
+        # Sizes come from the already-checkpointed slim map (one tiny agg);
+        # the per-cluster bit depth is broadcast back; the sub-bucket bits
+        # cost one more (column-pruned) vector scan + one vid hash shuffle.
+        sizes = assigned.groupBy("cluster").agg(F.count("*").alias("__csz"))
+        depths = sizes.select(
+            "cluster",
+            _split_bits(F.col("__csz"), max_cluster_size, split_planes).alias("__b"),
+        )
+        sub = with_lsh_bucket(
+            emb.select(F.col(id_col).alias("vid"), vec_col),
+            split_planes,
+            vec_col,
+            plane_dim,
+        ).select("vid", F.col("bucket").alias("__sub"))
+        assigned = (
+            assigned.join(F.broadcast(depths), "cluster")
+            .join(sub, "vid")
+            .select(
+                "vid",
+                "cluster",
+                (
+                    F.col("cluster") * F.lit(1 << split_planes)
+                    # F.shiftleft takes only a literal bit count; the SQL
+                    # form accepts the per-cluster depth column
+                    + F.col("__sub").bitwiseAND(
+                        F.expr("shiftleft(1, __b)") - F.lit(1)
+                    )
+                ).alias("__jkey"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    else:
+        assigned = assigned.withColumn("__jkey", F.col("cluster"))
     # norms are computed ONCE per row here; the per-pair expression below
     # is then a single array fold (the dot) instead of cosine_similarity's
     # three (dot + both norms) — bitwise-identical values, since
@@ -519,13 +590,13 @@ def semantic_dedup(
         F.col(id_col).alias("vid"), vec_col, l2_norm(vec_col).alias("__nrm")
     )
     a = ev.join(assigned, "vid").select(
-        F.col("cluster"),
+        F.col("__jkey"),
         F.col("vid").alias("a_id"),
         F.col(vec_col).alias("a_vec"),
         F.col("__nrm").alias("a_nrm"),
     )
     b = ev.join(assigned, "vid").select(
-        F.col("cluster"),
+        F.col("__jkey"),
         F.col("vid").alias("b_id"),
         F.col(vec_col).alias("b_vec"),
         F.col("__nrm").alias("b_nrm"),
@@ -535,7 +606,7 @@ def semantic_dedup(
         dot("a_vec", "b_vec") / (F.col("a_nrm") * F.col("b_nrm")),
     )
     dup_edges = (
-        a.join(b, "cluster")
+        a.join(b, "__jkey")
         .filter(F.col("a_id") < F.col("b_id"))
         .filter(F.round(pair_cos, 9) > threshold)
         .groupBy(F.col("b_id").alias("vid"))

@@ -391,6 +391,84 @@ def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# semantic_dedup with the cluster-size skew guard: clusters larger than the
+# cap are split on md5-hyperplane sign-bit sub-buckets before the Σ m_c²
+# pair stage (one hot cluster can otherwise dominate a 100 TB job). Cap 16
+# at sf0.01's 500 vectors / 16 centroids (~31 avg cluster) so the guard
+# actually triggers 1-2 bit splits in the checked output. The per-cluster
+# bit depth is integer comparisons (no log2 — float log2 flips ceil at
+# exact power-of-two ratios between engines).
+# --------------------------------------------------------------------------
+
+_SEMDEDUP_CAP = 16
+
+
+def _semantic_dedup_capped_oracle() -> str:
+    from .textops import kmeans_cassign_ctes
+    from ..ext import similarity as SIM
+
+    planes = SIM.SEMDEDUP_SPLIT_PLANES
+    comp = (
+        "(CAST(('0x' || substr(md5('plane' || p || '|' || CAST(i - 1 AS VARCHAR)), 1, 15)) "
+        "AS BIGINT) % 2000001) / 1000000.0 - 1.0"
+    )
+    depth_case = " ".join(
+        f"WHEN csz <= {_SEMDEDUP_CAP << b} THEN {b}" for b in range(planes)
+    )
+    return f"""
+    WITH {kmeans_cassign_ctes()},
+    pl AS (
+      SELECT p, i, {comp} AS comp
+      FROM (SELECT unnest(range({planes})) AS p),
+           (SELECT DISTINCT generate_subscripts(embedding, 1) AS i FROM embeddings)),
+    pdots AS (
+      SELECT c.vec_id, pl.p, sum(c.v * pl.comp) AS d
+      FROM c JOIN pl ON c.i = pl.i GROUP BY 1, 2),
+    subbuck AS (
+      SELECT vec_id, CAST(sum(CASE WHEN d >= 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS sub
+      FROM pdots GROUP BY 1),
+    depths AS (
+      SELECT cluster, CASE {depth_case} ELSE {planes} END AS b
+      FROM (SELECT cluster, count(*) AS csz FROM cassign GROUP BY 1)),
+    refined AS (
+      SELECT ca.vec_id, ca.cluster,
+             ca.cluster * {1 << planes} + (sb.sub % (1::BIGINT << d.b)) AS jkey
+      FROM cassign ca JOIN depths d USING (cluster) JOIN subbuck sb USING (vec_id)),
+    pairsim AS (
+      SELECT a.vec_id AS aid, b.vec_id AS bid,
+             round(sum(ca.v * cb.v) / (na.nrm * nb.nrm), 9) AS cos9
+      FROM refined a JOIN refined b
+        ON a.jkey = b.jkey AND a.vec_id < b.vec_id
+      JOIN c ca ON ca.vec_id = a.vec_id
+      JOIN c cb ON cb.vec_id = b.vec_id AND cb.i = ca.i
+      JOIN norms na ON na.vec_id = a.vec_id
+      JOIN norms nb ON nb.vec_id = b.vec_id
+      GROUP BY a.vec_id, b.vec_id, na.nrm, nb.nrm),
+    dups AS (
+      SELECT bid AS vec_id, min(aid) AS dup_of
+      FROM pairsim WHERE cos9 > {_SEMDEDUP_T} GROUP BY bid)
+    SELECT r.vec_id AS vid, r.cluster, d.dup_of,
+           d.dup_of IS NULL AS keep
+    FROM refined r LEFT JOIN dups d USING (vec_id)
+    """
+
+
+@register("semantic_dedup_capped", oracle=_semantic_dedup_capped_oracle())
+def semantic_dedup_capped_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup with the max-cluster-size skew guard: oversized
+    k-means clusters are LSH-split so the per-cell pair cost is bounded by
+    ~cap² regardless of how skewed the corpus's embedding density is."""
+    from ..ext import similarity as SIM
+
+    return SIM.semantic_dedup(
+        table(spark, sf_dir, "embeddings"),
+        threshold=_SEMDEDUP_T,
+        max_cluster_size=_SEMDEDUP_CAP,
+        plane_dim=64,
+    )
+
+
+# --------------------------------------------------------------------------
 # PageRank over the document near-duplicate similarity graph (Jaccard
 # >= 0.5 pairs, undirected) — centrality for canonical-copy selection.
 # 3 synchronous power iterations, damping 0.85, per-iteration round-12 so

@@ -90,3 +90,49 @@ def test_plane_dim_fast_path_bucket_equivalence(spark, sf_dir):
         F.col("b_slow") != F.col("b_fast")
     ).count()
     assert diff == 0
+
+
+def test_semantic_dedup_cap_noop_when_clusters_small(spark, sf_dir):
+    """With a cap at least as large as the biggest k-means cluster, the
+    guarded form must equal the unguarded form row-for-row (every depth is
+    0, so the refined key degenerates to the cluster id)."""
+    emb = table(spark, sf_dir, "embeddings")
+    plain = SIM.semantic_dedup(emb, threshold=0.3)
+    n = emb.count()  # cap >= corpus size >= any cluster size
+    capped = SIM.semantic_dedup(
+        emb, threshold=0.3, max_cluster_size=n, plane_dim=64
+    )
+    key = lambda r: r["vid"]
+    assert sorted(map(tuple, plain.collect()), key=lambda t: t[0]) == sorted(
+        map(tuple, capped.collect()), key=lambda t: t[0]
+    )
+
+
+def test_semantic_dedup_cap_keeps_superset_and_triggers(spark, sf_dir):
+    """A small cap must (a) actually split at least one cluster, (b) never
+    drop a vector the unguarded form keeps (missed cross-bucket pairs can
+    only turn drops into keeps), and (c) keep dup_of edges a subset of the
+    unguarded edge set."""
+    emb = table(spark, sf_dir, "embeddings")
+    plain = {r.vid: (r.dup_of, r.keep) for r in SIM.semantic_dedup(
+        emb, threshold=0.3).collect()}
+    capped = {r.vid: (r.dup_of, r.keep) for r in SIM.semantic_dedup(
+        emb, threshold=0.3, max_cluster_size=8, plane_dim=64).collect()}
+    assert set(plain) == set(capped)
+    kept_plain = {v for v, (_, k) in plain.items() if k}
+    kept_capped = {v for v, (_, k) in capped.items() if k}
+    assert kept_plain <= kept_capped
+    # the guard must have had an effect at this cap on this corpus —
+    # otherwise the test is vacuous (sf0.01/sf0.001 clusters average ~31)
+    assert kept_plain != kept_capped or any(
+        plain[v][0] != capped[v][0] for v in plain
+    )
+
+
+def test_semantic_dedup_capped_deterministic(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    a = sorted(map(tuple, SIM.semantic_dedup(
+        emb, threshold=0.3, max_cluster_size=8, plane_dim=64).collect()))
+    b = sorted(map(tuple, SIM.semantic_dedup(
+        emb, threshold=0.3, max_cluster_size=8, plane_dim=64).collect()))
+    assert a == b
