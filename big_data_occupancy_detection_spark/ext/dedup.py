@@ -745,3 +745,65 @@ def cross_corpus_near_dups(
         .join(dups, F.col("doc_id") == F.col("ndoc"), "left_outer")
         .select("doc_id", "dup_of", F.col("dup_of").isNull().alias("keep"))
     )
+
+
+def fuzzy_pairs_edit1(
+    df: DataFrame,
+    col: str,
+    id_col: str,
+) -> DataFrame:
+    """(a_id, b_id, dist) — all pairs within Levenshtein distance 1, via
+    deletion-variant blocking (the SymSpell trick): two strings within
+    edit distance 1 always share a member of V(s) = {s} ∪ {s minus one
+    char} (substitution: delete the differing position from both;
+    insert/delete: deleting the extra char from the longer yields the
+    shorter itself), so the candidate join is an equi-join on the 60-bit
+    hash of the variant — output-linear, no q-gram hot-key bombs (a
+    shared-prefix corpus makes positional q-grams collide corpus-wide;
+    deletion variants collide only for true near-matches plus ~2^-60
+    hash noise, which the exact levenshtein verification removes).
+
+    Scale shape: ×(len+1) map-side fan-out, one hash self-join on the
+    variant key, dropDuplicates on the pair, exact verification. Variant
+    count scales with string LENGTH, not corpus size — for keys/names
+    (tens of chars) the index is ~20× the input rows.
+    """
+    s = F.col("__name")
+    variants = F.array_distinct(
+        F.concat(
+            F.array(s),
+            F.transform(
+                F.sequence(F.lit(1), F.length(s)),
+                lambda i: F.concat(
+                    s.substr(F.lit(1), i - F.lit(1)),
+                    s.substr(i + F.lit(1), F.length(s)),
+                ),
+            ),
+        )
+    )
+    base = repartition_for_compute(
+        df.select(F.col(id_col).alias("__id"), F.col(col).alias("__name"))
+    )
+    inv = explode_fused(
+        base,
+        F.transform(variants, lambda v: hash64(v)),
+        "__v",
+        keep=["__id", "__name"],
+    )
+    a = inv.select(
+        F.col("__v").alias("v"), F.col("__id").alias("a_id"), F.col("__name").alias("__an")
+    )
+    b = inv.select(
+        F.col("__v").alias("v"), F.col("__id").alias("b_id"), F.col("__name").alias("__bn")
+    )
+    cand = (
+        a.join(b, "v")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    dist = F.levenshtein(F.col("__an"), F.col("__bn"))
+    return (
+        cand.withColumn("dist", dist.cast("long"))
+        .filter(F.col("dist") <= 1)
+        .select("a_id", "b_id", "dist")
+    )

@@ -1,0 +1,121 @@
+"""Mergeable frequency sketches as plain DataFrames: count-min.
+
+A count-min sketch is a depth×width counter grid; every key increments
+one bucket per hash row, and a key's estimate is the MIN of its buckets
+(always ≥ the true count — collisions only inflate). Expressed as a
+DataFrame aggregation the grid is a (seed, bucket, cnt) table of d·w
+rows: the build is ONE map-side-combined groupBy over a depth-way
+map-side fan-out (no shuffle grows with key cardinality — the shuffle
+carries at most d·w·partitions partial rows), and the result is tiny,
+mergeable (union + re-sum) and broadcastable. That is the 100 TB point:
+frequency estimation over an unbounded key domain in O(d·w) memory,
+where an exact groupBy(key) would shuffle every distinct key.
+
+Hashing is the portable md5-60bit family so a DuckDB oracle rebuilds the
+identical grid (Spark's xxhash64 would never hash-match an oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text_fns import md5_hash64
+from ..operators.generate import explode_fused
+
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+
+
+def _bucket(key_col, seed_col, width: int):
+    return F.pmod(
+        md5_hash64(F.concat_ws("|", seed_col.cast("string"), key_col)),
+        F.lit(width),
+    )
+
+
+def cms_build(
+    df: DataFrame,
+    key_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """(seed, bucket, cnt) — the count-min grid for ``df[key_col]``.
+
+    Map-side ×depth fan-out, then one combined aggregation into d·w rows.
+    Grids over disjoint data merge by union + groupBy-sum (used by the
+    streaming twin and by partition-parallel builds).
+    """
+    keyed = df.select(F.col(key_col).cast("string").alias("__key"))
+    fanned = explode_fused(
+        keyed,
+        F.sequence(F.lit(0), F.lit(depth - 1)),
+        "seed",
+        keep=["__key"],
+    )
+    return (
+        fanned.select(
+            "seed", _bucket(F.col("__key"), F.col("seed"), width).alias("bucket")
+        )
+        .groupBy("seed", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    cms: DataFrame,
+    keys: DataFrame,
+    key_col: str = "key",
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """(key, est) — min-over-rows estimate for each candidate key.
+
+    The grid is broadcast (d·w rows); candidates fan out ×depth map-side
+    and never shuffle except the final per-key min. At corpus scale the
+    candidate set comes from a sample or a prior round — the sketch's
+    value is precisely that the FULL key domain never needs to be
+    materialized.
+    """
+    fanned = explode_fused(
+        keys.select(F.col(key_col).cast("string").alias("key")),
+        F.sequence(F.lit(0), F.lit(depth - 1)),
+        "seed",
+        keep=["key"],
+    ).select("key", "seed", _bucket(F.col("key"), F.col("seed"), width).alias("bucket"))
+    return (
+        fanned.join(F.broadcast(cms), ["seed", "bucket"], "left_outer")
+        .groupBy("key")
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est"))
+    )
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    k: int = 20,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """(key, est, exact) — top-``k`` keys by count-min estimate, with the
+    exact count alongside (est ≥ exact always; equality when the key's
+    buckets are collision-free). Top-k is orderBy+limit (TakeOrdered), so
+    no global sort. The exact column exists to make the overestimate
+    bound oracle-checkable; production callers at unbounded cardinality
+    drop it and feed candidates from a sample instead of ``distinct()``.
+    """
+    cms = cms_build(df, key_col, depth, width)
+    cands = df.select(F.col(key_col).cast("string").alias("key")).distinct()
+    est = cms_estimate(cms, cands, "key", depth, width)
+    exact = (
+        df.select(F.col(key_col).cast("string").alias("key"))
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("exact"))
+    )
+    return (
+        est.join(exact, "key")
+        .orderBy(F.desc("est"), "key")
+        .limit(k)
+        .select("key", F.col("est").cast("long").alias("est"),
+                F.col("exact").cast("long").alias("exact"))
+    )

@@ -11,10 +11,12 @@ can never drift.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.rounding import portable_round
 from ..operators.generate import explode_fused
+from ..operators.partitioning import repartition_for_compute
 
 from ..functions.text_fns import char_ngrams, md5_hash64, norm_text, tokens
 
@@ -168,4 +170,101 @@ def bm25_rank(
         scored.orderBy(F.desc("score"), "doc_id")
         .limit(k)
         .select("doc_id", F.round("score", 6).alias("bm25"))
+    )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    window: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, chunk_id, start_tok, n_toks, chunk_text) — overlapping
+    fixed-token windows, the shaping step before tokenized training
+    batches or RAG embedding. Chunk k covers tokens [k·stride,
+    k·stride + window); the last chunk is the first whose window reaches
+    the end of the document (short tails are NOT emitted as extra
+    chunks). A doc of ≤ ``window`` tokens yields exactly one chunk.
+
+    Scale shape: pure map — tokenize once, explode a
+    ``sequence(0, n_chunks-1)`` and slice the token array per chunk; no
+    shuffle at all (the common follow-up, writing chunks bucketed by
+    doc_id, is where the one exchange appears). The chunk count is
+    integer arithmetic (no float ceil — engines disagree on half-ulp
+    boundaries): n_chunks = 1 + (max(n_tok - window, 0) + stride - 1)
+    div stride.
+    """
+    if stride <= 0 or window <= 0:
+        raise ValueError("window and stride must be positive")
+    base = repartition_for_compute(docs).select(
+        F.col(id_col).alias("doc_id"), tokens(text_col).alias("__t")
+    )
+    nt = F.size("__t")
+    base = base.withColumn(
+        "__nc", (F.lit(1) + F.floor(
+            (F.greatest(nt - F.lit(window), F.lit(0)) + F.lit(stride - 1))
+            / F.lit(stride)
+        )).cast("long")
+    )
+    ch = explode_fused(
+        base,
+        F.sequence(F.lit(0).cast("long"), F.col("__nc") - 1),
+        "chunk_id",
+        keep=["doc_id", "__t"],
+    )
+    start = (F.col("chunk_id") * stride).cast("int")
+    piece = F.slice(F.col("__t"), start + F.lit(1), F.lit(window))
+    return ch.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        start.cast("long").alias("start_tok"),
+        F.size(piece).cast("long").alias("n_toks"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+    )
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    top_n: int = 500,
+    text_col: str = "text",
+) -> DataFrame:
+    """(rank, token, freq, cum_share) — the ``top_n`` corpus vocabulary by
+    frequency with cumulative token coverage (what share of all token
+    occurrences the first r vocabulary entries explain) — the sizing curve
+    for tokenizer vocab / OOV-rate decisions.
+
+    Scale shape: one map-side-combined groupBy(token) count, a broadcast
+    1-row total, and orderBy+limit — Spark's TakeOrdered (per-partition
+    heap, k-row driver merge), NEVER a global sort/window over the full
+    vocabulary. Only the ``top_n`` survivors see a window function, and
+    that window is a single tiny task by construction.
+    """
+    freqs = (
+        explode_fused(
+            repartition_for_compute(docs).select(tokens(text_col).alias("__t")),
+            "__t",
+            "token",
+            keep=[],
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    total = freqs.agg(F.sum("freq").alias("__tot"))
+    top = freqs.orderBy(F.desc("freq"), "token").limit(top_n)
+    w = (
+        Window.orderBy(F.desc("freq"), "token")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    rw = Window.orderBy(F.desc("freq"), "token")
+    return (
+        top.crossJoin(F.broadcast(total))
+        .select(
+            F.row_number().over(rw).cast("long").alias("rank"),
+            "token",
+            F.col("freq").cast("long").alias("freq"),
+            portable_round(
+                F.sum("freq").over(w).cast("double") / F.col("__tot"), 6
+            ).alias("cum_share"),
+        )
     )

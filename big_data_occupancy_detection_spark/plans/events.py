@@ -1071,3 +1071,47 @@ def event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         portable_round(F.col("n") / F.sum("n").over(w_prev), 6).alias("p_transition"),
     )
+
+
+# --------------------------------------------------------------------------
+# Count-min-sketch heavy hitters over event users: frequency estimation in
+# O(depth·width) memory regardless of key cardinality — the exact count
+# rides along so the sketch's est >= exact overestimate bound is itself
+# hash-checked by the oracle. md5-portable hashing, identical grid both
+# engines.
+# --------------------------------------------------------------------------
+
+from ..ext import sketches as SK  # noqa: E402
+
+
+def _cms_oracle() -> str:
+    from .textops import hash64_sql
+
+    d, w, k = SK.CMS_DEPTH, SK.CMS_WIDTH, 20
+    bucket = hash64_sql("concat_ws('|', CAST(seed AS VARCHAR), key)")
+    cbucket = hash64_sql("concat_ws('|', CAST(cf.seed AS VARCHAR), cf.key)")
+    return f"""
+    WITH keyed AS (SELECT CAST(user_id AS VARCHAR) AS key FROM events),
+    fanned AS (SELECT key, unnest(range({d})) AS seed FROM keyed),
+    grid AS (
+      SELECT seed, ({bucket}) % {w} AS bucket, count(*) AS cnt
+      FROM fanned GROUP BY 1, 2),
+    cands AS (SELECT DISTINCT key FROM keyed),
+    cf AS (SELECT key, unnest(range({d})) AS seed FROM cands),
+    est AS (
+      SELECT cf.key, min(coalesce(g.cnt, 0)) AS est
+      FROM cf LEFT JOIN grid g
+        ON g.seed = cf.seed AND g.bucket = ({cbucket}) % {w}
+      GROUP BY cf.key),
+    exact AS (SELECT key, count(*) AS exact FROM keyed GROUP BY 1)
+    SELECT e.key, CAST(e.est AS BIGINT) AS est, CAST(x.exact AS BIGINT) AS exact
+    FROM est e JOIN exact x USING (key)
+    ORDER BY est DESC, key LIMIT {k}
+    """
+
+
+@register("cms_heavy_hitter_users", oracle=_cms_oracle())
+def cms_heavy_hitter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 users by count-min-sketch frequency estimate (4×256 grid)
+    with exact counts alongside — bounded-memory heavy-hitter detection."""
+    return SK.cms_heavy_hitters(table(spark, sf_dir, "events"), "user_id", k=20)

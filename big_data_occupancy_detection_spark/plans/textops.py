@@ -1009,3 +1009,99 @@ def incremental_near_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.cross_corpus_near_dups(
         docs.filter(~is_new), docs.filter(is_new), threshold=_JACCARD_T
     )
+
+
+# --------------------------------------------------------------------------
+# Document chunking: overlapping fixed-token windows (training-batch / RAG
+# shaping). Pure map — no shuffle; chunk count is integer arithmetic on
+# both engines (no float ceil).
+# --------------------------------------------------------------------------
+
+_CHUNK_W, _CHUNK_S = 32, 24
+
+_CHUNK_ORACLE = f"""
+WITH {_TOKS_CTE},
+base AS (
+  SELECT doc_id, t,
+         1 + CAST(floor((greatest(len(t) - {_CHUNK_W}, 0) + {_CHUNK_S - 1})
+                        / {_CHUNK_S}) AS BIGINT) AS nc
+  FROM toks),
+ch AS (
+  SELECT doc_id, t, unnest(range(nc)) AS chunk_id FROM base)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(chunk_id * {_CHUNK_S} AS BIGINT) AS start_tok,
+       CAST(len(t[chunk_id * {_CHUNK_S} + 1 : chunk_id * {_CHUNK_S} + {_CHUNK_W}]) AS BIGINT) AS n_toks,
+       array_to_string(t[chunk_id * {_CHUNK_S} + 1 : chunk_id * {_CHUNK_S} + {_CHUNK_W}], ' ') AS chunk_text
+FROM ch
+"""
+
+
+@register("chunk_documents", oracle=_CHUNK_ORACLE)
+def chunk_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunks of every document (window 32,
+    stride 24) — the map-only shaping step before training batches."""
+    return TX.chunk_documents(
+        table(spark, sf_dir, "documents"), window=_CHUNK_W, stride=_CHUNK_S
+    )
+
+
+# --------------------------------------------------------------------------
+# Vocabulary coverage: top-N corpus vocabulary by frequency with the
+# cumulative token-coverage curve (tokenizer-vocab sizing / OOV planning).
+# TakeOrdered top-N — the full vocabulary never sees a window function.
+# --------------------------------------------------------------------------
+
+_VOCAB_N = 200
+
+_VOCAB_ORACLE = f"""
+WITH {_TOKS_CTE},
+tok AS (SELECT unnest(t) AS token FROM toks),
+freqs AS (SELECT token, count(*) AS freq FROM tok GROUP BY 1),
+tot AS (SELECT CAST(sum(freq) AS DOUBLE) AS tot FROM freqs),
+top AS (SELECT token, freq FROM freqs ORDER BY freq DESC, token LIMIT {_VOCAB_N})
+SELECT CAST(row_number() OVER (ORDER BY freq DESC, token) AS BIGINT) AS rank,
+       token, CAST(freq AS BIGINT) AS freq,
+       (floor(CAST((CAST(sum(freq) OVER (ORDER BY freq DESC, token
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                    / tot) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS cum_share
+FROM top, tot
+"""
+
+
+@register("vocab_coverage", oracle=_VOCAB_ORACLE)
+def vocab_coverage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-200 vocabulary with cumulative corpus coverage share."""
+    return TX.vocab_coverage(table(spark, sf_dir, "documents"), top_n=_VOCAB_N)
+
+
+# --------------------------------------------------------------------------
+# Fuzzy match join: all customer-name pairs within Levenshtein distance 1,
+# blocked on single-deletion variants (SymSpell) — entity-resolution /
+# typo-linking without q-gram hot keys (every c_name shares the
+# "Customer#" prefix, so positional q-grams would collide corpus-wide).
+# --------------------------------------------------------------------------
+
+_FUZZY_ORACLE = f"""
+WITH base AS (SELECT c_custkey AS id, c_name AS name FROM customer),
+vars AS (
+  SELECT id, name,
+         unnest(list_distinct(list_prepend(name,
+           list_transform(range(1, length(name) + 1),
+                          i -> substr(name, 1, i - 1) || substr(name, i + 1))))) AS v
+  FROM base),
+inv AS (SELECT id, name, {hash64_sql('v')} AS h FROM vars),
+cand AS (
+  SELECT DISTINCT a.id AS a_id, b.id AS b_id, a.name AS an, b.name AS bn
+  FROM inv a JOIN inv b ON a.h = b.h AND a.id < b.id)
+SELECT a_id, b_id, CAST(levenshtein(an, bn) AS BIGINT) AS dist
+FROM cand WHERE levenshtein(an, bn) <= 1
+"""
+
+
+@register("customer_name_fuzzy_pairs", oracle=_FUZZY_ORACLE)
+def customer_name_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All customer-name pairs within edit distance 1 (deletion-variant
+    blocked, exact levenshtein verified)."""
+    return D.fuzzy_pairs_edit1(
+        table(spark, sf_dir, "customer"), "c_name", "c_custkey"
+    )
