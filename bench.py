@@ -75,6 +75,12 @@ HEADLINE = [
     "weekly_retention_cohorts",# cohort x offset retention matrix
     "events_quality_checks",   # N expectation rules in one scan
     "zorder_events_key",       # Morton interleave, pure codegen
+    "semantic_dedup_capped",   # skew-guarded per-cluster cosine prune
+    "chunk_documents",         # map-only token-window explode
+    "vocab_coverage",          # TakeOrdered vocab + coverage curve
+    "cms_heavy_hitter_users",  # count-min grid build + broadcast probe
+    "customer_name_fuzzy_pairs",  # deletion-variant blocked edit-1 join
+    "promo_event_counts",      # bucketed point-in-interval join
     # embedding_near_pairs_lsh is oracle-verified but excluded here: at 2k
     # vectors its bucket pruning (~3x) is below the explode+join overhead —
     # the operator pays off when per-bucket cardinality << corpus (real scale)

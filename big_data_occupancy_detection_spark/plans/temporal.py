@@ -138,3 +138,71 @@ def event_burst_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tri.groupBy(F.col("e1.user_id").alias("user_id")).agg(
         F.count(F.lit(1)).cast("long").alias("n_triangles")
     )
+
+
+# --------------------------------------------------------------------------
+# Point-in-interval join: events counted into a deterministic calendar of
+# variable-length promo windows (the generic range-lookup shape — IP
+# ranges, maintenance windows). The bucketed-replication plan makes it an
+# equi-join; the oracle uses DuckDB's native inequality join, so the
+# composition is verified against a first-class implementation.
+# --------------------------------------------------------------------------
+
+_PROMO_N = 8           # windows
+_PROMO_STEP = 432000   # 5 days between window starts
+_PROMO_DAY = 86400
+
+
+def _promos(spark: SparkSession, ev: DataFrame) -> DataFrame:
+    """promo_id, lo, hi (epoch seconds): window p starts 5·p days after
+    the first event and lasts (p mod 3 + 1) days — deterministic,
+    variable-length, derived only from the data."""
+    t0 = ev.agg(F.min(epoch_seconds("ts")).alias("__t0"))
+    return (
+        spark.range(_PROMO_N)
+        .withColumnRenamed("id", "promo_id")
+        .crossJoin(F.broadcast(t0))
+        .select(
+            "promo_id",
+            (F.col("__t0") + F.col("promo_id") * _PROMO_STEP).alias("lo"),
+            (
+                F.col("__t0")
+                + F.col("promo_id") * _PROMO_STEP
+                + (F.col("promo_id") % 3 + 1) * _PROMO_DAY
+            ).alias("hi"),
+        )
+    )
+
+
+@register(
+    "promo_event_counts",
+    oracle=f"""
+    WITH t0 AS (SELECT min(epoch(ts)) AS t0 FROM events),
+    promos AS (
+      SELECT p AS promo_id,
+             t0 + p * {_PROMO_STEP} AS lo,
+             t0 + p * {_PROMO_STEP} + (p % 3 + 1) * {_PROMO_DAY} AS hi
+      FROM range({_PROMO_N}) t(p), t0)
+    SELECT promo_id, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events e JOIN promos pr
+      ON epoch(e.ts) >= pr.lo AND epoch(e.ts) <= pr.hi
+    GROUP BY 1
+    """,
+)
+def promo_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events per promo window via the bucketed point-in-interval join
+    (bucket = 1 day ≈ the typical window length)."""
+    from ..operators.temporal import interval_join
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", epoch_seconds("ts").alias("sec")
+    )
+    joined = interval_join(
+        ev, _promos(spark, table(spark, sf_dir, "events")), "sec", "lo", "hi",
+        bucket_width=_PROMO_DAY,
+    )
+    return joined.groupBy("promo_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )

@@ -117,3 +117,37 @@ def test_grouped_ewma_string_key(spark):
     }
     assert out["a"] == (2, 15.0)  # 10 -> 0.5*10 + 0.5*20
     assert out["b"] == (1, 5.0)
+
+
+def test_interval_join_matches_naive_and_avoids_nested_loop(spark):
+    """The bucketed interval join must equal the naive range-predicate
+    join on every (point, interval) pair — including intervals spanning
+    many buckets and points exactly on lo/hi — and must plan as an
+    equi-join (hash/sort-merge on the cell), never a nested-loop or
+    cartesian."""
+    from pyspark.sql import functions as F
+
+    from big_data_occupancy_detection_spark.operators.temporal import interval_join
+    from big_data_occupancy_detection_spark.planaudit import plan_metrics
+
+    points = spark.range(0, 500).select(
+        F.col("id").alias("pid"), (F.col("id") * 7 % 300).cast("double").alias("x")
+    )
+    intervals = spark.createDataFrame(
+        [(1, 0.0, 10.0), (2, 5.0, 250.0), (3, 100.0, 100.0), (4, 290.0, 299.0)],
+        ["iv_id", "lo", "hi"],
+    )
+    got = sorted(
+        (r.pid, r.iv_id)
+        for r in interval_join(points, intervals, "x", "lo", "hi", 20.0).collect()
+    )
+    want = sorted(
+        (r.pid, r.iv_id)
+        for r in points.crossJoin(intervals)
+        .filter((F.col("x") >= F.col("lo")) & (F.col("x") <= F.col("hi")))
+        .collect()
+    )
+    assert got == want and len(got) > 0
+    m = plan_metrics(interval_join(points, intervals, "x", "lo", "hi", 20.0))
+    assert not m["cartesian"]
+    assert m["joins"].get("BroadcastNestedLoopJoin", 0) == 0
