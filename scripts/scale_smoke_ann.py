@@ -16,9 +16,12 @@ Usage::
     python scripts/scale_smoke_ann.py [R] [op ...]
 
     R    replication factor (default 100 -> 200k vectors)
-    op   brute | lsh | ivf | semdedup (default: all four; brute is both
-         the exact-baseline wall measurement and the recall oracle, so
-         lsh/ivf recall needs it in the op list)
+    op   brute | lsh | ivf | semdedup | brute_vec | ivf_vec |
+         semdedup_vec (default: all; brute is both the exact-baseline
+         wall measurement and the recall oracle, so recall for the
+         approximate ops needs it in the op list). The ``*_vec`` ops are
+         the Arrow-vectorized fast paths (ext/similarity_vec.py) —
+         identical distributed shape, numpy matmul inner loops.
 """
 
 from __future__ import annotations
@@ -35,6 +38,7 @@ sys.path.insert(0, "scripts")
 from scale_smoke import shuffle_totals  # noqa: E402  (sibling module)
 
 from big_data_occupancy_detection_spark.ext import similarity as SIM
+from big_data_occupancy_detection_spark.ext import similarity_vec as SIMV
 from big_data_occupancy_detection_spark.session import get_session
 from big_data_occupancy_detection_spark.sources.readers import table
 
@@ -105,7 +109,9 @@ def recall(exact_rows, approx_rows):
 
 def main() -> None:
     r = int(sys.argv[1]) if len(sys.argv) > 1 else 100
-    ops = sys.argv[2:] or ["brute", "lsh", "ivf", "semdedup"]
+    ops = sys.argv[2:] or [
+        "brute", "brute_vec", "lsh", "ivf", "ivf_vec", "semdedup", "semdedup_vec",
+    ]
     spark = get_session(
         app_name=f"scale_smoke_ann_{r}x",
         master="local[32]",
@@ -126,6 +132,15 @@ def main() -> None:
             "brute_force_topk",
             lambda: SIM.brute_force_topk(emb, queries, k=K),
         )
+    if "brute_vec" in ops:
+        rows = measure(
+            spark,
+            "brute_force_topk_vectorized",
+            lambda: SIMV.brute_force_topk_vectorized(emb, queries, k=K),
+        )
+        if exact_rows is not None:
+            print(json.dumps({"op": "brute_force_topk_vectorized",
+                              "recall_at_5": recall(exact_rows, rows)}), flush=True)
     if "lsh" in ops:
         rows = measure(
             spark,
@@ -144,6 +159,17 @@ def main() -> None:
         if exact_rows is not None:
             print(json.dumps({"op": "ivf_topk",
                               "recall_at_5": recall(exact_rows, rows)}), flush=True)
+    if "ivf_vec" in ops:
+        rows = measure(
+            spark,
+            "ivf_topk_vectorized",
+            lambda: SIMV.ivf_topk_vectorized(
+                emb, queries, k=K, n_centroids=64, n_probes=4
+            ),
+        )
+        if exact_rows is not None:
+            print(json.dumps({"op": "ivf_topk_vectorized",
+                              "recall_at_5": recall(exact_rows, rows)}), flush=True)
     if "semdedup" in ops:
         rows = measure(
             spark,
@@ -159,6 +185,22 @@ def main() -> None:
         )
         kept = sum(1 for x in rows if x.keep)
         print(json.dumps({"op": "semantic_dedup_capped", "kept": kept,
+                          "drop_rate": round(1 - kept / len(rows), 4)}), flush=True)
+    if "semdedup_vec" in ops:
+        rows = measure(
+            spark,
+            "semantic_dedup_vectorized",
+            lambda: SIMV.semantic_dedup_vectorized(
+                emb,
+                threshold=0.95,
+                max_cluster_size=SEMDEDUP_CAP,
+                split_planes=SEMDEDUP_SPLIT_PLANES,
+                plane_dim=64,
+            ),
+            extra={"cap": SEMDEDUP_CAP},
+        )
+        kept = sum(1 for x in rows if x.keep)
+        print(json.dumps({"op": "semantic_dedup_vectorized", "kept": kept,
                           "drop_rate": round(1 - kept / len(rows), 4)}), flush=True)
     spark.stop()
 
