@@ -1,0 +1,512 @@
+"""Advanced analytics plans: robust statistics, distribution shapes,
+frontier/mode/entropy analytics, MERGE upserts, and text relevance.
+
+These widen the SURVEY.md §2.4/§2.8 aggregate surface with the analytic
+shapes a curation/BI workload runs daily — each one expressed as the
+Spark plan you'd want at 100 TB (broadcast the k-row stat tables back
+onto the fact scan, aggregate-then-window on reduced data, never a
+driver loop) and each paired with a DuckDB oracle.
+
+Numeric portability: every rounded ratio/average/log-sum uses
+``portable_round`` (see functions/rounding.py) so half-ulp boundaries
+cannot flip the driver's hash compare; exact-percentile pairing is the
+proven ``F.percentile`` ↔ ``quantile_cont`` from
+``plans/relational.py:grouped_percentiles_price``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.rounding import portable_round, portable_round_sql
+from ..sources.readers import table
+from .registry import register
+
+
+def PR4(e: str) -> str:
+    return portable_round_sql(e, 4)
+
+
+def PR6(e: str) -> str:
+    return portable_round_sql(e, 6)
+
+
+# --------------------------------------------------------------------------
+# Robust outlier detection: per event_type median + MAD, then the
+# 3-MAD outlier census. The two stat tables are k rows (k = event types)
+# and broadcast back onto the fact scan, so the heavy side only ever
+# flows through scans and map-side joins; the percentile reducers hold
+# per-TYPE value lists (switch to approx_percentile's mergeable GK
+# sketch for unbounded-cardinality value domains at 100 TB — same note
+# as operators/relational.py:grouped_percentiles).
+# --------------------------------------------------------------------------
+@register(
+    "event_value_mad_outliers",
+    oracle=f"""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type),
+    dev AS (
+      SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS absdev
+      FROM events e JOIN med m USING (event_type)),
+    mad AS (
+      SELECT event_type, quantile_cont(absdev, 0.5) AS mad
+      FROM dev GROUP BY event_type)
+    SELECT d.event_type,
+           {PR6('max(d.med)')} AS med,
+           {PR6('max(m.mad)')} AS mad,
+           count(*) AS n,
+           CAST(sum(CASE WHEN d.absdev > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers,
+           {PR6('avg(CASE WHEN d.absdev > 3 * m.mad THEN 1.0 ELSE 0.0 END)')}
+             AS outlier_rate
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type
+    """,
+)
+def event_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outlier census per event type (|v-med| > 3·MAD)."""
+    ev = table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "absdev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("absdev", F.lit(0.5)).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            portable_round(F.max("med"), 6).alias("med"),
+            portable_round(F.max("mad"), 6).alias("mad"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("absdev") > 3 * F.col("mad"), 1).otherwise(0)
+            ).cast("long").alias("n_outliers"),
+            portable_round(
+                F.avg(F.when(F.col("absdev") > 3 * F.col("mad"), 1.0).otherwise(0.0)),
+                6,
+            ).alias("outlier_rate"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Equi-width histogram: the global (min, max) is a 1-row aggregate
+# broadcast-crossed onto the scan; binning is then a pure map and the
+# final count shuffles 10 rows. All bound arithmetic is single IEEE ops
+# (no summation), so Spark and DuckDB agree bit-for-bit on the bin edges.
+# --------------------------------------------------------------------------
+@register(
+    "order_price_histogram",
+    oracle=f"""
+    WITH b AS (
+      SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders)
+    SELECT CAST(least(floor((o_totalprice - b.lo) / ((b.hi - b.lo) / 10.0)), 9)
+                AS INTEGER) AS bin,
+           {PR4('min(b.lo + least(floor((o_totalprice - b.lo) / ((b.hi - b.lo) / 10.0)), 9) * ((b.hi - b.lo) / 10.0))')}
+             AS bin_lo,
+           count(*) AS n
+    FROM orders, b
+    GROUP BY 1
+    """,
+)
+def order_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-bucket equi-width histogram of order totals."""
+    o = table(spark, sf_dir, "orders").select("o_totalprice")
+    b = o.agg(F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi"))
+    w = (F.col("hi") - F.col("lo")) / F.lit(10.0)
+    binned = o.crossJoin(F.broadcast(b)).withColumn(
+        "bin",
+        F.least(F.floor((F.col("o_totalprice") - F.col("lo")) / w), F.lit(9)).cast(
+            "int"
+        ),
+    )
+    return binned.groupBy("bin").agg(
+        portable_round(F.min(F.col("lo") + F.col("bin") * w), 4).alias("bin_lo"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Statistical mode per group with a deterministic tie-break: count per
+# (user, type) — one map-side-combined shuffle — then a per-user ranking
+# window over the ≤k-row count table, never over raw events.
+# --------------------------------------------------------------------------
+@register(
+    "user_modal_event",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, count(*) AS cnt
+      FROM events GROUP BY user_id, event_type),
+    r AS (
+      SELECT user_id, event_type, cnt,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY cnt DESC, event_type) AS rn
+      FROM c)
+    SELECT user_id, event_type AS modal_event, cnt AS n
+    FROM r WHERE rn = 1
+    """,
+)
+def user_modal_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each user's most frequent event type (ties → lexicographic min)."""
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type")
+    c = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("cnt"), F.asc("event_type"))
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("modal_event"), F.col("cnt").alias("n"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Pareto frontier (skyline) on (earlier date, higher price): an order is
+# on the frontier iff no strictly-earlier date saw a strictly-higher
+# price. The naive formulation is an O(n²) self-join; this one reduces
+# to per-date maxima first (one shuffle, |dates| rows), runs the running
+# max on that bounded spine (single-task window over ~10³ rows — dates,
+# not orders), and broadcasts the prior-max back onto the scan.
+# --------------------------------------------------------------------------
+@register(
+    "orders_pareto_frontier",
+    oracle="""
+    WITH daymax AS (
+      SELECT o_orderdate, max(o_totalprice) AS day_max
+      FROM orders GROUP BY o_orderdate),
+    prior AS (
+      SELECT o_orderdate,
+             max(day_max) OVER (ORDER BY o_orderdate
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prior_max
+      FROM daymax)
+    SELECT o.o_orderkey, o.o_orderdate, o.o_totalprice
+    FROM orders o JOIN prior p USING (o_orderdate)
+    WHERE p.prior_max IS NULL OR o.o_totalprice > p.prior_max
+    """,
+)
+def orders_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders not dominated by any earlier-date, higher-price order."""
+    o = table(spark, sf_dir, "orders")
+    daymax = o.groupBy("o_orderdate").agg(F.max("o_totalprice").alias("day_max"))
+    w = (
+        Window.orderBy("o_orderdate")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior = daymax.select(
+        "o_orderdate", F.max("day_max").over(w).alias("prior_max")
+    )
+    return (
+        o.join(F.broadcast(prior), "o_orderdate")
+        .filter(F.col("prior_max").isNull() | (F.col("o_totalprice") > F.col("prior_max")))
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+    )
+
+
+# --------------------------------------------------------------------------
+# Shannon entropy of each user's event-type mix, via H = ln N − Σc·ln c / N
+# — two map-side-combined aggregations, no per-row log on the fact table
+# (logs run on the (user, type) count table). Portable-rounded: the Σ's
+# addend order differs between engines at the last ulp.
+# --------------------------------------------------------------------------
+@register(
+    "user_event_entropy",
+    oracle=f"""
+    WITH c AS (
+      SELECT user_id, event_type, CAST(count(*) AS DOUBLE) AS cnt
+      FROM events GROUP BY user_id, event_type)
+    SELECT user_id,
+           CAST(sum(cnt) AS BIGINT) AS n_events,
+           count(*) AS n_types,
+           {PR6('ln(sum(cnt)) - sum(cnt * ln(cnt)) / sum(cnt)')} AS entropy
+    FROM c GROUP BY user_id
+    """,
+)
+def user_event_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Shannon entropy (nats) of the event-type distribution."""
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type")
+    c = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("cnt")
+    )
+    return c.groupBy("user_id").agg(
+        F.sum("cnt").cast("long").alias("n_events"),
+        F.count(F.lit(1)).alias("n_types"),
+        portable_round(
+            F.log(F.sum("cnt")) - F.sum(F.col("cnt") * F.log("cnt")) / F.sum("cnt"),
+            6,
+        ).alias("entropy"),
+    )
+
+
+# --------------------------------------------------------------------------
+# TF-IDF term relevance: the same portable tokenization as `top_words`
+# (lower + [^a-z]+ → space + split), tf/df from two map-side-combined
+# counts, idf joined back on the term key, top-3 per document by a
+# deterministic (score, term) order. The df table is |vocab| rows; the
+# corpus size is a broadcast scalar — both tiny next to the token
+# explode, which is linear in corpus bytes and stays executor-side.
+# --------------------------------------------------------------------------
+@register(
+    "doc_tfidf_top_terms",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(
+               regexp_replace(lower(text), '[^a-z]+', ' ', 'g'), ' ')) AS term
+      FROM documents),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM toks WHERE term <> '' GROUP BY doc_id, term),
+    df AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             tf.tf * ln(n.n_docs / df.df) AS score
+      FROM tf JOIN df USING (term), n),
+    ranked AS (
+      SELECT doc_id, term, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, term) AS rnk
+      FROM scored)
+    SELECT doc_id, term, {PR6('score')} AS tfidf, rnk
+    FROM ranked WHERE rnk <= 3
+    """,
+)
+def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (natural-log idf)."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(F.regexp_replace(F.lower("text"), "[^a-z]+", " "), " ")
+        ).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("score", F.col("tf") * F.log(F.col("n_docs") / F.col("df")))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", portable_round("score", 6).alias("tfidf"), "rnk")
+    )
+
+
+# --------------------------------------------------------------------------
+# Weekday seasonality index: daily counts (one shuffle on ~10³ distinct
+# days), then the 7-row day-of-week profile vs the all-days baseline — a
+# classic seasonal-baseline feature for anomaly detection. The baseline
+# scalar comes from an unpartitioned window over the 7-row table.
+# --------------------------------------------------------------------------
+@register(
+    "weekday_seasonality",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, count(*) AS n_day
+      FROM events GROUP BY 1),
+    dowagg AS (
+      SELECT CAST(isodow(day) AS INTEGER) AS dow,
+             count(*) AS n_days,
+             {PR6('avg(CAST(n_day AS DOUBLE))')} AS avg_daily
+      FROM daily GROUP BY 1)
+    SELECT dow, n_days, avg_daily,
+           {PR6('avg_daily / (sum(avg_daily * n_days) OVER () / sum(n_days) OVER ())')}
+             AS seasonal_index
+    FROM dowagg
+    """,
+)
+def weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average daily event volume per ISO weekday and its ratio to the
+    day-weighted overall mean (seasonal index)."""
+    from ..functions.datetime_fns import dow_monday
+
+    ev = table(spark, sf_dir, "events").select("ts")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_day")
+    )
+    dowagg = daily.groupBy(dow_monday("day").cast("int").alias("dow")).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        portable_round(F.avg(F.col("n_day").cast("double")), 6).alias("avg_daily"),
+    )
+    w = Window.partitionBy()
+    overall = F.sum(F.col("avg_daily") * F.col("n_days")).over(w) / F.sum(
+        "n_days"
+    ).over(w)
+    return dowagg.select(
+        "dow",
+        "n_days",
+        "avg_daily",
+        portable_round(F.col("avg_daily") / overall, 6).alias("seasonal_index"),
+    )
+
+
+# --------------------------------------------------------------------------
+# MERGE INTO (upsert/delete/insert) applied as one full-outer join on the
+# key — the batch formulation of what Delta/Iceberg MERGE compiles to.
+# The delta here is deterministic (derived from the base by key residue):
+# %97==0 → price update, %97==1 → delete, and an insert stream with
+# fresh negative keys. At scale both sides shuffle once on the key (or
+# zero times if the base is bucketed by key — sources/sinks.py).
+# --------------------------------------------------------------------------
+@register(
+    "orders_merge_upsert",
+    oracle="""
+    WITH delta AS (
+      SELECT o_orderkey, o_totalprice + 100.0 AS price, 'U' AS op
+      FROM orders WHERE o_orderkey % 97 = 0
+      UNION ALL
+      SELECT o_orderkey, 0.0, 'D' FROM orders WHERE o_orderkey % 97 = 1
+      UNION ALL
+      SELECT -o_orderkey,
+             (floor(CAST((o_totalprice / 2) AS DOUBLE) * 100.0 + 0.5) / 100.0),
+             'I'
+      FROM orders WHERE o_orderkey % 97 = 2)
+    SELECT coalesce(d.o_orderkey, b.o_orderkey) AS o_orderkey,
+           CASE WHEN d.op IN ('U', 'I') THEN d.price
+                ELSE b.o_totalprice END AS o_totalprice,
+           CASE WHEN d.op IS NULL THEN 'base'
+                WHEN d.op = 'U' THEN 'updated'
+                ELSE 'inserted' END AS src
+    FROM orders b FULL OUTER JOIN delta d USING (o_orderkey)
+    WHERE d.op IS DISTINCT FROM 'D'
+    """,
+)
+def orders_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE semantics (update/delete/insert) via one full-outer join."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    delta = (
+        o.filter(F.col("o_orderkey") % 97 == 0)
+        .select(
+            "o_orderkey",
+            (F.col("o_totalprice") + 100.0).alias("price"),
+            F.lit("U").alias("op"),
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 97 == 1).select(
+                "o_orderkey", F.lit(0.0).alias("price"), F.lit("D").alias("op")
+            )
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 97 == 2).select(
+                (-F.col("o_orderkey")).alias("o_orderkey"),
+                # halves of 2-decimal prices sit ON the .xx5 boundary, so
+                # native round() diverges between engines — portable form
+                portable_round(F.col("o_totalprice") / 2, 2).alias("price"),
+                F.lit("I").alias("op"),
+            )
+        )
+    )
+    merged = o.alias("b").join(
+        delta.alias("d"), on="o_orderkey", how="full_outer"
+    )
+    return merged.filter(
+        ~F.col("d.op").eqNullSafe(F.lit("D"))
+    ).select(
+        F.col("o_orderkey"),
+        F.when(F.col("d.op").isin("U", "I"), F.col("d.price"))
+        .otherwise(F.col("b.o_totalprice"))
+        .alias("o_totalprice"),
+        F.when(F.col("d.op").isNull(), "base")
+        .when(F.col("d.op") == "U", "updated")
+        .otherwise("inserted")
+        .alias("src"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Gini concentration of (non-negative) customer balances per nation via
+# the rank formula G = 2·Σ i·x_(i) / (n·Σx) − (n+1)/n: one shuffle to
+# rank within nation, one agg. Only the final bounded ratio is rounded.
+# --------------------------------------------------------------------------
+@register(
+    "nation_balance_gini",
+    oracle=f"""
+    WITH r AS (
+      SELECT c_nationkey, greatest(c_acctbal, 0.0) AS bal,
+             row_number() OVER (PARTITION BY c_nationkey
+                                ORDER BY greatest(c_acctbal, 0.0), c_custkey)
+               AS rn
+      FROM customer)
+    SELECT c_nationkey,
+           count(*) AS n_customers,
+           {PR4('sum(bal)')} AS total_bal,
+           {PR6('2.0 * sum(rn * bal) / (count(*) * sum(bal)) - (count(*) + 1.0) / count(*)')}
+             AS gini
+    FROM r GROUP BY c_nationkey
+    """,
+)
+def nation_balance_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of clamped-at-zero account balances per nation."""
+    c = table(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_custkey", F.greatest("c_acctbal", F.lit(0.0)).alias("bal")
+    )
+    w = Window.partitionBy("c_nationkey").orderBy("bal", "c_custkey")
+    r = c.withColumn("rn", F.row_number().over(w))
+    n = F.count(F.lit(1))
+    return r.groupBy("c_nationkey").agg(
+        n.alias("n_customers"),
+        portable_round(F.sum("bal"), 4).alias("total_bal"),
+        portable_round(
+            2.0 * F.sum(F.col("rn") * F.col("bal")) / (n * F.sum("bal"))
+            - (n + F.lit(1.0)) / n,
+            6,
+        ).alias("gini"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Winsorized mean: clamp at the exact per-group [p05, p95] before
+# averaging — the robust-mean used to de-weight outliers in quality
+# scoring. The 5-row quantile table broadcasts back onto the scan.
+# --------------------------------------------------------------------------
+@register(
+    "winsorized_price_stats",
+    oracle=f"""
+    WITH q AS (
+      SELECT o_orderpriority,
+             quantile_cont(o_totalprice, 0.05) AS p05,
+             quantile_cont(o_totalprice, 0.95) AS p95
+      FROM orders GROUP BY o_orderpriority)
+    SELECT o.o_orderpriority,
+           count(*) AS n,
+           {PR6('max(q.p05)')} AS p05,
+           {PR6('max(q.p95)')} AS p95,
+           {PR4('avg(o.o_totalprice)')} AS raw_mean,
+           {PR4('avg(least(greatest(o.o_totalprice, q.p05), q.p95))')}
+             AS winsorized_mean
+    FROM orders o JOIN q USING (o_orderpriority)
+    GROUP BY o.o_orderpriority
+    """,
+)
+def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw vs 5%-winsorized mean order price per priority."""
+    o = table(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
+    q = o.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", F.lit(0.05)).alias("p05"),
+        F.percentile("o_totalprice", F.lit(0.95)).alias("p95"),
+    )
+    return (
+        o.join(F.broadcast(q), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            portable_round(F.max("p05"), 6).alias("p05"),
+            portable_round(F.max("p95"), 6).alias("p95"),
+            portable_round(F.avg("o_totalprice"), 4).alias("raw_mean"),
+            portable_round(
+                F.avg(
+                    F.least(F.greatest(F.col("o_totalprice"), F.col("p05")), F.col("p95"))
+                ),
+                4,
+            ).alias("winsorized_mean"),
+        )
+    )
