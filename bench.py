@@ -81,6 +81,11 @@ HEADLINE = [
     "cms_heavy_hitter_users",  # count-min grid build + broadcast probe
     "customer_name_fuzzy_pairs",  # deletion-variant blocked edit-1 join
     "promo_event_counts",      # bucketed point-in-interval join
+    "doc_tfidf_top_terms",     # tf/df counts + idf join + per-doc rank
+    "orders_merge_upsert",     # MERGE-style full-outer upsert apply
+    "event_value_mad_outliers",# median/MAD robust outlier census
+    "orders_pareto_frontier",  # skyline via per-date maxima spine
+    "doc_bigram_logprob",      # corpus bigram LM fit + per-doc scoring
     # embedding_near_pairs_lsh is oracle-verified but excluded here: at 2k
     # vectors its bucket pruning (~3x) is below the explode+join overhead —
     # the operator pays off when per-bucket cardinality << corpus (real scale)

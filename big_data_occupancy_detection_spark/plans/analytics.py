@@ -302,6 +302,77 @@ def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Bigram language-model scoring: the KenLM-perplexity quality proxy used
+# to filter web corpora (CCNet/Gopher-style), shrunk to an add-one
+# bigram LM trained on the corpus itself. Three map-side-combined counts
+# (bigram, bigram-prefix, vocab scalar), one hash join of the doc-bigram
+# stream against the bigram table (NOT broadcast — vocab² is unbounded),
+# one agg back to doc grain. Everything after tokenization is counts and
+# one ln per distinct bigram row — no per-token Python anywhere.
+# --------------------------------------------------------------------------
+@register(
+    "doc_bigram_logprob",
+    oracle=f"""
+    WITH clean AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(
+               regexp_replace(lower(text), '[^a-z]+', ' ', 'g'), ' '),
+               t -> t <> '') AS ts
+      FROM documents),
+    big AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(ts)), i -> ts[i])) AS w1,
+             unnest(list_transform(range(1, len(ts)), i -> ts[i + 1])) AS w2
+      FROM clean WHERE len(ts) >= 2),
+    bstats AS (SELECT w1, w2, count(*) AS cb FROM big GROUP BY w1, w2),
+    fstats AS (SELECT w1, CAST(sum(cb) AS DOUBLE) AS cf FROM bstats GROUP BY w1),
+    v AS (SELECT CAST(count(DISTINCT t) AS DOUBLE) AS v
+          FROM (SELECT unnest(ts) AS t FROM clean)),
+    scored AS (
+      SELECT b.doc_id, ln((s.cb + 1.0) / (f.cf + v.v)) AS lp
+      FROM big b JOIN bstats s USING (w1, w2) JOIN fstats f USING (w1), v)
+    SELECT doc_id, count(*) AS n_bigrams,
+           {PR6('avg(lp)')} AS avg_logprob
+    FROM scored GROUP BY doc_id
+    """,
+)
+def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean log-probability under an add-one-smoothed
+    bigram LM fit on the corpus (p(w2|w1) = (c₁₂+1)/(c₁+V)) — low
+    scores flag boilerplate/gibberish, the perplexity-filter shape."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    ts = F.filter(
+        F.split(F.regexp_replace(F.lower("text"), "[^a-z]+", " "), " "),
+        lambda t: t != "",
+    )
+    clean = docs.select("doc_id", ts.alias("ts")).filter(F.size("ts") >= 2)
+    pairs = F.transform(
+        F.sequence(F.lit(0), F.size("ts") - 2),
+        lambda i: F.struct(
+            F.get("ts", i).alias("w1"), F.get("ts", i + 1).alias("w2")
+        ),
+    )
+    big = clean.select("doc_id", F.explode(pairs).alias("b")).select(
+        "doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
+    )
+    bstats = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    fstats = bstats.groupBy("w1").agg(F.sum("cb").cast("double").alias("cf"))
+    v = clean.select(F.explode("ts").alias("t")).agg(
+        F.countDistinct("t").cast("double").alias("v")
+    )
+    scored = (
+        big.join(bstats, ["w1", "w2"])
+        .join(fstats, "w1")
+        .crossJoin(F.broadcast(v))
+        .withColumn("lp", F.log((F.col("cb") + 1.0) / (F.col("cf") + F.col("v"))))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        portable_round(F.avg("lp"), 6).alias("avg_logprob"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Weekday seasonality index: daily counts (one shuffle on ~10³ distinct
 # days), then the 7-row day-of-week profile vs the all-days baseline — a
 # classic seasonal-baseline feature for anomaly detection. The baseline

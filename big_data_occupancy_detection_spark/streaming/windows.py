@@ -89,14 +89,21 @@ def interval_join_streams(
     right_ts: str = "r_ts",
     max_delay: str = "1 hour",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
-    """Watermarked stream-stream inner join: right rows within
+    """Watermarked stream-stream join: right rows within
     [left_ts, left_ts + max_delay] of a same-key left row.
 
     Both sides carry watermarks and the join condition bounds the time
     skew, so Spark can expire buffered state for either side once the
     watermark passes — the only stream-stream join formulation whose state
     does not grow without bound.
+
+    ``how="left_outer"`` additionally emits each unmatched left row
+    (right columns NULL) — but only once the global watermark (the MIN
+    across both sources) passes ``left_ts + max_delay``, because until
+    then a matching right row could still arrive. Tests must advance
+    BOTH sources' event time to see outer results.
     """
     lw = left.withWatermark(left_ts, watermark)
     rw = right.withWatermark(right_ts, watermark)
@@ -105,7 +112,7 @@ def interval_join_streams(
         & (rw[right_ts] >= lw[left_ts])
         & (rw[right_ts] <= F.expr(f"{left_ts} + INTERVAL {max_delay}"))
     )
-    return lw.join(rw, cond, "inner")
+    return lw.join(rw, cond, how)
 
 
 def enrich_stream_static(

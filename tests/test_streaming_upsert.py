@@ -1,0 +1,156 @@
+"""Streaming left-outer interval join and the MERGE/upsert snapshot sink."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+
+def test_interval_join_left_outer_emits_unmatched(spark, tmp_path):
+    from big_data_occupancy_detection_spark.streaming.windows import (
+        interval_join_streams,
+    )
+
+    lsrc = tmp_path / "lo_l"
+    rsrc = tmp_path / "lo_r"
+    lsrc.mkdir(); rsrc.mkdir()
+    (lsrc / "l1.json").write_text(
+        "\n".join(
+            json.dumps(e)
+            for e in [
+                {"l_ts": "2026-01-01T09:00:00", "k": 1, "l_val": "matched"},
+                {"l_ts": "2026-01-01T09:00:00", "k": 2, "l_val": "lonely"},
+            ]
+        )
+    )
+    (rsrc / "r1.json").write_text(
+        json.dumps({"r_ts": "2026-01-01T09:20:00", "k": 1, "r_val": "hit"})
+    )
+    ldf = (
+        spark.readStream.format("json")
+        .schema("l_ts timestamp, k long, l_val string")
+        .load(str(lsrc))
+    )
+    rdf = (
+        spark.readStream.format("json")
+        .schema("r_ts timestamp, k long, r_val string")
+        .load(str(rsrc))
+    )
+    out = interval_join_streams(ldf, rdf, "k", how="left_outer")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("lojoin")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first = {(r.l_val, r.r_val) for r in spark.table("lojoin").collect()}
+        # watermark hasn't passed k=2's join window: only the match so far
+        assert first == {("matched", "hit")}
+        # advance BOTH sources' event time far past l_ts + 1h + 2h watermark
+        (lsrc / "l2.json").write_text(
+            json.dumps({"l_ts": "2026-01-02T00:00:00", "k": 9, "l_val": "wm"})
+        )
+        (rsrc / "r2.json").write_text(
+            json.dumps({"r_ts": "2026-01-02T00:00:00", "k": 9, "r_val": "wm"})
+        )
+        q.processAllAvailable()
+        # one more empty-ish batch lets the state-store eviction emit
+        (lsrc / "l3.json").write_text(
+            json.dumps({"l_ts": "2026-01-02T01:00:00", "k": 10, "l_val": "wm2"})
+        )
+        q.processAllAvailable()
+        got = {(r.l_val, r.r_val) for r in spark.table("lojoin").collect()}
+    finally:
+        q.stop()
+    assert ("lonely", None) in got, got
+
+
+def _write_changes(path, rows):
+    path.write_text("\n".join(json.dumps(r) for r in rows))
+
+
+def test_upsert_sink_maintains_snapshot(spark, tmp_path):
+    from big_data_occupancy_detection_spark.streaming.upsert import upsert_sink
+
+    src = tmp_path / "changes"
+    src.mkdir()
+    target = str(tmp_path / "snapshot")
+    ckpt = str(tmp_path / "ckpt")
+    _write_changes(
+        src / "b1.json",
+        [
+            {"id": 1, "val": "a", "seq": 1, "op": "U"},
+            {"id": 1, "val": "a2", "seq": 2, "op": "U"},  # same-batch last wins
+            {"id": 2, "val": "b", "seq": 1, "op": "U"},
+        ],
+    )
+    stream = (
+        spark.readStream.format("json")
+        .schema("id long, val string, seq long, op string")
+        .load(str(src))
+    )
+    q = upsert_sink(stream, target, ["id"], "seq", ckpt, op_col="op")
+    try:
+        q.processAllAvailable()
+        snap1 = {
+            (r.id, r.val)
+            for r in spark.read.parquet(f"{target}/current").collect()
+        }
+        assert snap1 == {(1, "a2"), (2, "b")}
+        # batch 2: update id=2, delete id=1, insert id=3
+        _write_changes(
+            src / "b2.json",
+            [
+                {"id": 2, "val": "b2", "seq": 3, "op": "U"},
+                {"id": 1, "val": None, "seq": 3, "op": "D"},
+                {"id": 3, "val": "c", "seq": 3, "op": "U"},
+            ],
+        )
+        q.processAllAvailable()
+        snap2 = {
+            (r.id, r.val)
+            for r in spark.read.parquet(f"{target}/current").collect()
+        }
+        assert snap2 == {(2, "b2"), (3, "c")}
+    finally:
+        q.stop()
+
+
+def test_upsert_sink_restart_is_exactly_once(spark, tmp_path):
+    """Kill the query, restart from the same checkpoint, add a batch:
+    the snapshot reflects every batch exactly once."""
+    from big_data_occupancy_detection_spark.streaming.upsert import upsert_sink
+
+    src = tmp_path / "changes2"
+    src.mkdir()
+    target = str(tmp_path / "snapshot2")
+    ckpt = str(tmp_path / "ckpt2")
+    _write_changes(src / "b1.json", [{"id": 1, "val": "x", "seq": 1, "op": "U"}])
+
+    def start():
+        stream = (
+            spark.readStream.format("json")
+            .schema("id long, val string, seq long, op string")
+            .load(str(src))
+        )
+        return upsert_sink(stream, target, ["id"], "seq", ckpt, op_col="op")
+
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    _write_changes(src / "b2.json", [{"id": 2, "val": "y", "seq": 2, "op": "U"}])
+    q = start()
+    try:
+        q.processAllAvailable()
+        snap = {
+            (r.id, r.val)
+            for r in spark.read.parquet(f"{target}/current").collect()
+        }
+    finally:
+        q.stop()
+    assert snap == {(1, "x"), (2, "y")}
