@@ -535,6 +535,288 @@ def nation_balance_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Rolling z-score anomaly flags: daily volume vs the trailing-7-day
+# mean/stddev. The heavy side reduces to the date spine first (one
+# shuffle, |days| rows); the trailing window runs on that bounded spine
+# — same single-task-on-the-spine note as `orders_pareto_frontier`.
+# sd=0 and warmup windows yield NULL z on both engines (guarded CASE).
+# --------------------------------------------------------------------------
+@register(
+    "daily_volume_zscore",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, count(*) AS n
+      FROM events GROUP BY 1),
+    win AS (
+      SELECT day, n,
+             avg(CAST(n AS DOUBLE)) OVER w AS m7,
+             stddev_samp(CAST(n AS DOUBLE)) OVER w AS s7
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+    SELECT day, n,
+           CASE WHEN s7 > 0 THEN round((n - m7) / s7, 6) END AS z,
+           CASE WHEN s7 > 0 THEN abs((n - m7) / s7) > 2 ELSE FALSE END
+             AS is_anomaly
+    FROM win
+    """,
+)
+def daily_volume_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event volume with trailing-7-day z-score anomaly flags."""
+    ev = table(spark, sf_dir, "events").select("ts")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.orderBy("day").rowsBetween(-7, -1)
+    nn = F.col("n").cast("double")
+    win = daily.select(
+        "day",
+        "n",
+        F.avg(nn).over(w).alias("m7"),
+        F.stddev_samp(nn).over(w).alias("s7"),
+    )
+    z = (F.col("n") - F.col("m7")) / F.col("s7")
+    return win.select(
+        "day",
+        "n",
+        F.when(F.col("s7") > 0, F.round(z, 6)).alias("z"),
+        F.when(F.col("s7") > 0, F.abs(z) > 2).otherwise(F.lit(False)).alias(
+            "is_anomaly"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Last-touch attribution: each purchase credits the user's most recent
+# non-purchase event within 3 days. One shuffle (per-user window with an
+# ignore-nulls running last), then a tiny channel rollup — the windowed
+# formulation of the as-of join (`operators/temporal.py:asof_join`).
+# --------------------------------------------------------------------------
+@register(
+    "attribution_last_touch",
+    oracle=f"""
+    WITH touched AS (
+      SELECT event_type, ts,
+             last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                        IGNORE NULLS) OVER w AS touch,
+             last_value(CASE WHEN event_type <> 'purchase' THEN ts END
+                        IGNORE NULLS) OVER w AS touch_ts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+    p AS (
+      SELECT CASE WHEN touch_ts >= ts - INTERVAL 3 DAY THEN touch
+                  ELSE 'none' END AS touch_channel
+      FROM touched WHERE event_type = 'purchase')
+    SELECT touch_channel, count(*) AS n,
+           {PR6('count(*) / CAST(sum(count(*)) OVER () AS DOUBLE)')} AS share
+    FROM p GROUP BY touch_channel
+    """,
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchases credited to the last non-purchase touch within 3 days."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    np_type = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    np_ts = F.when(F.col("event_type") != "purchase", F.col("ts"))
+    touched = ev.select(
+        "event_type",
+        "ts",
+        F.last(np_type, ignorenulls=True).over(w).alias("touch"),
+        F.last(np_ts, ignorenulls=True).over(w).alias("touch_ts"),
+    )
+    p = touched.filter(F.col("event_type") == "purchase").select(
+        F.when(
+            F.col("touch_ts") >= F.col("ts") - F.expr("INTERVAL 3 DAY"),
+            F.col("touch"),
+        )
+        .otherwise("none")
+        .alias("touch_channel")
+    )
+    counts = p.groupBy("touch_channel").agg(F.count(F.lit(1)).alias("n"))
+    return counts.select(
+        "touch_channel",
+        "n",
+        portable_round(
+            F.col("n") / F.sum("n").over(Window.partitionBy()).cast("double"), 6
+        ).alias("share"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Chi-square independence test of event_type × ISO weekday: the
+# contingency table is one map-side-combined shuffle; margins/expected/
+# statistic all run on the ≤(types·7)-row table via windows.
+# --------------------------------------------------------------------------
+@register(
+    "event_type_chi2",
+    oracle=f"""
+    WITH c AS (
+      SELECT event_type, CAST(isodow(ts) AS INTEGER) AS dow,
+             CAST(count(*) AS DOUBLE) AS o
+      FROM events GROUP BY 1, 2),
+    m AS (
+      SELECT o,
+             sum(o) OVER (PARTITION BY event_type) AS rt,
+             sum(o) OVER (PARTITION BY dow) AS ct,
+             sum(o) OVER () AS tot
+      FROM c)
+    SELECT {PR6('sum((o - rt * ct / tot) * (o - rt * ct / tot) / (rt * ct / tot))')}
+             AS chi2,
+           CAST((count(DISTINCT rt) - 1) * (count(DISTINCT ct) - 1) AS BIGINT)
+             AS dof_upper
+    FROM m
+    """,
+)
+def event_type_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square statistic for event-type / weekday independence."""
+    from ..functions.datetime_fns import dow_monday
+
+    ev = table(spark, sf_dir, "events").select("event_type", "ts")
+    c = ev.groupBy(
+        "event_type", dow_monday("ts").cast("int").alias("dow")
+    ).agg(F.count(F.lit(1)).cast("double").alias("o"))
+    m = c.select(
+        "o",
+        F.sum("o").over(Window.partitionBy("event_type")).alias("rt"),
+        F.sum("o").over(Window.partitionBy("dow")).alias("ct"),
+        F.sum("o").over(Window.partitionBy()).alias("tot"),
+    )
+    e = F.col("rt") * F.col("ct") / F.col("tot")
+    return m.agg(
+        portable_round(F.sum((F.col("o") - e) * (F.col("o") - e) / e), 6).alias(
+            "chi2"
+        ),
+        (
+            (F.countDistinct("rt") - 1) * (F.countDistinct("ct") - 1)
+        ).cast("long").alias("dof_upper"),
+    )
+
+
+# --------------------------------------------------------------------------
+# PMI co-occurrence over the top-100 vocabulary: candidate pairs come
+# from a per-doc self-join AFTER the semi-join against the broadcast
+# top-100 list, so the pair space is capped at C(100,2) regardless of
+# corpus size — the vocabulary cap is the scale guard.
+# --------------------------------------------------------------------------
+@register(
+    "pmi_top_cooccurrence",
+    oracle=f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_filter(string_split_regex(
+               regexp_replace(lower(text), '[^a-z]+', ' ', 'g'), ' '),
+               t -> t <> '')) AS term
+      FROM documents),
+    top100 AS (
+      SELECT term, count(*) AS df FROM toks GROUP BY term
+      ORDER BY df DESC, term LIMIT 100),
+    t2 AS (SELECT toks.doc_id, toks.term, top100.df
+           FROM toks JOIN top100 USING (term)),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+    pairs AS (
+      SELECT a.term AS w1, b.term AS w2, a.df AS df1, b.df AS df2,
+             count(*) AS c_xy
+      FROM t2 a JOIN t2 b ON a.doc_id = b.doc_id AND a.term < b.term
+      GROUP BY 1, 2, 3, 4)
+    SELECT w1, w2, c_xy,
+           {PR6('ln(c_xy * n.n_docs / (df1 * CAST(df2 AS DOUBLE)))')} AS pmi
+    FROM pairs, n
+    ORDER BY pmi DESC, w1, w2 LIMIT 20
+    """,
+)
+def pmi_top_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 PMI pairs among the 100 most document-frequent terms."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.filter(
+                    F.split(
+                        F.regexp_replace(F.lower("text"), "[^a-z]+", " "), " "
+                    ),
+                    lambda t: t != "",
+                )
+            ).alias("term"),
+        )
+        .distinct()
+    )
+    top100 = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.desc("df"), "term")
+        .limit(100)
+    )
+    t2 = toks.join(F.broadcast(top100), "term")
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    a = t2.select("doc_id", F.col("term").alias("w1"), F.col("df").alias("df1"))
+    b = t2.select("doc_id", F.col("term").alias("w2"), F.col("df").alias("df2"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("w1") < F.col("w2"))
+        .groupBy("w1", "w2", "df1", "df2")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+    )
+    return (
+        pairs.crossJoin(F.broadcast(n))
+        .select(
+            "w1",
+            "w2",
+            "c_xy",
+            portable_round(
+                F.log(
+                    F.col("c_xy")
+                    * F.col("n_docs")
+                    / (F.col("df1") * F.col("df2").cast("double"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Lag-1 autocorrelation of daily revenue: aggregate to the date spine
+# (one shuffle), lag on the bounded spine, one corr aggregate. Native
+# round on the sqrt-based corr, matching `grouped_correlation`.
+# --------------------------------------------------------------------------
+@register(
+    "orders_daily_autocorr",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderdate AS day, sum(o_totalprice) AS rev
+      FROM orders GROUP BY 1),
+    lagged AS (
+      SELECT rev, lag(rev) OVER (ORDER BY day) AS prev FROM daily)
+    SELECT round(corr(rev, prev), 6) AS autocorr_lag1,
+           CAST(count(prev) AS BIGINT) AS n_pairs
+    FROM lagged
+    """,
+)
+def orders_daily_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 Pearson autocorrelation of the daily revenue series."""
+    o = table(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum("o_totalprice").alias("rev")
+    )
+    lagged = daily.select(
+        "rev", F.lag("rev").over(Window.orderBy("day")).alias("prev")
+    )
+    return lagged.agg(
+        F.round(F.corr("rev", "prev"), 6).alias("autocorr_lag1"),
+        F.count("prev").alias("n_pairs"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Winsorized mean: clamp at the exact per-group [p05, p95] before
 # averaging — the robust-mean used to de-weight outliers in quality
 # scoring. The 5-row quantile table broadcasts back onto the scan.
