@@ -1,0 +1,103 @@
+"""100x text-analytics scale smoke (union-replicated documents, PERF.md).
+
+Replicates the sf0.1 ``documents`` table R times with rekeyed ids — the
+text payload per row is unchanged, so token volume scales linearly with
+R (crawl-corpus shape) — and measures the corpus-statistics operators
+added in round 3:
+
+- ``doc_tfidf_top_terms``: tf/df counts + idf join + per-doc rank
+- ``doc_bigram_logprob``: bigram LM fit + per-doc scoring
+- ``pmi_top_cooccurrence``: capped-vocabulary co-occurrence
+
+These are counts-join-agg pipelines: their cost should scale ~linearly
+in corpus tokens (no pair blowup — PMI's pair space is capped at
+C(100,2) by construction), which is exactly what this smoke checks.
+
+Usage::
+
+    python scripts/scale_smoke_text.py [R] [op ...]
+
+    R    replication factor (default 100 -> 500k docs)
+    op   tfidf | bigram | pmi (default all)
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, ".")
+sys.path.insert(0, "scripts")
+
+from scale_smoke import shuffle_totals  # noqa: E402
+
+from big_data_occupancy_detection_spark.plans import analytics as A
+from big_data_occupancy_detection_spark.session import get_session
+from big_data_occupancy_detection_spark.sources.readers import table
+
+SF_DIR = "/root/testdata/sf0.1"
+
+
+def main() -> None:
+    r = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    ops = sys.argv[2:] or ["tfidf", "bigram", "pmi"]
+    spark = get_session(
+        app_name=f"scale_smoke_text_{r}x",
+        master="local[32]",
+        extra_conf={"spark.driver.memory": "48g", "spark.ui.enabled": "true"},
+    )
+    docs = table(spark, SF_DIR, "documents")
+    rep = (
+        docs.select(
+            "doc_id",
+            "text",
+            F.explode(F.sequence(F.lit(0), F.lit(r - 1))).alias("__k"),
+        )
+        .select((F.col("doc_id") * r + F.col("__k")).alias("doc_id"), "text")
+        .localCheckpoint(eager=True)
+    )
+    n = rep.count()
+    print(json.dumps({"replication": r, "rows": n}), flush=True)
+    rep.createOrReplaceTempView("__rep_docs")
+
+    # monkey-point the plan functions at the replicated frame: they take
+    # (spark, sf_dir) and read via table(); route through a patched table
+    import big_data_occupancy_detection_spark.plans.analytics as mod
+
+    orig_table = mod.table
+    mod.table = lambda s, d, name: rep if name == "documents" else orig_table(s, d, name)
+    try:
+        targets = {
+            "tfidf": ("doc_tfidf_top_terms", A.doc_tfidf_top_terms),
+            "bigram": ("doc_bigram_logprob", A.doc_bigram_logprob),
+            "pmi": ("pmi_top_cooccurrence", A.pmi_top_cooccurrence),
+        }
+        for op in ops:
+            name, fn = targets[op]
+            r0, w0 = shuffle_totals(spark)
+            t0 = time.perf_counter()
+            out = fn(spark, SF_DIR)
+            out.write.format("noop").mode("overwrite").save()
+            wall = time.perf_counter() - t0
+            r1, w1 = shuffle_totals(spark)
+            print(
+                json.dumps(
+                    {
+                        "op": name,
+                        "wall_s": round(wall, 2),
+                        "shuffle_read_mb": round((r1 - r0) / 1e6, 1),
+                        "shuffle_write_mb": round((w1 - w0) / 1e6, 1),
+                    }
+                ),
+                flush=True,
+            )
+    finally:
+        mod.table = orig_table
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -119,6 +119,59 @@ def test_upsert_sink_maintains_snapshot(spark, tmp_path):
         q.stop()
 
 
+def test_streaming_materialized_view(spark, tmp_path):
+    """Windowed agg in update mode + upsert sink = an incrementally
+    maintained materialized view: late rows re-emit their window's key
+    and the snapshot converges to the batch answer."""
+    from big_data_occupancy_detection_spark.streaming.upsert import upsert_sink
+    from big_data_occupancy_detection_spark.streaming.windows import tumbling_counts
+
+    src = tmp_path / "mv_src"
+    src.mkdir()
+    target = str(tmp_path / "mv_snapshot")
+    ckpt = str(tmp_path / "mv_ckpt")
+    _write_changes(
+        src / "b1.json",
+        [
+            {"ts": "2026-01-01T09:10:00", "event_type": "view", "value": 1.0},
+            {"ts": "2026-01-01T09:20:00", "event_type": "view", "value": 2.0},
+            {"ts": "2026-01-01T10:05:00", "event_type": "click", "value": 5.0},
+        ],
+    )
+    stream = (
+        spark.readStream.format("json")
+        .schema("ts timestamp, event_type string, value double")
+        .load(str(src))
+    )
+    agg = tumbling_counts(stream).withColumn("seq", F.col("n_events"))
+    q = upsert_sink(
+        agg, target, ["window_start", "event_type"], "seq", ckpt
+    )
+    try:
+        q.processAllAvailable()
+        snap1 = {
+            (str(r.window_start), r.event_type): (r.n_events, r.sum_value)
+            for r in spark.read.parquet(f"{target}/current").collect()
+        }
+        assert snap1[("2026-01-01 09:00:00", "view")] == (2, 3.0)
+        assert snap1[("2026-01-01 10:00:00", "click")] == (1, 5.0)
+        # a late row for the 09:00 window (inside the 2h watermark)
+        # re-emits that key; the upsert replaces the stale row
+        _write_changes(
+            src / "b2.json",
+            [{"ts": "2026-01-01T09:40:00", "event_type": "view", "value": 4.0}],
+        )
+        q.processAllAvailable()
+        snap2 = {
+            (str(r.window_start), r.event_type): (r.n_events, r.sum_value)
+            for r in spark.read.parquet(f"{target}/current").collect()
+        }
+        assert snap2[("2026-01-01 09:00:00", "view")] == (3, 7.0)
+        assert snap2[("2026-01-01 10:00:00", "click")] == (1, 5.0)
+    finally:
+        q.stop()
+
+
 def test_upsert_sink_restart_is_exactly_once(spark, tmp_path):
     """Kill the query, restart from the same checkpoint, add a batch:
     the snapshot reflects every batch exactly once."""
