@@ -535,6 +535,46 @@ def nation_balance_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Approx-percentile rank contract: percentile_approx is the mergeable
+# Greenwald-Khanna path for unbounded-cardinality columns at 100 TB
+# (exact percentile holds group values on the reducer). GK's guarantee
+# is on RANK, not value, so — like `approx_distinct_users` for HLL —
+# the oracle verifies the portable contract: exact group counts plus a
+# boolean that the approx median's true rank sits within the accuracy
+# envelope. One extra conditional-sum pass against the broadcast
+# estimate computes the rank without sorting anything.
+# --------------------------------------------------------------------------
+@register(
+    "approx_median_rank_check",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n, true AS rank_ok
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def approx_median_rank_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx(0.5) verified by rank: |rank(est)/n − 0.5|
+    must be within the GK accuracy envelope (1/accuracy, plus one rank
+    for discreteness)."""
+    accuracy = 10_000
+    o = table(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
+    q = o.groupBy("o_orderpriority").agg(
+        F.percentile_approx("o_totalprice", 0.5, accuracy).alias("amed")
+    )
+    j = o.join(F.broadcast(q), "o_orderpriority")
+    n = F.count(F.lit(1))
+    rank_le = F.sum(
+        F.when(F.col("o_totalprice") <= F.col("amed"), 1).otherwise(0)
+    )
+    envelope = F.lit(1.0 / accuracy) + F.lit(1.0) / n
+    return j.groupBy("o_orderpriority").agg(
+        n.alias("n"),
+        (
+            F.abs(rank_le.cast("double") / n - F.lit(0.5)) <= envelope
+        ).alias("rank_ok"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Rolling z-score anomaly flags: daily volume vs the trailing-7-day
 # mean/stddev. The heavy side reduces to the date spine first (one
 # shuffle, |days| rows); the trailing window runs on that bounded spine
