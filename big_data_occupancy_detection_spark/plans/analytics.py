@@ -535,6 +535,69 @@ def nation_balance_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Incremental aggregate refresh (continuous-aggregate maintenance): the
+# stored hourly partials absorb a delta batch by UNION + re-aggregate —
+# mergeable partials (count/sum/min/max) make the refresh cost
+# |delta| + |touched buckets|, never a fact rescan. Here the split is
+# derived in-query (last 7 days = the delta) so the ORACLE can verify
+# the strongest property directly: the incrementally maintained rollup
+# hash-equals the full recompute (`events_time_rollup`'s shape).
+# --------------------------------------------------------------------------
+@register(
+    "incremental_time_rollup",
+    oracle=f"""
+    WITH h AS (
+      SELECT date_trunc('hour', ts) AS bucket_ts,
+             count(*) AS n_events, sum(value) AS s,
+             min(value) AS mn, max(value) AS mx
+      FROM events GROUP BY 1)
+    SELECT bucket_ts, n_events,
+           {PR4('s')} AS sum_value,
+           round(mn, 4) AS min_value,
+           round(mx, 4) AS max_value
+    FROM h
+    """,
+)
+def incremental_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly rollup maintained incrementally: partials of the base
+    (ts < max(ts) − 7 days) merged with partials of the delta batch;
+    must equal the single-pass rollup (which IS the oracle)."""
+    ev = table(spark, sf_dir, "events").select("ts", "value")
+    split = ev.agg(
+        (F.max("ts") - F.expr("INTERVAL 7 DAY")).alias("split_ts")
+    )
+    tagged = ev.crossJoin(F.broadcast(split))
+
+    def hourly(src: DataFrame) -> DataFrame:
+        return src.groupBy(F.date_trunc("hour", "ts").alias("bucket_ts")).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("s"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+        )
+
+    base_aggs = hourly(tagged.filter(F.col("ts") < F.col("split_ts")))
+    delta_aggs = hourly(tagged.filter(F.col("ts") >= F.col("split_ts")))
+    merged = (
+        base_aggs.unionByName(delta_aggs)
+        .groupBy("bucket_ts")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("s").alias("s"),
+            F.min("mn").alias("mn"),
+            F.max("mx").alias("mx"),
+        )
+    )
+    return merged.select(
+        "bucket_ts",
+        "n_events",
+        portable_round(F.col("s"), 4).alias("sum_value"),
+        F.round("mn", 4).alias("min_value"),
+        F.round("mx", 4).alias("max_value"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Approx-percentile rank contract: percentile_approx is the mergeable
 # Greenwald-Khanna path for unbounded-cardinality columns at 100 TB
 # (exact percentile holds group values on the reducer). GK's guarantee
