@@ -535,6 +535,38 @@ def nation_balance_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Recursive CTE (Spark 4.1 WITH RECURSIVE): every customer key walks a
+# deterministic halving chain to the root, and the query returns the
+# chain-depth histogram. The SAME SQL text runs on Spark and DuckDB —
+# the recursion depth is log₂(max key), so the iterative executor does
+# O(log n) distributed rounds (the same bound as star-contraction
+# connected components; the iterative DataFrame twins live in
+# ext/dedup.py:connected_components*).
+# --------------------------------------------------------------------------
+_CHAIN_SQL = """
+WITH RECURSIVE walk(node, depth) AS (
+  SELECT c_custkey, 0 FROM {cust}
+  UNION ALL
+  SELECT CAST(floor(node / 2.0) AS BIGINT), depth + 1
+  FROM walk WHERE node > 1)
+SELECT depth AS depth_to_root, count(*) AS n_customers
+FROM walk WHERE node = 1
+GROUP BY depth
+"""
+
+
+@register(
+    "customer_chain_depths_sql",
+    oracle=_CHAIN_SQL.format(cust="customer"),
+)
+def customer_chain_depths_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth histogram of the halving chain c → ⌊c/2⌋ → … → 1, computed
+    with a native recursive CTE (identical SQL text as the oracle)."""
+    table(spark, sf_dir, "customer").createOrReplaceTempView("__cust_rec")
+    return spark.sql(_CHAIN_SQL.format(cust="__cust_rec"))
+
+
+# --------------------------------------------------------------------------
 # Incremental aggregate refresh (continuous-aggregate maintenance): the
 # stored hourly partials absorb a delta batch by UNION + re-aggregate —
 # mergeable partials (count/sum/min/max) make the refresh cost
