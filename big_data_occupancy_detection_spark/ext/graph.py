@@ -63,26 +63,31 @@ def pagerank(
     )
     n = base.count()
     # portable rounding: 1/n and the damped update are exact rationals,
-    # where native round() can flip between engines on half-ulp boundaries
+    # where native round() can flip between engines on half-ulp boundaries.
+    # ranks CARRIES outdeg through the loop: the rebuild join below
+    # restores it each round, so no per-iteration ranks⋈base join is
+    # needed to re-attach degrees — one full-|V| shuffle per round
+    # removed vs the naive formulation.
     ranks = base.select(
-        "node", portable_round(F.lit(1.0) / F.lit(float(n)), round_to).alias("pr")
+        "node",
+        "outdeg",
+        portable_round(F.lit(1.0) / F.lit(float(n)), round_to).alias("pr"),
     )
     for i in range(n_iters):
-        rb = ranks.join(base, "node")  # (node, pr, outdeg)
         contrib = (
-            e.join(rb.withColumnRenamed("node", "src"), "src")
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.col("pr") / F.col("outdeg")).alias("inflow"))
         )
-        dangling = rb.filter(F.col("outdeg") == 0).agg(
+        dangling = ranks.filter(F.col("outdeg") == 0).agg(
             F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dmass")
         )
         ranks = (
-            base.select("node")
-            .join(contrib, "node", "left_outer")
+            base.join(contrib, "node", "left_outer")
             .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
+                "outdeg",
                 portable_round(
                     (1.0 - damping) / n
                     + damping
