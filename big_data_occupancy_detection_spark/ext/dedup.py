@@ -314,22 +314,17 @@ def connected_components(
             .groupBy(F.col("a").alias("node"))
             .agg(F.min("lbl").alias("nb_lbl"))
         )
+        newl = F.least("lbl", F.coalesce("nb_lbl", "lbl"))
+        # labels only decrease, so "changed" is newl < lbl — computed in
+        # the SAME update join (no separate new⋈old convergence join,
+        # which would cost one more full-|V| shuffle per round)
         new_labels = (
             labels.join(prop, "node", "left_outer")
-            .select(
-                "node",
-                F.least("lbl", F.coalesce("nb_lbl", "lbl")).alias("lbl"),
-            )
+            .select("node", newl.alias("lbl"), (newl < F.col("lbl")).alias("chg"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter("chg").limit(1).count()
+        labels = new_labels.drop("chg")
         if changed == 0:
             break
     else:
