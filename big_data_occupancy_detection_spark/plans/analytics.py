@@ -535,6 +535,71 @@ def nation_balance_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# ANALYZE-style table stats in ONE scan: per-column null count, distinct
+# count, min/max — the CBO statistics-collection pass. All columns'
+# aggregates run in a single aggregate node over a single pass (no
+# per-column scans), then unpivot to the (column, stat...) long form.
+# At 100 TB swap count(DISTINCT) for approx_count_distinct (HLL,
+# contract verified by `approx_distinct_users`); exact here so the
+# oracle can hash-match.
+# --------------------------------------------------------------------------
+@register(
+    "analyze_orders_stats",
+    oracle="""
+    WITH a AS (
+      SELECT count(*) AS n,
+             count(o_custkey) AS nn_cust, count(DISTINCT o_custkey) AS nd_cust,
+             CAST(min(o_custkey) AS DOUBLE) AS mn_cust,
+             CAST(max(o_custkey) AS DOUBLE) AS mx_cust,
+             count(o_totalprice) AS nn_price, count(DISTINCT o_totalprice) AS nd_price,
+             round(min(o_totalprice), 4) AS mn_price,
+             round(max(o_totalprice), 4) AS mx_price,
+             count(o_orderstatus) AS nn_status, count(DISTINCT o_orderstatus) AS nd_status
+      FROM orders)
+    SELECT 'o_custkey' AS col, n, n - nn_cust AS n_nulls, nd_cust AS n_distinct,
+           mn_cust AS min_val, mx_cust AS max_val FROM a
+    UNION ALL
+    SELECT 'o_totalprice', n, n - nn_price, nd_price, mn_price, mx_price FROM a
+    UNION ALL
+    SELECT 'o_orderstatus', n, n - nn_status, nd_status, NULL, NULL FROM a
+    """,
+)
+def analyze_orders_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-scan column statistics (ANALYZE TABLE shape) for orders."""
+    o = table(spark, sf_dir, "orders")
+    a = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("o_custkey").alias("nn_cust"),
+        F.countDistinct("o_custkey").alias("nd_cust"),
+        F.min("o_custkey").cast("double").alias("mn_cust"),
+        F.max("o_custkey").cast("double").alias("mx_cust"),
+        F.count("o_totalprice").alias("nn_price"),
+        F.countDistinct("o_totalprice").alias("nd_price"),
+        F.round(F.min("o_totalprice"), 4).alias("mn_price"),
+        F.round(F.max("o_totalprice"), 4).alias("mx_price"),
+        F.count("o_orderstatus").alias("nn_status"),
+        F.countDistinct("o_orderstatus").alias("nd_status"),
+    )
+    null_d = F.lit(None).cast("double")
+
+    def row(col, nn, nd, mn, mx):
+        return a.select(
+            F.lit(col).alias("col"),
+            F.col("n"),
+            (F.col("n") - F.col(nn)).alias("n_nulls"),
+            F.col(nd).alias("n_distinct"),
+            (F.col(mn) if mn else null_d).alias("min_val"),
+            (F.col(mx) if mx else null_d).alias("max_val"),
+        )
+
+    return (
+        row("o_custkey", "nn_cust", "nd_cust", "mn_cust", "mx_cust")
+        .unionByName(row("o_totalprice", "nn_price", "nd_price", "mn_price", "mx_price"))
+        .unionByName(row("o_orderstatus", "nn_status", "nd_status", None, None))
+    )
+
+
+# --------------------------------------------------------------------------
 # Recursive CTE (Spark 4.1 WITH RECURSIVE): every customer key walks a
 # deterministic halving chain to the root, and the query returns the
 # chain-depth histogram. The SAME SQL text runs on Spark and DuckDB —
