@@ -27,8 +27,10 @@ from typing import Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 EVENT_TYPES = ["view", "click", "purchase", "refund"]
@@ -118,6 +120,75 @@ class EventGenDataSource(DataSource):
         return EventGenStreamReader(self.options)
 
 
+class _JsonlCommit(WriterCommitMessage):
+    """Per-task commit message: the staged file and its row count."""
+
+    def __init__(self, path: str, rows: int):
+        self.path = path
+        self.rows = rows
+
+
+class JsonlManifestWriter(DataSourceWriter):
+    """Batch writer half of the connector surface: executor tasks stage
+    one JSONL file each under ``_staging/`` and report a commit message;
+    the DRIVER's ``commit`` promotes the staged files and writes a
+    ``_MANIFEST.json`` naming exactly the committed files + row counts —
+    the two-phase (task-attempt → driver-commit) protocol every
+    transactional sink (Hadoop committer, Delta/Iceberg manifest) is
+    built on. ``abort`` leaves only ``_staging`` garbage, never a
+    half-visible dataset: readers trust the manifest, not the directory
+    listing, so failed/speculative task attempts are invisible."""
+
+    def __init__(self, options: dict):
+        self.path = options["path"]
+
+    def write(self, rows: Iterator) -> _JsonlCommit:
+        import json
+        import os
+        import uuid
+
+        os.makedirs(os.path.join(self.path, "_staging"), exist_ok=True)
+        fname = os.path.join(self.path, "_staging", f"part-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(fname, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r.asDict()) + "\n")
+                n += 1
+        return _JsonlCommit(fname, n)
+
+    def commit(self, messages: list) -> None:
+        import json
+        import os
+
+        final = []
+        for m in messages:
+            dst = os.path.join(self.path, os.path.basename(m.path))
+            os.rename(m.path, dst)
+            final.append({"file": os.path.basename(m.path), "rows": m.rows})
+        with open(os.path.join(self.path, "_MANIFEST.json"), "w") as f:
+            json.dump(sorted(final, key=lambda d: d["file"]), f, indent=1)
+
+    def abort(self, messages: list) -> None:
+        import os
+        import shutil
+
+        staging = os.path.join(self.path, "_staging")
+        if os.path.isdir(staging):
+            shutil.rmtree(staging)
+
+
+class JsonlManifestDataSource(DataSource):
+    """``format("jsonl_manifest")`` — write-side custom connector."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_manifest"
+
+    def writer(self, schema, overwrite: bool) -> JsonlManifestWriter:
+        return JsonlManifestWriter(self.options)
+
+
 def register_eventgen(spark) -> None:
-    """Idempotent registration of the eventgen format on a session."""
+    """Idempotent registration of the custom Python connectors."""
     spark.dataSource.register(EventGenDataSource)
+    spark.dataSource.register(JsonlManifestDataSource)
