@@ -690,6 +690,15 @@ def zorder_events_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def user_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale note (measured, scripts/scale_smoke_events.py): the native
+    # session_window MERGING aggregate has a per-key DENSITY cliff — at
+    # 100× replicated events (10M rows, same users, jittered ts) it took
+    # 66 s while the lag-gap sessionization (`user_sessions`, identical
+    # session semantics) took 8.6 s on the same data (29× vs 4.6× from
+    # the 10× point: the in-memory window-merge cost grows superlinearly
+    # as sessions chain). Prefer the lag-gap form when per-key event
+    # density is high; the native form is kept for API coverage and is
+    # fine at normal densities.
     ev = table(spark, sf_dir, "events")
     return (
         ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
