@@ -55,3 +55,42 @@ def test_train_script_lr(tmp_path):
     assert os.path.exists(os.path.join(out_dir, "metrics_test.csv"))
     assert os.path.exists(os.path.join(out_dir, "occupancy_lr"))
     assert "accuracy=" in out.stdout
+
+
+def _run_smoke(script, args):
+    env = {**os.environ, "SPARK_GRAFT_CPUS": "4"}
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", script), *args],
+        capture_output=True, text=True, timeout=420, env=env, cwd=REPO,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    import json as _json
+
+    lines = [
+        _json.loads(l)
+        for l in out.stdout.splitlines()
+        if l.startswith("{")
+    ]
+    assert lines, out.stdout[-2000:]
+    return lines
+
+
+def test_scale_smoke_text_runs_tiny():
+    lines = _run_smoke("scale_smoke_text.py", ["2", "pmi"])
+    assert lines[0]["replication"] == 2
+    assert any(l.get("op") == "pmi_top_cooccurrence" for l in lines)
+
+
+def test_scale_smoke_events_runs_tiny():
+    lines = _run_smoke("scale_smoke_events.py", ["2", "sliding"])
+    assert any(l.get("op") == "sliding_hour_activity" for l in lines)
+
+
+def test_scale_smoke_tpch_runs_tiny():
+    lines = _run_smoke("scale_smoke_tpch.py", ["2", "pricing_summary"])
+    assert any(l.get("op") == "pricing_summary" for l in lines)
+
+
+def test_scale_smoke_ann_vec_runs_tiny():
+    lines = _run_smoke("scale_smoke_ann.py", ["2", "brute_vec"])
+    assert any(l.get("op") == "brute_force_topk_vectorized" for l in lines)
