@@ -10,5 +10,6 @@ from . import tpch_extra as _tpch_extra  # noqa: E402,F401
 from . import functions_surface as _functions_surface  # noqa: E402,F401
 from . import curation as _curation  # noqa: E402,F401
 from . import analytics as _analytics  # noqa: E402,F401
+from . import bi as _bi  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QuerySpec", "register", "queries_map", "oracle_sql_map"]

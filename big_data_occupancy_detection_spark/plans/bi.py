@@ -1,0 +1,256 @@
+"""BI / market-basket plans: co-purchase lift, RFM segmentation,
+ABC (Pareto) classification, interarrival statistics.
+
+The retail-analytics family every warehouse runs daily, each in its
+scale shape: basket pairs are bounded per order (C(items,2) with ~4
+items/order — never corpus-quadratic), segmentation and classification
+run windows over pre-aggregated per-entity tables, and every rounded
+rational uses the portable form (functions/rounding.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.rounding import portable_round, portable_round_sql
+from ..sources.readers import table
+from .registry import register
+
+
+def PR6(e: str) -> str:
+    return portable_round_sql(e, 6)
+
+
+# --------------------------------------------------------------------------
+# Market-basket co-purchase: parts appearing in the same order, ranked
+# by lift = P(a,b) / (P(a)·P(b)). The pair fan-out is per-order
+# (C(items, 2), ~6 pairs at 4 items/order — linear in orders), the
+# per-part support table is broadcast back, and the final ranking is a
+# deterministic top-k. The association-rules building block.
+# --------------------------------------------------------------------------
+@register(
+    "part_copurchase_lift",
+    oracle=f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT CAST(count(DISTINCT l_orderkey) AS DOUBLE) AS n_orders
+          FROM lineitem),
+    supp AS (
+      SELECT l_partkey, count(*) AS part_orders FROM items GROUP BY 1),
+    pairs AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS both_orders
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= 3)
+    SELECT p1, p2, both_orders,
+           {PR6('both_orders * n.n_orders / (sa.part_orders * CAST(sb.part_orders AS DOUBLE))')}
+             AS lift
+    FROM pairs JOIN supp sa ON sa.l_partkey = p1
+               JOIN supp sb ON sb.l_partkey = p2, n
+    ORDER BY lift DESC, p1, p2 LIMIT 25
+    """,
+)
+def part_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top part pairs by co-purchase lift (support ≥ 3 orders)."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    items = li.distinct()
+    n = li.agg(
+        F.countDistinct("l_orderkey").cast("double").alias("n_orders")
+    )
+    supp = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("part_orders"))
+    a = items.select("l_orderkey", F.col("l_partkey").alias("p1"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("p2"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("both_orders"))
+        .filter(F.col("both_orders") >= 3)
+    )
+    sa = supp.select(F.col("l_partkey").alias("p1"), F.col("part_orders").alias("po1"))
+    sb = supp.select(F.col("l_partkey").alias("p2"), F.col("part_orders").alias("po2"))
+    return (
+        pairs.join(sa, "p1")
+        .join(sb, "p2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "p1",
+            "p2",
+            "both_orders",
+            portable_round(
+                F.col("both_orders")
+                * F.col("n_orders")
+                / (F.col("po1") * F.col("po2").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "p1", "p2")
+        .limit(25)
+    )
+
+
+# --------------------------------------------------------------------------
+# RFM segmentation: per-customer recency/frequency/monetary quartiles
+# composed into a 3-digit segment code. The fact table reduces to one
+# row per customer first; the three ntile windows then run over the
+# customer-grain table (deterministic tie-breaks on the key).
+# --------------------------------------------------------------------------
+@register(
+    "customer_rfm_segments",
+    oracle=f"""
+    WITH cust AS (
+      SELECT o_custkey,
+             max(o_orderdate) AS last_order,
+             count(*) AS frequency,
+             sum(o_totalprice) AS monetary
+      FROM orders GROUP BY 1),
+    scored AS (
+      SELECT o_custkey,
+             ntile(4) OVER (ORDER BY last_order DESC, o_custkey) AS r,
+             ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS f,
+             ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS m,
+             monetary
+      FROM cust)
+    SELECT CAST(r AS INTEGER) || '-' || CAST(f AS INTEGER) || '-'
+             || CAST(m AS INTEGER) AS segment,
+           count(*) AS n_customers,
+           {PR6('avg(monetary)')} AS avg_monetary
+    FROM scored GROUP BY 1
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer counts per RFM quartile segment (1 = best quartile)."""
+    o = table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum("o_totalprice").alias("monetary"),
+    )
+    scored = cust.select(
+        "o_custkey",
+        "monetary",
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("last_order"), "o_custkey"))
+        .alias("r"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("frequency"), "o_custkey"))
+        .alias("f"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("monetary"), "o_custkey"))
+        .alias("m"),
+    )
+    seg = F.concat_ws(
+        "-",
+        F.col("r").cast("int"),
+        F.col("f").cast("int"),
+        F.col("m").cast("int"),
+    )
+    return scored.groupBy(seg.alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        portable_round(F.avg("monetary"), 6).alias("avg_monetary"),
+    )
+
+
+# --------------------------------------------------------------------------
+# ABC / Pareto classification: parts ranked by revenue; cumulative
+# revenue share classifies A (top 80%), B (next 15%), C (tail). The
+# part-grain table is one map-side-combined shuffle off the fact; the
+# cumulative window runs on |parts| rows. The ntile/window note from
+# `orders_pareto_frontier` applies: the spine, not the fact, is sorted.
+# --------------------------------------------------------------------------
+@register(
+    "part_abc_classes",
+    oracle=f"""
+    WITH p AS (
+      SELECT l_partkey, sum(l_extendedprice) AS rev
+      FROM lineitem GROUP BY 1),
+    c AS (
+      SELECT l_partkey, rev,
+             sum(rev) OVER (ORDER BY rev DESC, l_partkey
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               / sum(rev) OVER () AS cum_share
+      FROM p)
+    SELECT CASE WHEN cum_share <= 0.8 THEN 'A'
+                WHEN cum_share <= 0.95 THEN 'B'
+                ELSE 'C' END AS abc,
+           count(*) AS n_parts,
+           round(sum(rev), 4) AS class_revenue
+    FROM c GROUP BY 1
+    """,
+)
+def part_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part counts + revenue per ABC (80/15/5) class."""
+    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice")
+    p = li.groupBy("l_partkey").agg(F.sum("l_extendedprice").alias("rev"))
+    w_cum = (
+        Window.orderBy(F.desc("rev"), "l_partkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = p.select(
+        "rev",
+        (
+            F.sum("rev").over(w_cum) / F.sum("rev").over(Window.partitionBy())
+        ).alias("cum_share"),
+    )
+    abc = (
+        F.when(F.col("cum_share") <= 0.8, "A")
+        .when(F.col("cum_share") <= 0.95, "B")
+        .otherwise("C")
+    )
+    return c.groupBy(abc.alias("abc")).agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.round(F.sum("rev"), 4).alias("class_revenue"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Order interarrival statistics: per-customer gaps between consecutive
+# orders (lag window at customer grain), profiled per market segment.
+# The days arithmetic is exact integer date subtraction on both engines.
+# --------------------------------------------------------------------------
+@register(
+    "order_interarrival_stats",
+    oracle=f"""
+    WITH gaps AS (
+      SELECT o.o_custkey, c.c_mktsegment,
+             date_diff('day',
+               lag(CAST(o.o_orderdate AS DATE)) OVER
+                 (PARTITION BY o.o_custkey ORDER BY o.o_orderdate, o.o_orderkey),
+               CAST(o.o_orderdate AS DATE)) AS gap_days
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey)
+    SELECT c_mktsegment,
+           count(gap_days) AS n_gaps,
+           {PR6('avg(CAST(gap_days AS DOUBLE))')} AS avg_gap_days,
+           quantile_cont(CAST(gap_days AS DOUBLE), 0.5) AS median_gap_days,
+           CAST(max(gap_days) AS BIGINT) AS max_gap_days
+    FROM gaps GROUP BY 1
+    """,
+)
+def order_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Days between consecutive orders, profiled per market segment."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    )
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .withColumn(
+            "gap_days",
+            F.datediff(
+                F.to_date("o_orderdate"), F.lag(F.to_date("o_orderdate")).over(w)
+            ),
+        )
+    )
+    return gaps.groupBy("c_mktsegment").agg(
+        F.count("gap_days").alias("n_gaps"),
+        portable_round(F.avg(F.col("gap_days").cast("double")), 6).alias(
+            "avg_gap_days"
+        ),
+        F.percentile(F.col("gap_days").cast("double"), F.lit(0.5)).alias(
+            "median_gap_days"
+        ),
+        F.max("gap_days").cast("long").alias("max_gap_days"),
+    )
