@@ -86,6 +86,8 @@ HEADLINE = [
     "event_value_mad_outliers",# median/MAD robust outlier census
     "orders_pareto_frontier",  # skyline via per-date maxima spine
     "doc_bigram_logprob",      # corpus bigram LM fit + per-doc scoring
+    "part_copurchase_lift",    # per-order basket pair fan-out + lift rank
+    "customer_rfm_segments",   # grain-reduce + 3 ntile windows + rollup
     # embedding_near_pairs_lsh is oracle-verified but excluded here: at 2k
     # vectors its bucket pruning (~3x) is below the explode+join overhead —
     # the operator pays off when per-bucket cardinality << corpus (real scale)
