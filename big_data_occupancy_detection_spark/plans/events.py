@@ -590,22 +590,37 @@ def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # distribution stats) — both map-side combined — ending in the salt-bucket
 # count the skew-safe join (operators.relational.salted_join) would need:
 # ceil(max/avg) splits the hottest key into ~avg-sized slices.
+#
+# Float-free by construction: avg_cnt, skew_ratio, salt_buckets are all
+# ratios of the three BIGINT aggregates (total_rows, n_keys, max_cnt), so
+# the 4-decimal values are computed in exact scaled-integer arithmetic
+# (half-up via ``(num*10000 + den DIV 2) DIV den``) on BOTH engines and the
+# final ``/10000.0`` is one IEEE division of identical integers — there is
+# no floating-point aggregate anywhere for the engines to diverge on,
+# regardless of partitioning / summation order / regenerated data.
+# (``max_cnt*n_keys*10000`` stays comfortably inside int64 for any
+# realistic profile — it overflows only past ~9e14 key-rows per type.)
 # --------------------------------------------------------------------------
 @register(
     "event_key_skew_profile",
-    oracle=f"""
+    oracle="""
     WITH per_key AS (
       SELECT event_type, user_id, count(*) AS cnt
-      FROM events GROUP BY 1, 2)
-    SELECT event_type,
-           count(*) AS n_keys,
-           sum(cnt) AS total_rows,
-           max(cnt) AS max_cnt,
-           {PR4('avg(cnt)')} AS avg_cnt,
-           {PR4('max(cnt) / avg(cnt)')} AS skew_ratio,
-           CAST(ceil(max(cnt) / avg(cnt)) AS BIGINT) AS salt_buckets
-    FROM per_key
-    GROUP BY 1
+      FROM events GROUP BY 1, 2),
+    agg AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT)  AS n_keys,
+             CAST(sum(cnt) AS BIGINT)  AS total_rows,
+             CAST(max(cnt) AS BIGINT)  AS max_cnt
+      FROM per_key GROUP BY 1)
+    SELECT event_type, n_keys, total_rows, max_cnt,
+           CAST((total_rows * 10000 + n_keys // 2) // n_keys AS DOUBLE) / 10000
+             AS avg_cnt,
+           CAST((max_cnt * n_keys * 10000 + total_rows // 2) // total_rows
+                AS DOUBLE) / 10000 AS skew_ratio,
+           CAST((max_cnt * n_keys + total_rows - 1) // total_rows AS BIGINT)
+             AS salt_buckets
+    FROM agg
     """,
 )
 def event_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -613,13 +628,29 @@ def event_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_key = ev.groupBy("event_type", "user_id").agg(
         F.count(F.lit(1)).alias("cnt")
     )
-    return per_key.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_keys"),
-        F.sum("cnt").alias("total_rows"),
-        F.max("cnt").alias("max_cnt"),
-        portable_round(F.avg("cnt"), 4).alias("avg_cnt"),
-        portable_round(F.max("cnt") / F.avg("cnt"), 4).alias("skew_ratio"),
-        F.ceil(F.max("cnt") / F.avg("cnt")).cast("long").alias("salt_buckets"),
+    agg = per_key.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("cnt").cast("long").alias("total_rows"),
+        F.max("cnt").cast("long").alias("max_cnt"),
+    )
+    return agg.select(
+        "event_type",
+        "n_keys",
+        "total_rows",
+        "max_cnt",
+        (
+            F.expr("(total_rows * 10000 + n_keys DIV 2) DIV n_keys").cast("double")
+            / 10000
+        ).alias("avg_cnt"),
+        (
+            F.expr(
+                "(max_cnt * n_keys * 10000 + total_rows DIV 2) DIV total_rows"
+            ).cast("double")
+            / 10000
+        ).alias("skew_ratio"),
+        F.expr("(max_cnt * n_keys + total_rows - 1) DIV total_rows")
+        .cast("long")
+        .alias("salt_buckets"),
     )
 
 
