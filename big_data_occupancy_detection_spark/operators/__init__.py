@@ -1,6 +1,8 @@
 from .relational import (
     class_weights,
     describe_stats,
+    global_cumsum,
+    global_ntile,
     global_row_number,
     grouped_percentiles,
     null_census,
@@ -12,6 +14,8 @@ __all__ = [
     "describe_stats",
     "grouped_percentiles",
     "class_weights",
+    "global_cumsum",
+    "global_ntile",
     "global_row_number",
     "top_k_per_group",
 ]

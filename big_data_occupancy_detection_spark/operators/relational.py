@@ -170,6 +170,77 @@ def global_row_number(
     )
 
 
+def global_ntile(
+    df: DataFrame,
+    order_by: list[Column],
+    n_tiles: int,
+    out_col: str = "tile",
+) -> DataFrame:
+    """``ntile(n)`` over a global deterministic order WITHOUT the
+    single-task ``Window.orderBy`` hazard.
+
+    The naive ``ntile(n).over(Window.orderBy(...))`` plans an
+    ``Exchange SinglePartition`` and sorts every row in one task — at
+    entity grain on a real warehouse that is billions of rows through
+    one core. Here: range-repartition on the order expressions (the
+    partition index then follows the global order), number rows within
+    each partition in parallel via ``monotonically_increasing_id``'s
+    low 33 bits, broadcast-join per-partition offsets plus the global
+    row count from one tiny (num_partitions-row) aggregate, and map the
+    1-based global position to its tile with ntile's exact quota
+    arithmetic: with N rows the first ``N % n`` tiles hold
+    ``N div n + 1`` rows, the rest ``N div n`` — bit-identical to the
+    window form for any N.
+
+    ``order_by`` may carry ``.desc()`` / ``.asc()`` sort orders and must
+    form a unique key (same determinism contract as
+    :func:`global_row_number`). The eager ``localCheckpoint`` pins the
+    ranged layout before the sizes branch re-reads it — the same
+    AQE-branch-consistency requirement documented in
+    :func:`global_row_number`.
+    """
+    parted = df.repartitionByRange(*order_by).sortWithinPartitions(*order_by)
+    local = (
+        parted.withColumn("__mid", F.monotonically_increasing_id())
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    sizes = local.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
+    w_off = Window.partitionBy().orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        sizes.withColumn(
+            "__offset", F.coalesce(F.sum("__cnt").over(w_off), F.lit(0))
+        )
+        .withColumn("__n", F.sum("__cnt").over(Window.partitionBy()))
+        .select("__pid", "__offset", "__n")
+    )
+    k = int(n_tiles)
+    # __rn ∈ [1, N]; quota split: big = __n DIV k + 1 rows for the first
+    # __n % k tiles, small = __n DIV k for the rest. All-integer — no
+    # doubles anywhere, so the assignment is exact at any N.
+    tile_expr = F.expr(
+        f"CAST(IF(__rn <= (__n % {k}) * (__n DIV {k} + 1), "
+        f"(__rn - 1) DIV (__n DIV {k} + 1) + 1, "
+        f"(__n % {k}) + (__rn - (__n % {k}) * (__n DIV {k} + 1) - 1) "
+        f"DIV (__n DIV {k}) + 1) AS INT)"
+    )
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn(
+            "__rn",
+            (
+                F.col("__mid").bitwiseAND(F.lit((1 << 33) - 1))
+                + F.col("__offset")
+                + 1
+            ).cast("long"),
+        )
+        .withColumn(out_col, tile_expr)
+        .drop("__pid", "__mid", "__offset", "__n", "__rn")
+    )
+
+
 def global_cumsum(
     df: DataFrame,
     order_cols: list[str],

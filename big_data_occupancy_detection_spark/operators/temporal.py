@@ -297,3 +297,95 @@ def interval_join(
         F.col(point_col) <= F.col(hi_col)
     )
     return p.join(iv, "__cell").filter(residual).drop("__cell")
+
+
+def sessionize_intervals(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_seconds: int,
+) -> DataFrame:
+    """Gap-merged session intervals via lag + running-sum — the
+    scale-safe twin of ``groupBy(session_window(...))``.
+
+    Produces EXACTLY the native operator's output contract per
+    (key, session): ``session_start`` = min ts, ``session_end`` =
+    max ts + gap, with native boundary semantics (a gap of EXACTLY
+    ``gap_seconds`` starts a new session — an event extends a session
+    only while ts < previous end). Physical shape: one hash shuffle on
+    the key, two per-key window passes (lag flag, running sum) and a
+    grouped aggregate — per-row cost is FLAT in per-key event density,
+    where the native SessionWindow merging aggregate was measured
+    superlinear (scripts/scale_smoke_events.py: 66 s native vs 8.6 s
+    for this form at 100x replicated events).
+
+    Returns (key, __sid, session_start, session_end) plus the input
+    columns, one row per EVENT (callers aggregate per session on
+    (key, __sid) — see ``session_windows_auto`` for the aggregated
+    form). ``__sid`` is 1-based per key.
+    """
+    from ..functions.datetime_fns import epoch_seconds
+
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    prev_ts = F.lag(ts_col).over(w)
+    gap_s = epoch_seconds(ts_col) - epoch_seconds(prev_ts)
+    new_s = F.when(prev_ts.isNull() | (gap_s >= float(gap_seconds)), 1).otherwise(0)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.withColumn("__new_s", new_s).withColumn(
+        "__sid", F.sum("__new_s").over(run)
+    ).drop("__new_s")
+
+
+def session_windows_auto(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_seconds: int,
+    agg_exprs: list,
+    density_threshold: int = 10_000,
+) -> DataFrame:
+    """Sessionized aggregate with a density-guarded physical dispatch.
+
+    The native ``session_window`` merging aggregate has a measured
+    per-key DENSITY cliff (superlinear in events-per-key: 29x slower
+    than the lag-gap form at 100x replicated events,
+    scripts/scale_smoke_events.py) — but is marginally cheaper at low
+    density (single window pass, no lag stage). This operator probes
+    the max per-key event count with one map-side-combined aggregate
+    (two-level: count per key, then one max — never a collect of the
+    key space) and picks the physical form: below the threshold the
+    native operator, above it :func:`sessionize_intervals`. Both forms
+    produce identical (key, session_start, session_end, aggs) rows —
+    property-tested in tests/test_operators.py.
+    """
+    gap_str = f"{int(gap_seconds)} seconds"
+    max_per_key = (
+        df.groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .agg(F.max("__n").alias("__m"))
+        .first()["__m"]
+    ) or 0
+    if max_per_key < density_threshold:
+        agged = df.groupBy(key_col, F.session_window(ts_col, gap_str)).agg(
+            *agg_exprs
+        )
+        out_cols = [c for c in agged.columns if c not in (key_col, "session_window")]
+        return agged.select(
+            key_col,
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            *out_cols,
+        )
+    sess = sessionize_intervals(df, key_col, ts_col, gap_seconds)
+    return (
+        sess.groupBy(key_col, "__sid")
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            (
+                F.max(ts_col).cast("timestamp")
+                + F.expr(f"INTERVAL {int(gap_seconds)} SECOND")
+            ).alias("session_end"),
+            *agg_exprs,
+        )
+        .drop("__sid")
+    )

@@ -13,7 +13,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.datetime_fns import epoch_seconds
 from ..functions.rounding import portable_round, portable_round_sql
+from ..operators.relational import global_cumsum, global_row_number
 from ..sources.readers import table
 from .registry import register
 
@@ -94,52 +96,106 @@ def part_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # RFM segmentation: per-customer recency/frequency/monetary quartiles
 # composed into a 3-digit segment code. The fact table reduces to one
-# row per customer first; the three ntile windows then run over the
-# customer-grain table (deterministic tie-breaks on the key).
+# row per customer first; each quartile then comes from
+# operators.relational.global_ntile — range-partition + per-partition
+# numbering + broadcast offsets — NOT a global Window.orderBy ntile,
+# which plans an Exchange SinglePartition and funnels the entire
+# customer grain (billions of rows at warehouse scale) through one
+# task. global_ntile's quota arithmetic is bit-identical to ntile(4)
+# for any N, so the oracle keeps the plain window form.
 # --------------------------------------------------------------------------
 @register(
     "customer_rfm_segments",
-    oracle=f"""
+    oracle="""
     WITH cust AS (
       SELECT o_custkey,
              max(o_orderdate) AS last_order,
              count(*) AS frequency,
-             sum(o_totalprice) AS monetary
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS monetary_c
       FROM orders GROUP BY 1),
     scored AS (
       SELECT o_custkey,
              ntile(4) OVER (ORDER BY last_order DESC, o_custkey) AS r,
              ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS f,
-             ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS m,
-             monetary
+             ntile(4) OVER (ORDER BY monetary_c DESC, o_custkey) AS m,
+             monetary_c
       FROM cust)
     SELECT CAST(r AS INTEGER) || '-' || CAST(f AS INTEGER) || '-'
              || CAST(m AS INTEGER) AS segment,
            count(*) AS n_customers,
-           {PR6('avg(monetary)')} AS avg_monetary
+           CAST((sum(monetary_c) * 10000 + count(*) // 2) // count(*)
+                AS DOUBLE) / 1000000 AS avg_monetary
     FROM scored GROUP BY 1
     """,
 )
 def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Customer counts per RFM quartile segment (1 = best quartile)."""
+    """Customer counts per RFM quartile segment (1 = best quartile).
+
+    The three quartile assignments share ONE scalable numbering pass:
+    the customer grain is stacked 3-fold (one row per dimension, the
+    sort value negated so ascending order = the oracle's DESC), numbered
+    once with global_row_number over (dim, value, key) — range-partition
+    + broadcast offsets, no single-task sort — and each dimension's
+    1..N position is recovered by subtracting its stratum offset
+    (dim-1)·N. ntile's exact quota arithmetic (first N%4 tiles one row
+    bigger) then reproduces the window form bit-identically, and a
+    pivot-style regroup reassembles one row per customer.
+
+    Float-free by construction: monetary is exact integer cents (prices
+    have 2 decimals), the quartile ordering keys are exact (timestamp
+    seconds, counts, cents), and avg_monetary is scaled-integer half-up
+    division — no floating-point aggregate exists for the engines to
+    diverge on. (sum(cents)·10⁴ fits int64 up to ~$9e12 per segment;
+    swap the final sum to DECIMAL(38,0) past that.)
+    """
     o = table(spark, sf_dir, "orders")
     cust = o.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
         F.count(F.lit(1)).alias("frequency"),
-        F.sum("o_totalprice").alias("monetary"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "monetary_c"
+        ),
     )
-    scored = cust.select(
+    # negated sortable doubles: epoch seconds, counts, and cents are all
+    # exactly representable, and double negation is exact — so ordering
+    # by negv ASC is EXACTLY the oracle's DESC, ties broken by o_custkey.
+    stack = cust.select(
         "o_custkey",
-        "monetary",
-        F.ntile(4)
-        .over(Window.orderBy(F.desc("last_order"), "o_custkey"))
-        .alias("r"),
-        F.ntile(4)
-        .over(Window.orderBy(F.desc("frequency"), "o_custkey"))
-        .alias("f"),
-        F.ntile(4)
-        .over(Window.orderBy(F.desc("monetary"), "o_custkey"))
-        .alias("m"),
+        "monetary_c",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).alias("dim"),
+                    (-epoch_seconds("last_order")).alias("negv"),
+                ),
+                F.struct(
+                    F.lit(2).alias("dim"),
+                    (-F.col("frequency").cast("double")).alias("negv"),
+                ),
+                F.struct(
+                    F.lit(3).alias("dim"),
+                    (-F.col("monetary_c").cast("double")).alias("negv"),
+                ),
+            )
+        ).alias("s"),
+    ).select("o_custkey", "monetary_c", "s.dim", "s.negv")
+    rn = global_row_number(stack, ["dim", "negv", "o_custkey"], id_col="rn")
+    n_tab = cust.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    tiled = rn.crossJoin(F.broadcast(n_tab)).withColumn(
+        "tile",
+        F.expr(
+            "CAST(IF(rn - (dim - 1) * __n <= (__n % 4) * (__n DIV 4 + 1), "
+            "(rn - (dim - 1) * __n - 1) DIV (__n DIV 4 + 1) + 1, "
+            "(__n % 4) + (rn - (dim - 1) * __n - (__n % 4) * (__n DIV 4 + 1) - 1) "
+            "DIV (__n DIV 4) + 1) AS INT)"
+        ),
+    )
+    scored = tiled.groupBy("o_custkey").agg(
+        F.first("monetary_c").alias("monetary_c"),
+        F.max(F.when(F.col("dim") == 1, F.col("tile"))).alias("r"),
+        F.max(F.when(F.col("dim") == 2, F.col("tile"))).alias("f"),
+        F.max(F.when(F.col("dim") == 3, F.col("tile"))).alias("m"),
     )
     seg = F.concat_ws(
         "-",
@@ -149,7 +205,12 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return scored.groupBy(seg.alias("segment")).agg(
         F.count(F.lit(1)).alias("n_customers"),
-        portable_round(F.avg("monetary"), 6).alias("avg_monetary"),
+        (
+            F.expr(
+                "(sum(monetary_c) * 10000 + count(1) DIV 2) DIV count(1)"
+            ).cast("double")
+            / 1000000
+        ).alias("avg_monetary"),
     )
 
 
@@ -157,51 +218,63 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ABC / Pareto classification: parts ranked by revenue; cumulative
 # revenue share classifies A (top 80%), B (next 15%), C (tail). The
 # part-grain table is one map-side-combined shuffle off the fact; the
-# cumulative window runs on |parts| rows. The ntile/window note from
-# `orders_pareto_frontier` applies: the spine, not the fact, is sorted.
+# cumulative sum then comes from operators.relational.global_cumsum
+# (range buckets + per-bucket prefix sums + broadcast offsets), NOT a
+# global Window.orderBy running sum — that plans an Exchange
+# SinglePartition and serializes the part grain through one task.
+#
+# Float-free by construction: revenue is summed in exact integer cents
+# (prices have 2 decimals), and the 80%/95% thresholds compare as
+# cum*10 <= total*8 / cum*100 <= total*95 — pure BIGINT on both
+# engines, so no summation-order or boundary-rounding divergence is
+# possible. (cum*100 stays inside int64 up to ~9e16 total cents,
+# i.e. ~$900 trillion of revenue.) The final class_revenue is one IEEE
+# division of identical integers.
 # --------------------------------------------------------------------------
 @register(
     "part_abc_classes",
-    oracle=f"""
+    oracle="""
     WITH p AS (
-      SELECT l_partkey, sum(l_extendedprice) AS rev
+      SELECT l_partkey,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_c
       FROM lineitem GROUP BY 1),
     c AS (
-      SELECT l_partkey, rev,
-             sum(rev) OVER (ORDER BY rev DESC, l_partkey
-                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               / sum(rev) OVER () AS cum_share
+      SELECT l_partkey, rev_c,
+             CAST(sum(rev_c) OVER (ORDER BY rev_c DESC, l_partkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_c,
+             CAST(sum(rev_c) OVER () AS BIGINT) AS tot_c
       FROM p)
-    SELECT CASE WHEN cum_share <= 0.8 THEN 'A'
-                WHEN cum_share <= 0.95 THEN 'B'
+    SELECT CASE WHEN cum_c * 10 <= tot_c * 8 THEN 'A'
+                WHEN cum_c * 100 <= tot_c * 95 THEN 'B'
                 ELSE 'C' END AS abc,
            count(*) AS n_parts,
-           round(sum(rev), 4) AS class_revenue
+           CAST(sum(rev_c) AS DOUBLE) / 100 AS class_revenue
     FROM c GROUP BY 1
     """,
 )
 def part_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Part counts + revenue per ABC (80/15/5) class."""
     li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice")
-    p = li.groupBy("l_partkey").agg(F.sum("l_extendedprice").alias("rev"))
-    w_cum = (
-        Window.orderBy(F.desc("rev"), "l_partkey")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    p = li.groupBy("l_partkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("rev_c")
     )
-    c = p.select(
-        "rev",
-        (
-            F.sum("rev").over(w_cum) / F.sum("rev").over(Window.partitionBy())
-        ).alias("cum_share"),
-    )
+    tot = p.agg(F.sum("rev_c").cast("long").alias("tot_c"))
+    c = global_cumsum(
+        p.withColumn("__negrev", -F.col("rev_c")),
+        ["__negrev", "l_partkey"],
+        "rev_c",
+        out_col="cum_c",
+    ).crossJoin(F.broadcast(tot))
     abc = (
-        F.when(F.col("cum_share") <= 0.8, "A")
-        .when(F.col("cum_share") <= 0.95, "B")
+        F.when(F.col("cum_c") * 10 <= F.col("tot_c") * 8, "A")
+        .when(F.col("cum_c") * 100 <= F.col("tot_c") * 95, "B")
         .otherwise("C")
     )
     return c.groupBy(abc.alias("abc")).agg(
         F.count(F.lit(1)).alias("n_parts"),
-        F.round(F.sum("rev"), 4).alias("class_revenue"),
+        (F.sum("rev_c").cast("double") / 100).alias("class_revenue"),
     )
 
 

@@ -721,29 +721,27 @@ def zorder_events_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def user_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Scale note (measured, scripts/scale_smoke_events.py): the native
-    # session_window MERGING aggregate has a per-key DENSITY cliff — at
-    # 100× replicated events (10M rows, same users, jittered ts) it took
-    # 66 s while the lag-gap sessionization (`user_sessions`, identical
-    # session semantics) took 8.6 s on the same data (29× vs 4.6× from
-    # the 10× point: the in-memory window-merge cost grows superlinearly
-    # as sessions chain). Prefer the lag-gap form when per-key event
-    # density is high; the native form is kept for API coverage and is
-    # fine at normal densities.
+    # Density-guarded dispatch (operators.temporal.session_windows_auto):
+    # the native session_window MERGING aggregate has a measured per-key
+    # DENSITY cliff (scripts/scale_smoke_events.py: 66 s at 100×
+    # replicated events vs 8.6 s for the lag-gap twin — the in-memory
+    # window-merge cost grows superlinearly as sessions chain). The
+    # dispatcher probes max events-per-key with one map-side-combined
+    # aggregate and picks: native below the threshold (cheaper single
+    # pass), lag/running-sum sessionization above it. Both forms produce
+    # identical rows (property-tested), so the oracle is unchanged.
+    from ..operators.temporal import session_windows_auto
+
     ev = table(spark, sf_dir, "events")
-    return (
-        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
-        .agg(
+    return session_windows_auto(
+        ev,
+        "user_id",
+        "ts",
+        30 * 60,
+        [
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum("value"), 4).alias("sum_value"),
-        )
-        .select(
-            "user_id",
-            F.col("session_window.start").alias("session_start"),
-            F.col("session_window.end").alias("session_end"),
-            "n_events",
-            "sum_value",
-        )
+        ],
     )
 
 

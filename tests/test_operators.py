@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from big_data_occupancy_detection_spark.operators.relational import (
+    global_ntile,
     global_row_number,
     null_census,
 )
@@ -545,3 +546,91 @@ def test_jsonl_corrupt_record_column(spark, tmp_path):
     bad = [r for r in rows if r._bad is not None]
     assert len(bad) == 2  # the garbage line and the type-mismatch line
     assert any("not json" in r._bad for r in bad)
+
+
+@pytest.mark.parametrize("n_rows,k,n_parts", [(1, 4, 1), (7, 4, 3), (100, 4, 16), (1003, 7, 32)])
+def test_global_ntile_matches_window_ntile(spark, n_rows, k, n_parts):
+    """global_ntile's quota arithmetic must be bit-identical to
+    ntile(k) OVER (ORDER BY ...) for any N (including N < k and
+    N % k != 0), under any input partitioning."""
+    from pyspark.sql import Window
+
+    df = spark.range(n_rows).select(
+        (F.col("id") * 977 % 10007).alias("v"), F.col("id").alias("key")
+    ).repartition(n_parts)
+    expected = {
+        r.key: r.t
+        for r in df.select(
+            "key",
+            F.ntile(k).over(Window.orderBy(F.desc("v"), "key")).alias("t"),
+        ).collect()
+    }
+    got = {
+        r.key: r.tile
+        for r in global_ntile(
+            df, [F.col("v").desc(), F.col("key").asc()], k
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_global_ntile_with_ties_breaks_on_key(spark):
+    """Ties on the value column must resolve by the tie-break key,
+    exactly as the window form does."""
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [Row(v=i % 3, key=i) for i in range(50)]
+    ).repartition(7)
+    expected = {
+        r.key: r.t
+        for r in df.select(
+            "key",
+            F.ntile(4).over(Window.orderBy(F.desc("v"), "key")).alias("t"),
+        ).collect()
+    }
+    got = {
+        r.key: r.tile
+        for r in global_ntile(
+            df, [F.col("v").desc(), F.col("key").asc()], 4
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_session_windows_auto_forms_agree(spark):
+    """The two physical forms behind session_windows_auto (native
+    session_window merge vs lag-gap sessionization) must produce
+    identical (key, start, end, aggs) rows — forced through BOTH
+    branches via the density threshold."""
+    from big_data_occupancy_detection_spark.operators.temporal import (
+        session_windows_auto,
+    )
+
+    rows = []
+    for u in range(5):
+        base = 1_700_000_000 + u * 100_000
+        # clustered bursts with gaps straddling the 600 s boundary,
+        # including one EXACTLY at the gap (must start a new session)
+        offs = [0, 10, 599, 600, 1199, 1800, 1805, 3000]
+        rows += [(u, o + base, float(u + i)) for i, o in enumerate(offs)]
+    df = spark.createDataFrame(rows, ["user_id", "epoch", "value"]).select(
+        "user_id",
+        F.col("epoch").cast("timestamp").alias("ts"),
+        "value",
+    ).repartition(7)
+    aggs = [
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    ]
+    native = session_windows_auto(
+        df, "user_id", "ts", 600, aggs, density_threshold=10**9
+    )
+    laggap = session_windows_auto(
+        df, "user_id", "ts", 600, aggs, density_threshold=0
+    )
+    k = lambda r: (r.user_id, r.session_start)
+    n = sorted(native.collect(), key=k)
+    l = sorted(laggap.collect(), key=k)
+    assert [tuple(r) for r in n] == [tuple(r) for r in l]
+    assert len(n) > 5  # gaps actually split sessions
