@@ -68,10 +68,12 @@ MAX_QUERY_BATCH = 10_000
 
 
 def _round_half_up9(x: np.ndarray) -> np.ndarray:
-    """Spark's F.round(double, 9) is HALF_UP; numpy's is half-even.
-    floor(x·1e9 + 0.5)/1e9 reproduces HALF_UP for the non-negative
-    cosines compared against thresholds here."""
-    return np.floor(x * 1e9 + 0.5) / 1e9
+    """Spark's F.round(double, 9) is HALF_UP — away from zero on the
+    half boundary. numpy's round is half-even, and plain
+    floor(x·1e9+0.5) rounds half-boundaries toward +inf (wrong for
+    NEGATIVE cosines, which real embedding sets do produce); the
+    sign-aware form rounds away from zero exactly like Spark."""
+    return np.sign(x) * np.floor(np.abs(x) * 1e9 + 0.5) / 1e9
 
 
 def _to_matrix(series: pd.Series) -> np.ndarray:
@@ -224,14 +226,19 @@ def _local_then_global_topk(
                     mask &= np.isin(clusters, list(probe))
                 if not mask.any():
                     continue
-                cos = Xn[mask] @ qn[qi]
+                # round BEFORE the local top-k and break ties exactly as
+                # the global rank does (round(cos,9) desc, vec_id asc):
+                # an unrounded argpartition could drop a candidate tied
+                # at 9 decimals at the k boundary in favor of a larger
+                # vec_id, making results vary with Arrow batch boundaries
+                cos = _round_half_up9(Xn[mask] @ qn[qi])
                 cand_ids = ids[mask]
                 if len(cos) > k:
-                    keep = np.argpartition(-cos, k - 1)[:k]
+                    keep = np.lexsort((cand_ids, -cos))[:k]
                     cos, cand_ids = cos[keep], cand_ids[keep]
                 out_q.extend([q_ids[qi]] * len(cos))
                 out_id.extend(cand_ids)
-                out_cos.extend(_round_half_up9(cos))
+                out_cos.extend(cos)
             yield pd.DataFrame({"qid": out_q, "vec_id": out_id, "cos": out_cos})
 
     local = corpus.mapInPandas(part, schema="qid long, vec_id long, cos double")

@@ -25,12 +25,16 @@ from pyspark.sql import DataFrame
 
 
 def encode_wav(
-    samples: list[int], sample_rate: int = 8000, sampwidth: int = 2
+    samples: list[int],
+    sample_rate: int = 8000,
+    sampwidth: int = 2,
+    n_channels: int = 1,
 ) -> bytes:
-    """PCM-encode int samples (mono) to WAV bytes. sampwidth=2 → int16."""
+    """PCM-encode int samples to WAV bytes (interleaved if n_channels>1).
+    sampwidth=2 → int16."""
     buf = io.BytesIO()
     with wave.open(buf, "wb") as w:
-        w.setnchannels(1)
+        w.setnchannels(n_channels)
         w.setsampwidth(sampwidth)
         w.setframerate(sample_rate)
         fmt = {1: "b", 2: "h", 4: "i"}[sampwidth]
@@ -41,12 +45,19 @@ def encode_wav(
 def decode_wav(data: bytes) -> tuple[int, int, list[int]]:
     """(sample_rate, n_channels, samples) from WAV bytes; multi-channel
     frames are interleaved in the returned list."""
+    rate, nch, _w, samples = decode_wav_full(data)
+    return rate, nch, samples
+
+
+def decode_wav_full(data: bytes) -> tuple[int, int, int, list[int]]:
+    """(sample_rate, n_channels, sampwidth, samples) — the width-carrying
+    decode the feature extractor needs for correct peak normalization."""
     with wave.open(io.BytesIO(data), "rb") as w:
         rate, nch, width = w.getframerate(), w.getnchannels(), w.getsampwidth()
         raw = w.readframes(w.getnframes())
     fmt = {1: "b", 2: "h", 4: "i"}[width]
     n = len(raw) // width
-    return rate, nch, list(struct.unpack(f"<{n}{fmt}", raw))
+    return rate, nch, width, list(struct.unpack(f"<{n}{fmt}", raw))
 
 
 def wav_features(data: bytes) -> list[float]:
@@ -54,20 +65,30 @@ def wav_features(data: bytes) -> list[float]:
 
     Deterministic pure-python math on the PCM stream — the executor-side
     decode step of an audio curation pass (silence filter: rms ≈ 0;
-    clipping filter: peak_norm ≈ 1).
+    clipping filter: peak_norm ≈ 1). Channel-aware: samples are
+    interleaved, so the zero-cross rate strides by channel (adjacent
+    list entries belong to DIFFERENT channels for nch>1 — comparing them
+    measures inter-channel sign flips, not the waveform) and is averaged
+    across channels; peak normalizes by the PCM full scale of the ACTUAL
+    sample width (2^(8·width−1)), not a hardcoded int16.
     """
-    rate, nch, samples = decode_wav(data)
+    rate, nch, width, samples = decode_wav_full(data)
     if not samples:
         return [0.0, 0.0, 0.0, 0.0]
     n = len(samples)
     duration = n / (rate * nch)
     rms = math.sqrt(sum(s * s for s in samples) / n)
-    zc = sum(
-        1 for i in range(1, n) if (samples[i - 1] < 0) != (samples[i] < 0)
-    ) / max(n - 1, 1)
+    crossings = transitions = 0
+    for ch in range(nch):
+        chan = samples[ch::nch]
+        crossings += sum(
+            1 for i in range(1, len(chan)) if (chan[i - 1] < 0) != (chan[i] < 0)
+        )
+        transitions += max(len(chan) - 1, 0)
+    zc = crossings / max(transitions, 1)
     peak = max(abs(s) for s in samples)
-    # int16 full scale for width-2 PCM; generic: normalize by observed width
-    return [round(duration, 6), round(rms, 6), round(zc, 6), round(peak / 32768.0, 6)]
+    full_scale = float(2 ** (8 * width - 1))
+    return [round(duration, 6), round(rms, 6), round(zc, 6), round(peak / full_scale, 6)]
 
 
 def audio_features(

@@ -339,33 +339,53 @@ def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document mean log-probability under an add-one-smoothed
     bigram LM fit on the corpus (p(w2|w1) = (c₁₂+1)/(c₁+V)) — low
-    scores flag boilerplate/gibberish, the perplexity-filter shape."""
+    scores flag boilerplate/gibberish, the perplexity-filter shape.
+
+    Physical shape (measured 3.7x over the round-3 expression fold on
+    the 100x text smoke, PERF.md): tokens are hashed to int64 ids in an
+    Arrow-batched numpy fold (ext/text_vec.py — token strings never
+    leave the Python worker, so every group/join below runs on longs),
+    the occurrence stream and the fitted bigram table are each
+    materialized ONCE (they both feed multiple consumers), the per-pair
+    log-probability is computed once per DISTINCT bigram in the tiny LM
+    table rather than once per occurrence, and the serve join picks
+    broadcast vs shuffle from the LM table's ACTUAL row count — the
+    vocab² table is unbounded at corpus scale, so this must not be an
+    unconditional broadcast. Output exposes only counts/averages, so it
+    is hash-independent; parity vs the pure-Catalyst twin is pinned in
+    tests/test_text_vec.py."""
+    from ..ext.text_vec import hashed_bigram_pairs
+
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
-    ts = F.filter(
-        F.split(F.regexp_replace(F.lower("text"), "[^a-z]+", " "), " "),
-        lambda t: t != "",
+    big = hashed_bigram_pairs(docs).localCheckpoint(eager=True)
+    bstats = (
+        big.groupBy("h1", "h2")
+        .agg(F.count(F.lit(1)).alias("cb"))
+        .localCheckpoint(eager=True)
     )
-    clean = docs.select("doc_id", ts.alias("ts")).filter(F.size("ts") >= 2)
-    pairs = F.transform(
-        F.sequence(F.lit(0), F.size("ts") - 2),
-        lambda i: F.struct(
-            F.get("ts", i).alias("w1"), F.get("ts", i + 1).alias("w2")
-        ),
+    fstats = bstats.groupBy("h1").agg(F.sum("cb").cast("double").alias("cf"))
+    # vocab from the DISTINCT-bigram table (h1 covers every token but
+    # each doc's last, h2 every token but the first — union is exactly
+    # the token set of the len>=2 docs), never the occurrence stream
+    v = (
+        bstats.select(F.col("h1").alias("t"))
+        .union(bstats.select(F.col("h2").alias("t")))
+        .agg(F.countDistinct("t").cast("double").alias("v"))
     )
-    big = clean.select("doc_id", F.explode(pairs).alias("b")).select(
-        "doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
-    )
-    bstats = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
-    fstats = bstats.groupBy("w1").agg(F.sum("cb").cast("double").alias("cf"))
-    v = clean.select(F.explode("ts").alias("t")).agg(
-        F.countDistinct("t").cast("double").alias("v")
-    )
-    scored = (
-        big.join(bstats, ["w1", "w2"])
-        .join(fstats, "w1")
+    lm = (
+        bstats.join(fstats, "h1")
         .crossJoin(F.broadcast(v))
-        .withColumn("lp", F.log((F.col("cb") + 1.0) / (F.col("cf") + F.col("v"))))
+        .select(
+            "h1",
+            "h2",
+            F.log((F.col("cb") + 1.0) / (F.col("cf") + F.col("v"))).alias("lp"),
+        )
     )
+    # serve-join dispatch on the fitted model's real size (count on a
+    # checkpointed frame is free): ~24 B/row → 2M rows ≈ 50 MB broadcast
+    if bstats.count() <= 2_000_000:
+        lm = F.broadcast(lm)
+    scored = big.join(lm, ["h1", "h2"])
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_bigrams"),
         portable_round(F.avg("lp"), 6).alias("avg_logprob"),

@@ -31,48 +31,54 @@ def PR6(e: str) -> str:
 # per-part support table is broadcast back, and the final ranking is a
 # deterministic top-k. The association-rules building block.
 # --------------------------------------------------------------------------
-@register(
-    "part_copurchase_lift",
-    oracle=f"""
-    WITH items AS (
-      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-    n AS (SELECT CAST(count(DISTINCT l_orderkey) AS DOUBLE) AS n_orders
-          FROM lineitem),
-    supp AS (
-      SELECT l_partkey, count(*) AS part_orders FROM items GROUP BY 1),
-    pairs AS (
-      SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS both_orders
-      FROM items a JOIN items b
-        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-      GROUP BY 1, 2
-      HAVING count(*) >= 3)
-    SELECT p1, p2, both_orders,
-           {PR6('both_orders * n.n_orders / (sa.part_orders * CAST(sb.part_orders AS DOUBLE))')}
-             AS lift
-    FROM pairs JOIN supp sa ON sa.l_partkey = p1
-               JOIN supp sb ON sb.l_partkey = p2, n
-    ORDER BY lift DESC, p1, p2 LIMIT 25
-    """,
-)
-def part_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top part pairs by co-purchase lift (support ≥ 3 orders)."""
-    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    items = li.distinct()
-    n = li.agg(
-        F.countDistinct("l_orderkey").cast("double").alias("n_orders")
+
+# Hot-basket guard bound (mirrors the hot-shingle guard of
+# ext/dedup.ngram_jaccard_pairs): a single pathological basket with B
+# items fans out C(B,2) pairs — quadratic in the one hot key. Baskets
+# above this bound are excluded from PAIR GENERATION (still counted in
+# order totals and per-part support), on BOTH engines, so the cap is
+# part of the operator's semantics rather than a silent truncation.
+MAX_BASKET_ITEMS = 1000
+
+
+def copurchase_lift(
+    items: DataFrame,
+    order_col: str = "l_orderkey",
+    item_col: str = "l_partkey",
+    min_support: int = 3,
+    max_basket_items: int | None = MAX_BASKET_ITEMS,
+    top_k: int = 25,
+) -> DataFrame:
+    """Top item pairs by lift over a distinct (order, item) frame.
+
+    Pair fan-out is the per-order self-join (bounded by the basket-size
+    guard); support and the order count are broadcast back onto the
+    HAVING-filtered pair table, never onto raw pairs.
+    """
+    n = items.agg(
+        F.countDistinct(order_col).cast("double").alias("n_orders")
     )
-    supp = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("part_orders"))
-    a = items.select("l_orderkey", F.col("l_partkey").alias("p1"))
-    b = items.select("l_orderkey", F.col("l_partkey").alias("p2"))
+    supp = items.groupBy(item_col).agg(F.count(F.lit(1)).alias("part_orders"))
+    paired = items
+    if max_basket_items is not None:
+        ok = (
+            items.groupBy(order_col)
+            .agg(F.count(F.lit(1)).alias("__n_items"))
+            .filter(F.col("__n_items") <= max_basket_items)
+            .select(order_col)
+        )
+        paired = items.join(ok, order_col, "left_semi")
+    a = paired.select(order_col, F.col(item_col).alias("p1"))
+    b = paired.select(order_col, F.col(item_col).alias("p2"))
     pairs = (
-        a.join(b, "l_orderkey")
+        a.join(b, order_col)
         .filter(F.col("p1") < F.col("p2"))
         .groupBy("p1", "p2")
         .agg(F.count(F.lit(1)).alias("both_orders"))
-        .filter(F.col("both_orders") >= 3)
+        .filter(F.col("both_orders") >= min_support)
     )
-    sa = supp.select(F.col("l_partkey").alias("p1"), F.col("part_orders").alias("po1"))
-    sb = supp.select(F.col("l_partkey").alias("p2"), F.col("part_orders").alias("po2"))
+    sa = supp.select(F.col(item_col).alias("p1"), F.col("part_orders").alias("po1"))
+    sb = supp.select(F.col(item_col).alias("p2"), F.col("part_orders").alias("po2"))
     return (
         pairs.join(sa, "p1")
         .join(sb, "p2")
@@ -89,8 +95,43 @@ def part_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
         .orderBy(F.desc("lift"), "p1", "p2")
-        .limit(25)
+        .limit(top_k)
     )
+
+
+@register(
+    "part_copurchase_lift",
+    oracle=f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    ok AS (
+      SELECT l_orderkey FROM items GROUP BY 1
+      HAVING count(*) <= {MAX_BASKET_ITEMS}),
+    n AS (SELECT CAST(count(DISTINCT l_orderkey) AS DOUBLE) AS n_orders
+          FROM lineitem),
+    supp AS (
+      SELECT l_partkey, count(*) AS part_orders FROM items GROUP BY 1),
+    pairs AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS both_orders
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      WHERE a.l_orderkey IN (SELECT l_orderkey FROM ok)
+      GROUP BY 1, 2
+      HAVING count(*) >= 3)
+    SELECT p1, p2, both_orders,
+           {PR6('both_orders * n.n_orders / (sa.part_orders * CAST(sb.part_orders AS DOUBLE))')}
+             AS lift
+    FROM pairs JOIN supp sa ON sa.l_partkey = p1
+               JOIN supp sb ON sb.l_partkey = p2, n
+    ORDER BY lift DESC, p1, p2 LIMIT 25
+    """,
+)
+def part_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top part pairs by co-purchase lift (support ≥ 3 orders, baskets
+    above MAX_BASKET_ITEMS excluded from pair generation on both
+    engines — the hot-basket skew guard)."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return copurchase_lift(li.distinct())
 
 
 # --------------------------------------------------------------------------

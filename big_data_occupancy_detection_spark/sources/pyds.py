@@ -139,8 +139,9 @@ class JsonlManifestWriter(DataSourceWriter):
     half-visible dataset: readers trust the manifest, not the directory
     listing, so failed/speculative task attempts are invisible."""
 
-    def __init__(self, options: dict):
+    def __init__(self, options: dict, overwrite: bool = False):
         self.path = options["path"]
+        self.overwrite = overwrite
 
     def write(self, rows: Iterator) -> _JsonlCommit:
         import json
@@ -159,6 +160,7 @@ class JsonlManifestWriter(DataSourceWriter):
     def commit(self, messages: list) -> None:
         import json
         import os
+        import shutil
 
         final = []
         for m in messages:
@@ -167,6 +169,23 @@ class JsonlManifestWriter(DataSourceWriter):
             final.append({"file": os.path.basename(m.path), "rows": m.rows})
         with open(os.path.join(self.path, "_MANIFEST.json"), "w") as f:
             json.dump(sorted(final, key=lambda d: d["file"]), f, indent=1)
+        # hygiene AFTER the manifest is durable: drop the staging dir
+        # (failed/speculative attempt files would otherwise accumulate
+        # forever) and, in overwrite mode, any part file a PREVIOUS
+        # commit left behind — readers trust the manifest, but a clean
+        # directory keeps listing-based tools honest too
+        staging = os.path.join(self.path, "_staging")
+        if os.path.isdir(staging):
+            shutil.rmtree(staging, ignore_errors=True)
+        if self.overwrite:
+            keep = {d["file"] for d in final}
+            for name in os.listdir(self.path):
+                if (
+                    name.startswith("part-")
+                    and name.endswith(".jsonl")
+                    and name not in keep
+                ):
+                    os.remove(os.path.join(self.path, name))
 
     def abort(self, messages: list) -> None:
         import os
@@ -185,7 +204,7 @@ class JsonlManifestDataSource(DataSource):
         return "jsonl_manifest"
 
     def writer(self, schema, overwrite: bool) -> JsonlManifestWriter:
-        return JsonlManifestWriter(self.options)
+        return JsonlManifestWriter(self.options, overwrite=overwrite)
 
 
 def register_eventgen(spark) -> None:

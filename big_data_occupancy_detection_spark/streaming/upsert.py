@@ -9,11 +9,20 @@ same matched-update / not-matched-insert / delete semantics, and the new
 snapshot is committed by directory swap.
 
 Exactly-once: the streaming checkpoint makes batch delivery
-at-least-once with stable batch ids; the merge itself is idempotent
-(re-applying a batch whose keys are already at those values is a no-op),
-and the swap is the atomic commit point — a crash mid-write leaves the
-staging dir, never a half-written snapshot. This is the same
-copy-on-write shape Delta/Iceberg MERGE executes, minus the manifest
+at-least-once with stable batch ids; each batch writes a VERSIONED
+snapshot directory ``snap-{batch_id}`` and commits it with ONE atomic
+rename of the ``current`` symlink (write tmp link, ``os.replace``) — so
+at every instant ``current`` resolves to a complete snapshot. A crash
+before the swap leaves ``current`` on the old snapshot and the replay
+rewrites ``snap-{batch_id}`` (overwrite mode) and swaps; a crash after
+the swap makes the replay a no-op (the pointer already names this
+batch's snapshot — a true exactly-once short-circuit). There is no
+rename-pair window in which no snapshot is live (the round-3 two-rename
+swap had exactly that window: a crash between ``rename(current, old)``
+and ``rename(staging, current)`` made the replay read snapshot=None and
+silently rebuild from one batch). Old snapshot dirs are garbage, swept
+best-effort after each commit. This is the same copy-on-write +
+atomic-pointer shape Delta/Iceberg MERGE executes, minus the manifest
 layer; at scale you'd partition the snapshot and rewrite only the
 partitions the batch touches.
 """
@@ -69,25 +78,71 @@ def upsert_sink(
     ``op_col``, if given, marks deletes with the value ``'D'``. Returns
     the StreamingQuery.
     """
-    data_dir = os.path.join(target_dir, "current")
+    cur_link = os.path.join(target_dir, "current")
+
+    def _live_snap() -> str | None:
+        """Name of the committed snapshot dir, recovering from crashes
+        and migrating the legacy plain-directory layout."""
+        if os.path.islink(cur_link):
+            return os.readlink(cur_link)
+        if os.path.isdir(cur_link):
+            # legacy layout: 'current' was the data dir itself — adopt it
+            # as a versioned snapshot, then fall through to recovery
+            # (which relinks it) so a crash mid-migration self-heals
+            os.rename(cur_link, os.path.join(target_dir, "snap--1"))
+        if os.path.isdir(target_dir):
+            snaps = [
+                d
+                for d in os.listdir(target_dir)
+                if d.startswith("snap-")
+                and d[5:].lstrip("-").isdigit()
+                # only COMPLETE snapshots are candidates: Spark drops
+                # _SUCCESS at job end, so a crash mid-write can never
+                # be adopted by recovery
+                and os.path.exists(os.path.join(target_dir, d, "_SUCCESS"))
+            ]
+            if snaps:
+                # pointer lost (crash mid-migration / manual tampering):
+                # relink the highest committed batch id
+                newest = max(snaps, key=lambda d: int(d[5:]))
+                _commit(newest)
+                return newest
+        return None
+
+    def _commit(snap_name: str) -> None:
+        tmp = os.path.join(target_dir, f"_current.tmp-{snap_name}")
+        if os.path.lexists(tmp):
+            os.remove(tmp)
+        os.symlink(snap_name, tmp)
+        os.replace(tmp, cur_link)  # THE atomic commit point
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
+        snap_name = f"snap-{batch_id}"
+        live = _live_snap()
+        if live == snap_name:
+            return  # replay after a post-commit crash: already applied
         snapshot = (
-            spark.read.parquet(data_dir) if os.path.isdir(data_dir) else None
+            spark.read.parquet(os.path.join(target_dir, live))
+            if live is not None
+            else None
         )
         merged = _merge_batch(snapshot, batch_df, key_cols, seq_col, op_col)
-        staging = os.path.join(target_dir, f"staging-{batch_id}")
-        merged.write.mode("overwrite").parquet(staging)
-        # atomic-enough commit: readers see either the old or new snapshot
-        old = os.path.join(target_dir, f"old-{batch_id}")
-        if os.path.isdir(data_dir):
-            os.rename(data_dir, old)
-        os.rename(staging, data_dir)
-        if os.path.isdir(old):
-            shutil.rmtree(old)
+        merged.write.mode("overwrite").parquet(
+            os.path.join(target_dir, snap_name)
+        )
+        _commit(snap_name)
+        # sweep superseded snapshots (best-effort: orphans from a crash
+        # here are collected by the next successful batch)
+        for name in os.listdir(target_dir):
+            if (
+                name.startswith("snap-")
+                and name != snap_name
+                and os.path.isdir(os.path.join(target_dir, name))
+            ):
+                shutil.rmtree(os.path.join(target_dir, name), ignore_errors=True)
 
     return (
         updates.writeStream.foreachBatch(apply)

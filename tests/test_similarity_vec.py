@@ -110,3 +110,29 @@ def test_query_batch_guard(emb, spark):
 def test_vectorized_requires_cap(emb):
     with pytest.raises(ValueError, match="max_cluster_size"):
         simv.semantic_dedup_vectorized(emb, max_cluster_size=None)
+
+
+def test_round_half_up9_sign_aware():
+    """HALF_UP rounds AWAY from zero: negatives must mirror positives
+    exactly (the pre-round-4 floor form rounded negative half
+    boundaries toward +inf instead)."""
+    assert simv._round_half_up9(np.array([0.25, -0.25])).tolist() == [0.25, -0.25]
+    # mirror property on a dense random sample: r(-x) == -r(x)
+    rng = np.random.default_rng(7)
+    s = rng.uniform(-1, 1, 10_000)
+    assert np.array_equal(simv._round_half_up9(-s), -simv._round_half_up9(s))
+
+
+def test_local_topk_tie_break_is_batch_invariant(spark):
+    """k-boundary ties (equal cosine at 9 decimals) must resolve to the
+    SMALLEST vec_id regardless of candidate order inside a batch — the
+    contract the global (cos desc, vec_id asc) rank uses."""
+    dim = 4
+    base = [1.0, 0.0, 0.0, 0.0]
+    # 6 identical candidates (exact ties), ids descending in insert order
+    rows = [(int(i), base) for i in (50, 40, 30, 20, 10, 5)]
+    corpus = spark.createDataFrame(rows, ["vec_id", "embedding"]).coalesce(1)
+    queries = spark.createDataFrame([(999, base)], ["vec_id", "embedding"])
+    out = simv.brute_force_topk_vectorized(corpus, queries, k=3)
+    got = [(r.vec_id, r.rnk) for r in out.orderBy("rnk").collect()]
+    assert got == [(5, 1), (10, 2), (20, 3)]

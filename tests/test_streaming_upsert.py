@@ -207,3 +207,104 @@ def test_upsert_sink_restart_is_exactly_once(spark, tmp_path):
     finally:
         q.stop()
     assert snap == {(1, "x"), (2, "y")}
+
+
+def test_upsert_commit_has_no_snapshotless_window(spark, tmp_path):
+    """Crash-recovery contract of the versioned-snapshot + atomic-pointer
+    commit: at every point between batches 'current' resolves to a
+    complete snapshot, a replay of an already-committed batch is a no-op,
+    and a lost pointer recovers to the newest COMPLETE snapshot."""
+    import os
+
+    from big_data_occupancy_detection_spark.streaming.upsert import upsert_sink
+
+    src = tmp_path / "cw_changes"
+    src.mkdir()
+    target = str(tmp_path / "cw_snapshot")
+    ckpt = str(tmp_path / "cw_ckpt")
+    _write_changes(src / "b1.json", [{"id": 1, "val": "a", "seq": 1, "op": "U"}])
+    stream = (
+        spark.readStream.format("json")
+        .schema("id long, val string, seq long, op string")
+        .load(str(src))
+    )
+    q = upsert_sink(stream, target, ["id"], "seq", ckpt, op_col="op")
+    try:
+        q.processAllAvailable()
+        cur = f"{target}/current"
+        assert os.path.islink(cur)
+        committed = os.readlink(cur)
+        # replay-after-commit: simulate the engine re-delivering batch 0 —
+        # 'current' must still point at the SAME committed snapshot (the
+        # short-circuit), and its content must be intact
+        before = {(r.id, r.val) for r in spark.read.parquet(cur).collect()}
+        _write_changes(src / "b2.json", [{"id": 2, "val": "b", "seq": 2, "op": "U"}])
+        q.processAllAvailable()
+        assert os.path.islink(cur) and os.readlink(cur) != committed
+        after = {(r.id, r.val) for r in spark.read.parquet(cur).collect()}
+        assert after == {(1, "a"), (2, "b")} and before == {(1, "a")}
+        # superseded snapshot swept
+        snaps = [d for d in os.listdir(target) if d.startswith("snap-")]
+        assert snaps == [os.readlink(cur)]
+    finally:
+        q.stop()
+
+    # lost-pointer recovery: delete the symlink, plant a PARTIAL newer
+    # snapshot (no _SUCCESS) — recovery must relink the newest COMPLETE
+    # snapshot, never the torn one
+    live = os.readlink(cur)
+    os.remove(cur)
+    os.makedirs(f"{target}/snap-99")
+    open(f"{target}/snap-99/part-00000.parquet", "w").close()  # torn write
+    _write_changes(src / "b3.json", [{"id": 3, "val": "c", "seq": 3, "op": "U"}])
+    stream2 = (
+        spark.readStream.format("json")
+        .schema("id long, val string, seq long, op string")
+        .load(str(src))
+    )
+    q2 = upsert_sink(stream2, target, ["id"], "seq", ckpt, op_col="op")
+    try:
+        q2.processAllAvailable()
+        got = {(r.id, r.val) for r in spark.read.parquet(cur).collect()}
+        assert got == {(1, "a"), (2, "b"), (3, "c")}, (
+            "recovery must resume from the complete snapshot "
+            f"(was linked to {live})"
+        )
+    finally:
+        q2.stop()
+
+
+def test_upsert_migrates_legacy_plain_current_dir(spark, tmp_path):
+    """A pre-pointer-layout 'current' DATA directory is adopted as a
+    versioned snapshot on the first batch instead of being clobbered."""
+    import os
+
+    from big_data_occupancy_detection_spark.streaming.upsert import upsert_sink
+
+    target = tmp_path / "legacy_target"
+    target.mkdir()
+    spark.createDataFrame([(7, "legacy", 0)], ["id", "val", "seq"]).write.parquet(
+        str(target / "current")
+    )
+    src = tmp_path / "legacy_changes"
+    src.mkdir()
+    _write_changes(src / "b1.json", [{"id": 8, "val": "new", "seq": 1, "op": "U"}])
+    stream = (
+        spark.readStream.format("json")
+        .schema("id long, val string, seq long, op string")
+        .load(str(src))
+    )
+    q = upsert_sink(
+        stream, str(target), ["id"], "seq", str(tmp_path / "legacy_ckpt"),
+        op_col="op",
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.id, r.val)
+            for r in spark.read.parquet(f"{target}/current").collect()
+        }
+        assert got == {(7, "legacy"), (8, "new")}
+        assert os.path.islink(f"{target}/current")
+    finally:
+        q.stop()

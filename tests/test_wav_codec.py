@@ -53,3 +53,28 @@ def test_audio_features_spark_path(spark):
     }
     assert out[1][0] == 0.5 and out[1][2] > 0.4
     assert out[2] == (0.25, 0.0, 0.0)
+
+
+def test_wav_features_stereo_strides_by_channel():
+    """Interleaved stereo: left alternates sign every sample (ZCR 1.0),
+    right is constant positive (ZCR 0.0) — channel-aware rate is 0.5.
+    The round-3 interleaved walk saw L/R sign flips at every step and
+    reported ~1.0."""
+    left = [1000 if i % 2 == 0 else -1000 for i in range(100)]
+    right = [500] * 100
+    inter = [s for lr in zip(left, right) for s in lr]
+    feats = W.wav_features(W.encode_wav(inter, n_channels=2))
+    assert abs(feats[2] - 0.5) < 0.02
+    # duration counts frames, not interleaved samples: 100 frames @ 8 kHz
+    assert abs(feats[0] - 100 / 8000) < 1e-9
+
+
+def test_wav_features_peak_norm_respects_sampwidth():
+    """8-bit PCM full scale is 128, 32-bit is 2^31 — normalizing by
+    32768 regardless (round-3) made an 8-bit full-scale wave report
+    peak_norm ~0.004."""
+    w8 = W.wav_features(W.encode_wav([127, -128] * 100, sampwidth=1))
+    assert abs(w8[3] - 1.0) < 0.01
+    full32 = 2**31 - 1
+    w32 = W.wav_features(W.encode_wav([full32, -full32] * 10, sampwidth=4))
+    assert abs(w32[3] - 1.0) < 0.01
