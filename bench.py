@@ -33,16 +33,12 @@ HEADLINE = [
     "region_revenue",          # 5-way star join
     "priority_semi_join",      # semi join
     "top_orders_per_customer", # ranking window
-    "user_sessions",           # lag window + sessionization
     "user_running_totals",     # analytic windows, full output
     "parse_route_score_events",# JSON parse + branch + union
     "user_features",           # wide agg + countDistinct
     "text_stats",              # text expressions (codegen-heavy)
     "exact_dedup_groups",      # hash groupBy on md5
     "minhash_lsh_pairs",       # shingle + LSH self-join
-    "ngram_jaccard_pairs",     # inverted-index self-join
-    "simhash_pairs",           # 32-bit expression fold + self-join
-    "embedding_topk",          # broadcast crossJoin + vector math
     "embedding_lsh_topk",      # bucketed ANN
     "embedding_ivf_topk",      # inverted-list ANN (seeded k-means)
     "media_metadata",          # binary column metadata
@@ -63,20 +59,17 @@ HEADLINE = [
     "quality_score_hashed",    # hashed-feature linear scorer (in-row fold)
     "benchmark_contamination", # shingle explode + hash join + agg
     "pack_training_sequences", # scalable global prefix sum (1 data shuffle)
-    "semantic_dedup",          # k-means partition + per-cluster cosine prune
     "doc_pagerank",            # iterative PageRank (checkpointed rounds)
     "events_time_rollup",      # hierarchical hour->day->week rollup
     "user_session_windows",    # native session_window merging agg
     "events_interp_daily",     # dual-direction window gap fill, one shuffle
     "incremental_near_dedup",  # bipartite delta-vs-corpus shingle join
     "mixture_resampled_docs",  # deterministic stochastic-rounding resample
-    "cdc_user_snapshot",       # last-op-wins changelog apply (max_by)
     "user_funnel_steps",       # aggregation-only ordered funnel
     "weekly_retention_cohorts",# cohort x offset retention matrix
     "events_quality_checks",   # N expectation rules in one scan
     "zorder_events_key",       # Morton interleave, pure codegen
     "semantic_dedup_capped",   # skew-guarded per-cluster cosine prune
-    "chunk_documents",         # map-only token-window explode
     "vocab_coverage",          # TakeOrdered vocab + coverage curve
     "cms_heavy_hitter_users",  # count-min grid build + broadcast probe
     "customer_name_fuzzy_pairs",  # deletion-variant blocked edit-1 join
@@ -87,7 +80,17 @@ HEADLINE = [
     "orders_pareto_frontier",  # skyline via per-date maxima spine
     "doc_bigram_logprob",      # corpus bigram LM fit + per-doc scoring
     "part_copurchase_lift",    # per-order basket pair fan-out + lift rank
-    "customer_rfm_segments",   # grain-reduce + 3 ntile windows + rollup
+    "customer_rfm_segments",   # stacked global_row_number RFM quartiles
+    "part_abc_classes",        # global_cumsum Pareto classes (integer cents)
+    # One flavor per operator family (round-4 trim): the registry keeps
+    # every form oracle-verified; the headline benches the PRODUCTION
+    # twin and names the slow/baseline twin it stands for —
+    #   semantic_dedup_capped      ← semantic_dedup (uncapped fold)
+    #   minhash_lsh_pairs          ← ngram_jaccard_pairs, simhash_pairs
+    #   embedding_lsh/ivf_topk     ← embedding_topk (brute baseline)
+    #   orders_merge_upsert        ← cdc_user_snapshot (changelog apply)
+    #   session_features + user_session_windows ← user_sessions (lag form)
+    #   text_stats                 ← chunk_documents (map-only explode)
     # embedding_near_pairs_lsh is oracle-verified but excluded here: at 2k
     # vectors its bucket pruning (~3x) is below the explode+join overhead —
     # the operator pays off when per-bucket cardinality << corpus (real scale)

@@ -412,8 +412,13 @@ def events_locf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     days = bounds.select(F.explode(F.sequence("d0", "d1")).alias("day"))
     users = ev.select("user_id").distinct()
+    # ordering key nulled for NULL-value rows: DuckDB's arg_max ignores
+    # rows whose ARG is NULL, so the daily representative is the last
+    # NON-NULL value of the day on both engines (tools/fuzz_regen.py)
     daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
-        F.max_by("value", "event_id").alias("day_value")
+        F.max_by(
+            "value", F.when(F.col("value").isNotNull(), F.col("event_id"))
+        ).alias("day_value")
     )
     spine = users.crossJoin(F.broadcast(days))
     fill = Window.partitionBy("user_id").orderBy("day").rowsBetween(
@@ -839,8 +844,13 @@ def events_interp_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     days = bounds.select(F.explode(F.sequence("d0", "d1")).alias("day"))
     users = ev.select("user_id").distinct()
+    # ordering key nulled for NULL-value rows: DuckDB's arg_max ignores
+    # rows whose ARG is NULL, so the daily representative is the last
+    # NON-NULL value of the day on both engines (tools/fuzz_regen.py)
     daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
-        F.max_by("value", "event_id").alias("day_value")
+        F.max_by(
+            "value", F.when(F.col("value").isNotNull(), F.col("event_id"))
+        ).alias("day_value")
     )
     spine = users.crossJoin(F.broadcast(days))
     base = spine.join(daily, ["user_id", "day"], "left")
@@ -910,11 +920,18 @@ def cdc_user_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     ranked = ev.withColumn("rk", F.row_number().over(w))
+    # NULL-payload rows are skipped from "last upsert value" on BOTH
+    # engines: DuckDB's arg_max ignores rows whose ARG is NULL, so the
+    # ordering key must be nulled out for them here too — found by
+    # tools/fuzz_regen.py on data with sparse NULL values
+    upsert_ord = F.when(
+        (F.col("event_type") != "refund") & F.col("value").isNotNull(),
+        F.col("rk"),
+    )
     snap = ranked.groupBy("user_id").agg(
         F.max_by("event_type", "rk").alias("final_op"),
         F.max_by(
-            F.when(F.col("event_type") != "refund", F.col("value")),
-            F.when(F.col("event_type") != "refund", F.col("rk")),
+            F.when(F.col("event_type") != "refund", F.col("value")), upsert_ord
         ).alias("last_upsert_value"),
         F.count(F.lit(1)).alias("n_changes"),
     )

@@ -873,33 +873,132 @@ def order_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Linear-regression aggregate family (regr_slope/intercept/r2) — per-user
-# value drift over time. Pure JVM aggregates, one shuffle, map-side
-# partials; x is epoch-days so the slope is per-day drift.
+# Linear-regression family (slope/intercept/r2) — per-user value drift
+# over time, computed from EXACT integer moments rather than the
+# engines' float regr_* aggregates.
+#
+# Why: regr_slope/intercept accumulate doubles in partition order, and
+# with x = raw epoch-days (~19 700 ± 15) the normal equations cancel
+# catastrophically — the round-4 fuzz sweep caught a 4th-decimal
+# intercept flip between Spark and DuckDB on boundary-rich data. Here
+# x is the µs OFFSET from the corpus min(ts) (exact BIGINT), y is
+# integer cents, and the five sufficient statistics are summed in
+# DECIMAL(38,0) / HUGEINT — exact on both engines — so the closed-form
+# slope/intercept/r2 are a fixed sequence of IEEE ops on identical
+# integers: bit-identical by construction, at any partitioning, on any
+# data. Per-user magnitudes stay far inside 38 digits (n·Sxx ≲ 1e28 at
+# a month of µs offsets). NULL values are excluded from the fit (the
+# regr_* contract); slope is per-day in value units, intercept is the
+# fitted value AT the corpus min(ts).
 # --------------------------------------------------------------------------
+_TREND_STATS = """
+      SELECT user_id,
+             count(*) AS n_events,
+             count(x) AS n_fit,
+             CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+             CAST(sum(CAST(yc AS HUGEINT)) AS HUGEINT) AS sy,
+             CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+             CAST(sum(CAST(x AS HUGEINT) * yc) AS HUGEINT) AS sxy,
+             CAST(sum(CAST(yc AS HUGEINT) * yc) AS HUGEINT) AS syy
+"""
+
+
 @register(
     "user_value_trend",
-    oracle="""
-    SELECT user_id,
-           count(*) AS n_events,
-           (floor(CAST((regr_slope(value, epoch_us(ts) / 86400000000.0)) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS slope_per_day,
-           (floor(CAST((regr_intercept(value, epoch_us(ts) / 86400000000.0)) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS intercept,
-           (floor(CAST((regr_r2(value, epoch_us(ts) / 86400000000.0)) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS r2
-    FROM events
-    GROUP BY user_id
+    oracle=f"""
+    WITH t0 AS (SELECT min(ts) AS m FROM events),
+    pts AS (
+      SELECT user_id,
+             CASE WHEN value IS NOT NULL
+                  THEN epoch_us(ts) - epoch_us(t0.m) END AS x,
+             CAST(round(value * 100) AS BIGINT) AS yc
+      FROM events, t0),
+    s AS ({_TREND_STATS} FROM pts GROUP BY user_id),
+    d AS (
+      SELECT user_id, n_events, n_fit,
+             CAST(n_fit * sxy - sx * sy AS DOUBLE) AS num,
+             CAST(n_fit * sxx - sx * sx AS DOUBLE) AS den,
+             CAST(n_fit * syy - sy * sy AS DOUBLE) AS den2,
+             CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+      FROM s)
+    SELECT user_id, n_events,
+           CASE WHEN den = 0 THEN NULL ELSE
+             {portable_round_sql('num / den * 86400000000.0 / 100.0', 6)}
+           END AS slope_per_day,
+           CASE WHEN den = 0 THEN NULL ELSE
+             {portable_round_sql('(syd - num / den * sxd) / n_fit / 100.0', 4)}
+           END AS intercept,
+           CASE WHEN den = 0 OR den2 = 0 THEN NULL ELSE
+             {portable_round_sql('num * num / (den * den2)', 6)} END AS r2
+    FROM d
     """,
 )
 def user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     # cast first: unix_micros rejects TIMESTAMP_NTZ (NTZ→LTZ is wall-clock
     # UTC under the pinned session TZ, matching the oracle's epoch_us)
-    x = (F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(86400000000.0)).alias("x")
-    base = ev.select("user_id", F.col("value").alias("y"), x)
-    return base.groupBy("user_id").agg(
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    t0 = ev.agg(F.min(F.unix_micros(F.col("ts").cast("timestamp"))).alias("m"))
+    pts = ev.crossJoin(F.broadcast(t0)).select(
+        "user_id",
+        F.when(F.col("value").isNotNull(), us - F.col("m")).alias("x"),
+        F.round(F.col("value") * 100).cast("long").alias("yc"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
+    s = pts.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
-        portable_round(F.regr_slope("y", "x"), 6).alias("slope_per_day"),
-        portable_round(F.regr_intercept("y", "x"), 4).alias("intercept"),
-        portable_round(F.regr_r2("y", "x"), 6).alias("r2"),
+        F.count("x").alias("n_fit"),
+        F.sum(dec("x")).alias("sx"),
+        F.sum(dec("yc")).alias("sy"),
+        F.sum(dec("x") * F.col("x")).alias("sxx"),
+        F.sum(dec("x") * F.col("yc")).alias("sxy"),
+        F.sum(dec("yc") * F.col("yc")).alias("syy"),
+    )
+    d = s.select(
+        "user_id",
+        "n_events",
+        "n_fit",
+        (dec("n_fit") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .cast("double")
+        .alias("num"),
+        (dec("n_fit") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast("double")
+        .alias("den"),
+        (dec("n_fit") * F.col("syy") - F.col("sy") * F.col("sy"))
+        .cast("double")
+        .alias("den2"),
+        F.col("sx").cast("double").alias("sxd"),
+        F.col("sy").cast("double").alias("syd"),
+    )
+    # degenerate fits (den = 0: <2 distinct x per user) are NULL on both
+    # engines — and the divisions must be GUARDED, not just masked:
+    # Spark's ANSI mode raises DIVIDE_BY_ZERO eagerly inside when()
+    fit = F.col("den") != 0
+    slope_cu = F.col("num") / F.when(fit, F.col("den"))
+    return d.select(
+        "user_id",
+        "n_events",
+        F.when(
+            fit, portable_round(slope_cu * 86400000000.0 / 100.0, 6)
+        ).alias("slope_per_day"),
+        F.when(
+            fit,
+            portable_round(
+                (F.col("syd") - slope_cu * F.col("sxd"))
+                / F.col("n_fit")
+                / 100.0,
+                4,
+            ),
+        ).alias("intercept"),
+        F.when(
+            fit & (F.col("den2") != 0),
+            portable_round(
+                F.col("num")
+                * F.col("num")
+                / F.when(F.col("den2") != 0, F.col("den") * F.col("den2")),
+                6,
+            ),
+        ).alias("r2"),
     )
 
 

@@ -45,6 +45,7 @@ from big_data_occupancy_detection_spark.sources.readers import table
 SF_DIR = "/root/testdata/sf0.1"
 N_QUERIES = 20
 K = 5
+IVF_INDEX_ITERS = 2
 # skew-guard sizing for the 200k-row corpus: 16 k-means clusters average
 # ~12.5k members; cap 100 with up to 8 split bits bounds the pair stage at
 # ~10M cosines instead of the unguarded 2.5B
@@ -202,6 +203,42 @@ def main() -> None:
         kept = sum(1 for x in rows if x.keep)
         print(json.dumps({"op": "semantic_dedup_vectorized", "kept": kept,
                           "drop_rate": round(1 - kept / len(rows), 4)}), flush=True)
+    if "ivf_index" in ops:
+        # build/serve split: the index build is one pass paid once; every
+        # query batch afterwards costs only the PROBED partition dirs
+        import tempfile
+
+        from big_data_occupancy_detection_spark.ext import (
+            similarity_index as SIX,
+        )
+
+        idx = tempfile.mkdtemp(prefix="ivf_idx_") + "/idx"
+        t0 = time.perf_counter()
+        SIX.build_ivf_index(emb, idx, n_centroids=64, n_iters=IVF_INDEX_ITERS)
+        print(json.dumps({"op": "ivf_index_build",
+                          "wall_s": round(time.perf_counter() - t0, 2)}),
+              flush=True)
+        # serve: time a warm probe-only batch and count pruned partitions
+        serve = lambda: SIX.ivf_topk_from_index(
+            spark, idx, queries, k=K, n_probes=4
+        )
+        plan = serve()._jdf.queryExecution().executedPlan().toString()
+        import re as _re
+
+        # small probe sets print as `cluster IN (..)`, large ones as
+        # `cluster INSET ..` (inSetConversionThreshold)
+        m = _re.search(
+            r"PartitionFilters: \[[^\]]*cluster[^\]]*?(?:INSET|IN)\s*\(?([^)\]]*)",
+            plan,
+        )
+        probed = len(m.group(1).split(",")) if m else None
+        rows = measure(spark, "ivf_topk_from_index", serve,
+                       extra={"partitions_probed": probed,
+                              "partitions_total": 64,
+                              "partition_filter_in_plan": bool(m)})
+        if exact_rows is not None:
+            print(json.dumps({"op": "ivf_topk_from_index",
+                              "recall_at_5": recall(exact_rows, rows)}), flush=True)
     spark.stop()
 
 
