@@ -61,13 +61,17 @@ def copurchase_lift(
     supp = items.groupBy(item_col).agg(F.count(F.lit(1)).alias("part_orders"))
     paired = items
     if max_basket_items is not None:
-        ok = (
-            items.groupBy(order_col)
-            .agg(F.count(F.lit(1)).alias("__n_items"))
+        # basket-size filter as a window over the SAME hash partitioning
+        # the pair self-join needs — Catalyst reuses the exchange, so the
+        # guard costs no extra shuffle (vs an agg + semi-join formulation)
+        from pyspark.sql import Window
+
+        n_items = F.count(F.lit(1)).over(Window.partitionBy(order_col))
+        paired = (
+            items.withColumn("__n_items", n_items)
             .filter(F.col("__n_items") <= max_basket_items)
-            .select(order_col)
+            .drop("__n_items")
         )
-        paired = items.join(ok, order_col, "left_semi")
     a = paired.select(order_col, F.col(item_col).alias("p1"))
     b = paired.select(order_col, F.col(item_col).alias("p2"))
     pairs = (
