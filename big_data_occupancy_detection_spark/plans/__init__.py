@@ -11,5 +11,6 @@ from . import functions_surface as _functions_surface  # noqa: E402,F401
 from . import curation as _curation  # noqa: E402,F401
 from . import analytics as _analytics  # noqa: E402,F401
 from . import bi as _bi  # noqa: E402,F401
+from . import warehouse as _warehouse  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QuerySpec", "register", "queries_map", "oracle_sql_map"]

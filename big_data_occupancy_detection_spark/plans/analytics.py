@@ -1083,3 +1083,148 @@ def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("winsorized_mean"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# RAKE keyword extraction: phrases are maximal token runs between
+# stopwords; word score = degree/freq where degree sums the lengths of
+# every phrase instance containing the word; phrase score sums its
+# words' scores. Everything upstream of the final display division is
+# INTEGER (occurrence counts, phrase lengths, scaled half-up ratios),
+# so the ranking cannot float-diverge. Scale shape: phrase explode is
+# output-linear in tokens; the word-stats table is |vocab| rows joined
+# back by hashable word keys; top-k is a deterministic global limit.
+# Stopword removal uses one global regexp_replace to a '|' separator on
+# both engines — identical pattern, no split-adjacency ambiguity.
+# --------------------------------------------------------------------------
+_RAKE_STOPS = "the|a|of|and|to|in"
+
+
+@register(
+    "doc_rake_keywords",
+    oracle=rf"""
+    WITH norm AS (
+      SELECT doc_id,
+             regexp_replace(
+               regexp_replace(lower(text), '[^a-z]+', ' ', 'g'),
+               '\b({_RAKE_STOPS})\b', '|', 'g') AS t
+      FROM documents),
+    phr AS (
+      SELECT doc_id, trim(p) AS phrase
+      FROM norm, unnest(string_split(t, '|')) AS u(p)
+      WHERE trim(p) <> ''),
+    pw AS (
+      SELECT doc_id, phrase,
+             len(list_filter(string_split(phrase, ' '), x -> x <> ''))
+               AS plen,
+             unnest(list_filter(string_split(phrase, ' '), x -> x <> ''))
+               AS word
+      FROM phr),
+    wstats AS (
+      SELECT word,
+             CAST(count(*) AS BIGINT) AS freq,
+             CAST(sum(plen) AS BIGINT) AS degree
+      FROM pw GROUP BY 1),
+    wscore AS (
+      SELECT word,
+             CAST((degree * 10000 + freq // 2) // freq AS BIGINT) AS ws_e4
+      FROM wstats),
+    dphr AS (SELECT DISTINCT phrase FROM phr),
+    dwords AS (
+      SELECT phrase,
+             unnest(list_filter(string_split(phrase, ' '), x -> x <> ''))
+               AS word
+      FROM dphr),
+    pscore AS (
+      SELECT d.phrase, CAST(sum(ws.ws_e4) AS BIGINT) AS score_e4
+      FROM dwords d JOIN wscore ws USING (word)
+      GROUP BY 1)
+    SELECT phrase,
+           CAST(score_e4 AS DOUBLE) / 10000 AS rake_score
+    FROM pscore
+    ORDER BY score_e4 DESC, phrase LIMIT 10
+    """,
+)
+def doc_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 RAKE keyword phrases over the corpus (integer-exact word
+    degree/frequency scores; per-phrase score = Σ word scores)."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    norm = docs.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), "[^a-z]+", " "),
+            rf"\b({_RAKE_STOPS})\b",
+            "|",
+        ).alias("t"),
+    )
+    phr = (
+        norm.select("doc_id", F.explode(F.split("t", r"\|")).alias("p"))
+        .select("doc_id", F.trim("p").alias("phrase"))
+        .filter(F.col("phrase") != "")
+    )
+    words = F.filter(F.split("phrase", " "), lambda x: x != "")
+    pw = phr.select(
+        "doc_id",
+        "phrase",
+        F.size(words).alias("plen"),
+        F.explode(words).alias("word"),
+    )
+    wstats = pw.groupBy("word").agg(
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        F.sum("plen").cast("long").alias("degree"),
+    )
+    wscore = wstats.select(
+        "word",
+        F.expr("(degree * 10000 + freq DIV 2) DIV freq")
+        .cast("long")
+        .alias("ws_e4"),
+    )
+    dwords = (
+        phr.select("phrase")
+        .distinct()
+        .select("phrase", F.explode(words).alias("word"))
+    )
+    pscore = (
+        dwords.join(wscore, "word")
+        .groupBy("phrase")
+        .agg(F.sum("ws_e4").cast("long").alias("score_e4"))
+    )
+    return (
+        pscore.orderBy(F.desc("score_e4"), "phrase")
+        .limit(10)
+        .select(
+            "phrase",
+            (F.col("score_e4").cast("double") / 10000).alias("rake_score"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Log2 length histogram: documents bucketed by the BIT LENGTH of their
+# character count (length of the binary representation — an exact
+# integer stand-in for floor(log2 n)+1, immune to the log2() boundary
+# rounding that differs between engines). Pure integer histogram.
+# --------------------------------------------------------------------------
+@register(
+    "doc_length_histogram",
+    oracle="""
+    SELECT CAST(length(format('{:b}', greatest(n_chars, 0))) AS INTEGER)
+             AS log2_bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-count histogram over power-of-two character-length buckets."""
+    docs = table(spark, sf_dir, "documents")
+    bucket = F.length(F.bin(F.greatest("n_chars", F.lit(0)))).cast("int")
+    return docs.groupBy(bucket.alias("log2_bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )

@@ -1170,3 +1170,131 @@ def cms_heavy_hitter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 users by count-min-sketch frequency estimate (4×256 grid)
     with exact counts alongside — bounded-memory heavy-hitter detection."""
     return SK.cms_heavy_hitters(table(spark, sf_dir, "events"), "user_id", k=20)
+
+
+# --------------------------------------------------------------------------
+# q — hourly volume anomalies per event type: z-score of each hour's
+# count against the type's own hourly distribution, from EXACT integer
+# moments (counts are integers; k, S1 = Σn, S2 = Σn² are exact, and
+# z = (n·k − S1)/sqrt(k·S2 − S1²) is a fixed IEEE sequence on identical
+# integers — the fuzz-proof construction). Two map-side-combined aggs
+# (hour grain, then the tiny per-type moment row broadcast back); the
+# hour grain is bounded (types × hours), never fact-sized.
+# --------------------------------------------------------------------------
+@register(
+    "events_hourly_anomalies",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    mom AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(n) AS BIGINT) AS s1,
+             CAST(sum(n * n) AS BIGINT) AS s2
+      FROM hourly GROUP BY 1),
+    z AS (
+      SELECT h.event_type, h.h, h.n,
+             CASE WHEN m.k * m.s2 - m.s1 * m.s1 > 0 THEN
+               CAST(h.n * m.k - m.s1 AS DOUBLE)
+                 / sqrt(CAST(m.k * m.s2 - m.s1 * m.s1 AS DOUBLE))
+             END AS zs
+      FROM hourly h JOIN mom m USING (event_type))
+    SELECT event_type, h AS hour_ts, n AS n_events,
+           {PR6('zs')} AS z_score
+    FROM z WHERE zs IS NOT NULL AND abs(zs) >= 2.0
+    """,
+)
+def events_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hours whose event count deviates ≥2σ from the type's hourly
+    distribution (population z from exact integer moments)."""
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    mom = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("s2"),
+    )
+    j = hourly.join(mom, "event_type")
+    var_num = F.col("k") * F.col("s2") - F.col("s1") * F.col("s1")
+    zs = F.when(
+        var_num > 0,
+        (F.col("n") * F.col("k") - F.col("s1")).cast("double")
+        / F.sqrt(var_num.cast("double")),
+    )
+    return (
+        j.withColumn("zs", zs)
+        .filter(F.col("zs").isNotNull() & (F.abs("zs") >= 2.0))
+        .select(
+            "event_type",
+            F.col("h").alias("hour_ts"),
+            F.col("n").alias("n_events"),
+            portable_round(F.col("zs"), 6).alias("z_score"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q — CUSUM drift detection per user: the one-sided cumulative-sum
+# statistic s_i = max(0, s_{i-1} + x_i − K), the classic sequential
+# change detector. A genuine left fold — not a SQL window frame — so it
+# runs as array_sort(collect_list) + F.aggregate (the grouped_ewma_jvm
+# pattern), and the oracle replays the IDENTICAL op order with DuckDB
+# list_reduce over the identically-ordered value list (a 0.0 seed is
+# prepended because list_reduce folds from the first element):
+# bit-identical accumulation, no summation-order exposure. NULL values
+# are excluded on both engines (collect_list drops them silently —
+# DuckDB's list() does NOT, hence the explicit filter).
+# --------------------------------------------------------------------------
+_CUSUM_K = 50.0
+_CUSUM_H = 200.0
+
+
+@register(
+    "user_value_cusum",
+    oracle=f"""
+    WITH vals AS (
+      SELECT user_id, ts, event_id, value FROM events WHERE value IS NOT NULL)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           {PR6(f'''list_reduce(
+               list_prepend(0.0, list(value ORDER BY ts, event_id)),
+               (acc, x) -> greatest(0.0, acc + x - {_CUSUM_K}))''')}
+             AS cusum,
+           list_reduce(
+               list_prepend(0.0, list(value ORDER BY ts, event_id)),
+               (acc, x) -> greatest(0.0, acc + x - {_CUSUM_K})) > {_CUSUM_H}
+             AS drifted
+    FROM vals GROUP BY user_id
+    """,
+)
+def user_value_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final one-sided CUSUM statistic per user (K=50 reference, H=200
+    decision threshold)."""
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("user_id", "ts", "event_id", "value")
+    )
+    seq = F.array_sort(
+        F.collect_list(F.struct("ts", "event_id", F.col("value").alias("__v")))
+    )
+    grouped = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"), seq.alias("seq")
+    )
+    fold = F.aggregate(
+        "seq",
+        F.lit(0.0),
+        lambda acc, x: F.greatest(
+            F.lit(0.0), acc + x["__v"] - F.lit(_CUSUM_K)
+        ),
+    )
+    return grouped.select(
+        "user_id",
+        "n_events",
+        portable_round(fold, 6).alias("cusum"),
+        (fold > _CUSUM_H).alias("drifted"),
+    )

@@ -1,0 +1,550 @@
+"""Warehouse analytics batch 2 (round 4): rank distributions, growth,
+cohort LTV, backlog timelines, bitmap retention, composition shift,
+bipartite coverage, graph triangles.
+
+Every query here is FLOAT-FREE BY CONSTRUCTION (the round-4 fuzz
+discipline): monies are exact integer cents, ratios are scaled-integer
+half-up divisions (``(num*10^k + den DIV 2) DIV den``), and any final
+double is ONE IEEE division of identical integers — so Spark and the
+DuckDB oracle cannot diverge on any data distribution, partitioning, or
+regenerated seed. Scale notes per query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.readers import table
+from .registry import register
+
+# exact cents for a 2-decimal money column — the basis of every
+# float-free aggregate below
+def _cents(col: str) -> Column:
+    return F.round(F.col(col) * 100).cast("long")
+
+
+_CENTS = "CAST(round({c} * 100) AS BIGINT)"
+
+
+def _e4_div(num: str, den: str) -> str:
+    """Exact scaled-integer half-up ratio at 4 decimals, as DOUBLE."""
+    return f"CAST(({num} * 10000 + ({den}) // 2) // ({den}) AS DOUBLE) / 10000"
+
+
+# --------------------------------------------------------------------------
+# Rank-distribution family: percent_rank + cume_dist of customer spend
+# WITHIN market segment. Partitioned by segment — each partition's sort
+# is |customers-per-segment|, never global, so there is no single-task
+# window. Both stats are exact rational functions of integer ranks
+# (percent_rank = (rk-1)/(n-1), cume_dist = rk_max/n), emitted at 6
+# decimals via scaled-integer division.
+# --------------------------------------------------------------------------
+@register(
+    "customer_spend_percentiles",
+    oracle=f"""
+    WITH spend AS (
+      SELECT c.c_mktsegment, o.o_custkey,
+             CAST(sum({_CENTS.format(c='o.o_totalprice')}) AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT c_mktsegment, o_custkey, cents,
+             rank() OVER w AS rk,
+             count(*) OVER (PARTITION BY c_mktsegment) AS n
+      FROM spend
+      WINDOW w AS (PARTITION BY c_mktsegment ORDER BY cents, o_custkey)),
+    top AS (
+      SELECT *, row_number() OVER (PARTITION BY c_mktsegment
+                                   ORDER BY cents DESC, o_custkey) AS rev
+      FROM ranked)
+    SELECT c_mktsegment, o_custkey,
+           CAST(cents AS DOUBLE) / 100 AS spend,
+           CASE WHEN n = 1 THEN 0.0 ELSE
+             {_e4_div('(CAST(rk AS BIGINT) - 1) * 100', 'CAST(n AS BIGINT) - 1')}
+           END AS pct_rank,
+           {_e4_div('CAST(rk AS BIGINT) * 100', 'CAST(n AS BIGINT)')} AS cume_pct
+    FROM top WHERE rev <= 5
+    """,
+)
+def customer_spend_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 spenders per segment with their exact percent-rank and
+    cumulative-distribution percentiles (0-100, 4 decimals)."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    spend = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "o_custkey")
+        .agg(F.sum(_cents("o_totalprice")).cast("long").alias("cents"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("cents", "o_custkey")
+    wn = Window.partitionBy("c_mktsegment")
+    wrev = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("cents"), "o_custkey"
+    )
+    ranked = spend.select(
+        "c_mktsegment",
+        "o_custkey",
+        "cents",
+        F.rank().over(w).alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+        F.row_number().over(wrev).alias("rev"),
+    ).filter(F.col("rev") <= 5)
+    return ranked.select(
+        "c_mktsegment",
+        "o_custkey",
+        (F.col("cents").cast("double") / 100).alias("spend"),
+        F.when(F.col("n") == 1, F.lit(0.0))
+        .otherwise(
+            F.expr(
+                "((CAST(rk AS BIGINT) - 1) * 1000000 "
+                "+ (CAST(n AS BIGINT) - 1) DIV 2) DIV (CAST(n AS BIGINT) - 1)"
+            ).cast("double")
+            / 10000
+        )
+        .alias("pct_rank"),
+        (
+            F.expr(
+                "(CAST(rk AS BIGINT) * 1000000 + CAST(n AS BIGINT) DIV 2) "
+                "DIV CAST(n AS BIGINT)"
+            ).cast("double")
+            / 10000
+        ).alias("cume_pct"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Year-over-year growth per segment: yearly revenue (exact cents) with a
+# lag window over the tiny (segment × year) grain — the fact table
+# reduces first, so the window runs on ~|segments·years| rows. Growth is
+# a scaled-integer ratio; year-1 gaps yield NULL growth on both engines.
+# --------------------------------------------------------------------------
+@register(
+    "segment_yoy_growth",
+    oracle=f"""
+    WITH yearly AS (
+      SELECT c.c_mktsegment,
+             CAST(extract(year FROM o.o_orderdate) AS INTEGER) AS yr,
+             CAST(sum({_CENTS.format(c='o.o_totalprice')}) AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2),
+    g AS (
+      SELECT c_mktsegment, yr, cents,
+             lag(cents) OVER (PARTITION BY c_mktsegment ORDER BY yr)
+               AS prev_cents
+      FROM yearly)
+    SELECT c_mktsegment, yr,
+           CAST(cents AS DOUBLE) / 100 AS revenue,
+           CASE WHEN prev_cents IS NULL OR prev_cents = 0 THEN NULL
+                ELSE {_e4_div('(cents - prev_cents) * 100', 'prev_cents')}
+           END AS yoy_growth_pct
+    FROM g
+    """,
+)
+def segment_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yearly revenue and exact YoY growth %% per market segment."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    yearly = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            "c_mktsegment", F.year("o_orderdate").cast("int").alias("yr")
+        )
+        .agg(F.sum(_cents("o_totalprice")).cast("long").alias("cents"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("yr")
+    g = yearly.withColumn("prev_cents", F.lag("cents").over(w))
+    growth = F.when(
+        F.col("prev_cents").isNotNull() & (F.col("prev_cents") != 0),
+        F.expr(
+            "((cents - prev_cents) * 100 * 10000 + prev_cents DIV 2) "
+            "DIV prev_cents"
+        ).cast("double")
+        / 10000,
+    )
+    return g.select(
+        "c_mktsegment",
+        "yr",
+        (F.col("cents").cast("double") / 100).alias("revenue"),
+        growth.alias("yoy_growth_pct"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Cohort lifetime value: customers grouped by FIRST-order year; the
+# cohort row carries size, exact total/avg LTV, and repeat share. Two
+# map-side-combined aggregations (customer grain, then cohort grain) —
+# no windows, no fact-sized shuffles past the first groupBy.
+# --------------------------------------------------------------------------
+@register(
+    "cohort_lifetime_value",
+    oracle=f"""
+    WITH cust AS (
+      SELECT o_custkey,
+             CAST(extract(year FROM min(o_orderdate)) AS INTEGER) AS cohort,
+             count(*) AS n_orders,
+             CAST(sum({_CENTS.format(c='o_totalprice')}) AS BIGINT) AS cents
+      FROM orders GROUP BY 1)
+    SELECT cohort,
+           count(*) AS n_customers,
+           CAST(sum(cents) AS DOUBLE) / 100 AS total_ltv,
+           {_e4_div('sum(cents)', 'count(*)')} AS avg_ltv_cents_e4,
+           CAST(sum(CASE WHEN n_orders > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS repeat_customers
+    FROM cust GROUP BY 1
+    """,
+)
+def cohort_lifetime_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTV profile per first-order-year cohort (exact cents arithmetic;
+    avg_ltv_cents_e4 is cents-per-customer at 4 decimals)."""
+    o = table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.year(F.min("o_orderdate")).cast("int").alias("cohort"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(_cents("o_totalprice")).cast("long").alias("cents"),
+    )
+    return cust.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        (F.sum("cents").cast("double") / 100).alias("total_ltv"),
+        (
+            F.expr("(sum(cents) * 10000 + count(1) DIV 2) DIV count(1)")
+            .cast("double")
+            / 10000
+        ).alias("avg_ltv_cents_e4"),
+        F.sum((F.col("n_orders") > 1).cast("int")).cast("long").alias(
+            "repeat_customers"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Backlog timeline: how many orders are "open" on the first day of each
+# month, where an order spans [o_orderdate, last shipdate of its items].
+# The interval set reduces to +1/-1 boundary events, aggregated to the
+# month grain and prefix-summed over the TINY month spine — the classic
+# sweep-line trick that answers point-in-time counts without a
+# per-(order × month) interval join. All integers.
+# --------------------------------------------------------------------------
+@register(
+    "monthly_open_order_backlog",
+    oracle="""
+    WITH spans AS (
+      SELECT o.o_orderkey,
+             date_trunc('month', o.o_orderdate) AS m_open,
+             date_trunc('month', max(l.l_shipdate)) AS m_close
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2),
+    deltas AS (
+      SELECT m_open AS m, CAST(count(*) AS BIGINT) AS d FROM spans GROUP BY 1
+      UNION ALL
+      SELECT m_close + INTERVAL 1 MONTH AS m, CAST(-count(*) AS BIGINT)
+      FROM spans GROUP BY 1),
+    merged AS (SELECT m, CAST(sum(d) AS BIGINT) AS d FROM deltas GROUP BY m)
+    SELECT CAST(m AS DATE) AS month_start,
+           CAST(sum(d) OVER (ORDER BY m
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS open_orders
+    FROM merged
+    """,
+)
+def monthly_open_order_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order count at each month boundary via +1/-1 sweep-line.
+
+    The final running sum is a window over the MONTH grain (~10^2 rows
+    for decades of data) — the one place an unpartitioned window is the
+    right call; the fact-sized work is all map-side-combined groupBys.
+    """
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    spans = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(
+            "o_orderkey", F.date_trunc("month", "o_orderdate").alias("m_open")
+        )
+        .agg(F.date_trunc("month", F.max("l_shipdate")).alias("m_close"))
+    )
+    opens = spans.groupBy(F.col("m_open").alias("m")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    closes = spans.groupBy(
+        F.add_months(F.col("m_close"), 1).alias("m")
+    ).agg((-F.count(F.lit(1))).cast("long").alias("d"))
+    # add_months returns DATE; the open side is TIMESTAMP — unify
+    merged = (
+        opens.select(F.col("m").cast("timestamp").alias("m"), "d")
+        .unionByName(closes.select(F.col("m").cast("timestamp").alias("m"), "d"))
+        .groupBy("m")
+        .agg(F.sum("d").cast("long").alias("d"))
+    )
+    w = Window.orderBy("m").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return merged.select(
+        F.col("m").cast("date").alias("month_start"),
+        F.sum("d").over(w).cast("long").alias("open_orders"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Bitmap retention: each user's 32-day activity as ONE BIGINT bitmask
+# (bit d = active on day-offset d), built with bitwise-OR aggregation —
+# the roaring-bitmap-index pattern at its int64 core. Streaks and
+# revisit stats then come from pure bit arithmetic: active days =
+# popcount, longest streak via iterated (mask & mask>>1) — all integer,
+# all exact, no per-day rows surviving past the first aggregate.
+# --------------------------------------------------------------------------
+# longest run of set bits in a 32-bit mask = number of nonzero iterates
+# of m ← m & (m >> 1) starting at m₀ = bm (a run of length L survives
+# exactly L smears). The oracle unrolls the 32 fixed smears as a flat
+# sum of indicator CASEs — same integer recurrence the Spark side folds
+# with F.aggregate, generated here so the two stay in lockstep.
+def _smear(k: int) -> str:
+    # k-th smear iterate collapses to a flat AND of shifted copies
+    # (m_k = bm & bm>>1 & … & bm>>k, since AND is idempotent) — linear
+    # SQL text instead of the exponential naive nesting
+    return "(" + " & ".join(["bm"] + [f"(bm >> {j})" for j in range(1, k + 1)]) + ")"
+
+
+_STREAK_SQL_DUCK = " + ".join(
+    f"(CASE WHEN {_smear(k)} <> 0 THEN 1 ELSE 0 END)" for k in range(32)
+)
+
+
+@register(
+    "user_day_bitmaps",
+    oracle=f"""
+    WITH base AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events),
+    bits AS (
+      SELECT user_id,
+             CAST(bit_or(
+               CASE WHEN date_diff('day', base.d0, CAST(ts AS DATE))
+                         BETWEEN 0 AND 31
+                    THEN 1::BIGINT << date_diff('day', base.d0, CAST(ts AS DATE))
+                    ELSE 0 END) AS BIGINT) AS bm
+      FROM events, base GROUP BY user_id)
+    SELECT user_id, bm,
+           CAST(bit_count(bm) AS INTEGER) AS active_days,
+           CAST(({_STREAK_SQL_DUCK}) AS INTEGER) AS longest_streak
+    FROM bits
+    """,
+)
+def user_day_bitmaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-32-day activity bitmask per user + popcount + longest
+    consecutive-day streak (log-step bit-smearing, 5 fixed rounds)."""
+    ev = table(spark, sf_dir, "events")
+    d0 = ev.agg(F.min(F.to_date("ts")).alias("d0"))
+    bits = (
+        ev.crossJoin(F.broadcast(d0))
+        .withColumn("__off", F.datediff(F.to_date("ts"), F.col("d0")))
+        .withColumn(
+            "__bit",
+            F.expr(
+                "CASE WHEN __off BETWEEN 0 AND 31 "
+                "THEN shiftleft(CAST(1 AS BIGINT), __off) "
+                "ELSE CAST(0 AS BIGINT) END"
+            ),
+        )
+        .groupBy("user_id")
+        .agg(F.bit_or("__bit").cast("long").alias("bm"))
+    )
+    # longest run of set bits: k-th iterate of m & (m >> 1) is nonzero
+    # iff a run of length > k exists; 32 bits → 32 fixed iterations,
+    # folded as a Catalyst aggregate over a literal range (no UDF)
+    streak = F.aggregate(
+        F.sequence(F.lit(1), F.lit(32)),
+        F.struct(
+            F.col("bm").alias("m"), F.lit(0).cast("int").alias("k")
+        ),
+        lambda acc, _i: F.struct(
+            F.shiftright(acc["m"], 1).bitwiseAND(acc["m"]).alias("m"),
+            F.when(acc["m"] != 0, acc["k"] + 1).otherwise(acc["k"]).alias("k"),
+        ),
+        lambda acc: acc["k"],
+    )
+    return bits.select(
+        "user_id",
+        "bm",
+        F.bit_count("bm").cast("int").alias("active_days"),
+        streak.cast("int").alias("longest_streak"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Composition shift: order-priority mix in the first half of the date
+# range vs the second, with the per-priority share delta in exact basis
+# points. The midpoint comes from exact epoch-µs integer arithmetic —
+# identical on both engines — and every share is a scaled-integer ratio.
+# --------------------------------------------------------------------------
+@register(
+    "priority_mix_shift",
+    oracle="""
+    WITH b AS (
+      SELECT epoch_us(min(o_orderdate)) AS lo, epoch_us(max(o_orderdate)) AS hi
+      FROM orders),
+    tagged AS (
+      SELECT o_orderpriority,
+             CASE WHEN epoch_us(o_orderdate) * 2 <= b.lo + b.hi
+                  THEN 0 ELSE 1 END AS half
+      FROM orders, b),
+    counts AS (
+      SELECT o_orderpriority, half, count(*) AS n
+      FROM tagged GROUP BY 1, 2),
+    tot AS (SELECT half, CAST(sum(n) AS BIGINT) AS t FROM counts GROUP BY 1),
+    shares AS (
+      SELECT c.o_orderpriority, c.half,
+             CAST((c.n * 10000 + t.t // 2) // t.t AS BIGINT) AS share_bp
+      FROM counts c JOIN tot t USING (half))
+    SELECT o_orderpriority,
+           CAST(coalesce(max(CASE WHEN half = 0 THEN share_bp END), 0)
+                AS BIGINT) AS share_bp_h1,
+           CAST(coalesce(max(CASE WHEN half = 1 THEN share_bp END), 0)
+                AS BIGINT) AS share_bp_h2,
+           CAST(coalesce(max(CASE WHEN half = 1 THEN share_bp END), 0)
+                - coalesce(max(CASE WHEN half = 0 THEN share_bp END), 0)
+                AS BIGINT) AS shift_bp
+    FROM shares GROUP BY 1
+    """,
+)
+def priority_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority mix (basis points) in each half of the order-date range
+    and the half-to-half shift. Integer-exact midpoint + shares."""
+    o = table(spark, sf_dir, "orders")
+    us = F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+    b = o.agg(
+        F.min(F.unix_micros(F.col("o_orderdate").cast("timestamp"))).alias("lo"),
+        F.max(F.unix_micros(F.col("o_orderdate").cast("timestamp"))).alias("hi"),
+    )
+    tagged = o.crossJoin(F.broadcast(b)).select(
+        "o_orderpriority",
+        F.when(us * 2 <= F.col("lo") + F.col("hi"), 0).otherwise(1).alias("half"),
+    )
+    counts = tagged.groupBy("o_orderpriority", "half").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = counts.groupBy("half").agg(F.sum("n").cast("long").alias("t"))
+    shares = counts.join(tot, "half").select(
+        "o_orderpriority",
+        "half",
+        F.expr("(n * 10000 + t DIV 2) DIV t").cast("long").alias("share_bp"),
+    )
+    h = lambda i: F.coalesce(
+        F.max(F.when(F.col("half") == i, F.col("share_bp"))), F.lit(0)
+    ).cast("long")
+    return shares.groupBy("o_orderpriority").agg(
+        h(0).alias("share_bp_h1"),
+        h(1).alias("share_bp_h2"),
+        (h(1) - h(0)).cast("long").alias("shift_bp"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Bipartite coverage: supplier × part sourcing stats — distinct parts
+# per supplier, exclusively-sourced parts (parts with exactly one
+# supplier), and each supplier's share of the part catalog in basis
+# points. Distinct-pair reduce first (one shuffle), then two small
+# aggregates + a broadcast scalar. Pure integers.
+# --------------------------------------------------------------------------
+@register(
+    "supplier_part_coverage",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT l_suppkey, l_partkey FROM lineitem),
+    per_part AS (
+      SELECT l_partkey, count(*) AS n_supp FROM pairs GROUP BY 1),
+    catalog AS (SELECT CAST(count(*) AS BIGINT) AS n_parts FROM per_part),
+    per_supp AS (
+      SELECT p.l_suppkey,
+             CAST(count(*) AS BIGINT) AS parts_carried,
+             CAST(sum(CASE WHEN pp.n_supp = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS exclusive_parts
+      FROM pairs p JOIN per_part pp USING (l_partkey)
+      GROUP BY 1)
+    SELECT l_suppkey, parts_carried, exclusive_parts,
+           CAST((parts_carried * 10000 + c.n_parts // 2) // c.n_parts
+                AS BIGINT) AS catalog_share_bp
+    FROM per_supp, catalog c
+    ORDER BY parts_carried DESC, l_suppkey LIMIT 20
+    """,
+)
+def supplier_part_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 suppliers by distinct parts carried, with exclusive-part
+    counts and exact catalog-share basis points."""
+    li = table(spark, sf_dir, "lineitem").select("l_suppkey", "l_partkey")
+    pairs = li.distinct()
+    per_part = pairs.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_supp"))
+    catalog = per_part.agg(F.count(F.lit(1)).cast("long").alias("n_parts"))
+    per_supp = (
+        pairs.join(per_part, "l_partkey")
+        .groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("parts_carried"),
+            F.sum((F.col("n_supp") == 1).cast("int")).cast("long").alias(
+                "exclusive_parts"
+            ),
+        )
+    )
+    return (
+        per_supp.crossJoin(F.broadcast(catalog))
+        .select(
+            "l_suppkey",
+            "parts_carried",
+            "exclusive_parts",
+            F.expr("(parts_carried * 10000 + n_parts DIV 2) DIV n_parts")
+            .cast("long")
+            .alias("catalog_share_bp"),
+        )
+        .orderBy(F.desc("parts_carried"), "l_suppkey")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Triangle counting on the co-purchase graph — THE structural graph
+# metric Spark has no operator for. Scale shape: orient every edge from
+# the lower to the higher id (halves the edge list, kills duplicate
+# counting), self-join oriented edges on the middle vertex, then semi-
+# join the wedge's closing edge — never a 3-way cartesian. Edge set =
+# part pairs co-purchased in ≥ 2 orders (the support filter bounds the
+# graph the same way the pair fan-out is bounded per order).
+# --------------------------------------------------------------------------
+@register(
+    "copurchase_triangles",
+    oracle="""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2),
+    wedges AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM edges e1 JOIN edges e2 ON e2.u = e1.v),
+    tri AS (
+      SELECT w.a, w.b, w.c FROM wedges w
+      JOIN edges e3 ON e3.u = w.a AND e3.v = w.c)
+    SELECT CAST(count(*) AS BIGINT) AS n_triangles,
+           CAST((SELECT count(*) FROM edges) AS BIGINT) AS n_edges
+    FROM tri
+    """,
+)
+def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle + edge count of the (support ≥ 2) co-purchase graph."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    items = li.distinct()
+    a = items.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("u", "v")
+    )
+    e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = edges.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    wedges = e1.join(e2, "b")
+    e3 = edges.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = wedges.join(e3, ["a", "c"], "inner")
+    n_edges = edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    return tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles")).crossJoin(
+        F.broadcast(n_edges)
+    )
