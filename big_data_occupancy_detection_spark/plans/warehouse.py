@@ -548,3 +548,276 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles")).crossJoin(
         F.broadcast(n_edges)
     )
+
+
+# --------------------------------------------------------------------------
+# Community structure of the co-purchase graph: connected components of
+# the support-≥2 edge set (ext.dedup.connected_components — min-label
+# propagation with per-round checkpoints; the O(log d) star-contraction
+# twin exists for high-diameter graphs). The oracle computes the same
+# fixpoint with a recursive transitive-closure CTE, then both sides
+# summarize to component sizes — the form a catalog analyst consumes.
+# --------------------------------------------------------------------------
+@register(
+    "copurchase_components",
+    oracle="""
+    WITH RECURSIVE items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    eset AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2),
+    edges AS (
+      SELECT u AS a, v AS b FROM eset UNION SELECT v, u FROM eset),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+    labels AS (
+      SELECT a AS part, least(a, min(b)) AS component
+      FROM reach GROUP BY a)
+    SELECT component,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(min(part) AS BIGINT) AS min_part,
+           CAST(max(part) AS BIGINT) AS max_part
+    FROM labels GROUP BY 1
+    ORDER BY n_parts DESC, component LIMIT 20
+    """,
+)
+def copurchase_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 co-purchase communities (connected components of the
+    support-≥2 part graph) by size."""
+    from ..ext.dedup import connected_components
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    items = li.distinct()
+    a = items.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select(F.col("u").alias("d1"), F.col("v").alias("d2"))
+    )
+    labels = connected_components(edges, max_iter=30)
+    return (
+        labels.groupBy(F.col("cluster").alias("component"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.min("doc").cast("long").alias("min_part"),
+            F.max("doc").cast("long").alias("max_part"),
+        )
+        .orderBy(F.desc("n_parts"), "component")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic train/test split: the md5-hash draw every reproducible
+# data pipeline uses — split by md5(id ⊕ salt) mod 100, no RNG, no
+# state, identical on any engine and any partitioning (the same portable
+# draw ext/curation.py's mixture resampling uses). Output is the split
+# summary + exact per-split document/token accounting.
+# --------------------------------------------------------------------------
+_SPLIT_SALT = "split-v1"
+_TEST_PCT = 20
+
+
+@register(
+    "doc_train_test_split",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT doc_id, n_chars,
+             CASE WHEN CAST(('0x' || substr(
+                      md5('{_SPLIT_SALT}' || CAST(doc_id AS VARCHAR)), 1, 8))
+                      AS BIGINT) % 100 < {_TEST_PCT}
+                  THEN 'test' ELSE 'train' END AS split
+      FROM documents)
+    SELECT split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(min(doc_id) AS BIGINT) AS min_doc,
+           CAST(max(doc_id) AS BIGINT) AS max_doc
+    FROM tagged GROUP BY 1
+    """,
+)
+def doc_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/20 train/test split by portable md5 draw, with exact per-split
+    accounting. (The draw: first 8 hex chars of md5(salt||id) mod 100.)"""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    draw = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(_SPLIT_SALT), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    tagged = docs.withColumn(
+        "split", F.when(draw < _TEST_PCT, "test").otherwise("train")
+    )
+    return tagged.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.min("doc_id").cast("long").alias("min_doc"),
+        F.max("doc_id").cast("long").alias("max_doc"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Watermark lateness profile: for each event, its lateness vs the
+# maximum event-time seen so far in ARRIVAL order (event_id = arrival
+# sequence) — the empirical distribution that justifies a streaming
+# watermark setting. Running max is a per-type window ordered by the
+# unique arrival key; lateness buckets are exact integer second ranges.
+# --------------------------------------------------------------------------
+@register(
+    "event_lateness_profile",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type, ts,
+             max(ts) OVER (PARTITION BY event_type ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS max_seen
+      FROM events),
+    lat AS (
+      SELECT event_type,
+             (epoch_us(max_seen) - epoch_us(ts)) // 1000000 AS late_s
+      FROM seq),
+    b AS (
+      SELECT event_type,
+             CASE WHEN late_s = 0 THEN 'on-time'
+                  WHEN late_s <= 60 THEN '<=1m'
+                  WHEN late_s <= 3600 THEN '<=1h'
+                  WHEN late_s <= 86400 THEN '<=1d'
+                  ELSE '>1d' END AS bucket
+      FROM lat)
+    SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS n
+    FROM b GROUP BY 1, 2
+    """,
+)
+def event_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time lateness (vs running max in arrival order) bucketed
+    per type — the watermark-choice evidence table."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))
+    seq = ev.withColumn("max_seen", F.max("ts").over(w))
+    lat = seq.select(
+        "event_type",
+        F.expr(
+            "(unix_micros(CAST(max_seen AS TIMESTAMP)) "
+            "- unix_micros(CAST(ts AS TIMESTAMP))) DIV 1000000"
+        ).alias("late_s"),
+    )
+    bucket = (
+        F.when(F.col("late_s") == 0, "on-time")
+        .when(F.col("late_s") <= 60, "<=1m")
+        .when(F.col("late_s") <= 3600, "<=1h")
+        .when(F.col("late_s") <= 86400, "<=1d")
+        .otherwise(">1d")
+    )
+    return lat.groupBy("event_type", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+# --------------------------------------------------------------------------
+# Seasonal decomposition (integer-exact): monthly revenue minus the
+# year's monthly mean = the month's seasonal component, in cents. The
+# year mean uses scaled-integer half-up division, so every component is
+# exact; output at month grain (tiny).
+# --------------------------------------------------------------------------
+@register(
+    "monthly_seasonal_revenue",
+    oracle=f"""
+    WITH monthly AS (
+      SELECT CAST(extract(year FROM o_orderdate) AS INTEGER) AS yr,
+             CAST(extract(month FROM o_orderdate) AS INTEGER) AS mo,
+             CAST(sum({_CENTS.format(c='o_totalprice')}) AS BIGINT) AS cents
+      FROM orders GROUP BY 1, 2),
+    yearly AS (
+      SELECT yr,
+             CAST((sum(cents) * 10000 + count(*) // 2) // count(*) AS BIGINT)
+               AS mean_cents_e4
+      FROM monthly GROUP BY 1)
+    SELECT m.yr, m.mo,
+           CAST(m.cents AS DOUBLE) / 100 AS revenue,
+           CAST(m.cents * 10000 - y.mean_cents_e4 AS DOUBLE) / 1000000
+             AS seasonal_component
+    FROM monthly m JOIN yearly y USING (yr)
+    """,
+)
+def monthly_seasonal_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue and its deviation from the year's monthly mean
+    (exact cents arithmetic)."""
+    o = table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.month("o_orderdate").cast("int").alias("mo"),
+    ).agg(F.sum(_cents("o_totalprice")).cast("long").alias("cents"))
+    yearly = monthly.groupBy("yr").agg(
+        F.expr("(sum(cents) * 10000 + count(1) DIV 2) DIV count(1)")
+        .cast("long")
+        .alias("mean_cents_e4")
+    )
+    return monthly.join(yearly, "yr").select(
+        "yr",
+        "mo",
+        (F.col("cents").cast("double") / 100).alias("revenue"),
+        (
+            (F.col("cents") * 10000 - F.col("mean_cents_e4")).cast("double")
+            / 1000000
+        ).alias("seasonal_component"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Churn labeling: a user is "churned" if their last event falls in the
+# first 75% of the corpus time range — exact integer epoch comparison
+# against a broadcast boundary, the label-generation shape of every
+# retention model's training set.
+# --------------------------------------------------------------------------
+@register(
+    "user_churn_labels",
+    oracle="""
+    WITH b AS (
+      SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi FROM events),
+    lastev AS (
+      SELECT user_id,
+             max(epoch_us(ts)) AS last_us,
+             count(*) AS n_events
+      FROM events GROUP BY 1)
+    SELECT l.user_id,
+           CAST(l.n_events AS BIGINT) AS n_events,
+           (l.last_us - b.lo) * 4 < (b.hi - b.lo) * 3 AS churned
+    FROM lastev l, b
+    """,
+)
+def user_churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user churn label: last activity inside the first 75% of the
+    time range (integer-exact boundary)."""
+    ev = table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    b = ev.agg(F.min(us).alias("lo"), F.max(us).alias("hi"))
+    lastev = ev.groupBy("user_id").agg(
+        F.max(F.unix_micros(F.col("ts").cast("timestamp"))).alias("last_us"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    return lastev.crossJoin(F.broadcast(b)).select(
+        "user_id",
+        "n_events",
+        (
+            (F.col("last_us") - F.col("lo")) * 4
+            < (F.col("hi") - F.col("lo")) * 3
+        ).alias("churned"),
+    )
