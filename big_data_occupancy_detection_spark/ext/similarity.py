@@ -615,3 +615,120 @@ def semantic_dedup(
     return assigned.join(dup_edges, "vid", "left_outer").select(
         "vid", "cluster", "dup_of", F.col("dup_of").isNull().alias("keep")
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (spherical PQ): the memory-side ANN companion to
+# IVF. The unit vector splits into PQ_SUBSPACES contiguous subvectors;
+# each subspace gets its own deterministic spherical-k-means codebook
+# (same md5 seeding + Lloyd round as IVF), and every corpus vector is
+# stored as PQ_SUBSPACES small codes. Serving is asymmetric-distance
+# computation (ADC): per query, a (subspaces × codebook) lookup table of
+# exact subvector dots is built against the codebooks, and scoring a
+# corpus vector is PQ_SUBSPACES table lookups + adds — the corpus's raw
+# vectors are never touched at serve time. At 100 TB this is the
+# compressed-index answer: codes are ~4 bytes/vector instead of
+# dim × 4, and the scan is a broadcast-LUT map over the code table.
+# --------------------------------------------------------------------------
+PQ_SUBSPACES = 8
+PQ_CODEBOOK = 16
+PQ_SHORTLIST = 100
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_sub: int = PQ_SUBSPACES,
+    codebook: int = PQ_CODEBOOK,
+    shortlist: int = PQ_SHORTLIST,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ/ADC approximate top-k (qid, vec_id, score, rnk).
+
+    ``score`` approximates the cosine (dot of unit vectors) as the sum
+    of per-subspace dots against the assigned codewords; ranking is on
+    round(score, 9) with the (score desc, vec_id asc) house tie-break.
+    The subspace sum uses FIXED left association ((d0+d1)+d2)+d3 so the
+    DuckDB oracle can replay the identical IEEE sequence.
+    """
+    from ..functions.vector_fns import dot
+
+    dim = len(corpus.select(vec_col).first()[0])
+    d_sub = dim // n_sub
+    normed = _normalized(corpus, id_col, vec_col)
+    qn = _normalized(queries, id_col, vec_col).select(
+        F.col("vid").alias("qid"), F.col("nvec").alias("qnv")
+    )
+
+    def assign_l2(df, cent):
+        # true PQ codeword assignment: argmin L2 = argmax(dot - ||c||²/2)
+        # (subvectors of a unit vector are NOT unit themselves, so the
+        # spherical max-dot rule would bias toward large-norm codewords)
+        joined = df.crossJoin(F.broadcast(cent)).withColumn(
+            "__obj", dot("nvec", "__cent") - 0.5 * dot("__cent", "__cent")
+        )
+        return joined.groupBy("vid").agg(
+            F.max_by("cid", F.struct(F.col("__obj"), -F.col("cid"))).alias(
+                "cluster"
+            ),
+            F.first("nvec").alias("nvec"),
+        )
+
+    codes = None
+    luts = []
+    for s in range(n_sub):
+        sub = normed.select(
+            "vid", F.slice("nvec", s * d_sub + 1, d_sub).alias("nvec")
+        )
+        seed = _seed_centroids(sub, codebook)
+        cent = _mean_centroids(assign_l2(sub, seed), "nvec").persist()
+        code_s = assign_l2(sub, cent).select(
+            F.col("vid").alias("vec_id"), F.col("cluster").alias(f"c{s}")
+        )
+        codes = code_s if codes is None else codes.join(code_s, "vec_id")
+        lut_s = (
+            qn.select("qid", F.slice("qnv", s * d_sub + 1, d_sub).alias("qs"))
+            .crossJoin(F.broadcast(cent))
+            .select(
+                "qid",
+                F.col("cid").alias(f"c{s}"),
+                dot("qs", "__cent").alias(f"d{s}"),
+            )
+        )
+        luts.append(lut_s)
+
+    fan = codes.crossJoin(F.broadcast(qn.select("qid")))
+    for s, lut_s in enumerate(luts):
+        fan = fan.join(F.broadcast(lut_s), ["qid", f"c{s}"])
+    total = F.col("d0")
+    for s in range(1, n_sub):
+        total = total + F.col(f"d{s}")
+    pairs = fan.filter(F.col("vec_id") != F.col("qid")).select(
+        "qid", "vec_id", F.round(total, 9).alias("score9")
+    )
+    # ADC shortlist → EXACT re-rank: the production PQ serving shape.
+    # Quantization error only has to keep the true neighbors inside the
+    # shortlist (PQ_SHORTLIST ≫ k), not rank them; the exact cosine then
+    # re-ranks those few candidates from the raw vectors.
+    w = Window.partitionBy("qid").orderBy(F.desc("score9"), F.asc("vec_id"))
+    short = (
+        pairs.withColumn("srnk", F.row_number().over(w))
+        .filter(F.col("srnk") <= shortlist)
+        .select("qid", "vec_id")
+    )
+    cvec = normed.select(
+        F.col("vid").alias("vec_id"), F.col("nvec").alias("cn")
+    )
+    exact = (
+        short.join(F.broadcast(qn), "qid")
+        .join(cvec, "vec_id")
+        .select("qid", "vec_id", F.round(dot("qnv", "cn"), 9).alias("cos9"))
+    )
+    w2 = Window.partitionBy("qid").orderBy(F.desc("cos9"), F.asc("vec_id"))
+    return (
+        exact.withColumn("rnk", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "vec_id", F.round("cos9", 6).alias("score"), "rnk")
+    )

@@ -1105,3 +1105,124 @@ def customer_name_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.fuzzy_pairs_edit1(
         table(spark, sf_dir, "customer"), "c_name", "c_custkey"
     )
+
+
+# --------------------------------------------------------------------------
+# Product-quantization ADC top-k (ext.similarity.pq_topk): per-subspace
+# spherical-k-means codebooks + asymmetric-distance serving. The oracle
+# replays the full fit — one shared md5 seed sample, per-subspace Lloyd
+# round, mean codewords, code assignment — and the ADC score with the
+# SAME fixed left-associated subspace sum, all with the subspace width
+# derived from the data (max dim DIV 4), so it tracks any embedding
+# dimensionality the driver regenerates.
+# --------------------------------------------------------------------------
+def _pq_topk_oracle() -> str:
+    n_sub = SIM.PQ_SUBSPACES
+    k_book = SIM.PQ_CODEBOOK
+    shortlist = SIM.PQ_SHORTLIST
+    vid_hash = hash64_sql("CAST(vec_id AS VARCHAR)")
+    code_cols = ", ".join(
+        f"max(CASE WHEN sub = {s} THEN code END) AS c{s}" for s in range(n_sub)
+    )
+    lut_joins = "\n".join(
+        f"      JOIN lutq l{s} ON l{s}.sub = {s} AND l{s}.qid = f.qid "
+        f"AND l{s}.cid = f.c{s}" for s in range(n_sub)
+    )
+    total = "l0.d"
+    for s in range(1, n_sub):
+        total = f"({total} + l{s}.d)"
+    return f"""
+    WITH c AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings),
+    norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM c GROUP BY 1),
+    dims AS (SELECT CAST(max(i) // {n_sub} AS INTEGER) AS dsub FROM c),
+    nvs AS (
+      SELECT c.vec_id,
+             CAST((c.i - 1) // d.dsub AS INTEGER) AS sub,
+             CAST(((c.i - 1) % d.dsub) + 1 AS INTEGER) AS si,
+             c.v / n.nrm AS nv
+      FROM c JOIN norms n USING (vec_id), dims d),
+    seeds AS (
+      SELECT vec_id, CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INT) AS cid
+      FROM (SELECT vec_id, {vid_hash} AS h FROM embeddings)
+      ORDER BY h, vec_id LIMIT {k_book}),
+    seedcent AS (
+      SELECT s.cid, n.sub, n.si, n.nv AS cv
+      FROM seeds s JOIN nvs n ON n.vec_id = s.vec_id),
+    seednorm AS (
+      SELECT sub, cid, sum(cv * cv) AS n2 FROM seedcent GROUP BY 1, 2),
+    dots0 AS (  -- L2 assignment objective: dot - ||c||²/2
+      SELECT n.vec_id, n.sub, sc.cid,
+             sum(n.nv * sc.cv) - 0.5 * max(sn.n2) AS d
+      FROM nvs n
+      JOIN seedcent sc ON sc.sub = n.sub AND sc.si = n.si
+      JOIN seednorm sn ON sn.sub = sc.sub AND sn.cid = sc.cid
+      GROUP BY 1, 2, 3),
+    assign0 AS (
+      SELECT vec_id, sub, cid FROM (
+        SELECT vec_id, sub, cid,
+               row_number() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY d DESC, cid) AS rn
+        FROM dots0) WHERE rn = 1),
+    cent AS (
+      SELECT a.sub, a.cid, n.si, avg(n.nv) AS cv
+      FROM assign0 a JOIN nvs n ON n.vec_id = a.vec_id AND n.sub = a.sub
+      GROUP BY 1, 2, 3),
+    centnorm AS (
+      SELECT sub, cid, sum(cv * cv) AS n2 FROM cent GROUP BY 1, 2),
+    dotsc AS (
+      SELECT n.vec_id, n.sub, ct.cid,
+             sum(n.nv * ct.cv) - 0.5 * max(cn.n2) AS d
+      FROM nvs n
+      JOIN cent ct ON ct.sub = n.sub AND ct.si = n.si
+      JOIN centnorm cn ON cn.sub = ct.sub AND cn.cid = ct.cid
+      GROUP BY 1, 2, 3),
+    codes AS (
+      SELECT vec_id, sub, cid AS code FROM (
+        SELECT vec_id, sub, cid,
+               row_number() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY d DESC, cid) AS rn
+        FROM dotsc) WHERE rn = 1),
+    codes_p AS (SELECT vec_id, {code_cols} FROM codes GROUP BY 1),
+    lutq AS (
+      SELECT n.vec_id AS qid, n.sub, ct.cid, sum(n.nv * ct.cv) AS d
+      FROM nvs n JOIN cent ct ON ct.sub = n.sub AND ct.si = n.si
+      WHERE n.vec_id < 10 GROUP BY 1, 2, 3),
+    fan AS (
+      SELECT q.qid, cp.*
+      FROM codes_p cp CROSS JOIN (SELECT DISTINCT qid FROM lutq) q),
+    sc AS (
+      SELECT f.qid, f.vec_id, round({total}, 9) AS score9
+      FROM fan f
+{lut_joins}
+      WHERE f.vec_id <> f.qid),
+    short AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY score9 DESC, vec_id) AS srnk
+        FROM sc) WHERE srnk <= {shortlist}),
+    exact AS (  -- exact re-rank of the ADC shortlist from raw unit vectors
+      SELECT s.qid, s.vec_id, round(sum(nq.nv * nc.nv), 9) AS cos9
+      FROM short s
+      JOIN nvs nq ON nq.vec_id = s.qid
+      JOIN nvs nc ON nc.vec_id = s.vec_id
+                 AND nc.sub = nq.sub AND nc.si = nq.si
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT qid, vec_id, cos9,
+             CAST(row_number() OVER (PARTITION BY qid
+                                     ORDER BY cos9 DESC, vec_id) AS BIGINT)
+               AS rnk
+      FROM exact)
+    SELECT qid, vec_id, round(cos9, 6) AS score, rnk
+    FROM ranked WHERE rnk <= 5
+    """
+
+
+@register("embedding_pq_topk", oracle=_pq_topk_oracle())
+def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return SIM.pq_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)

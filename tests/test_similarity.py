@@ -136,3 +136,34 @@ def test_semantic_dedup_capped_deterministic(spark, sf_dir):
     b = sorted(map(tuple, SIM.semantic_dedup(
         emb, threshold=0.3, max_cluster_size=8, plane_dim=64).collect()))
     assert a == b
+
+
+def test_pq_topk_recall_and_contract(spark, sf_dir):
+    """PQ/ADC with exact re-rank: valid (qid, vec_id, score, rnk) rows,
+    k per query, and recall@5 vs brute force above the coarse-quantizer
+    floor on the clustered test corpus (top-5 here are intra-cluster
+    near-ties — the hard case for any quantizer; production tuning is
+    n_sub × shortlist)."""
+    from pyspark.sql import functions as F
+
+    from big_data_occupancy_detection_spark.ext import similarity as SIM
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = SIM.brute_force_topk(emb, q, k=5).collect()
+    pq = SIM.pq_topk(emb, q, k=5).collect()
+    per_q = {}
+    for r in pq:
+        per_q.setdefault(r.qid, []).append(r)
+    assert set(per_q) == {r.qid for r in exact}
+    for qid, rows in per_q.items():
+        assert sorted(r.rnk for r in rows) == list(range(1, len(rows) + 1))
+        assert all(r.vec_id != qid for r in rows)
+    ex, ap = {}, {}
+    for r in exact:
+        ex.setdefault(r.qid, set()).add(r.vec_id)
+    for r in pq:
+        ap.setdefault(r.qid, set()).add(r.vec_id)
+    hits = sum(len(ex[k] & ap.get(k, set())) for k in ex)
+    total = sum(len(v) for v in ex.values())
+    assert hits / total >= 0.5, f"recall {hits/total:.2f}"
