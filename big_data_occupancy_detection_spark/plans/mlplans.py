@@ -6,7 +6,7 @@ SQL-expressible; correctness is asserted by metric-range tests in
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..ml.evaluation import confusion_matrix
@@ -132,3 +132,67 @@ def lr_user_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = strip_training_summary(pipeline.fit(weighted))
     cm = confusion_matrix(model.transform(weighted))
     return _gate_confusion(cm, 0.5, "lr_user_purchase")
+
+
+# --------------------------------------------------------------------------
+# ALS co-purchase recommender (implicit feedback): MLlib's distributed
+# matrix factorization over the (customer, part, n_purchases) triples —
+# the classic collaborative-filtering shape. Rows-only check (ALS is an
+# iterative seeded solver; factors are engine-internal floats) with
+# in-path structural gates: exactly k recommendations per served
+# customer, scores finite and descending, every recommended part from
+# the catalog. Scale shape: ALS block-partitions both factor matrices
+# (spark.ml.recommendation), and recommendForUserSubset bounds serving
+# to the requested customers.
+# --------------------------------------------------------------------------
+@register("als_part_recommendations", oracle=None)
+def als_part_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.recommendation import ALS
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    ratings = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").cast("int").alias("user"),
+            F.col("l_partkey").cast("int").alias("item"),
+        )
+        .agg(F.count(F.lit(1)).cast("float").alias("rating"))
+    )
+    als = ALS(
+        rank=8,
+        maxIter=5,
+        seed=42,
+        implicitPrefs=True,
+        alpha=1.0,
+        regParam=0.1,
+        userCol="user",
+        itemCol="item",
+        ratingCol="rating",
+        coldStartStrategy="drop",
+    )
+    model = als.fit(ratings)
+    users = ratings.select("user").distinct().orderBy("user").limit(20)
+    recs = (
+        model.recommendForUserSubset(users, 5)
+        .select("user", F.explode("recommendations").alias("r"))
+        .select(
+            F.col("user").cast("long").alias("custkey"),
+            F.col("r.item").cast("long").alias("partkey"),
+            F.col("r.rating").cast("double").alias("score"),
+        )
+    )
+    # structural gates (rows-only query: make degenerate output unreturnable)
+    w = Window.partitionBy("custkey").orderBy(F.desc("score"), "partkey")
+    gated = (
+        recs.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "__ok",
+            F.when(
+                F.isnan("score") | ~F.col("score").between(-1e6, 1e6),
+                F.raise_error("als_part_recommendations: non-finite score"),
+            ).otherwise(F.lit(True)),
+        )
+        .drop("__ok")
+    )
+    return gated.select("custkey", "partkey", F.round("score", 6).alias("score"), "rnk")

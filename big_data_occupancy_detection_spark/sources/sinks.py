@@ -198,3 +198,57 @@ def write_training_shards(
     with open(os.path.join(out_path, "manifest.json"), "w") as f:
         _json.dump(manifest, f, indent=1, sort_keys=True)
     return manifest
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Small-file compaction (the OPTIMIZE/VACUUM table-maintenance job).
+
+    Streaming sinks and fine-grained batch appends leave datasets as
+    thousands of KB-scale files; at 100 TB that is a planning and
+    NameNode/listing disaster (a task per tiny file, footer reads
+    dominating). This rewrites the dataset into
+    ``ceil(total_bytes / target_file_bytes)`` files and swaps the
+    directory atomically (write to ``<path>.__compact__``, rename the
+    old dir aside, rename the new one in, delete the old) — readers see
+    either the old or the new layout, never a partial one. Returns
+    ``{files_before, files_after, bytes}``.
+
+    At real scale run this per PARTITION directory (compaction is
+    embarrassingly parallel across partitions and per-partition swaps
+    bound the blast radius); the whole-dataset form here is the unit
+    the partition loop applies.
+    """
+    files = [
+        f
+        for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        if os.path.isfile(f)
+    ]
+    total = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, -(-total // target_file_bytes))
+    staging = path.rstrip("/") + ".__compact__"
+    old = path.rstrip("/") + ".__old__"
+    (
+        spark.read.parquet(path)
+        .repartition(int(n_out))
+        .write.mode("overwrite")
+        .parquet(staging)
+    )
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(path, old)
+    os.rename(staging, path)
+    shutil.rmtree(old)
+    after = [
+        f
+        for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        if os.path.isfile(f)
+    ]
+    return {
+        "files_before": len(files),
+        "files_after": len(after),
+        "bytes": total,
+    }

@@ -634,3 +634,24 @@ def test_session_windows_auto_forms_agree(spark):
     l = sorted(laggap.collect(), key=k)
     assert [tuple(r) for r in n] == [tuple(r) for r in l]
     assert len(n) > 5  # gaps actually split sessions
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
+    """Compaction: many tiny files -> few files, identical data, atomic
+    directory swap (no staging/old leftovers)."""
+    import os
+
+    from big_data_occupancy_detection_spark.sources.sinks import compact_parquet
+
+    path = str(tmp_path / "frag")
+    spark.range(10_000).selectExpr("id", "id % 97 AS k").repartition(
+        64
+    ).write.parquet(path)
+    before = {tuple(r) for r in spark.read.parquet(path).collect()}
+    stats = compact_parquet(spark, path, target_file_bytes=10**9)
+    assert stats["files_before"] >= 64
+    assert stats["files_after"] == 1
+    after = {tuple(r) for r in spark.read.parquet(path).collect()}
+    assert after == before
+    assert not os.path.exists(path + ".__compact__")
+    assert not os.path.exists(path + ".__old__")
