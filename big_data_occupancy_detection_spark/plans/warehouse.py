@@ -526,7 +526,17 @@ def supplier_part_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Triangle + edge count of the (support ≥ 2) co-purchase graph."""
+    """Triangle + edge count of the (support ≥ 2) co-purchase graph.
+
+    Physical strategy: DEGREE-ORDERED node-iterator — every edge is
+    re-oriented from its lower-(degree, id) endpoint to the higher, so
+    wedges enumerate as out-neighbor pairs and the wedge count is
+    Σ C(out_deg, 2) with out-degrees ≤ O(√m) on any graph (the classic
+    bound; id-orientation leaves hub out-degrees unbounded — measured
+    1.5× wall / 2.9× shuffle-write at 10× on this graph, and the gap
+    widens with hub degree — PERF.md). The triangle COUNT is
+    orientation-invariant, so the oracle keeps its simpler id-oriented
+    form."""
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     items = li.distinct()
     a = items.select("l_orderkey", F.col("l_partkey").alias("u"))
@@ -539,12 +549,38 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n") >= 2)
         .select("u", "v")
     )
-    e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
-    e2 = edges.select(F.col("u").alias("b"), F.col("v").alias("c"))
-    wedges = e1.join(e2, "b")
-    e3 = edges.select(F.col("u").alias("a"), F.col("v").alias("c"))
-    tri = wedges.join(e3, ["a", "c"], "inner")
     n_edges = edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    # total order by (degree, id) packed into one sortable key
+    # (degree < 2^31 and id < 2^31 on any real catalog)
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .select(
+            "node",
+            (F.col("d").cast("long") * (1 << 31) + F.col("node")).alias("key"),
+        )
+    )
+    ku = deg.select(F.col("node").alias("u"), F.col("key").alias("ku"))
+    kv = deg.select(F.col("node").alias("v"), F.col("key").alias("kv"))
+    oriented = (
+        edges.join(ku, "u")
+        .join(kv, "v")
+        .select(
+            F.when(F.col("ku") < F.col("kv"), F.col("ku"))
+            .otherwise(F.col("kv"))
+            .alias("a"),
+            F.when(F.col("ku") < F.col("kv"), F.col("kv"))
+            .otherwise(F.col("ku"))
+            .alias("b"),
+        )
+    )
+    e1 = oriented.select("a", F.col("b").alias("x"))
+    e2 = oriented.select("a", F.col("b").alias("y"))
+    wedges = e1.join(e2, "a").filter(F.col("x") < F.col("y"))
+    closing = oriented.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    tri = wedges.join(closing, ["x", "y"], "inner")
     return tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles")).crossJoin(
         F.broadcast(n_edges)
     )

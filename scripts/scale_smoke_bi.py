@@ -80,9 +80,13 @@ def main() -> None:
     print(json.dumps({"replication": r, **sizes}), flush=True)
 
     import big_data_occupancy_detection_spark.plans.bi as BI
+    import big_data_occupancy_detection_spark.plans.warehouse as WH
 
     orig = BI.table
-    BI.table = lambda s, d, name: reps.get(name) or orig(s, d, name)
+    for mod in (BI, WH):
+        mod.table = (
+            lambda s, d, name, _o=orig: reps.get(name) or _o(s, d, name)
+        )
     from big_data_occupancy_detection_spark.plans import REGISTRY
 
     try:
@@ -107,6 +111,7 @@ def main() -> None:
             )
     finally:
         BI.table = orig
+        WH.table = orig
     spark.stop()
 
 

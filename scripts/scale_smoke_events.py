@@ -38,6 +38,10 @@ OPS = {
     "interp": "events_interp_daily",
     "sliding": "sliding_hour_activity",
     "attribution": "attribution_last_touch",
+    "bitmaps": "user_day_bitmaps",
+    "lateness": "event_lateness_profile",
+    "anomalies": "events_hourly_anomalies",
+    "cusum": "user_value_cusum",
 }
 
 
@@ -79,8 +83,9 @@ def main() -> None:
 
     from big_data_occupancy_detection_spark.plans import events as EV
     from big_data_occupancy_detection_spark.plans import analytics as AN
+    from big_data_occupancy_detection_spark.plans import warehouse as WH
 
-    for mod in (EV, AN):
+    for mod in (EV, AN, WH):
         orig = mod.table
         mod.table = (
             lambda s, d, name, _o=orig: rep if name == "events" else _o(s, d, name)
