@@ -278,9 +278,16 @@ def c4_quality_flags(
     toks = tokens(text_col)
     norm = norm_text(text_col)
     n_words = F.size(toks)
-    # single-space normalization => token chars = len(norm) - (n_words - 1)
-    mean_wl = (F.length(norm) - (n_words - 1)) / n_words
-    alpha = F.length(F.regexp_replace(norm, "[^a-z]", "")) / F.length(norm)
+    # single-space normalization => token chars = len(norm) - (n_words - 1).
+    # Degenerate (empty/whitespace) docs: NULL ratios on both engines —
+    # DuckDB's x/0 is NULL while Spark's ANSI mode RAISES, so the divisor
+    # must be nulled out here (found by the full-registry regeneration fuzz)
+    mean_wl = (F.length(norm) - (n_words - 1)) / F.when(
+        n_words > 0, n_words
+    )
+    alpha = F.length(F.regexp_replace(norm, "[^a-z]", "")) / F.when(
+        F.length(norm) > 0, F.length(norm)
+    )
     has_curly = F.col(text_col).contains("{") | F.col(text_col).contains("}")
     has_boiler = norm.contains("lorem ipsum")
     return docs.select(

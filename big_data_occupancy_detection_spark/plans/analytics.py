@@ -327,7 +327,7 @@ def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     bstats AS (SELECT w1, w2, count(*) AS cb FROM big GROUP BY w1, w2),
     fstats AS (SELECT w1, CAST(sum(cb) AS DOUBLE) AS cf FROM bstats GROUP BY w1),
     v AS (SELECT CAST(count(DISTINCT t) AS DOUBLE) AS v
-          FROM (SELECT unnest(ts) AS t FROM clean)),
+          FROM (SELECT unnest(ts) AS t FROM clean WHERE len(ts) >= 2)),
     scored AS (
       SELECT b.doc_id, ln((s.cb + 1.0) / (f.cf + v.v)) AS lp
       FROM big b JOIN bstats s USING (w1, w2) JOIN fstats f USING (w1), v)

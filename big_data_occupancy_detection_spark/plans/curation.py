@@ -671,8 +671,14 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = hash64(
         F.concat(F.lit("samp|"), F.col("doc_id").cast("string"))
     ) / F.lit(float(1 << 60))
+    # zero-weight (empty) docs: NULL priority on both engines — DuckDB's
+    # x/0 is NULL, Spark's ANSI mode raises, so null the divisor; DESC
+    # NULLS LAST on both engines means they sample only when fewer than
+    # K weighted docs exist (found by the full-registry regeneration fuzz)
     priority = F.round(
-        F.log(F.greatest(u, F.lit(1e-18))) / F.col("n_chars"), 9
+        F.log(F.greatest(u, F.lit(1e-18)))
+        / F.when(F.col("n_chars") > 0, F.col("n_chars")),
+        9,
     )
     w = Window.partitionBy("source").orderBy(
         F.col("priority").desc(), F.col("doc_id")

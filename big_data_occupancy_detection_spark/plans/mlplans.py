@@ -27,26 +27,44 @@ from .registry import register
     SELECT user_id,
            count(*) AS n_events,
            CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
-           (floor(CAST((avg(value)) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS avg_value,
+           CASE WHEN count(value) = 0 THEN NULL ELSE
+             CAST((sum(CAST(round(value * 100) AS BIGINT)) * 100
+                   + count(value) // 2) // count(value) AS DOUBLE) / 10000
+           END AS avg_value,
            round(max(value), 4) AS max_value,
            CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_active_days,
-           (floor(CAST((avg(CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END)) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS purchase_rate
+           CAST((sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 * 1000000 + count(*) // 2) // count(*) AS DOUBLE) / 1000000
+             AS purchase_rate
     FROM events
     GROUP BY user_id
     """,
 )
 def user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # float-free averages (the round-4 fuzz discipline): values have 2
+    # decimals, so the 4-decimal average is exact scaled-integer cents
+    # arithmetic, and purchase_rate is a ratio of counts — no float
+    # aggregate exists for the engines to diverge on. NULL values are
+    # excluded exactly as avg() would (count(value) denominator).
     ev = table(spark, sf_dir, "events")
     is_purchase = F.col("event_type") == "purchase"
     return ev.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.when(is_purchase, 1).otherwise(0)).alias("n_purchases"),
-        portable_round(F.avg("value"), 4).alias("avg_value"),
+        F.expr(
+            "CASE WHEN count(value) = 0 THEN NULL ELSE "
+            "CAST((sum(CAST(round(value * 100) AS BIGINT)) * 100 "
+            "+ count(value) DIV 2) DIV count(value) AS DOUBLE) / 10000 END"
+        ).alias("avg_value"),
         F.round(F.max("value"), 4).alias("max_value"),
         F.countDistinct(F.col("ts").cast("date")).alias("n_active_days"),
-        portable_round(F.avg(F.when(is_purchase, 1.0).otherwise(0.0)), 6).alias(
-            "purchase_rate"
-        ),
+        (
+            F.expr(
+                "(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) "
+                "* 1000000 + count(1) DIV 2) DIV count(1)"
+            ).cast("double")
+            / 1000000
+        ).alias("purchase_rate"),
     )
 
 

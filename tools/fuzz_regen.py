@@ -220,6 +220,8 @@ def driver_subset() -> list[str]:
 def main() -> None:
     n_seeds = int(sys.argv[1]) if len(sys.argv) > 1 else 5
     only = sys.argv[2].split(",") if len(sys.argv) > 2 else None
+    if only == ["ALL"]:
+        only = None  # resolved below to the full registry
 
     import importlib.util
 
@@ -231,7 +233,10 @@ def main() -> None:
     m = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(m)
     qs, osql = m.queries(), m.oracle_sql()
-    names = only or [q for q in driver_subset() if q in qs]
+    if len(sys.argv) > 2 and sys.argv[2] == "ALL":
+        names = sorted(qs)  # the FULL registry, not just the driver subset
+    else:
+        names = only or [q for q in driver_subset() if q in qs]
 
     spark = SparkSession.builder.master("local[8]").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
