@@ -310,9 +310,11 @@ def sessionize_intervals(
 
     Produces EXACTLY the native operator's output contract per
     (key, session): ``session_start`` = min ts, ``session_end`` =
-    max ts + gap, with native boundary semantics (a gap of EXACTLY
-    ``gap_seconds`` starts a new session — an event extends a session
-    only while ts < previous end). Physical shape: one hash shuffle on
+    max ts + gap, with native boundary semantics (an event at EXACTLY
+    the previous session end EXTENDS the session — a new session starts
+    only when the gap is STRICTLY greater than ``gap_seconds``;
+    probed empirically against Spark 4's SessionWindow merge in
+    tests/test_operators.py). Physical shape: one hash shuffle on
     the key, two per-key window passes (lag flag, running sum) and a
     grouped aggregate — per-row cost is FLAT in per-key event density,
     where the native SessionWindow merging aggregate was measured
@@ -324,12 +326,25 @@ def sessionize_intervals(
     (key, __sid) — see ``session_windows_auto`` for the aggregated
     form). ``__sid`` is 1-based per key.
     """
-    from ..functions.datetime_fns import epoch_seconds
-
     w = Window.partitionBy(key_col).orderBy(ts_col)
     prev_ts = F.lag(ts_col).over(w)
-    gap_s = epoch_seconds(ts_col) - epoch_seconds(prev_ts)
-    new_s = F.when(prev_ts.isNull() | (gap_s >= float(gap_seconds)), 1).otherwise(0)
+    # gap computed in INTEGER microseconds — the native session_window
+    # compares exact long micros, and a double epoch-seconds difference
+    # (ulp ~0.24 us at 2024 epochs) can flip the classification of a
+    # gap within ~0.5 us of exactly gap_seconds, breaking the
+    # bit-identical equivalence of session_windows_auto's two branches
+    # at the one boundary the contract calls out. STRICT > : the native
+    # merge is end-inclusive (an event at exactly prev_end joins the
+    # session — empirically probed, see test_sessionize_gap_exact_
+    # boundary_sub_second).
+    # (cast to LTZ timestamp first: unix_micros on a raw NTZ parquet
+    # column errors; no-op for LTZ, wall-clock-in-UTC-session for NTZ —
+    # same normalization as functions.datetime_fns.epoch_seconds)
+    as_micros = lambda c: F.unix_micros(c.cast("timestamp"))
+    gap_us = as_micros(F.col(ts_col)) - as_micros(prev_ts)
+    new_s = F.when(
+        prev_ts.isNull() | (gap_us > F.lit(int(gap_seconds) * 1_000_000)), 1
+    ).otherwise(0)
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return df.withColumn("__new_s", new_s).withColumn(
         "__sid", F.sum("__new_s").over(run)

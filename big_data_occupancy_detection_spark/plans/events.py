@@ -698,9 +698,11 @@ def zorder_events_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q — native session windows (batch form of the streaming session_window
 # operator): gap-merged [start, last+gap) intervals per user, a different
 # physical operator (SessionWindow expand + merging agg) than the
-# lag/running-sum sessionization of user_sessions. Boundary semantics: a
-# gap of EXACTLY the timeout starts a new session (event joins only while
-# ts < prev_end), hence the oracle's >= comparison.
+# lag/running-sum sessionization of user_sessions. Boundary semantics
+# (probed empirically against Spark 4's SessionWindow merge): an event at
+# EXACTLY prev_end still joins the session — a new session starts only
+# when the gap is STRICTLY greater than the timeout, hence the oracle's
+# strict > comparison.
 # --------------------------------------------------------------------------
 @register(
     "user_session_windows",
@@ -708,7 +710,7 @@ def zorder_events_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH flagged AS (
       SELECT user_id, ts, value,
              CASE WHEN lag(ts) OVER w IS NULL
-                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS new_s
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts)),

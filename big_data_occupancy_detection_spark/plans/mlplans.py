@@ -17,6 +17,23 @@ from ..functions.rounding import portable_round
 from .registry import register
 
 
+def finite_or_raise(col_name: str, msg: str):
+    """Pass ``col_name`` through unchanged, raising ``msg`` at execution
+    time if any value is NaN or outside ±1e6.
+
+    The load-bearing form of a structural gate for rows-only queries:
+    the check lives INSIDE the emitted column, so Catalyst cannot prune
+    it away (an add-then-drop helper column is removed by column
+    pruning and its raise_error never executes — the round-4 ADVICE
+    finding). CaseWhen evaluates lazily, so raise_error fires only on a
+    bad row.
+    """
+    return F.when(
+        F.isnan(col_name) | ~F.col(col_name).between(-1e6, 1e6),
+        F.raise_error(msg),
+    ).otherwise(F.col(col_name))
+
+
 # --------------------------------------------------------------------------
 # q35 — per-user behavioral features (the feature-engineering aggregate an
 # occupancy-style model trains on; oracle-checked).
@@ -200,17 +217,13 @@ def als_part_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("r.rating").cast("double").alias("score"),
         )
     )
-    # structural gates (rows-only query: make degenerate output unreturnable)
+    # structural gate (rows-only query: make degenerate output
+    # unreturnable). The check is threaded THROUGH the emitted score
+    # column — an add-then-drop helper column would be removed by
+    # Catalyst column pruning and the raise_error would never execute.
     w = Window.partitionBy("custkey").orderBy(F.desc("score"), "partkey")
-    gated = (
-        recs.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .withColumn(
-            "__ok",
-            F.when(
-                F.isnan("score") | ~F.col("score").between(-1e6, 1e6),
-                F.raise_error("als_part_recommendations: non-finite score"),
-            ).otherwise(F.lit(True)),
-        )
-        .drop("__ok")
-    )
+    gated = recs.withColumn(
+        "score",
+        finite_or_raise("score", "als_part_recommendations: non-finite score"),
+    ).withColumn("rnk", F.row_number().over(w).cast("long"))
     return gated.select("custkey", "partkey", F.round("score", 6).alias("score"), "rnk")

@@ -212,16 +212,36 @@ def compact_parquet(
     NameNode/listing disaster (a task per tiny file, footer reads
     dominating). This rewrites the dataset into
     ``ceil(total_bytes / target_file_bytes)`` files and swaps the
-    directory atomically (write to ``<path>.__compact__``, rename the
-    old dir aside, rename the new one in, delete the old) — readers see
-    either the old or the new layout, never a partial one. Returns
-    ``{files_before, files_after, bytes}``.
+    directory via write-to-``<path>.__compact__`` → rename-aside →
+    rename-in. POSIX has no two-directory atomic exchange, so there IS
+    a crash window between the two renames where ``path`` is briefly
+    absent; the swap is therefore CRASH-RECOVERABLE rather than atomic:
+    on entry this function (and any rerun) detects a stranded
+    ``<path>.__old__`` with ``path`` missing and restores it before
+    proceeding, so no crash point loses data or leaves a rerun unable
+    to run. Single-maintainer-job semantics (the OPTIMIZE model):
+    concurrent readers during the window should retry, not error-out
+    permanently. Returns ``{files_before, files_after, bytes}``.
 
     At real scale run this per PARTITION directory (compaction is
     embarrassingly parallel across partitions and per-partition swaps
     bound the blast radius); the whole-dataset form here is the unit
     the partition loop applies.
     """
+    staging = path.rstrip("/") + ".__compact__"
+    old = path.rstrip("/") + ".__old__"
+    # crash recovery from a previous run, covering every crash point:
+    #  - old present, path missing  -> died between the two renames:
+    #    the old layout is the committed one; restore it.
+    #  - old present, path present  -> died after rename-in, before
+    #    cleanup: the new layout is committed; drop the old copy.
+    #  - stale staging              -> incomplete rewrite; rebuild it.
+    if os.path.exists(old) and not os.path.exists(path):
+        os.rename(old, path)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    if os.path.exists(staging):
+        shutil.rmtree(staging)
     files = [
         f
         for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
@@ -229,16 +249,12 @@ def compact_parquet(
     ]
     total = sum(os.path.getsize(f) for f in files)
     n_out = max(1, -(-total // target_file_bytes))
-    staging = path.rstrip("/") + ".__compact__"
-    old = path.rstrip("/") + ".__old__"
     (
         spark.read.parquet(path)
         .repartition(int(n_out))
         .write.mode("overwrite")
         .parquet(staging)
     )
-    if os.path.exists(old):
-        shutil.rmtree(old)
     os.rename(path, old)
     os.rename(staging, path)
     shutil.rmtree(old)

@@ -88,7 +88,18 @@ def upsert_sink(
         if os.path.isdir(cur_link):
             # legacy layout: 'current' was the data dir itself — adopt it
             # as a versioned snapshot, then fall through to recovery
-            # (which relinks it) so a crash mid-migration self-heals
+            # (which relinks it) so a crash mid-migration self-heals.
+            # The legacy dir is complete BY DEFINITION of the old layout
+            # (it was the committed data dir), so stamp _SUCCESS
+            # unconditionally: recovery's _SUCCESS gate is a guard
+            # against snap-* dirs the NEW code wrote and crashed
+            # mid-write, and must not reject an adopted snapshot from a
+            # cluster running with marksuccessfuljobs=false.
+            # stamp BEFORE the rename: a crash between rename and stamp
+            # would leave a _SUCCESS-less snap--1 that recovery rejects —
+            # the same silent loss one step later. Stamping first is
+            # idempotent (mode 'a') and leaves no unrecoverable state.
+            open(os.path.join(cur_link, "_SUCCESS"), "a").close()
             os.rename(cur_link, os.path.join(target_dir, "snap--1"))
         if os.path.isdir(target_dir):
             snaps = [

@@ -172,3 +172,24 @@ def test_stripped_model_scores_after_observe(spark, occupancy_df):
     assert not model.stages[-1].hasSummary
     after = model.transform(weighted).groupBy("prediction").count().collect()
     assert sorted(map(tuple, before)) == sorted(map(tuple, after))
+
+
+def test_finite_score_gate_is_load_bearing(spark):
+    """The ALS structural gate must actually execute: threaded through
+    the emitted column it raises on a NaN/out-of-range score, and an
+    add-then-drop form would be pruned by Catalyst (round-4 ADVICE
+    finding — verified here by asserting the raise fires)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from big_data_occupancy_detection_spark.plans.mlplans import finite_or_raise
+
+    good = spark.createDataFrame([(1, 0.5), (2, -3.25)], ["k", "score"])
+    out = good.withColumn("score", finite_or_raise("score", "boom")).collect()
+    assert sorted((r.k, r.score) for r in out) == [(1, 0.5), (2, -3.25)]
+
+    bad = spark.createDataFrame([(1, 0.5)], ["k", "score"]).withColumn(
+        "score", F.lit(float("nan"))
+    )
+    with pytest.raises(Exception, match="boom"):
+        bad.withColumn("score", finite_or_raise("score", "boom")).collect()

@@ -655,3 +655,84 @@ def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
     assert after == before
     assert not os.path.exists(path + ".__compact__")
     assert not os.path.exists(path + ".__old__")
+
+
+def test_compact_parquet_crash_recovery(spark, tmp_path):
+    """Every crash point of the two-rename swap is recoverable by a
+    rerun: (a) died between the renames (path missing, __old__ holds
+    the committed layout) and (b) died after rename-in before cleanup
+    (__old__ is stale). Round-4 ADVICE finding."""
+    import os
+    import shutil
+
+    from big_data_occupancy_detection_spark.sources.sinks import compact_parquet
+
+    path = str(tmp_path / "crashy")
+    spark.range(5_000).selectExpr("id", "id % 13 AS k").repartition(
+        16
+    ).write.parquet(path)
+    before = {tuple(r) for r in spark.read.parquet(path).collect()}
+
+    # (a) crash between rename-aside and rename-in: path is missing
+    os.rename(path, path + ".__old__")
+    stats = compact_parquet(spark, path, target_file_bytes=10**9)
+    assert stats["files_after"] == 1
+    assert {tuple(r) for r in spark.read.parquet(path).collect()} == before
+    assert not os.path.exists(path + ".__old__")
+    assert not os.path.exists(path + ".__compact__")
+
+    # (b) crash after rename-in, before old-dir cleanup: stale __old__
+    # (holding SUPERSEDED data) plus a stale staging dir must both be
+    # swept, and the committed layout at `path` kept
+    shutil.copytree(path, path + ".__old__")
+    os.makedirs(path + ".__compact__/partial", exist_ok=True)
+    stats = compact_parquet(spark, path, target_file_bytes=10**9)
+    assert {tuple(r) for r in spark.read.parquet(path).collect()} == before
+    assert not os.path.exists(path + ".__old__")
+    assert not os.path.exists(path + ".__compact__")
+
+
+def test_sessionize_gap_exact_boundary_sub_second(spark):
+    """Gaps are compared in INTEGER microseconds: on sub-second-precision
+    data with a gap within ~0.5 us of exactly gap_seconds, a double
+    epoch-seconds difference (ulp ~0.24 us at 2024+ epochs) can flip
+    the classification vs the native session_window's exact long-micros
+    semantics. Both physical branches must agree bit-identically at the
+    boundary. Round-4 ADVICE finding."""
+    from big_data_occupancy_detection_spark.operators.temporal import (
+        session_windows_auto,
+    )
+
+    rows = []
+    # per user: one 2-event pair whose single gap straddles the exact
+    # 600 s boundary by +-1 us, at sub-second base offsets chosen to
+    # stress double rounding (123457/499999/999999 us)
+    fracs = [0, 1, 123_457, 499_999, 500_000, 999_999]
+    deltas = [600_000_000 - 1, 600_000_000, 600_000_000 + 1]
+    n_split = 0
+    u = 0
+    for frac in fracs:
+        for delta in deltas:
+            t0 = 1_720_956_153 * 1_000_000 + frac
+            rows += [(u, t0, 1.0), (u, t0 + delta, 1.0)]
+            n_split += int(delta > 600_000_000)
+            u += 1
+    df = spark.createDataFrame(rows, ["user_id", "us", "value"]).select(
+        "user_id",
+        F.timestamp_micros(F.col("us")).alias("ts"),
+        "value",
+    )
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    native = session_windows_auto(
+        df, "user_id", "ts", 600, aggs, density_threshold=10**9
+    )
+    laggap = session_windows_auto(
+        df, "user_id", "ts", 600, aggs, density_threshold=0
+    )
+    k = lambda r: (r.user_id, r.session_start)
+    n = sorted(native.collect(), key=k)
+    l = sorted(laggap.collect(), key=k)
+    assert [tuple(r) for r in n] == [tuple(r) for r in l]
+    # native semantics: an event at EXACTLY prev_end (delta == 600 s
+    # sharp) still MERGES; only delta == 600 s + 1 us splits
+    assert len(n) == 2 * n_split + (u - n_split)

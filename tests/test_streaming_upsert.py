@@ -308,3 +308,45 @@ def test_upsert_migrates_legacy_plain_current_dir(spark, tmp_path):
         assert os.path.islink(f"{target}/current")
     finally:
         q.stop()
+
+
+def test_upsert_adopts_legacy_dir_without_success_marker(spark, tmp_path):
+    """Legacy-layout adoption must not be gated on _SUCCESS: clusters
+    running with marksuccessfuljobs=false write committed data dirs with
+    no marker, and rejecting the adopted snapshot silently rebuilds from
+    one batch — permanent data loss. Round-4 ADVICE finding."""
+    import os
+
+    from big_data_occupancy_detection_spark.streaming.upsert import upsert_sink
+
+    target = tmp_path / "legacy_nosuccess"
+    target.mkdir()
+    spark.createDataFrame([(7, "legacy", 0)], ["id", "val", "seq"]).write.parquet(
+        str(target / "current")
+    )
+    success = target / "current" / "_SUCCESS"
+    if success.exists():
+        success.unlink()  # simulate marksuccessfuljobs=false
+    src = tmp_path / "legacy_nosuccess_changes"
+    src.mkdir()
+    _write_changes(src / "b1.json", [{"id": 8, "val": "new", "seq": 1, "op": "U"}])
+    stream = (
+        spark.readStream.format("json")
+        .schema("id long, val string, seq long, op string")
+        .load(str(src))
+    )
+    q = upsert_sink(
+        stream, str(target), ["id"], "seq",
+        str(tmp_path / "legacy_nosuccess_ckpt"), op_col="op",
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.id, r.val)
+            for r in spark.read.parquet(f"{target}/current").collect()
+        }
+        # the legacy row SURVIVES adoption alongside the new change
+        assert got == {(7, "legacy"), (8, "new")}
+        assert os.path.islink(f"{target}/current")
+    finally:
+        q.stop()
