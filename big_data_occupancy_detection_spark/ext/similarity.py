@@ -635,6 +635,113 @@ PQ_CODEBOOK = 16
 PQ_SHORTLIST = 100
 
 
+def _pq_assign_l2(df: DataFrame, cent: DataFrame) -> DataFrame:
+    """True PQ codeword assignment: argmin L2 = argmax(dot - ||c||²/2)
+    (subvectors of a unit vector are NOT unit themselves, so the
+    spherical max-dot rule would bias toward large-norm codewords)."""
+    joined = df.crossJoin(F.broadcast(cent)).withColumn(
+        "__obj", dot("nvec", "__cent") - 0.5 * dot("__cent", "__cent")
+    )
+    return joined.groupBy("vid").agg(
+        F.max_by("cid", F.struct(F.col("__obj"), -F.col("cid"))).alias(
+            "cluster"
+        ),
+        F.first("nvec").alias("nvec"),
+    )
+
+
+def _pq_fit_subspaces(
+    normed: DataFrame, n_sub: int, codebook: int, d_sub: int
+) -> tuple[list[DataFrame], DataFrame]:
+    """Per-subspace codebook fit (md5 seed + one Lloyd round, the same
+    deterministic recipe as IVF) and corpus code assignment. Shared by
+    the one-shot ``pq_topk`` and the persisted ``ext.pq_index`` build so
+    both produce bit-identical codebooks/codes. Returns
+    (per-subspace centroid DataFrames (cid, __cent) — persisted —
+    and the wide code table (vec_id, c0..c{n_sub-1}))."""
+    codes = None
+    cents: list[DataFrame] = []
+    for s in range(n_sub):
+        sub = normed.select(
+            "vid", F.slice("nvec", s * d_sub + 1, d_sub).alias("nvec")
+        )
+        seed = _seed_centroids(sub, codebook)
+        cent = _mean_centroids(_pq_assign_l2(sub, seed), "nvec").persist()
+        cents.append(cent)
+        code_s = _pq_assign_l2(sub, cent).select(
+            F.col("vid").alias("vec_id"), F.col("cluster").alias(f"c{s}")
+        )
+        codes = code_s if codes is None else codes.join(code_s, "vec_id")
+    return cents, codes
+
+
+def _pq_shortlist(
+    qn: DataFrame,
+    cents: list[DataFrame],
+    codes: DataFrame,
+    n_sub: int,
+    d_sub: int,
+    shortlist: int,
+) -> DataFrame:
+    """ADC scoring over the CODE table → per-query shortlist.
+
+    Per query a (codebook × n_sub) LUT of exact subvector dots is built
+    against the broadcast codebooks; scoring a corpus row is n_sub
+    broadcast-hash LUT lookups + adds — the corpus's raw vectors are
+    never touched. The subspace sum uses FIXED left association
+    ((d0+d1)+d2)+… so the DuckDB oracle can replay the identical IEEE
+    sequence. Returns (qid, vec_id) of the ``shortlist`` best per query
+    (round(score,9) desc, vec_id asc house tie-break)."""
+    luts = []
+    for s in range(n_sub):
+        lut_s = (
+            qn.select("qid", F.slice("qnv", s * d_sub + 1, d_sub).alias("qs"))
+            .crossJoin(F.broadcast(cents[s]))
+            .select(
+                "qid",
+                F.col("cid").alias(f"c{s}"),
+                dot("qs", "__cent").alias(f"d{s}"),
+            )
+        )
+        luts.append(lut_s)
+    fan = codes.crossJoin(F.broadcast(qn.select("qid")))
+    for s, lut_s in enumerate(luts):
+        fan = fan.join(F.broadcast(lut_s), ["qid", f"c{s}"])
+    total = F.col("d0")
+    for s in range(1, n_sub):
+        total = total + F.col(f"d{s}")
+    pairs = fan.filter(F.col("vec_id") != F.col("qid")).select(
+        "qid", "vec_id", F.round(total, 9).alias("score9")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score9"), F.asc("vec_id"))
+    return (
+        pairs.withColumn("srnk", F.row_number().over(w))
+        .filter(F.col("srnk") <= shortlist)
+        .select("qid", "vec_id")
+    )
+
+
+def _pq_rerank(
+    short: DataFrame, qn: DataFrame, cvec: DataFrame, k: int
+) -> DataFrame:
+    """EXACT re-rank of the ADC shortlist — the production PQ serving
+    shape: quantization error only has to keep the true neighbors
+    inside the shortlist (≫ k), not rank them; the exact cosine then
+    re-ranks those few candidates from the raw unit vectors
+    (``cvec``: (vec_id, cn))."""
+    exact = (
+        short.join(F.broadcast(qn), "qid")
+        .join(cvec, "vec_id")
+        .select("qid", "vec_id", F.round(dot("qnv", "cn"), 9).alias("cos9"))
+    )
+    w2 = Window.partitionBy("qid").orderBy(F.desc("cos9"), F.asc("vec_id"))
+    return (
+        exact.withColumn("rnk", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "vec_id", F.round("cos9", 6).alias("score"), "rnk")
+    )
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -652,83 +759,22 @@ def pq_topk(
     round(score, 9) with the (score desc, vec_id asc) house tie-break.
     The subspace sum uses FIXED left association ((d0+d1)+d2)+d3 so the
     DuckDB oracle can replay the identical IEEE sequence.
-    """
-    from ..functions.vector_fns import dot
 
+    Fit-per-call: right for one-shot analytics only. The build-once /
+    serve-many split (codebooks + int8 codes persisted, LUT-only serve
+    scan) lives in :mod:`ext.pq_index` and produces bit-identical
+    results — both paths compose the same ``_pq_fit_subspaces`` /
+    ``_pq_shortlist`` / ``_pq_rerank`` helpers.
+    """
     dim = len(corpus.select(vec_col).first()[0])
     d_sub = dim // n_sub
     normed = _normalized(corpus, id_col, vec_col)
     qn = _normalized(queries, id_col, vec_col).select(
         F.col("vid").alias("qid"), F.col("nvec").alias("qnv")
     )
-
-    def assign_l2(df, cent):
-        # true PQ codeword assignment: argmin L2 = argmax(dot - ||c||²/2)
-        # (subvectors of a unit vector are NOT unit themselves, so the
-        # spherical max-dot rule would bias toward large-norm codewords)
-        joined = df.crossJoin(F.broadcast(cent)).withColumn(
-            "__obj", dot("nvec", "__cent") - 0.5 * dot("__cent", "__cent")
-        )
-        return joined.groupBy("vid").agg(
-            F.max_by("cid", F.struct(F.col("__obj"), -F.col("cid"))).alias(
-                "cluster"
-            ),
-            F.first("nvec").alias("nvec"),
-        )
-
-    codes = None
-    luts = []
-    for s in range(n_sub):
-        sub = normed.select(
-            "vid", F.slice("nvec", s * d_sub + 1, d_sub).alias("nvec")
-        )
-        seed = _seed_centroids(sub, codebook)
-        cent = _mean_centroids(assign_l2(sub, seed), "nvec").persist()
-        code_s = assign_l2(sub, cent).select(
-            F.col("vid").alias("vec_id"), F.col("cluster").alias(f"c{s}")
-        )
-        codes = code_s if codes is None else codes.join(code_s, "vec_id")
-        lut_s = (
-            qn.select("qid", F.slice("qnv", s * d_sub + 1, d_sub).alias("qs"))
-            .crossJoin(F.broadcast(cent))
-            .select(
-                "qid",
-                F.col("cid").alias(f"c{s}"),
-                dot("qs", "__cent").alias(f"d{s}"),
-            )
-        )
-        luts.append(lut_s)
-
-    fan = codes.crossJoin(F.broadcast(qn.select("qid")))
-    for s, lut_s in enumerate(luts):
-        fan = fan.join(F.broadcast(lut_s), ["qid", f"c{s}"])
-    total = F.col("d0")
-    for s in range(1, n_sub):
-        total = total + F.col(f"d{s}")
-    pairs = fan.filter(F.col("vec_id") != F.col("qid")).select(
-        "qid", "vec_id", F.round(total, 9).alias("score9")
-    )
-    # ADC shortlist → EXACT re-rank: the production PQ serving shape.
-    # Quantization error only has to keep the true neighbors inside the
-    # shortlist (PQ_SHORTLIST ≫ k), not rank them; the exact cosine then
-    # re-ranks those few candidates from the raw vectors.
-    w = Window.partitionBy("qid").orderBy(F.desc("score9"), F.asc("vec_id"))
-    short = (
-        pairs.withColumn("srnk", F.row_number().over(w))
-        .filter(F.col("srnk") <= shortlist)
-        .select("qid", "vec_id")
-    )
+    cents, codes = _pq_fit_subspaces(normed, n_sub, codebook, d_sub)
+    short = _pq_shortlist(qn, cents, codes, n_sub, d_sub, shortlist)
     cvec = normed.select(
         F.col("vid").alias("vec_id"), F.col("nvec").alias("cn")
     )
-    exact = (
-        short.join(F.broadcast(qn), "qid")
-        .join(cvec, "vec_id")
-        .select("qid", "vec_id", F.round(dot("qnv", "cn"), 9).alias("cos9"))
-    )
-    w2 = Window.partitionBy("qid").orderBy(F.desc("cos9"), F.asc("vec_id"))
-    return (
-        exact.withColumn("rnk", F.row_number().over(w2).cast("long"))
-        .filter(F.col("rnk") <= k)
-        .select("qid", "vec_id", F.round("cos9", 6).alias("score"), "rnk")
-    )
+    return _pq_rerank(short, qn, cvec, k)

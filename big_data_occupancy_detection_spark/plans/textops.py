@@ -1226,3 +1226,61 @@ def _pq_topk_oracle() -> str:
 def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     return SIM.pq_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+# --------------------------------------------------------------------------
+# Persisted-PQ serve path (ext.pq_index): identical results to
+# embedding_pq_topk (same oracle), but the expensive codebook fit + code
+# assignment runs ONCE per corpus — the index is cached on disk keyed by
+# a fingerprint of the embeddings parquet (path+size+mtime+params), so a
+# regenerated corpus rebuilds and a repeat call serves from the code
+# table alone. The build is crash-safe: staged to a tmp dir and renamed
+# into the fingerprint path atomically.
+# --------------------------------------------------------------------------
+def _pq_index_for(spark: SparkSession, sf_dir: str) -> str:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..ext import pq_index as PQX
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    parts = [os.path.abspath(src)]
+    paths = (
+        sorted(
+            os.path.join(r, f)
+            for r, _, fs in os.walk(src)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+        if os.path.isdir(src)
+        else [src]
+    )
+    for p in paths:
+        st = os.stat(p)
+        parts.append(f"{p}:{st.st_size}:{st.st_mtime_ns}")
+    parts.append(f"sub={SIM.PQ_SUBSPACES},book={SIM.PQ_CODEBOOK}")
+    digest = hashlib.sha1("|".join(parts).encode()).hexdigest()[:16]
+    root = os.path.join(tempfile.gettempdir(), "bdo_pq_index")
+    path = os.path.join(root, digest)
+    if not os.path.exists(os.path.join(path, "meta.json")):
+        os.makedirs(root, exist_ok=True)
+        staging = tempfile.mkdtemp(prefix=f".{digest}-", dir=root)
+        PQX.build_pq_index(table(spark, sf_dir, "embeddings"), staging)
+        try:
+            os.rename(staging, path)  # atomic publish; loser cleans up
+        except OSError:
+            shutil.rmtree(staging, ignore_errors=True)
+    return path
+
+
+@register("embedding_pq_index_topk", oracle=_pq_topk_oracle())
+def embedding_pq_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext import pq_index as PQX
+
+    emb = table(spark, sf_dir, "embeddings")
+    path = _pq_index_for(spark, sf_dir)
+    return PQX.pq_topk_from_index(
+        spark, path, emb.filter(F.col("vec_id") < 10), k=5
+    )

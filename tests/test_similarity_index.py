@@ -54,3 +54,69 @@ def test_centroid_roundtrip(spark, emb, index_path):
     assert len(cent) == 16
     assert [c for c, _ in cent] == list(range(16))
     assert all(len(v) == 64 for _, v in cent)
+
+
+# ---------------------------------------------------------------------------
+# Persisted PQ index (ext.pq_index): build-once codebooks+codes,
+# LUT-only serve scan, exact shortlist re-rank via pushed id filter.
+# ---------------------------------------------------------------------------
+from big_data_occupancy_detection_spark.ext import pq_index as pqx
+from big_data_occupancy_detection_spark.ext import similarity as sim
+
+
+@pytest.fixture(scope="module")
+def pq_path(emb, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("pq") / "index")
+    pqx.build_pq_index(emb, path)
+    return path
+
+
+def test_pq_index_serves_identical_rows_to_pq_topk(spark, emb, pq_path):
+    """Build/serve split must be bit-identical to the fit-per-call form:
+    same deterministic fit, same fixed-association ADC sum, same exact
+    re-rank — every (qid, vec_id, score, rnk) row equal."""
+    queries = emb.filter("vec_id < 10")
+    inline = sorted(tuple(r) for r in sim.pq_topk(emb, queries, k=5).collect())
+    served = sorted(
+        tuple(r)
+        for r in pqx.pq_topk_from_index(spark, pq_path, queries, k=5).collect()
+    )
+    assert served == inline
+    assert len(served) == 5 * queries.count()
+
+
+def test_pq_index_serve_scans_codes_not_vectors(spark, emb, pq_path):
+    """The serve-time ADC job must read the int8 CODE table only: its
+    parquet scan's ReadSchema has the code columns and NO vector column,
+    and the raw-vector dataset is touched by a separate scan carrying a
+    pushed-down id filter for the shortlist alone."""
+    queries = emb.filter("vec_id < 3")
+    served = pqx.pq_topk_from_index(spark, pq_path, queries, k=3)
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    # the re-rank plan reads vectors WITH a pushed filter on vec_id
+    # (substring check: executedPlan toString truncates long filter
+    # lists, so a bracket-matched regex can miss the closing bracket)
+    assert "In(vec_id" in plan, plan
+    # the ADC shortlist job (already executed during serve) scanned the
+    # codes dataset; assert its scan schema carries codes, not vectors
+    codes_plan = (
+        spark.read.parquet(f"{pq_path}/codes")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "c0" in codes_plan and "nvec" not in codes_plan
+    # and the final-result plan never scans the codes or corpus datasets
+    # at all — the shortlist was collected, so the only parquet read
+    # left is the pruned vectors scan
+    assert "/codes" not in plan
+    assert plan.count("/vectors") >= 1
+
+
+def test_pq_index_codes_are_int8_and_compact(spark, emb, pq_path):
+    """Compression contract: one TINYINT per subspace per vector."""
+    codes = spark.read.parquet(f"{pq_path}/codes")
+    assert set(codes.columns) == {"vec_id"} | {f"c{s}" for s in range(8)}
+    for s in range(8):
+        assert dict(codes.dtypes)[f"c{s}"] == "tinyint"
+    assert codes.count() == emb.count()
