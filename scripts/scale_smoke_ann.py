@@ -16,7 +16,8 @@ Usage::
     python scripts/scale_smoke_ann.py [R] [op ...]
 
     R    replication factor (default 100 -> 200k vectors)
-    op   brute | lsh | ivf | semdedup | brute_vec | ivf_vec |
+    op   brute | lsh | ivf | ivf_index | pq_index | semdedup |
+         brute_vec | ivf_vec |
          semdedup_vec (default: all; brute is both the exact-baseline
          wall measurement and the recall oracle, so recall for the
          approximate ops needs it in the op list). The ``*_vec`` ops are
@@ -238,6 +239,29 @@ def main() -> None:
                               "partition_filter_in_plan": bool(m)})
         if exact_rows is not None:
             print(json.dumps({"op": "ivf_topk_from_index",
+                              "recall_at_5": recall(exact_rows, rows)}), flush=True)
+    if "pq_index" in ops:
+        # build-once/serve-many PQ: build pays the 8-subspace fit + code
+        # assignment; serve scans ONLY the int8 code table (broadcast
+        # LUT literal) and reads raw vectors just for the shortlist ids
+        import tempfile
+
+        from big_data_occupancy_detection_spark.ext import pq_index as PQX
+
+        idx = tempfile.mkdtemp(prefix="pq_idx_") + "/idx"
+        t0 = time.perf_counter()
+        PQX.build_pq_index(emb, idx)
+        print(json.dumps({"op": "pq_index_build",
+                          "wall_s": round(time.perf_counter() - t0, 2)}),
+              flush=True)
+        serve = lambda: PQX.pq_topk_from_index(spark, idx, queries, k=K)
+        rows = measure(spark, "pq_topk_from_index", serve)
+        plan = serve()._jdf.queryExecution().executedPlan().toString()
+        print(json.dumps({"op": "pq_topk_from_index",
+                          "rerank_id_filter_pushed": "In(vec_id" in plan}),
+              flush=True)
+        if exact_rows is not None:
+            print(json.dumps({"op": "pq_topk_from_index",
                               "recall_at_5": recall(exact_rows, rows)}), flush=True)
     spark.stop()
 

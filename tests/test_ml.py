@@ -193,3 +193,70 @@ def test_finite_score_gate_is_load_bearing(spark):
     )
     with pytest.raises(Exception, match="boom"):
         bad.withColumn("score", finite_or_raise("score", "boom")).collect()
+
+
+def test_als_recommender_learns_structure_and_fails_on_shuffled(spark):
+    """Real quality gate for the ALS co-purchase recommender (round-4
+    VERDICT item 2): the registry query's exact ALS configuration must
+    recover PLANTED preference structure on held-out interactions, and
+    the same gate must FAIL on a shuffled-ratings model (items rotated
+    across rows — popularity marginals preserved, user-item association
+    destroyed). TPC-H-style baskets are uniform-random with no
+    collaborative signal, so the planted-block corpus is the held-out
+    metric surface: 40 users x 40 items, 4 blocks, ~1/3 of in-block
+    pairs held out. Train-set items are excluded from the top-k (MLlib's
+    recommendForAllUsers does NOT exclude rated items)."""
+    from pyspark.ml.recommendation import ALS
+    from pyspark.sql import functions as F
+
+    rows, heldout = [], []
+    for u in range(40):
+        b = u % 4
+        for j in range(10):
+            item = b * 10 + j
+            if (u * 31 + j) % 3 != 0:
+                rows.append((u, item, 3.0))
+            else:
+                heldout.append((u, item))
+    held_by_u = {}
+    for u, i in heldout:
+        held_by_u.setdefault(u, set()).add(i)
+
+    # the registry query's hyperparameters (plans/mlplans.py)
+    als = ALS(
+        rank=8, maxIter=5, seed=42, implicitPrefs=True, alpha=1.0,
+        regParam=0.1, userCol="user", itemCol="item", ratingCol="rating",
+        coldStartStrategy="drop",
+    )
+
+    def hit_rate(train_rows, k=5):
+        train = spark.createDataFrame(
+            train_rows, "user int, item int, rating float"
+        )
+        train_pairs = {(u, i) for u, i, _ in train_rows}
+        model = als.fit(train)
+        recs = model.recommendForAllUsers(15).select(
+            "user", F.posexplode("recommendations.item").alias("pos", "item")
+        )
+        byu = {}
+        for r in sorted(recs.collect(), key=lambda r: (r.user, r.pos)):
+            if (r.user, r.item) in train_pairs:
+                continue
+            byu.setdefault(r.user, [])
+            if len(byu[r.user]) < k:
+                byu[r.user].append(r.item)
+        hits = sum(
+            len(s & set(byu.get(u, []))) for u, s in held_by_u.items()
+        )
+        return hits / len(heldout)
+
+    true_hr = hit_rate(rows)
+    srows = sorted(rows)
+    rot = [r[1] for r in srows][7:] + [r[1] for r in srows][:7]
+    shuf_hr = hit_rate(
+        [(u, i2, rt) for (u, _, rt), i2 in zip(srows, rot)]
+    )
+    # measured 0.94 vs 0.10 — wide margins so seed drift can't flake
+    assert true_hr >= 0.7, true_hr
+    assert shuf_hr <= 0.35, shuf_hr
+    assert true_hr > shuf_hr + 0.3, (true_hr, shuf_hr)
