@@ -82,6 +82,12 @@ HEADLINE = [
     "part_copurchase_lift",    # per-order basket pair fan-out + lift rank
     "customer_rfm_segments",   # stacked global_row_number RFM quartiles
     "part_abc_classes",        # global_cumsum Pareto classes (integer cents)
+    "embedding_pq_index_topk", # persisted-PQ ADC serve (build cached once;
+                               #   ← embedding_pq_topk, the fit-per-call twin)
+    "als_part_recommendations",# ALS implicit matrix factorization + topk serve
+    "copurchase_triangles",    # degree-ordered wedge join triangle count
+    "customer_spend_percentiles",  # two-pass distributed exact percentiles
+    "monthly_open_order_backlog",  # sweep-line open-interval backlog
     # One flavor per operator family (round-4 trim): the registry keeps
     # every form oracle-verified; the headline benches the PRODUCTION
     # twin and names the slow/baseline twin it stands for —

@@ -24,6 +24,27 @@ BASELINE = json.loads(
     (Path(__file__).parent / "plan_baseline.json").read_text()
 )
 
+# Heavy shapes pinned BEYOND the bench headline (round-4 VERDICT item 4):
+# the warehouse/BI/events batch-2 queries whose plan regressions would
+# otherwise only surface as wall time. Kept in one place so the regen
+# tool and the coverage gate agree.
+EXTRA_PLAN_PINNED = [
+    "segment_yoy_growth",        # year-shifted self-join growth
+    "cohort_lifetime_value",     # cohort spine x month cross + cumsum
+    "user_day_bitmaps",          # day-offset bitmap pack/popcount
+    "priority_mix_shift",        # share-of-total window over grouped agg
+    "supplier_part_coverage",    # bipartite coverage distinct counts
+    "copurchase_components",     # star-contraction connected components
+    "doc_train_test_split",      # hash-split with stratification check
+    "event_lateness_profile",    # watermark-lateness percentile profile
+    "monthly_seasonal_revenue",  # month-of-year seasonality index
+    "user_churn_labels",         # activity-gap churn labeling windows
+    "order_interarrival_stats",  # per-customer lag interarrival stats
+    "events_hourly_anomalies",   # hour-of-week baseline z-score scan
+    "user_value_cusum",          # ordered CUSUM fold (collect+aggregate)
+    "event_type_transitions",    # Markov transition matrix (lag pairs)
+]
+
 
 def _headline_names() -> list[str]:
     src = (Path(__file__).parent.parent / "bench.py").read_text()
@@ -36,7 +57,9 @@ def _headline_names() -> list[str]:
 
 
 def test_baseline_covers_headline():
-    assert sorted(_headline_names()) == sorted(BASELINE)
+    assert sorted(set(_headline_names()) | set(EXTRA_PLAN_PINNED)) == sorted(
+        BASELINE
+    )
 
 
 @pytest.mark.parametrize("name", sorted(BASELINE))
@@ -47,7 +70,12 @@ def test_plan_matches_baseline(spark, sf_dir, name):
     spark.catalog.clearCache()
     got = plan_metrics(REGISTRY[name].fn(spark, sf_dir))
     want = BASELINE[name]
-    assert not got["cartesian"], f"{name} grew a CartesianProduct"
+    # no NEW cartesian product; a baselined one is an intentional shape
+    # (MLlib ALS recommendForUserSubset scores user-block x item-block
+    # via a bounded blocked cross-join by design)
+    assert got["cartesian"] <= want["cartesian"], (
+        f"{name} grew a CartesianProduct"
+    )
     assert got["exchanges"] <= want["exchanges"], (
         f"{name}: shuffles grew {want['exchanges']} -> {got['exchanges']}"
     )

@@ -30,11 +30,16 @@ def headline_names() -> list[str]:
 
 
 def main() -> None:
+    # the extra (non-headline) pinned shapes live next to the gate that
+    # enforces them
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    from test_plan_regression import EXTRA_PLAN_PINNED
+
     spark = get_session(master="local[4]", shuffle_partitions=4)
     spark.sparkContext.setLogLevel("ERROR")
     out = {
         n: plan_metrics(REGISTRY[n].fn(spark, "/root/testdata/sf0.001"))
-        for n in sorted(headline_names())
+        for n in sorted(set(headline_names()) | set(EXTRA_PLAN_PINNED))
     }
     path = os.path.join(REPO, "tests", "plan_baseline.json")
     json.dump(out, open(path, "w"), indent=1, sort_keys=True)
