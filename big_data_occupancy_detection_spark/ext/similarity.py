@@ -417,6 +417,52 @@ def ivf_topk(
     )
 
 
+def cluster_balanced_sample(
+    emb: DataFrame,
+    n_per_cluster: int = 8,
+    n_centroids: int = IVF_CENTROIDS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(cluster, vec_id, rn): topic-balanced corpus sample — every vector
+    assigned to its deterministic k-means cluster, then the
+    ``n_per_cluster`` smallest-md5-hash ids kept per cluster (a
+    reproducible pseudo-random stratified pick with no RNG state, the
+    same portable-hash convention as ``_seed_centroids``).
+
+    The training-mixture counter to topic skew: frequency-proportional
+    sampling of a web-scale corpus over-represents the dominant content
+    cluster; per-cluster quotas equalize topic mass before mixture
+    weighting. Scale shape: the fit is the broadcast ×k fan-out +
+    one hash shuffle of IVF assignment; the quota pick is a rank-k
+    window per cluster, pruned map-side by WindowGroupLimit — nothing
+    is ever collected.
+    """
+    from ..functions.text_fns import md5_hash64
+
+    normed = _normalized(emb, id_col, vec_col)
+    cent = _fit_centroids(normed, n_centroids, IVF_ITERS)
+    assigned = _assign_nearest(
+        repartition_for_compute(
+            emb.select(
+                F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cvec")
+            )
+        ),
+        cent,
+        "vec_id",
+        "cvec",
+    )
+    w = Window.partitionBy("cluster").orderBy("__h", "vec_id")
+    return (
+        assigned.withColumn(
+            "__h", md5_hash64(F.col("vec_id").cast("string"))
+        )
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= n_per_cluster)
+        .select("cluster", "vec_id", "rn")
+    )
+
+
 def lsh_near_pairs(
     emb: DataFrame,
     threshold: float = 0.4,

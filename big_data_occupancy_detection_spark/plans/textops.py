@@ -1284,3 +1284,79 @@ def embedding_pq_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return PQX.pq_topk_from_index(
         spark, path, emb.filter(F.col("vec_id") < 10), k=5
     )
+
+
+# --------------------------------------------------------------------------
+# q — distributed BPE vocabulary induction + tokenization (ext.bpe): one
+# corpus-proportional word-frequency aggregation, sequential merge
+# learning driver-side over the capped inventory, then dedup-aware
+# distributed encoding (distinct words through an Arrow batch, broadcast
+# join back, in-order reassembly). Rows-only: the merge loop is
+# inherently iterative (merge k+1's statistics depend on merge k), so no
+# single SQL statement replays it — correctness is pinned by
+# tests/test_bpe.py (incremental learner == naive recount reference,
+# encode/trainer round-trip, distributed == driver encoding) and by the
+# IN-PATH reconstruction gate here: every emitted token row must concat
+# back to its document's pre-token stream, or the query raises instead
+# of returning (threaded through the kept n_tokens column — a dropped
+# helper column would be pruned; see plans/mlplans.finite_or_raise).
+# --------------------------------------------------------------------------
+@register("doc_bpe_tokens", oracle=None)
+def doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext import bpe as BPE
+    from ..functions.text_fns import norm_text
+
+    docs = table(spark, sf_dir, "documents")
+    merges = BPE.learn_bpe_merges(docs, n_merges=64)
+    out = BPE.apply_bpe(docs, merges)
+    pre = F.regexp_extract_all(norm_text("text"), F.lit(BPE.BPE_REGEX), 0)
+    expected = docs.select(
+        "doc_id",
+        F.concat(
+            F.array_join(pre, BPE.END), F.lit(BPE.END)
+        ).alias("__expect"),
+    )
+    gated = (
+        out.join(expected, "doc_id")
+        .withColumn(
+            "n_tokens",
+            F.when(
+                F.array_join("bpe_tokens", "") != F.col("__expect"),
+                F.raise_error("doc_bpe_tokens: reconstruction mismatch"),
+            ).otherwise(F.col("n_tokens")),
+        )
+        .drop("__expect")
+    )
+    return gated.select("doc_id", "bpe_tokens", "n_tokens").orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# q — cluster-balanced embedding sample (ext.similarity.
+# cluster_balanced_sample): per-k-means-cluster quotas picked by
+# portable md5 hash — the topic-balancing stage of a training-mixture
+# pipeline. The oracle replays the shared deterministic fit/assignment
+# CTEs (kmeans_cassign_ctes) plus the hash-ranked quota window.
+# --------------------------------------------------------------------------
+_BALANCED_N = 8
+
+
+def _balanced_sample_oracle() -> str:
+    vid_hash = hash64_sql("CAST(vec_id AS VARCHAR)")
+    return f"""
+    WITH {kmeans_cassign_ctes()},
+    hh AS (SELECT vec_id, {vid_hash} AS h FROM embeddings),
+    ranked AS (
+      SELECT a.cluster, a.vec_id,
+             CAST(row_number() OVER (PARTITION BY a.cluster
+                                     ORDER BY hh.h, a.vec_id) AS BIGINT) AS rn
+      FROM cassign a JOIN hh USING (vec_id))
+    SELECT cluster, vec_id, rn FROM ranked WHERE rn <= {_BALANCED_N}
+    """
+
+
+@register("embedding_cluster_balanced_sample", oracle=_balanced_sample_oracle())
+def embedding_cluster_balanced_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return SIM.cluster_balanced_sample(emb, n_per_cluster=_BALANCED_N)

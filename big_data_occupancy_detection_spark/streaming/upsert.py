@@ -63,6 +63,37 @@ def _merge_batch(
     return untouched.unionByName(upserts)
 
 
+def list_snapshots(target_dir: str) -> list[int]:
+    """Batch ids of every COMMITTED (complete) snapshot, ascending."""
+    if not os.path.isdir(target_dir):
+        return []
+    return sorted(
+        int(d[5:])
+        for d in os.listdir(target_dir)
+        if d.startswith("snap-")
+        and d[5:].lstrip("-").isdigit()
+        and os.path.exists(os.path.join(target_dir, d, "_SUCCESS"))
+    )
+
+
+def read_snapshot(spark, target_dir: str, batch_id: int | None = None):
+    """Time-travel read: the snapshot as of ``batch_id`` (None = the
+    committed current pointer). Requires the sink to have been started
+    with ``retain`` large enough that the version still exists —
+    the versioned-dir + pointer layout IS the Delta/Iceberg time-travel
+    shape, minus the manifest layer."""
+    if batch_id is None:
+        cur = os.path.join(target_dir, "current")
+        return spark.read.parquet(cur)
+    snap = os.path.join(target_dir, f"snap-{batch_id}")
+    if not os.path.exists(os.path.join(snap, "_SUCCESS")):
+        raise FileNotFoundError(
+            f"no committed snapshot snap-{batch_id} under {target_dir}; "
+            f"retained: {list_snapshots(target_dir)}"
+        )
+    return spark.read.parquet(snap)
+
+
 def upsert_sink(
     updates: DataFrame,
     target_dir: str,
@@ -70,6 +101,7 @@ def upsert_sink(
     seq_col: str,
     checkpoint_dir: str,
     op_col: str | None = None,
+    retain: int = 1,
 ):
     """Start a foreachBatch query maintaining a keyed parquet snapshot.
 
@@ -77,6 +109,12 @@ def upsert_sink(
     orders changes to the same key within a batch (last wins);
     ``op_col``, if given, marks deletes with the value ``'D'``. Returns
     the StreamingQuery.
+
+    ``retain`` keeps the newest N committed snapshots instead of
+    sweeping everything but the current one — enabling
+    :func:`read_snapshot` time travel and concurrent readers pinned to
+    an old version while the sink advances (each version is an
+    immutable directory; the pointer swap never touches it).
     """
     cur_link = os.path.join(target_dir, "current")
 
@@ -145,13 +183,20 @@ def upsert_sink(
             os.path.join(target_dir, snap_name)
         )
         _commit(snap_name)
-        # sweep superseded snapshots (best-effort: orphans from a crash
-        # here are collected by the next successful batch)
+        # sweep superseded snapshots beyond the retention window
+        # (best-effort: orphans from a crash here are collected by the
+        # next successful batch). Uncommitted (_SUCCESS-less) leftovers
+        # are always swept — they are crash debris, never a version.
+        keep = set(list_snapshots(target_dir)[-max(int(retain), 1):])
         for name in os.listdir(target_dir):
             if (
                 name.startswith("snap-")
                 and name != snap_name
                 and os.path.isdir(os.path.join(target_dir, name))
+                and not (
+                    name[5:].lstrip("-").isdigit()
+                    and int(name[5:]) in keep
+                )
             ):
                 shutil.rmtree(os.path.join(target_dir, name), ignore_errors=True)
 

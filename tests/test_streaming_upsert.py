@@ -350,3 +350,55 @@ def test_upsert_adopts_legacy_dir_without_success_marker(spark, tmp_path):
         assert os.path.islink(f"{target}/current")
     finally:
         q.stop()
+
+
+def test_snapshot_retention_and_time_travel(spark, tmp_path):
+    """retain=N keeps the newest N committed versions as immutable dirs;
+    read_snapshot() time-travels to any retained batch id."""
+    from big_data_occupancy_detection_spark.streaming.upsert import (
+        list_snapshots,
+        read_snapshot,
+        upsert_sink,
+    )
+
+    target = tmp_path / "tt_target"
+    src = tmp_path / "tt_changes"
+    src.mkdir()
+    stream = (
+        spark.readStream.format("json")
+        .schema("id long, val string, seq long, op string")
+        .load(str(src))
+    )
+    q = upsert_sink(
+        stream, str(target), ["id"], "seq", str(tmp_path / "tt_ckpt"),
+        op_col="op", retain=3,
+    )
+    try:
+        batches = [
+            [{"id": 1, "val": "a", "seq": 0, "op": "U"}],
+            [{"id": 2, "val": "b", "seq": 1, "op": "U"}],
+            [{"id": 1, "val": "a2", "seq": 2, "op": "U"},
+             {"id": 2, "val": None, "seq": 3, "op": "D"}],
+        ]
+        for i, rows in enumerate(batches):
+            _write_changes(src / f"b{i}.json", rows)
+            import time as _t
+
+            _t.sleep(0.1)
+            q.processAllAvailable()
+        assert list_snapshots(str(target)) == [0, 1, 2]
+        snap = lambda b: {
+            (r.id, r.val)
+            for r in read_snapshot(spark, str(target), b).collect()
+        }
+        assert snap(0) == {(1, "a")}
+        assert snap(1) == {(1, "a"), (2, "b")}
+        assert snap(2) == {(1, "a2")}
+        # None = committed current pointer
+        assert snap(None) == {(1, "a2")}
+    finally:
+        q.stop()
+    import pytest as _pt
+
+    with _pt.raises(FileNotFoundError):
+        read_snapshot(spark, str(target), 99)
