@@ -802,3 +802,79 @@ def fuzzy_pairs_edit1(
         .filter(F.col("dist") <= 1)
         .select("a_id", "b_id", "dist")
     )
+
+
+def repeated_substring_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 30,
+) -> DataFrame:
+    """(doc_id, span_start, span_end, span_len): maximal character spans
+    that occur (≥ ``min_len`` chars, normalized text, 1-based inclusive
+    positions) more than once in the corpus — the exact-substring dedup
+    primitive of Lee et al.'s "Deduplicating Training Data" (there via a
+    corpus suffix array; here via its Spark-native equivalent: every
+    ``min_len``-char window hashed with the portable md5 hash64, windows
+    whose hash occurs >1 time globally kept, and per-doc overlapping/
+    adjacent duplicated windows merged into maximal spans with the
+    running-max interval-merge window).
+
+    A span means "this text also exists elsewhere (or repeats within the
+    doc)" — the unit cut out before LM training to stop memorization.
+    Scale shape: the explode emits one (8-byte hash, int pos) row per
+    character — heavy but linear, the same budget a distributed suffix
+    array pays; the global duplicate filter is one hash shuffle with
+    map-side pre-aggregation; the merge is a per-doc window. At the
+    petabyte tier, shard by content-defined chunks and run per shard.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.text_fns import norm_text
+
+    base = repartition_for_compute(docs).select(
+        F.col(id_col).alias("doc_id"), norm_text(text_col).alias("__t")
+    ).filter(F.length("__t") >= min_len)
+    grams = base.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.length("__t") - F.lit(min_len - 1)
+                ),
+                lambda i: hash64(F.col("__t").substr(i, F.lit(min_len))),
+            )
+        ).alias("__p0", "h"),
+    ).select("doc_id", (F.col("__p0") + 1).alias("pos"), "h")
+    dup_h = (
+        grams.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1)
+        .select("h")
+    )
+    dup = grams.join(dup_h, "h")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + F.lit(min_len - 1)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = dup.withColumn(
+        "__new",
+        F.when(prev_end.isNull() | (F.col("pos") > prev_end + 1), 1).otherwise(0),
+    )
+    gid = F.sum("__new").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        flagged.withColumn("__g", gid)
+        .groupBy("doc_id", "__g")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(min_len - 1)).alias("span_end"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_len"),
+        )
+    )

@@ -175,6 +175,33 @@ def pq_topk_from_index(
         meta = json.load(f)
     n_sub, d_sub = meta["n_sub"], meta["d_sub"]
     cents = load_codebooks(spark, path, n_sub)
+    codes = spark.read.parquet(f"{path}/codes")
+    return _serve_codes(
+        spark, path, codes, cents, n_sub, d_sub, queries, k, shortlist,
+        id_col, vec_col,
+    )
+
+
+def _serve_codes(
+    spark: SparkSession,
+    path: str,
+    codes: DataFrame,
+    cents: list[dict[int, list[float]]],
+    n_sub: int,
+    d_sub: int,
+    queries: DataFrame,
+    k: int,
+    shortlist: int,
+    id_col: str,
+    vec_col: str,
+    probe_df: DataFrame | None = None,
+) -> DataFrame:
+    """Shared ADC-serve tail: driver-side LUT → broadcast-literal scoring
+    over ``codes`` → window shortlist → collect → exact re-rank with a
+    pushed id filter on ``<path>/vectors``. ``probe_df`` (qid, cluster),
+    if given, replaces the crossJoin with a broadcast join on the
+    cluster column — each query scores only its probed inverted lists
+    (the IVF-PQ composite)."""
     q_rows = queries.select(id_col, vec_col).limit(MAX_QUERY_BATCH + 1).collect()
     if len(q_rows) > MAX_QUERY_BATCH:
         raise ValueError(
@@ -218,8 +245,12 @@ def pq_topk_from_index(
             ]
         ),
     )
-    codes = spark.read.parquet(f"{path}/codes")
-    fan = codes.crossJoin(F.broadcast(lut_df))
+    if probe_df is not None:
+        fan = codes.join(F.broadcast(probe_df), "cluster").join(
+            F.broadcast(lut_df), "qid"
+        )
+    else:
+        fan = codes.crossJoin(F.broadcast(lut_df))
     # fixed left association ((d0+d1)+d2)+… — same IEEE sum as pq_topk
     total = F.element_at(F.element_at("luts", 1), F.col("c0").cast("int") + 1)
     for s in range(1, n_sub):
@@ -250,3 +281,147 @@ def pq_topk_from_index(
         )
     cvec = vectors.select("vec_id", F.col("nvec").alias("cn"))
     return _pq_rerank(short_df, qn, cvec, k)
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ composite: partition pruning AND compressed codes at serve time
+# (the FAISS IVFPQ shape). The code table is PARTITIONED BY the coarse
+# IVF cluster, so a query batch reads only its probed partition DIRS of
+# an already-64x-compressed table; everything else (global PQ codebooks,
+# driver LUT, shortlist, exact re-rank) is the shared PQ machinery.
+# Codebooks are fit on the raw unit vectors (not per-cluster residuals —
+# the residual refinement is a recall/size trade documented here and easy
+# to add: subtract the assigned coarse centroid before _pq_fit_subspaces
+# and add it back in the LUT).
+# ---------------------------------------------------------------------------
+def build_ivfpq_index(
+    emb: DataFrame,
+    path: str,
+    n_coarse: int | None = None,
+    n_sub: int = PQ_SUBSPACES,
+    codebook: int = PQ_CODEBOOK,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Coarse IVF assignment + global PQ codes, codes partitioned by
+    coarse cluster (Hive dirs = the inverted file, like
+    ``similarity_index.build_ivf_index``)."""
+    from .similarity import IVF_CENTROIDS, IVF_ITERS, _assign_nearest, _fit_centroids
+
+    n_coarse = IVF_CENTROIDS if n_coarse is None else n_coarse
+    spark = emb.sparkSession
+    dim = len(emb.select(vec_col).first()[0])
+    d_sub = dim // n_sub
+    normed = _normalized(emb, id_col, vec_col).localCheckpoint(eager=True)
+    coarse = _fit_centroids(normed, n_coarse, IVF_ITERS).persist()
+    assigned = _assign_nearest(
+        normed.select(F.col("vid"), F.col("nvec")), coarse, "vid", "nvec"
+    ).select(F.col("vid").alias("vec_id"), "cluster")
+    spark.createDataFrame(
+        [
+            (int(r["cid"]), [float(x) for x in r["__cent"]])
+            for r in coarse.collect()
+        ],
+        schema="cid int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/coarse")
+    cents, codes = _pq_fit_subspaces(normed, n_sub, codebook, d_sub)
+    cent_rows = []
+    for s, cent in enumerate(cents):
+        cent_rows += [
+            (s, int(r["cid"]), [float(x) for x in r["__cent"]])
+            for r in cent.collect()
+        ]
+    spark.createDataFrame(
+        cent_rows, schema="sub int, cid int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+    (
+        codes.join(assigned, "vec_id")
+        .select(
+            "vec_id",
+            *[F.col(f"c{s}").cast("tinyint") for s in range(n_sub)],
+            "cluster",
+        )
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(f"{path}/codes")
+    )
+    (
+        normed.select(F.col("vid").alias("vec_id"), "nvec")
+        .repartitionByRange("vec_id")
+        .sortWithinPartitions("vec_id")
+        .write.mode("overwrite")
+        .parquet(f"{path}/vectors")
+    )
+    for cent in cents:
+        cent.unpersist()
+    coarse.unpersist()
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(
+            {
+                "n_sub": n_sub,
+                "d_sub": d_sub,
+                "dim": dim,
+                "codebook": codebook,
+                "n_coarse": n_coarse,
+            },
+            f,
+        )
+
+
+def ivfpq_topk_from_index(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probes: int = 4,
+    shortlist: int = PQ_SHORTLIST,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Serve from the composite index: each query's ``n_probes`` closest
+    coarse lists are chosen driver-side (tiny centroid table, same
+    left-fold dot), the code scan carries ``cluster IN (probed)`` — a
+    PARTITION filter that skips whole dirs — and each (query, code) pair
+    is scored only when the code's cluster is in THAT query's probe set
+    (broadcast join on cluster instead of a crossJoin)."""
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    n_sub, d_sub = meta["n_sub"], meta["d_sub"]
+    cents = load_codebooks(spark, path, n_sub)
+    coarse = sorted(
+        (int(r["cid"]), [float(x) for x in r["centroid"]])
+        for r in spark.read.parquet(f"{path}/coarse").collect()
+    )
+    q_rows = queries.select(id_col, vec_col).limit(MAX_QUERY_BATCH + 1).collect()
+    if len(q_rows) > MAX_QUERY_BATCH:
+        raise ValueError(
+            f"query batch exceeds MAX_QUERY_BATCH={MAX_QUERY_BATCH}; "
+            "for corpus-vs-corpus similarity use the near-pairs operators"
+        )
+    qid_type = queries.schema[id_col].dataType
+    probe_rows = []
+    for r in q_rows:
+        nv = _normalize_driver(r[vec_col])
+        scored = sorted(
+            ((-_fold_dot(nv, cv), cid) for cid, cv in coarse)
+        )[:n_probes]
+        probe_rows += [(r[id_col], cid) for _, cid in scored]
+    from pyspark.sql.types import IntegerType
+
+    probe_df = spark.createDataFrame(
+        probe_rows,
+        StructType(
+            [
+                StructField("qid", qid_type),
+                StructField("cluster", IntegerType()),
+            ]
+        ),
+    )
+    all_probed = sorted({c for _, c in probe_rows})
+    codes = spark.read.parquet(f"{path}/codes").filter(
+        F.col("cluster").isin(all_probed)
+    )
+    return _serve_codes(
+        spark, path, codes, cents, n_sub, d_sub, queries, k, shortlist,
+        id_col, vec_col, probe_df=probe_df,
+    )

@@ -1360,3 +1360,61 @@ def embedding_cluster_balanced_sample(
 ) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     return SIM.cluster_balanced_sample(emb, n_per_cluster=_BALANCED_N)
+
+
+# --------------------------------------------------------------------------
+# q — exact-substring repeated spans (ext.dedup.repeated_substring_spans):
+# the Lee-et-al exact-substring dedup primitive. Every min_len-char
+# window of the normalized text is hashed (portable md5 hash64); windows
+# whose hash occurs more than once corpus-wide are merged per doc into
+# maximal spans via the running-max interval merge. The oracle replays
+# the identical window enumeration, global duplicate filter, and merge.
+# --------------------------------------------------------------------------
+_SPAN_LEN = 30
+
+
+def _repeated_span_oracle() -> str:
+    g_hash = hash64_sql(f"substr(t, CAST(i AS INTEGER), {_SPAN_LEN})")
+    return f"""
+    WITH nt AS (
+      SELECT doc_id, {NORM_SQL} AS t FROM documents
+      WHERE length({NORM_SQL}) >= {_SPAN_LEN}),
+    poss AS (  -- scalar generate_series + unnest: the table-function
+               -- form does not support lateral correlation in DuckDB
+      SELECT doc_id, t,
+             unnest(generate_series(1, length(t) - {_SPAN_LEN - 1}))
+               AS i
+      FROM nt),
+    grams AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos, {g_hash} AS h
+      FROM poss),
+    duph AS (SELECT h FROM grams GROUP BY h HAVING count(*) > 1),
+    dup AS (SELECT g.doc_id, g.pos FROM grams g JOIN duph USING (h)),
+    flagged AS (
+      SELECT doc_id, pos,
+             CASE WHEN max(pos + {_SPAN_LEN - 1}) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    IS NULL
+                  OR pos > max(pos + {_SPAN_LEN - 1}) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+                  THEN 1 ELSE 0 END AS new_s
+      FROM dup),
+    runs AS (
+      SELECT doc_id, pos, sum(new_s) OVER (PARTITION BY doc_id ORDER BY pos
+                                           ROWS UNBOUNDED PRECEDING) AS g
+      FROM flagged)
+    SELECT doc_id,
+           min(pos) AS span_start,
+           max(pos) + {_SPAN_LEN - 1} AS span_end,
+           max(pos) + {_SPAN_LEN - 1} - min(pos) + 1 AS span_len
+    FROM runs GROUP BY doc_id, g
+    """
+
+
+@register("doc_repeated_spans", oracle=_repeated_span_oracle())
+def doc_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.repeated_substring_spans(
+        table(spark, sf_dir, "documents"), min_len=_SPAN_LEN
+    )

@@ -16,7 +16,7 @@ Usage::
     python scripts/scale_smoke_ann.py [R] [op ...]
 
     R    replication factor (default 100 -> 200k vectors)
-    op   brute | lsh | ivf | ivf_index | pq_index | semdedup |
+    op   brute | lsh | ivf | ivf_index | pq_index | ivfpq_index | semdedup |
          brute_vec | ivf_vec |
          semdedup_vec (default: all; brute is both the exact-baseline
          wall measurement and the recall oracle, so recall for the
@@ -262,6 +262,26 @@ def main() -> None:
               flush=True)
         if exact_rows is not None:
             print(json.dumps({"op": "pq_topk_from_index",
+                              "recall_at_5": recall(exact_rows, rows)}), flush=True)
+    if "ivfpq_index" in ops:
+        # composite: coarse partition pruning AND compressed codes —
+        # serve reads only the probed partition dirs of the int8 table
+        import tempfile
+
+        from big_data_occupancy_detection_spark.ext import pq_index as PQX
+
+        idx = tempfile.mkdtemp(prefix="ivfpq_idx_") + "/idx"
+        t0 = time.perf_counter()
+        PQX.build_ivfpq_index(emb, idx, n_coarse=64)
+        print(json.dumps({"op": "ivfpq_index_build",
+                          "wall_s": round(time.perf_counter() - t0, 2)}),
+              flush=True)
+        serve = lambda: PQX.ivfpq_topk_from_index(
+            spark, idx, queries, k=K, n_probes=8
+        )
+        rows = measure(spark, "ivfpq_topk_from_index", serve)
+        if exact_rows is not None:
+            print(json.dumps({"op": "ivfpq_topk_from_index",
                               "recall_at_5": recall(exact_rows, rows)}), flush=True)
     spark.stop()
 

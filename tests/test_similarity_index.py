@@ -120,3 +120,62 @@ def test_pq_index_codes_are_int8_and_compact(spark, emb, pq_path):
     for s in range(8):
         assert dict(codes.dtypes)[f"c{s}"] == "tinyint"
     assert codes.count() == emb.count()
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ composite (ext.pq_index.build_ivfpq_index): coarse partition
+# pruning + compressed codes at serve time.
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def ivfpq_path(emb, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("ivfpq") / "index")
+    pqx.build_ivfpq_index(emb, path, n_coarse=16)
+    return path
+
+
+def test_ivfpq_all_probes_equals_plain_pq_index(spark, emb, pq_path, ivfpq_path):
+    """With n_probes = n_coarse the cluster restriction is vacuous, so
+    the composite must reproduce the plain PQ index's rows EXACTLY
+    (same deterministic codebook fit on the same corpus)."""
+    queries = emb.filter("vec_id < 6")
+    plain = sorted(
+        tuple(r)
+        for r in pqx.pq_topk_from_index(spark, pq_path, queries, k=5).collect()
+    )
+    composite = sorted(
+        tuple(r)
+        for r in pqx.ivfpq_topk_from_index(
+            spark, ivfpq_path, queries, k=5, n_probes=16
+        ).collect()
+    )
+    assert composite == plain
+
+
+def test_ivfpq_probe_prunes_code_partitions(spark, emb, ivfpq_path):
+    """The probed-cluster predicate must reach the CODE scan as a
+    partition filter (whole dirs skipped), and results are k rows per
+    query, deterministic across serves."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    queries = emb.filter("vec_id < 4")
+    serve = lambda: pqx.ivfpq_topk_from_index(
+        spark, ivfpq_path, queries, k=3, n_probes=4
+    )
+    codes = spark.read.parquet(f"{ivfpq_path}/codes")
+    assert "cluster" in codes.columns
+    r1 = sorted(tuple(r) for r in serve().collect())
+    r2 = sorted(tuple(r) for r in serve().collect())
+    assert r1 == r2
+    n_q = queries.count()
+    assert len(r1) == 3 * n_q
+    # partition pruning visible on a probed read
+    probed = (
+        codes.filter(F.col("cluster").isin([0, 1]))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    m = re.search(r"PartitionFilters: \[([^\]]*)", probed)
+    assert m and "cluster" in m.group(1), probed
