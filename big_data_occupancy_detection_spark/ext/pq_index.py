@@ -431,3 +431,58 @@ def ivfpq_topk_from_index(
         spark, path, codes, cents, n_sub, d_sub, queries, k, shortlist,
         id_col, vec_col, probe_df=probe_df,
     )
+
+
+def append_to_pq_index(
+    new_emb: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Index maintenance without refit: encode NEW vectors with the
+    FROZEN persisted codebooks (the same ``_pq_assign_l2`` argmin-L2
+    rule the build used) and append their codes + unit vectors.
+
+    This is the production ingest shape — codebooks are fit once and
+    only drift-triggered rebuilds refit; a daily delta costs
+    |delta|-proportional assignment work. Appended vector files are
+    individually id-sorted (per-file footer stats stay tight for the
+    re-rank's pushed filter) though the dataset is no longer globally
+    range-partitioned; run ``compact_parquet`` periodically if file
+    counts grow. Run as a single maintenance job per delta (same
+    single-writer contract as compaction); for the exactly-once
+    streaming wrapper see ``streaming/ann_serve.py``.
+    """
+    spark = new_emb.sparkSession
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    n_sub, d_sub = meta["n_sub"], meta["d_sub"]
+    from .similarity import _pq_assign_l2
+
+    cents = load_codebooks(spark, path, n_sub)
+    cent_dfs = [
+        spark.createDataFrame(
+            [(cid, v) for cid, v in sorted(cents[s].items())],
+            schema="cid int, __cent array<double>",
+        )
+        for s in range(n_sub)
+    ]
+    normed = _normalized(new_emb, id_col, vec_col).localCheckpoint(eager=True)
+    codes = None
+    for s in range(n_sub):
+        sub = normed.select(
+            "vid", F.slice("nvec", s * d_sub + 1, d_sub).alias("nvec")
+        )
+        code_s = _pq_assign_l2(sub, cent_dfs[s]).select(
+            F.col("vid").alias("vec_id"), F.col("cluster").alias(f"c{s}")
+        )
+        codes = code_s if codes is None else codes.join(code_s, "vec_id")
+    codes.select(
+        "vec_id", *[F.col(f"c{s}").cast("tinyint") for s in range(n_sub)]
+    ).write.mode("append").parquet(f"{path}/codes")
+    (
+        normed.select(F.col("vid").alias("vec_id"), "nvec")
+        .sortWithinPartitions("vec_id")
+        .write.mode("append")
+        .parquet(f"{path}/vectors")
+    )

