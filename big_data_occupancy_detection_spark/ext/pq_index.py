@@ -60,6 +60,18 @@ from .similarity_vec import MAX_QUERY_BATCH
 _MAX_IN_FILTER_IDS = 20_000
 
 
+def _normalized_long_ids(emb, id_col: str, vec_col: str):
+    """``_normalized`` with the id pinned to BIGINT. The persisted
+    datasets are append-targets: a later ``append_to_pq_index`` whose
+    caller passes int32 ids (e.g. a literal-built delta frame) would
+    otherwise write parquet files whose physical id type differs from
+    the built files', and the mixed-type directory fails schema
+    inference order-dependently in the vectorized reader."""
+    return _normalized(emb, id_col, vec_col).withColumn(
+        "vid", F.col("vid").cast("long")
+    )
+
+
 def build_pq_index(
     emb: DataFrame,
     path: str,
@@ -73,7 +85,7 @@ def build_pq_index(
     spark = emb.sparkSession
     dim = len(emb.select(vec_col).first()[0])
     d_sub = dim // n_sub
-    normed = _normalized(emb, id_col, vec_col)
+    normed = _normalized_long_ids(emb, id_col, vec_col)
     cents, codes = _pq_fit_subspaces(normed, n_sub, codebook, d_sub)
     cent_rows = []
     for s, cent in enumerate(cents):
@@ -320,13 +332,13 @@ def build_ivfpq_index(
     spark = emb.sparkSession
     dim = len(emb.select(vec_col).first()[0])
     d_sub = dim // n_sub
-    normed = _normalized(emb, id_col, vec_col).localCheckpoint(eager=True)
+    normed = _normalized_long_ids(emb, id_col, vec_col).localCheckpoint(eager=True)
     coarse_rows = fit_centroids_vectorized(
         emb, n_coarse, IVF_ITERS, id_col, vec_col
     )
     assigned = assign_nearest_vectorized(
         emb, coarse_rows, id_col, vec_col
-    ).select(F.col(id_col).alias("vec_id"), "cluster")
+    ).select(F.col(id_col).cast("long").alias("vec_id"), "cluster")
     spark.createDataFrame(
         [(int(c), [float(x) for x in v]) for c, v in coarse_rows],
         schema="cid int, centroid array<double>",
@@ -467,7 +479,7 @@ def append_to_pq_index(
         )
         for s in range(n_sub)
     ]
-    normed = _normalized(new_emb, id_col, vec_col).localCheckpoint(eager=True)
+    normed = _normalized_long_ids(new_emb, id_col, vec_col).localCheckpoint(eager=True)
     codes = None
     for s in range(n_sub):
         sub = normed.select(

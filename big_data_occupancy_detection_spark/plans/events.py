@@ -703,19 +703,29 @@ def zorder_events_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 # EXACTLY prev_end still joins the session — a new session starts only
 # when the gap is STRICTLY greater than the timeout, hence the oracle's
 # strict > comparison.
+#
+# The oracle's window ORDER BYs carry an `event_id` tie-break: the lag
+# flags (flagged) and the running sum (runs) are separate sorts across a
+# CTE boundary, and with duplicate (user, ts) rows DuckDB's parallel sort
+# may order the tied peers DIFFERENTLY in each — misassigning a new_s=1
+# flag to the wrong peer and splitting a tied pair into two sessions
+# (reproduced 3/40 runs under thread contention; Spark's stacked windows
+# share one sort, so any tie order there yields the same sessions).
+# Session membership is tie-order-invariant once both sorts agree, so the
+# tie-break changes no correct result — it only pins a total order.
 # --------------------------------------------------------------------------
 @register(
     "user_session_windows",
     oracle="""
     WITH flagged AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, ts, value, event_id,
              CASE WHEN lag(ts) OVER w IS NULL
                     OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS new_s
       FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
     runs AS (
-      SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                  ROWS UNBOUNDED PRECEDING) AS sid
       FROM flagged)
     SELECT user_id,

@@ -535,14 +535,22 @@ def priority_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "customer_rolling_revenue",
     oracle="""
     SELECT o_custkey, o_orderkey,
-           round(sum(o_totalprice) OVER (
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
                  PARTITION BY o_custkey ORDER BY o_orderdate
-                 RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW), 4)
+                 RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)
+                AS DOUBLE) / 100.0
              AS rev_30d
     FROM orders
     """,
 )
 def customer_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact-cents frame sum: a double sum over a RANGE frame is summed in
+    # engine-internal order (DuckDB: segment tree over a parallel sort;
+    # Spark: frame scan order) — with tied o_orderdate peers the fold
+    # order is tie-order-dependent and a low-bit flip could cross a
+    # rounding boundary. Summing integer cents is exact on any order
+    # (frame sums < 2^53 cents by construction), and the single final
+    # /100.0 is the same IEEE op on both engines — bit-identical.
     orders = table(spark, sf_dir, "orders")
     w = (
         Window.partitionBy("o_custkey")
@@ -551,10 +559,11 @@ def customer_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_orderdate").cast("timestamp").cast("long"))
         .rangeBetween(-30 * 86400, 0)
     )
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
     return orders.select(
         "o_custkey",
         "o_orderkey",
-        F.round(F.sum("o_totalprice").over(w), 4).alias("rev_30d"),
+        (F.sum(cents).over(w).cast("double") / F.lit(100.0)).alias("rev_30d"),
     )
 
 

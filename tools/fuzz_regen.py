@@ -218,7 +218,14 @@ def driver_subset() -> list[str]:
 
 
 def main() -> None:
-    n_seeds = int(sys.argv[1]) if len(sys.argv) > 1 else 5
+    # "5" = seeds 1..5; "3:4" = seeds 3..4 (lets a long ALL sweep run as
+    # parallel per-seed processes)
+    arg = sys.argv[1] if len(sys.argv) > 1 else "5"
+    if ":" in arg:
+        lo, hi = map(int, arg.split(":"))
+        seeds = range(lo, hi + 1)
+    else:
+        seeds = range(1, int(arg) + 1)
     only = sys.argv[2].split(",") if len(sys.argv) > 2 else None
     if only == ["ALL"]:
         only = None  # resolved below to the full registry
@@ -243,7 +250,7 @@ def main() -> None:
     key = lambda t: tuple((v is None, str(v)) for v in t)
     any_fail = False
 
-    for seed, flavor in itertools.product(range(1, n_seeds + 1), ["us", "ns"]):
+    for seed, flavor in itertools.product(seeds, ["us", "ns"]):
         out = tempfile.mkdtemp(prefix=f"fuzz_s{seed}_{flavor}_")
         generate(seed, out, flavor)
         con = duckdb.connect()
