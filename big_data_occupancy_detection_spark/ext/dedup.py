@@ -878,3 +878,79 @@ def repeated_substring_spans(
             (F.col("span_end") - F.col("span_start") + 1).alias("span_len"),
         )
     )
+
+
+def remove_repeated_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 30,
+) -> DataFrame:
+    """(doc_id, clean_text, n_spans, removed_chars): the normalized text
+    with every corpus-duplicated maximal span (from
+    :func:`repeated_substring_spans`) cut out — the APPLY half of the
+    Lee-et-al exact-substring dedup loop: detect the memorization-risk
+    spans, then emit the training-ready corpus with them removed.
+
+    The surgery is pure JVM string work, no Python hop: per doc the
+    disjoint spans are collected (bounded: spans are maximal and
+    non-adjacent, so there are at most len/min_len per doc), sorted, and
+    a single ``F.aggregate`` fold walks them left to right with a
+    (kept-so-far, cursor) struct accumulator, concatenating the
+    inter-span gap segments and finally the tail after the last span.
+    Docs with no duplicated span (including sub-``min_len`` docs) pass
+    through unchanged via the left join.
+
+    Positions in ``clean_text``/``removed_chars`` refer to the
+    NORMALIZED text (the same coordinate system the spans index).
+    """
+    from ..functions.text_fns import norm_text
+
+    spans = repeated_substring_spans(docs, text_col, id_col, min_len)
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), norm_text(text_col).alias("__t")
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("span_start", "span_end"))
+        ).alias("__spans")
+    )
+    joined = base.join(per_doc, "doc_id", "left")
+    zero = F.struct(F.lit("").alias("kept"), F.lit(1).alias("cur"))
+    folded = F.aggregate(
+        "__spans",
+        zero,
+        lambda acc, s: F.struct(
+            F.concat(
+                acc["kept"],
+                F.col("__t").substr(
+                    acc["cur"], s["span_start"] - acc["cur"]
+                ),
+            ).alias("kept"),
+            (s["span_end"] + F.lit(1)).alias("cur"),
+        ),
+    )
+    clean = F.concat(
+        folded["kept"],
+        F.col("__t").substr(
+            folded["cur"], F.length("__t") - folded["cur"] + 1
+        ),
+    )
+    # materialize the fold ONCE per row: higher-order aggregate
+    # expressions are not common-subexpression-eliminated, so deriving
+    # n_spans/removed_chars from the same projection would re-run the
+    # O(len) string fold per reference
+    staged = joined.select(
+        "doc_id",
+        "__t",
+        "__spans",
+        F.coalesce(clean, F.col("__t")).alias("clean_text"),
+    )
+    return staged.select(
+        "doc_id",
+        "clean_text",
+        F.coalesce(F.size("__spans"), F.lit(0)).cast("long").alias("n_spans"),
+        (F.length("__t") - F.length("clean_text")).cast("long").alias(
+            "removed_chars"
+        ),
+    )

@@ -1373,10 +1373,13 @@ def embedding_cluster_balanced_sample(
 _SPAN_LEN = 30
 
 
-def _repeated_span_oracle() -> str:
+def _span_ctes() -> str:
+    """The shared span-detection CTE chain (ends with a ``spans`` CTE of
+    (doc_id, span_start, span_end)) — composed by both the detection
+    oracle and the removal oracle so their span sets are identical by
+    construction."""
     g_hash = hash64_sql(f"substr(t, CAST(i AS INTEGER), {_SPAN_LEN})")
-    return f"""
-    WITH nt AS (
+    return f"""nt AS (
       SELECT doc_id, {NORM_SQL} AS t FROM documents
       WHERE length({NORM_SQL}) >= {_SPAN_LEN}),
     poss AS (  -- scalar generate_series + unnest: the table-function
@@ -1404,17 +1407,78 @@ def _repeated_span_oracle() -> str:
     runs AS (
       SELECT doc_id, pos, sum(new_s) OVER (PARTITION BY doc_id ORDER BY pos
                                            ROWS UNBOUNDED PRECEDING) AS g
-      FROM flagged)
-    SELECT doc_id,
-           min(pos) AS span_start,
-           max(pos) + {_SPAN_LEN - 1} AS span_end,
-           max(pos) + {_SPAN_LEN - 1} - min(pos) + 1 AS span_len
-    FROM runs GROUP BY doc_id, g
+      FROM flagged),
+    spans AS (
+      SELECT doc_id,
+             min(pos) AS span_start,
+             max(pos) + {_SPAN_LEN - 1} AS span_end
+      FROM runs GROUP BY doc_id, g)"""
+
+
+def _repeated_span_oracle() -> str:
+    return f"""
+    WITH {_span_ctes()}
+    SELECT doc_id, span_start, span_end,
+           span_end - span_start + 1 AS span_len
+    FROM spans
     """
 
 
 @register("doc_repeated_spans", oracle=_repeated_span_oracle())
 def doc_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.repeated_substring_spans(
+        table(spark, sf_dir, "documents"), min_len=_SPAN_LEN
+    )
+
+
+# --------------------------------------------------------------------------
+# q — repeated-span REMOVAL (ext.dedup.remove_repeated_spans): the apply
+# half of the exact-substring dedup loop — cut every corpus-duplicated
+# maximal span out of the normalized text and emit the training-ready
+# corpus. The oracle rebuilds the clean text as ordered inter-span gap
+# segments (lag(span_end) cursor walk) string_agg'd plus the tail after
+# the last span; docs without spans pass through via the left join.
+# Pure string/integer arithmetic on both engines — float-free.
+# --------------------------------------------------------------------------
+def _despanned_oracle() -> str:
+    return f"""
+    WITH {_span_ctes()},
+    alln AS (SELECT doc_id, {NORM_SQL} AS t FROM documents),
+    ordered AS (
+      SELECT doc_id, span_start, span_end,
+             lag(span_end, 1, 0) OVER (PARTITION BY doc_id
+                                       ORDER BY span_start) AS prev_end
+      FROM spans),
+    segs AS (
+      SELECT o.doc_id, o.span_start AS ord,
+             substr(a.t, CAST(o.prev_end + 1 AS INTEGER),
+                    CAST(o.span_start - o.prev_end - 1 AS INTEGER)) AS seg
+      FROM ordered o JOIN alln a USING (doc_id)),
+    built AS (
+      SELECT doc_id, string_agg(seg, '' ORDER BY ord) AS head
+      FROM segs GROUP BY doc_id),
+    tails AS (
+      SELECT s.doc_id,
+             substr(a.t, CAST(max(s.span_end) + 1 AS INTEGER)) AS tail
+      FROM spans s JOIN alln a USING (doc_id)
+      GROUP BY s.doc_id, a.t),
+    cleaned AS (
+      SELECT b.doc_id, b.head || t.tail AS clean_text
+      FROM built b JOIN tails t USING (doc_id))
+    SELECT a.doc_id,
+           coalesce(c.clean_text, a.t) AS clean_text,
+           coalesce(ns.n_spans, 0) AS n_spans,
+           CAST(length(a.t) - length(coalesce(c.clean_text, a.t)) AS BIGINT)
+             AS removed_chars
+    FROM alln a
+    LEFT JOIN cleaned c USING (doc_id)
+    LEFT JOIN (SELECT doc_id, count(*) AS n_spans
+               FROM spans GROUP BY doc_id) ns USING (doc_id)
+    """
+
+
+@register("doc_despanned_text", oracle=_despanned_oracle())
+def doc_despanned_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.remove_repeated_spans(
         table(spark, sf_dir, "documents"), min_len=_SPAN_LEN
     )

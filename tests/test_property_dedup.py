@@ -159,3 +159,55 @@ def test_staged_minhash_pairs_equal_direct(spark, texts, dup_factor):
         for r in minhash_lsh_pairs_staged(df, threshold=0.5).collect()
     }
     assert staged == direct
+
+
+def test_remove_repeated_spans_surgery(spark):
+    """The apply half of exact-substring dedup: shared spans are cut from
+    every doc carrying them, unique docs pass through, full-duplicate
+    docs empty out, and length(clean) + removed == length(normalized)."""
+    from big_data_occupancy_detection_spark.ext.dedup import (
+        remove_repeated_spans,
+        repeated_substring_spans,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog tonight"  # 51 ch
+    full_dup = "x" * 40
+    rows = [
+        (1, f"alpha beta gamma {shared} delta epsilon"),
+        (2, f"one two three four five six {shared} seven eight"),
+        (3, "completely unique content with nothing repeated anywhere here"),
+        (4, full_dup),
+        (5, full_dup),
+        (6, "tiny doc"),  # < min_len: no grams, passes through
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in remove_repeated_spans(df).collect()}
+
+    assert len(out) == 6
+    # the shared sentence is gone from both carriers, the rest remains
+    for d in (1, 2):
+        assert shared not in out[d]["clean_text"]
+        assert out[d]["n_spans"] == 1
+        assert out[d]["removed_chars"] >= len(shared)
+    assert "alpha beta gamma" in out[1]["clean_text"]
+    assert "seven eight" in out[2]["clean_text"]
+    # unique and sub-min_len docs: byte-identical passthrough
+    assert out[3]["clean_text"] == rows[2][1]
+    assert out[3]["n_spans"] == 0 and out[3]["removed_chars"] == 0
+    assert out[6]["clean_text"] == "tiny doc"
+    # exact full duplicates empty out entirely
+    for d in (4, 5):
+        assert out[d]["clean_text"] == ""
+        assert out[d]["removed_chars"] == 40
+    # conservation: every char is either kept or removed
+    spans = repeated_substring_spans(df).collect()
+    norm = {r["doc_id"]: " ".join(t.split()).lower().strip()
+            for r, t in zip(df.collect(), [x[1] for x in rows])}
+    for d, r in out.items():
+        assert len(r["clean_text"]) + r["removed_chars"] == len(norm[d])
+    # spans and surgery agree per doc
+    per_doc = {}
+    for s in spans:
+        per_doc[s["doc_id"]] = per_doc.get(s["doc_id"], 0) + 1
+    for d, r in out.items():
+        assert per_doc.get(d, 0) == r["n_spans"]
