@@ -407,3 +407,81 @@ def quality_checks(df: DataFrame, checks: dict[str, Column]) -> DataFrame:
             "violation_rate"
         ),
     )
+
+
+def conformance_report(
+    df: DataFrame,
+    checks: dict[str, Column] | None = None,
+    unique: dict[str, list[str]] | None = None,
+    fks: dict[str, tuple[list[str], DataFrame, list[str]]] | None = None,
+) -> DataFrame:
+    """:func:`quality_checks` plus the two Deequ-style rule classes a
+    single-pass predicate census cannot express:
+
+    - **key uniqueness** (``unique``: rule → key columns): violations =
+      non-NULL-keyed rows minus distinct keys — one hash shuffle on the
+      key with map-side partial aggregation, the same exchange a later
+      dedup would pay anyway. NULL-keyed rows are a completeness
+      concern, not a uniqueness one (pair with an ``isNotNull`` check).
+    - **referential integrity** (``fks``: rule → (child key cols,
+      parent frame, parent key cols)): violations = non-NULL-keyed
+      child rows with no parent — a LEFT ANTI join that Catalyst
+      broadcasts when the parent key set is small and shuffles
+      otherwise; NULL child keys are not violations (SQL FK
+      semantics).
+
+    Same (rule, n_rows, n_violations, violation_rate) contract as
+    :func:`quality_checks`; ``n_rows`` is always the FULL table count,
+    so rates are comparable across rule classes. Each unique/fk rule is
+    its own scan of the key columns only (column-pruned); the predicate
+    rules still share one scan.
+    """
+    from ..functions.rounding import portable_round
+
+    parts: list[DataFrame] = []
+    if checks:
+        parts.append(quality_checks(df, checks))
+    total = df.agg(F.count(F.lit(1)).alias("n_rows"))
+    for name, cols in (unique or {}).items():
+        nn = df
+        for c in cols:
+            nn = nn.filter(F.col(c).isNotNull())
+        viol = nn.agg(
+            (F.count(F.lit(1)) - F.count_distinct(*cols)).alias(
+                "n_violations"
+            )
+        )
+        parts.append(
+            viol.crossJoin(F.broadcast(total)).select(
+                F.lit(name).alias("rule"),
+                "n_rows",
+                "n_violations",
+                portable_round(
+                    F.col("n_violations") / F.col("n_rows"), 6
+                ).alias("violation_rate"),
+            )
+        )
+    for name, (ccols, parent, pcols) in (fks or {}).items():
+        child = df.select(*ccols)
+        for c in ccols:
+            child = child.filter(F.col(c).isNotNull())
+        pkeys = parent.select(
+            *[F.col(p).alias(c) for c, p in zip(ccols, pcols)]
+        )
+        viol = child.join(pkeys, on=list(ccols), how="left_anti").agg(
+            F.count(F.lit(1)).alias("n_violations")
+        )
+        parts.append(
+            viol.crossJoin(F.broadcast(total)).select(
+                F.lit(name).alias("rule"),
+                "n_rows",
+                "n_violations",
+                portable_round(
+                    F.col("n_violations") / F.col("n_rows"), 6
+                ).alias("violation_rate"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -857,3 +857,102 @@ def user_churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
             < (F.col("hi") - F.col("lo")) * 3
         ).alias("churned"),
     )
+
+
+# --------------------------------------------------------------------------
+# q — warehouse conformance report (operators.relational.
+# conformance_report): the Deequ-style constraint suite over the two
+# fact tables, covering all three rule classes — single-pass predicate
+# checks (one scan however many rules), key uniqueness (one hash
+# shuffle on the pruned key columns), and referential integrity (LEFT
+# ANTI joins that broadcast small parents and shuffle big ones; NULL
+# child keys are not violations, per SQL FK semantics). n_rows is the
+# full table count for every rule so rates are comparable. Rates are
+# exact-integer divisions portably rounded — float-safe by
+# construction.
+# --------------------------------------------------------------------------
+def _conformance_oracle() -> str:
+    from .bi import PR6
+
+    rules = [
+        # (rule, n_rows subquery, n_violations subquery)
+        ("o_custkey_not_null", "orders",
+         "SELECT count(*) FROM orders WHERE o_custkey IS NULL"),
+        ("o_totalprice_non_negative", "orders",
+         "SELECT count(*) FROM orders WHERE NOT (o_totalprice >= 0)"),
+        ("o_orderstatus_domain", "orders",
+         "SELECT count(*) FROM orders WHERE NOT (o_orderstatus IN ('O','F','P'))"),
+        ("o_orderpriority_domain", "orders",
+         "SELECT count(*) FROM orders WHERE NOT (o_orderpriority IN "
+         "('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW'))"),
+        ("o_orderkey_unique", "orders",
+         "SELECT count(o_orderkey) - count(DISTINCT o_orderkey) FROM orders"),
+        ("o_custkey_fk_customer", "orders",
+         "SELECT count(*) FROM orders o WHERE o.o_custkey IS NOT NULL AND "
+         "NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)"),
+        ("l_discount_unit_interval", "lineitem",
+         "SELECT count(*) FROM lineitem WHERE NOT (l_discount BETWEEN 0 AND 1)"),
+        ("l_quantity_positive", "lineitem",
+         "SELECT count(*) FROM lineitem WHERE NOT (l_quantity > 0)"),
+        ("l_order_line_unique", "lineitem",
+         "SELECT count(*) - count(DISTINCT (l_orderkey, l_linenumber)) "
+         "FROM lineitem WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL"),
+        ("l_orderkey_fk_orders", "lineitem",
+         "SELECT count(*) FROM lineitem l WHERE l.l_orderkey IS NOT NULL AND "
+         "NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)"),
+        ("l_partkey_fk_part", "lineitem",
+         "SELECT count(*) FROM lineitem l WHERE l.l_partkey IS NOT NULL AND "
+         "NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)"),
+        ("l_suppkey_fk_supplier", "lineitem",
+         "SELECT count(*) FROM lineitem l WHERE l.l_suppkey IS NOT NULL AND "
+         "NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)"),
+    ]
+    sel = "\n    UNION ALL ".join(
+        f"SELECT '{r}' AS rule, (SELECT count(*) FROM {t}) AS n_rows, "
+        f"CAST(({v}) AS BIGINT) AS n_violations"
+        for r, t, v in rules
+    )
+    return f"""
+    WITH rules AS ({sel})
+    SELECT rule, n_rows, n_violations,
+           {PR6('n_violations / CAST(n_rows AS DOUBLE)')} AS violation_rate
+    FROM rules
+    """
+
+
+@register("warehouse_conformance_report", oracle=_conformance_oracle())
+def warehouse_conformance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.relational import conformance_report
+
+    orders = table(spark, sf_dir, "orders")
+    lineitem = table(spark, sf_dir, "lineitem")
+    customer = table(spark, sf_dir, "customer")
+    part = table(spark, sf_dir, "part")
+    supplier = table(spark, sf_dir, "supplier")
+    o_report = conformance_report(
+        orders,
+        checks={
+            "o_custkey_not_null": F.col("o_custkey").isNotNull(),
+            "o_totalprice_non_negative": F.col("o_totalprice") >= 0,
+            "o_orderstatus_domain": F.col("o_orderstatus").isin("O", "F", "P"),
+            "o_orderpriority_domain": F.col("o_orderpriority").isin(
+                "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"
+            ),
+        },
+        unique={"o_orderkey_unique": ["o_orderkey"]},
+        fks={"o_custkey_fk_customer": (["o_custkey"], customer, ["c_custkey"])},
+    )
+    l_report = conformance_report(
+        lineitem,
+        checks={
+            "l_discount_unit_interval": F.col("l_discount").between(0, 1),
+            "l_quantity_positive": F.col("l_quantity") > 0,
+        },
+        unique={"l_order_line_unique": ["l_orderkey", "l_linenumber"]},
+        fks={
+            "l_orderkey_fk_orders": (["l_orderkey"], orders, ["o_orderkey"]),
+            "l_partkey_fk_part": (["l_partkey"], part, ["p_partkey"]),
+            "l_suppkey_fk_supplier": (["l_suppkey"], supplier, ["s_suppkey"]),
+        },
+    )
+    return o_report.unionByName(l_report)

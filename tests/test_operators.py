@@ -736,3 +736,34 @@ def test_sessionize_gap_exact_boundary_sub_second(spark):
     # native semantics: an event at EXACTLY prev_end (delta == 600 s
     # sharp) still MERGES; only delta == 600 s + 1 us splits
     assert len(n) == 2 * n_split + (u - n_split)
+
+
+def test_conformance_report_detects_planted_violations(spark):
+    """Uniqueness and FK rules must actually fire: planted duplicate
+    keys, orphan children, and NULL keys (not violations for unique/FK,
+    caught by the not-null predicate instead)."""
+    from pyspark.sql import functions as F
+
+    from big_data_occupancy_detection_spark.operators.relational import (
+        conformance_report,
+    )
+
+    child = spark.createDataFrame(
+        [(1, 10), (1, 10), (2, 20), (3, 99), (None, 30)],
+        ["id", "parent_id"],
+    )
+    parent = spark.createDataFrame([(10,), (20,), (30,)], ["pid"])
+    out = {
+        r["rule"]: r
+        for r in conformance_report(
+            child,
+            checks={"id_not_null": F.col("id").isNotNull()},
+            unique={"id_unique": ["id"]},
+            fks={"parent_fk": (["parent_id"], parent, ["pid"])},
+        ).collect()
+    }
+    assert out["id_not_null"]["n_violations"] == 1          # the NULL id
+    assert out["id_unique"]["n_violations"] == 1            # dup id=1 pair
+    assert out["parent_fk"]["n_violations"] == 1            # 99 is orphan
+    assert all(r["n_rows"] == 5 for r in out.values())
+    assert out["id_unique"]["violation_rate"] == 0.2
