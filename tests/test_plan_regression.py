@@ -43,6 +43,8 @@ EXTRA_PLAN_PINNED = [
     "events_hourly_anomalies",   # hour-of-week baseline z-score scan
     "user_value_cusum",          # ordered CUSUM fold (collect+aggregate)
     "event_type_transitions",    # Markov transition matrix (lag pairs)
+    "doc_despanned_text",        # span surgery: gram explode + JVM fold
+    "warehouse_conformance_report",  # census + unique/FK anti-joins
 ]
 
 
