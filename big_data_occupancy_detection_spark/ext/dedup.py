@@ -852,7 +852,15 @@ def repeated_substring_spans(
         .filter(F.col("__n") > 1)
         .select("h")
     )
-    dup = grams.join(dup_h, "h")
+    # dup_h scales with DISTINCT corpus content — never broadcastable.
+    # Catalyst's static estimate for a post-aggregation filter guesses
+    # tiny and planned a broadcast join, which at 100x replication
+    # collected a ~1.5 GB build side to the driver (maxResultSize
+    # abort). shuffle_hash keeps it an executor-side join; dup_h is
+    # already hash-partitioned by h from its own groupBy, so the only
+    # new exchange is the grams side — and h is a uniform hash, so the
+    # per-partition build is balanced.
+    dup = grams.join(dup_h.hint("shuffle_hash"), "h")
     w = Window.partitionBy("doc_id").orderBy("pos")
     prev_end = F.max(F.col("pos") + F.lit(min_len - 1)).over(
         w.rowsBetween(Window.unboundedPreceding, -1)
@@ -915,7 +923,9 @@ def remove_repeated_spans(
             F.collect_list(F.struct("span_start", "span_end"))
         ).alias("__spans")
     )
-    joined = base.join(per_doc, "doc_id", "left")
+    # per_doc scales with the number of spanned docs (the whole corpus
+    # in a crawl-flood) — same never-broadcast rule as dup_h above
+    joined = base.join(per_doc.hint("shuffle_hash"), "doc_id", "left")
     zero = F.struct(F.lit("").alias("kept"), F.lit(1).alias("cur"))
     folded = F.aggregate(
         "__spans",

@@ -18,7 +18,7 @@ Usage::
     python scripts/scale_smoke_text.py [R] [op ...]
 
     R    replication factor (default 100 -> 500k docs)
-    op   tfidf | bigram | pmi (default all)
+    op   tfidf | bigram | pmi | spans | despan (default: the round-3 trio)
 """
 
 from __future__ import annotations
@@ -66,14 +66,25 @@ def main() -> None:
     # monkey-point the plan functions at the replicated frame: they take
     # (spark, sf_dir) and read via table(); route through a patched table
     import big_data_occupancy_detection_spark.plans.analytics as mod
+    import big_data_occupancy_detection_spark.plans.textops as tmod
 
     orig_table = mod.table
-    mod.table = lambda s, d, name: rep if name == "documents" else orig_table(s, d, name)
+    patched = lambda s, d, name: rep if name == "documents" else orig_table(s, d, name)
+    mod.table = patched
+    orig_ttable = tmod.table
+    tmod.table = patched
     try:
         targets = {
             "tfidf": ("doc_tfidf_top_terms", A.doc_tfidf_top_terms),
             "bigram": ("doc_bigram_logprob", A.doc_bigram_logprob),
             "pmi": ("pmi_top_cooccurrence", A.pmi_top_cooccurrence),
+            # round 5: exact-substring spans + removal — under R-way
+            # replication EVERY doc is an exact duplicate, so every
+            # position is a duplicated gram and the surgery runs at its
+            # worst case (all docs fully cut). Stresses the gram
+            # explode, global dup filter, interval merge, and fold.
+            "spans": ("doc_repeated_spans", tmod.doc_repeated_spans),
+            "despan": ("doc_despanned_text", tmod.doc_despanned_text),
         }
         for op in ops:
             name, fn = targets[op]
@@ -96,6 +107,7 @@ def main() -> None:
             )
     finally:
         mod.table = orig_table
+        tmod.table = orig_ttable
     spark.stop()
 
 
