@@ -79,6 +79,40 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_parquet_evolved(
+    spark: SparkSession,
+    *paths: str,
+    schema: StructType | None = None,
+) -> DataFrame:
+    """Schema-evolution scan: read every generation of a drifting parquet
+    dataset under one reconciled schema. Columns added later in the
+    dataset's life come back NULL for files written before them; each
+    file's scan still prunes to the columns it physically has, and
+    filter pushdown works per-file.
+
+    Two modes, both footer-cheap relative to the alternative (rewriting
+    historical files to the newest schema is a full-dataset write — a
+    non-starter at 100 TB):
+
+    - ``schema=None``: Spark's ``mergeSchema`` reconciles by UNION of all
+      file schemas. Planning cost is one footer read per file (parallel
+      in the driver's listing job) — fine for maintenance/backfill reads,
+      wasteful on a hot path with millions of files.
+    - ``schema=StructType``: the declared CURRENT schema is projected
+      onto every file; no footer merging at all. This is the production
+      path — the catalog owns the schema, old files yield NULL for new
+      columns.
+
+    Same-name columns whose types conflict across generations fail the
+    merge loudly (Spark refuses int-vs-string merges rather than guess);
+    widen upstream with an explicit cast-and-compact instead.
+    """
+    reader = spark.read
+    if schema is not None:
+        return reader.schema(schema).parquet(*paths)
+    return reader.option("mergeSchema", "true").parquet(*paths)
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one synthetic star-schema table from an sf directory.
 

@@ -767,3 +767,56 @@ def test_conformance_report_detects_planted_violations(spark):
     assert out["parent_fk"]["n_violations"] == 1            # 99 is orphan
     assert all(r["n_rows"] == 5 for r in out.values())
     assert out["id_unique"]["violation_rate"] == 0.2
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Two generations of one dataset (a column added between them) read
+    back under a single reconciled schema, both via mergeSchema and via a
+    declared current schema; values cross-checked against DuckDB's
+    union_by_name read of the same files."""
+    import duckdb
+
+    from big_data_occupancy_detection_spark.sources.readers import (
+        read_parquet_evolved,
+    )
+
+    gen1 = str(tmp_path / "gen1")
+    gen2 = str(tmp_path / "gen2")
+    spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "doc_id bigint, text string"
+    ).write.parquet(gen1)
+    spark.createDataFrame(
+        [(3, "gamma", "en", 4), (4, "delta", "fr", 7)],
+        "doc_id bigint, text string, lang string, n_tok bigint",
+    ).write.parquet(gen2)
+
+    merged = read_parquet_evolved(spark, gen1, gen2)
+    assert {f.name for f in merged.schema.fields} == {
+        "doc_id", "text", "lang", "n_tok",
+    }
+    got = sorted(
+        (r.doc_id, r.text, r.lang, r.n_tok)
+        for r in merged.select("doc_id", "text", "lang", "n_tok").collect()
+    )
+    want = duckdb.sql(
+        f"""SELECT doc_id, text, lang, n_tok
+            FROM read_parquet(['{gen1}/*.parquet', '{gen2}/*.parquet'],
+                              union_by_name=true)
+            ORDER BY doc_id"""
+    ).fetchall()
+    assert got == [tuple(r) for r in want]
+    # old-generation rows surface NULL for the late-added columns
+    assert got[0][2] is None and got[0][3] is None
+
+    # production path: declared current schema, no footer merging
+    declared = read_parquet_evolved(spark, gen1, gen2, schema=merged.schema)
+    assert sorted(
+        (r.doc_id, r.text, r.lang, r.n_tok) for r in declared.collect()
+    ) == got
+
+    # pushdown still reaches each file's scan under the merged read
+    plan = (
+        merged.filter(F.col("doc_id") > 2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters: [IsNotNull(doc_id), GreaterThan(doc_id,2)]" in plan
