@@ -268,3 +268,138 @@ def compact_parquet(
         "files_after": len(after),
         "bytes": total,
     }
+
+
+def delete_keys_parquet(
+    spark,
+    path: str,
+    key_col: str,
+    keys: list,
+) -> dict:
+    """Targeted row deletion (the GDPR / right-to-be-forgotten job):
+    physically remove every row whose ``key_col`` is in ``keys``,
+    rewriting ONLY the files whose parquet footer ``[min, max]`` range
+    can contain one of the keys.
+
+    On a range-sorted or z-ordered layout (``write_range_sorted_parquet``)
+    a key set touches a handful of files out of millions — every other
+    file keeps its exact bytes, so replica checksums, page caches, and
+    downstream incremental consumers stay valid. Rewriting the whole
+    dataset to delete a few users is the anti-pattern this avoids at
+    100 TB.
+
+    Both phases run ON EXECUTORS over a DataFrame of file paths (an
+    Arrow-batched ``mapInPandas``) — the driver never reads a footer:
+
+    1. *Prune*: read each file's row-group stats; files whose ranges
+       intersect no key (and have stats) are skipped untouched. Files
+       lacking stats for ``key_col`` are conservatively rewritten.
+    2. *Rewrite*: each candidate is filtered and replaced via
+       write-temp + same-directory ``os.rename`` — atomic PER FILE, so
+       a crash mid-job leaves every file either old or fully rewritten,
+       and a rerun with the same keys is a cheap idempotent no-op (the
+       rewritten files no longer match the prune ranges). A file whose
+       rows are all deleted is removed entirely.
+
+    ``keys`` is a driver-side list (the deletion-request batch — 10³–10⁶
+    ids, small next to the data). For subscription-scale key sets, flow
+    them through a broadcast anti-join rewrite instead.
+
+    Returns ``{files_total, files_rewritten, files_deleted, rows_deleted}``.
+    """
+    import pandas as pd
+
+    files = sorted(
+        f
+        for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        if os.path.isfile(f)
+    )
+    if not files or not keys:
+        return {
+            "files_total": len(files),
+            "files_rewritten": 0,
+            "files_deleted": 0,
+            "rows_deleted": 0,
+        }
+    key_set = set(keys)
+    sorted_keys = sorted(key_set)
+    lo, hi = sorted_keys[0], sorted_keys[-1]
+
+    def surgeon(batches):
+        import bisect
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        def drop_crc_sidecar(fname):
+            # Hadoop's ChecksumFileSystem keeps a `.name.crc` sidecar for
+            # files IT wrote; after this out-of-band rewrite the stale
+            # checksum would fail every later Spark read of the file.
+            crc = os.path.join(
+                os.path.dirname(fname), "." + os.path.basename(fname) + ".crc"
+            )
+            if os.path.exists(crc):
+                os.remove(crc)
+
+        for pdf in batches:
+            out = []
+            for fname in pdf["file"]:
+                md = pq.ParquetFile(fname).metadata
+                try:
+                    ci = md.schema.to_arrow_schema().names.index(key_col)
+                except ValueError:
+                    raise ValueError(f"{key_col!r} not in {fname}")
+                touched = False
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(ci).statistics
+                    if st is None or not st.has_min_max:
+                        touched = True  # no stats: cannot prune, rewrite
+                        break
+                    if st.max < lo or st.min > hi:
+                        continue
+                    # any key inside [min, max]?
+                    i = bisect.bisect_left(sorted_keys, st.min)
+                    if i < len(sorted_keys) and sorted_keys[i] <= st.max:
+                        touched = True
+                        break
+                if not touched:
+                    out.append((fname, 0, False, False))
+                    continue
+                tbl = pq.read_table(fname)
+                mask = pc.is_in(tbl.column(key_col), pa.array(sorted_keys))
+                n_del = pc.sum(mask).as_py() or 0
+                if n_del == 0:
+                    # range overlapped but no actual key present
+                    out.append((fname, 0, False, False))
+                    continue
+                kept = tbl.filter(pc.invert(mask))
+                if kept.num_rows == 0:
+                    os.remove(fname)
+                    drop_crc_sidecar(fname)
+                    out.append((fname, n_del, False, True))
+                    continue
+                tmp = fname + ".__del__"
+                pq.write_table(kept, tmp)
+                os.rename(tmp, fname)  # same-dir rename: atomic per file
+                drop_crc_sidecar(fname)
+                out.append((fname, n_del, True, False))
+            yield pd.DataFrame(
+                out, columns=["file", "rows_deleted", "rewritten", "removed"]
+            )
+
+    report = (
+        spark.createDataFrame([(f,) for f in files], "file string")
+        .repartition(min(len(files), 64))
+        .mapInPandas(
+            surgeon,
+            "file string, rows_deleted long, rewritten boolean, removed boolean",
+        )
+        .collect()
+    )
+    return {
+        "files_total": len(files),
+        "files_rewritten": sum(1 for r in report if r.rewritten),
+        "files_deleted": sum(1 for r in report if r.removed),
+        "rows_deleted": sum(r.rows_deleted for r in report),
+    }
