@@ -403,3 +403,146 @@ def delete_keys_parquet(
         "files_deleted": sum(1 for r in report if r.removed),
         "rows_deleted": sum(r.rows_deleted for r in report),
     }
+
+
+def compact_small_files(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    small_ratio: float = 0.5,
+) -> dict:
+    """Surgical small-file compaction: bin-pack runs of ADJACENT small
+    files into target-size files and leave every adequately-sized file
+    byte-untouched — the incremental OPTIMIZE that runs after each
+    streaming/append ingest, where :func:`compact_parquet` (full
+    rewrite) is the occasional deep maintenance pass.
+
+    Files smaller than ``small_ratio * target_file_bytes`` are packed
+    greedily, but only CONSECUTIVE files (in name order) share a bin:
+    range-sorted and z-ordered layouts name files in key order, so
+    merging neighbours keeps each output file's footer ``[min, max]``
+    tight — merging scattered smalls would produce wide-range footers
+    and quietly destroy the data skipping the layout was built for.
+
+    Each bin commits through a marker protocol that makes ANY crash
+    point recoverable and the job rerunnable:
+
+    1. write the merged file under a temp name,
+    2. write ``<final>.__commit__`` (JSON: final + originals) via
+       write-temp + rename (atomic),
+    3. rename merged temp → final (atomic),
+    4. delete the originals, 5. delete the marker.
+
+    Recovery on entry: a marker whose final file EXISTS is rolled
+    forward (delete surviving originals + marker); a marker whose final
+    is missing is rolled back (delete marker + temp; originals intact).
+    Stray ``.__bin__`` temps are scrubbed. As with ``compact_parquet``,
+    this is a single-maintainer job: readers racing step 3–4 can see a
+    bin's rows twice and should retry, not error permanently.
+
+    Bins run ON EXECUTORS (Arrow ``mapInPandas`` over the bin list —
+    pyarrow concat preserves row order within and across the adjacent
+    inputs). Returns ``{files_before, files_after, bins, bytes_compacted}``.
+    """
+    import json as _json
+
+    import pandas as pd
+
+    # ---- crash recovery from a previous interrupted run ----
+    for marker in glob.glob(os.path.join(path, "**", "*.__commit__"),
+                            recursive=True):
+        with open(marker) as fh:
+            rec = _json.load(fh)
+        if os.path.exists(rec["final"]):
+            for f in rec["originals"]:          # roll forward
+                if os.path.exists(f):
+                    os.remove(f)
+        os.remove(marker)
+    for tmp in glob.glob(os.path.join(path, "**", "*.__bin__"),
+                         recursive=True):
+        os.remove(tmp)
+
+    files = sorted(
+        f
+        for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        if os.path.isfile(f) and not f.endswith(".__bin__")
+    )
+    small_cut = int(target_file_bytes * small_ratio)
+    sizes = {f: os.path.getsize(f) for f in files}
+
+    bins: list[list[str]] = []
+    run: list[str] = []
+    run_bytes = 0
+    for f in files:
+        if sizes[f] < small_cut:
+            if run and run_bytes + sizes[f] > target_file_bytes:
+                bins.append(run)
+                run, run_bytes = [], 0
+            run.append(f)
+            run_bytes += sizes[f]
+        else:
+            if run:
+                bins.append(run)
+            run, run_bytes = [], 0
+    if run:
+        bins.append(run)
+    bins = [b for b in bins if len(b) >= 2]
+    if not bins:
+        return {
+            "files_before": len(files),
+            "files_after": len(files),
+            "bins": 0,
+            "bytes_compacted": 0,
+        }
+
+    def packer(batches):
+        import hashlib
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            out = []
+            for spec in pdf["bin"]:
+                originals = _json.loads(spec)
+                tag = hashlib.md5("|".join(
+                    os.path.basename(f) for f in originals
+                ).encode()).hexdigest()[:16]
+                final = os.path.join(
+                    os.path.dirname(originals[0]), f"compact-{tag}.parquet"
+                )
+                merged = pa.concat_tables(pq.read_table(f) for f in originals)
+                tmp = final + ".__bin__"
+                pq.write_table(merged, tmp)
+                marker = final + ".__commit__"
+                mtmp = marker + ".__bin__"
+                with open(mtmp, "w") as fh:
+                    _json.dump({"final": final, "originals": originals}, fh)
+                os.rename(mtmp, marker)
+                os.rename(tmp, final)
+                for f in originals:
+                    os.remove(f)
+                    crc = os.path.join(
+                        os.path.dirname(f), "." + os.path.basename(f) + ".crc"
+                    )
+                    if os.path.exists(crc):
+                        os.remove(crc)
+                os.remove(marker)
+                out.append((final, len(originals)))
+            yield pd.DataFrame(out, columns=["final", "n_in"])
+
+    stats = (
+        spark.createDataFrame(
+            [(_json.dumps(b),) for b in bins], "bin string"
+        )
+        .repartition(min(len(bins), 64))
+        .mapInPandas(packer, "final string, n_in int")
+        .collect()
+    )
+    compacted = sum(sizes[f] for b in bins for f in b)
+    return {
+        "files_before": len(files),
+        "files_after": len(files) - sum(r.n_in for r in stats) + len(stats),
+        "bins": len(stats),
+        "bytes_compacted": compacted,
+    }
