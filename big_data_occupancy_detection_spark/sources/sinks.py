@@ -346,10 +346,21 @@ def delete_keys_parquet(
             out = []
             for fname in pdf["file"]:
                 md = pq.ParquetFile(fname).metadata
+                # row-group statistics are ordered by PHYSICAL LEAF column
+                # (nested maps/structs flatten to several leaves), so the
+                # key column must be resolved by leaf path — indexing by
+                # arrow's top-level field position would read a different
+                # column's stats whenever a nested field precedes the key.
+                leaf_paths = [
+                    md.schema.column(i).path for i in range(md.num_columns)
+                ]
                 try:
-                    ci = md.schema.to_arrow_schema().names.index(key_col)
+                    ci = leaf_paths.index(key_col)
                 except ValueError:
-                    raise ValueError(f"{key_col!r} not in {fname}")
+                    raise ValueError(
+                        f"{key_col!r} is not a top-level primitive column "
+                        f"of {fname} (leaves: {leaf_paths})"
+                    )
                 touched = False
                 for rg in range(md.num_row_groups):
                     st = md.row_group(rg).column(ci).statistics

@@ -109,7 +109,9 @@ def test_merged_footer_range_is_union_of_adjacent_inputs(spark, fragmented):
         lo, hi = None, None
         for f in files:
             md = pq.ParquetFile(f).metadata
-            ci = md.schema.to_arrow_schema().names.index("o_orderkey")
+            ci = [
+                md.schema.column(i).path for i in range(md.num_columns)
+            ].index("o_orderkey")
             for g in range(md.num_row_groups):
                 st = md.row_group(g).column(ci).statistics
                 lo = st.min if lo is None else min(lo, st.min)

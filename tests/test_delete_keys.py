@@ -126,3 +126,22 @@ def test_no_keys_or_missing_column_edges(spark, laid_out):
     assert rep["rows_deleted"] == 0 and rep["files_rewritten"] == 0
     with pytest.raises(Exception, match="o_nope"):
         delete_keys_parquet(spark, out, "o_nope", [1])
+
+
+def test_nested_column_before_key_does_not_shift_stats_lookup(spark, tmp_path):
+    """Regression: row-group stats are ordered by physical LEAF column,
+    so a map/struct field ahead of the key must not make the prune read
+    another column's min/max (which could wrongly skip a file)."""
+    out = str(tmp_path / "nested")
+    df = spark.createDataFrame(
+        [(({"a": "x"}), 9_000_000 + i, i) for i in range(100)],
+        "props map<string,string>, big bigint, k bigint",
+    )
+    # one file whose `big` range (9e6..) would NOT overlap the keys —
+    # reading big's stats for k would prune the file and miss the delete
+    df.coalesce(1).write.parquet(out)
+    rep = delete_keys_parquet(spark, out, "k", [5, 6, 7])
+    assert rep["rows_deleted"] == 3
+    back = spark.read.parquet(out)
+    assert back.count() == 97
+    assert back.filter(F.col("k").isin([5, 6, 7])).count() == 0
