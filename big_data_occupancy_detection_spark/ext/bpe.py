@@ -201,19 +201,29 @@ def apply_bpe(
             )
 
     pre = F.regexp_extract_all(norm_text(text_col), F.lit(BPE_REGEX), 0)
+    # posexplode_OUTER + left join: a doc whose normalized text yields no
+    # pre-tokens (empty / whitespace-only / NULL text) keeps one
+    # (pos=NULL, word=NULL) row, so it reaches the per-doc aggregation and
+    # comes back as bpe_tokens=[] instead of silently vanishing from the
+    # output (output row count == input doc count, always).
     exploded = repartition_for_compute(docs).select(
-        F.col(id_col), F.posexplode(pre).alias("pos", "word")
+        F.col(id_col), F.posexplode_outer(pre).alias("pos", "word")
     )
-    distinct_words = exploded.select("word").distinct()
+    distinct_words = (
+        exploded.select("word").filter(F.col("word").isNotNull()).distinct()
+    )
     encoded = distinct_words.mapInPandas(enc, "word string, toks array<string>")
     per_doc = (
-        exploded.join(F.broadcast(encoded), "word")
+        exploded.join(F.broadcast(encoded), "word", "left")
         .groupBy(id_col)
         .agg(
             F.flatten(
                 F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("pos", "toks"))
+                    F.filter(
+                        F.array_sort(
+                            F.collect_list(F.struct("pos", "toks"))
+                        ),
+                        lambda s: s["pos"].isNotNull(),
                     ),
                     lambda s: s["toks"],
                 )

@@ -940,17 +940,21 @@ def remove_repeated_spans(
             (s["span_end"] + F.lit(1)).alias("cur"),
         ),
     )
+    # materialize the fold ONCE per row: higher-order aggregate
+    # expressions are not common-subexpression-eliminated, so the struct
+    # is projected here and kept/cur are read back as struct FIELDS in
+    # the next projection (CollapseProject refuses to inline a non-cheap
+    # producer referenced twice, so the O(len) fold runs exactly once)
+    folded_stage = joined.select(
+        "doc_id", "__t", "__spans", folded.alias("__f")
+    )
     clean = F.concat(
-        folded["kept"],
+        F.col("__f.kept"),
         F.col("__t").substr(
-            folded["cur"], F.length("__t") - folded["cur"] + 1
+            F.col("__f.cur"), F.length("__t") - F.col("__f.cur") + 1
         ),
     )
-    # materialize the fold ONCE per row: higher-order aggregate
-    # expressions are not common-subexpression-eliminated, so deriving
-    # n_spans/removed_chars from the same projection would re-run the
-    # O(len) string fold per reference
-    staged = joined.select(
+    staged = folded_stage.select(
         "doc_id",
         "__t",
         "__spans",

@@ -229,11 +229,18 @@ def _serve_codes(
             (
                 r[id_col],
                 [
+                    # Index by POSITION = cid: an empty cluster (possible
+                    # when duplicate embeddings collapse two seeds) leaves
+                    # a cid gap, and no code ever references a gap — the
+                    # 0.0 filler only keeps element_at(lut, code+1)
+                    # positionally aligned with the surviving cids.
                     [
                         _fold_dot(
                             nv[s * d_sub : (s + 1) * d_sub], cents[s][c]
                         )
-                        for c in range(len(cents[s]))
+                        if c in cents[s]
+                        else 0.0
+                        for c in range(max(cents[s]) + 1)
                     ]
                     for s in range(n_sub)
                 ],

@@ -481,6 +481,11 @@ def conformance_report(
                 ).alias("violation_rate"),
             )
         )
+    if not parts:
+        raise ValueError(
+            "conformance_report needs at least one rule: pass checks=, "
+            "unique=, or fks="
+        )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

@@ -1310,10 +1310,17 @@ def doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = BPE.learn_bpe_merges(docs, n_merges=64)
     out = BPE.apply_bpe(docs, merges)
     pre = F.regexp_extract_all(norm_text("text"), F.lit(BPE.BPE_REGEX), 0)
+    # transform-then-join (not array_join + trailing END) so a doc with
+    # zero pre-tokens expects "" — apply_bpe now emits bpe_tokens=[] for
+    # empty/NULL docs instead of dropping them.
     expected = docs.select(
         "doc_id",
-        F.concat(
-            F.array_join(pre, BPE.END), F.lit(BPE.END)
+        F.array_join(
+            F.transform(
+                F.coalesce(pre, F.array().cast("array<string>")),
+                lambda w: F.concat(w, F.lit(BPE.END)),
+            ),
+            "",
         ).alias("__expect"),
     )
     gated = (

@@ -309,6 +309,14 @@ def delete_keys_parquet(
     """
     import pandas as pd
 
+    # Scrub temps stranded by a crash between write_table and rename.
+    # They are dot-prefixed so Spark's listing never reads them as data;
+    # the original file is intact at that crash point, so dropping the
+    # temp rolls the file cleanly back to "old".
+    for tmp in glob.glob(os.path.join(path, "**", ".*.__del__"),
+                         recursive=True):
+        os.remove(tmp)
+
     files = sorted(
         f
         for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
@@ -390,7 +398,12 @@ def delete_keys_parquet(
                     drop_crc_sidecar(fname)
                     out.append((fname, n_del, False, True))
                     continue
-                tmp = fname + ".__del__"
+                # Dot-prefixed temp: hidden from Spark's file listing, so
+                # a crash before the rename can never double-count rows.
+                tmp = os.path.join(
+                    os.path.dirname(fname),
+                    "." + os.path.basename(fname) + ".__del__",
+                )
                 pq.write_table(kept, tmp)
                 os.rename(tmp, fname)  # same-dir rename: atomic per file
                 drop_crc_sidecar(fname)
@@ -484,13 +497,20 @@ def compact_small_files(
     bins: list[list[str]] = []
     run: list[str] = []
     run_bytes = 0
+    run_dir: str | None = None
     for f in files:
+        # A bin must never span directories: on a hive-partitioned layout
+        # the partition value lives in the DIRECTORY name, not the file,
+        # so a cross-dir merge would silently re-label rows.
+        f_dir = os.path.dirname(f)
         if sizes[f] < small_cut:
-            if run and run_bytes + sizes[f] > target_file_bytes:
+            if run and (run_bytes + sizes[f] > target_file_bytes
+                        or f_dir != run_dir):
                 bins.append(run)
                 run, run_bytes = [], 0
             run.append(f)
             run_bytes += sizes[f]
+            run_dir = f_dir
         else:
             if run:
                 bins.append(run)

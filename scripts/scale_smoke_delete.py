@@ -70,7 +70,7 @@ def main() -> None:
         wall = time.perf_counter() - t0
         rewritten_bytes = sum(
             sz for f, sz in sizes_before.items()
-            if os.path.getsize(f) != sz or not os.path.exists(f)
+            if not os.path.exists(f) or os.path.getsize(f) != sz
         )
         print(json.dumps({
             "rows": n_rows, "files": len(files),

@@ -108,3 +108,36 @@ def test_learn_bpe_merges_on_documents_table(spark, sf_dir):
     ).collect()[0]["c"]
     n = toks.select(F.sum("n_tokens").alias("n")).collect()[0]["n"]
     assert 0 < n < chars
+
+
+def test_apply_bpe_keeps_empty_and_null_docs(spark):
+    """Docs whose normalized text yields zero pre-tokens must come back
+    as bpe_tokens=[] — never silently vanish (output rows == input docs)."""
+    docs = spark.createDataFrame(
+        [(1, "hello hello world"), (2, ""), (3, "   "), (4, None)],
+        "doc_id long, text string",
+    )
+    merges = bpe.learn_bpe_merges(docs, n_merges=8)
+    out = {
+        r.doc_id: (list(r.bpe_tokens), r.n_tokens)
+        for r in bpe.apply_bpe(docs, merges).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}
+    for d in (2, 3, 4):
+        assert out[d] == ([], 0)
+    assert out[1][1] > 0
+
+
+def test_doc_bpe_tokens_gate_passes_with_empty_docs(spark, tmp_path):
+    """The in-path reconstruction gate must treat an empty doc's expected
+    stream as "" (no trailing separator) now that empty docs survive."""
+    from big_data_occupancy_detection_spark.plans import textops
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, ""), (3, None), (4, "the cat")],
+        "doc_id long, text string",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    rows = textops.doc_bpe_tokens(spark, str(tmp_path)).collect()  # no raise
+    assert [r.doc_id for r in rows] == [1, 2, 3, 4]
+    assert rows[1].n_tokens == 0 and rows[2].n_tokens == 0

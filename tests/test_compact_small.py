@@ -155,3 +155,46 @@ def test_crash_recovery_rolls_forward_and_back(spark, fragmented):
     assert not os.path.exists(final2 + ".__commit__")
     # same rows as before the staged "crash": the copy replaced the victim
     assert spark.read.parquet(out).count() == n_pre
+
+
+def test_partitioned_layout_bins_never_cross_partition_dirs(spark, tmp_path):
+    """Hive-partitioned layout: the partition value lives in the DIRECTORY
+    name, so a bin spanning two partition dirs would silently re-label
+    every row of the second partition. Runs must break at dir changes."""
+    out = str(tmp_path / "orders_part")
+    orders = table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    # several tiny append files inside EACH partition directory
+    for k in range(4):
+        (
+            orders.filter(F.col("o_orderkey") % 4 == k)
+            .limit(60)
+            .coalesce(1)
+            .write.mode("append")
+            .partitionBy("o_orderstatus")
+            .parquet(out)
+        )
+    pre = spark.read.parquet(out)
+    want = sorted(
+        (r.o_orderkey, r.o_orderstatus)
+        for r in pre.select("o_orderkey", "o_orderstatus").collect()
+    )
+
+    # everything is "small": without the dir break, the sorted file walk
+    # would pack the last files of partition A with the first of B
+    report = compact_small_files(
+        spark, out, target_file_bytes=1 << 30, small_ratio=1.0
+    )
+    assert report["bins"] >= 1
+
+    got = sorted(
+        (r.o_orderkey, r.o_orderstatus)
+        for r in spark.read.parquet(out)
+        .select("o_orderkey", "o_orderstatus")
+        .collect()
+    )
+    assert got == want  # no row changed partition
+    # and every merged file sits inside a partition dir it was built from
+    for f in glob.glob(f"{out}/**/compact-*.parquet", recursive=True):
+        assert "o_orderstatus=" in os.path.dirname(f)

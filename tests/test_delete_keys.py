@@ -145,3 +145,36 @@ def test_nested_column_before_key_does_not_shift_stats_lookup(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 97
     assert back.filter(F.col("k").isin([5, 6, 7])).count() == 0
+
+
+def test_crash_stranded_temp_is_hidden_and_scrubbed(spark, laid_out):
+    """A crash between write_table(tmp) and rename leaves the filtered
+    copy under the dot-prefixed temp name: Spark's listing must never
+    read it as data (no double counting) and a rerun must scrub it."""
+    import shutil
+
+    out = laid_out
+    files = sorted(glob.glob(f"{out}/*.parquet"))
+    n_pre = spark.read.parquet(out).count()
+    victim = files[0]
+    tmp = os.path.join(out, "." + os.path.basename(victim) + ".__del__")
+    shutil.copyfile(victim, tmp)
+
+    # hidden from the reader: row count unchanged despite the stray copy
+    assert spark.read.parquet(out).count() == n_pre
+
+    keys = [
+        r.o_custkey
+        for r in spark.read.parquet(out)
+        .select("o_custkey")
+        .distinct()
+        .orderBy("o_custkey")
+        .take(1)
+    ]
+    rep = delete_keys_parquet(spark, out, "o_custkey", keys)
+    assert not os.path.exists(tmp)  # scrubbed on entry
+    assert rep["rows_deleted"] > 0
+    assert (
+        spark.read.parquet(out).filter(F.col("o_custkey").isin(keys)).count()
+        == 0
+    )

@@ -820,3 +820,13 @@ def test_schema_evolution_merge_read(spark, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "PushedFilters: [IsNotNull(doc_id), GreaterThan(doc_id,2)]" in plan
+
+
+def test_conformance_report_requires_at_least_one_rule(spark):
+    from big_data_occupancy_detection_spark.operators.relational import (
+        conformance_report,
+    )
+
+    df = spark.range(3)
+    with pytest.raises(ValueError, match="at least one rule"):
+        conformance_report(df)

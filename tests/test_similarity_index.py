@@ -264,3 +264,49 @@ def test_streaming_ann_serve_matches_batch(spark, emb, pq_path, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_pq_serve_tolerates_empty_cluster_cid_gaps(spark, tmp_path):
+    """Duplicate-heavy corpora collapse seed centroids: the assignment
+    tie-break sends every point to the SMALLEST of two identical seeds,
+    the larger seed's cluster ends up empty, and the persisted codebook's
+    cids become non-contiguous. The serve LUT must stay positionally
+    aligned across the gap instead of raising KeyError."""
+    import hashlib
+
+    ids = list(range(1, 41))
+    order = sorted(
+        ids,
+        key=lambda v: (
+            int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16),
+            v,
+        ),
+    )
+    A = [1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0]
+    B = [0.0, 1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0]
+    # the four smallest-hash ids become seeds cid 0..3: seeds 0,1 share
+    # value A and seeds 2,3 share B -> clusters 1 and 3 are empty and the
+    # codebook keeps cids {0, 2} — a real gap at cid 1.
+    val = {}
+    for i, v in enumerate(order[:4]):
+        val[v] = A if i < 2 else B
+    for i, v in enumerate(order[4:]):
+        val[v] = A if i % 2 == 0 else B
+    emb2 = spark.createDataFrame(
+        [(v, val[v]) for v in ids], "vec_id long, embedding array<double>"
+    )
+    path = str(tmp_path / "pq_gap")
+    pqx.build_pq_index(emb2, path, n_sub=2, codebook=4)
+    cents = pqx.load_codebooks(spark, path, 2)
+    assert any(max(c) + 1 > len(c) for c in cents)  # precondition: gap
+
+    queries = emb2.limit(3)
+    inline = sorted(
+        tuple(r)
+        for r in sim.pq_topk(emb2, queries, k=3, n_sub=2, codebook=4).collect()
+    )
+    served = sorted(
+        tuple(r)
+        for r in pqx.pq_topk_from_index(spark, path, queries, k=3).collect()
+    )
+    assert served == inline
