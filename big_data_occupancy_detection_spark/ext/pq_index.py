@@ -72,6 +72,32 @@ def _normalized_long_ids(emb, id_col: str, vec_col: str):
     )
 
 
+def _write_codebooks(spark: SparkSession, cents: list[DataFrame], path: str) -> None:
+    """Collect the per-subspace (cid, __cent) frames — n_sub·codebook
+    tiny rows — and persist them as the one-file codebooks table."""
+    cent_rows = []
+    for s, cent in enumerate(cents):
+        cent_rows += [
+            (s, int(r["cid"]), [float(x) for x in r["__cent"]])
+            for r in cent.collect()
+        ]
+    spark.createDataFrame(
+        cent_rows, schema="sub int, cid int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+
+
+def _write_vectors(normed: DataFrame, path: str) -> None:
+    """Persist the unit vectors range-partitioned + sorted by id so the
+    serve re-rank's pushed IN filter prunes row groups via footer stats."""
+    (
+        normed.select(F.col("vid").alias("vec_id"), "nvec")
+        .repartitionByRange("vec_id")
+        .sortWithinPartitions("vec_id")
+        .write.mode("overwrite")
+        .parquet(f"{path}/vectors")
+    )
+
+
 def build_pq_index(
     emb: DataFrame,
     path: str,
@@ -87,25 +113,11 @@ def build_pq_index(
     d_sub = dim // n_sub
     normed = _normalized_long_ids(emb, id_col, vec_col)
     cents, codes = _pq_fit_subspaces(normed, n_sub, codebook, d_sub)
-    cent_rows = []
-    for s, cent in enumerate(cents):
-        cent_rows += [
-            (s, int(r["cid"]), [float(x) for x in r["__cent"]])
-            for r in cent.collect()
-        ]
-    spark.createDataFrame(
-        cent_rows, schema="sub int, cid int, centroid array<double>"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+    _write_codebooks(spark, cents, path)
     codes.select(
         "vec_id", *[F.col(f"c{s}").cast("tinyint") for s in range(n_sub)]
     ).write.mode("overwrite").parquet(f"{path}/codes")
-    (
-        normed.select(F.col("vid").alias("vec_id"), "nvec")
-        .repartitionByRange("vec_id")
-        .sortWithinPartitions("vec_id")
-        .write.mode("overwrite")
-        .parquet(f"{path}/vectors")
-    )
+    _write_vectors(normed, path)
     for cent in cents:
         cent.unpersist()
     with open(os.path.join(path, "meta.json"), "w") as f:
@@ -351,15 +363,7 @@ def build_ivfpq_index(
         schema="cid int, centroid array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/coarse")
     cents, codes = _pq_fit_subspaces(normed, n_sub, codebook, d_sub)
-    cent_rows = []
-    for s, cent in enumerate(cents):
-        cent_rows += [
-            (s, int(r["cid"]), [float(x) for x in r["__cent"]])
-            for r in cent.collect()
-        ]
-    spark.createDataFrame(
-        cent_rows, schema="sub int, cid int, centroid array<double>"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+    _write_codebooks(spark, cents, path)
     (
         codes.join(assigned, "vec_id")
         .select(
@@ -371,13 +375,7 @@ def build_ivfpq_index(
         .partitionBy("cluster")
         .parquet(f"{path}/codes")
     )
-    (
-        normed.select(F.col("vid").alias("vec_id"), "nvec")
-        .repartitionByRange("vec_id")
-        .sortWithinPartitions("vec_id")
-        .write.mode("overwrite")
-        .parquet(f"{path}/vectors")
-    )
+    _write_vectors(normed, path)
     for cent in cents:
         cent.unpersist()
     with open(os.path.join(path, "meta.json"), "w") as f:
@@ -476,7 +474,7 @@ def append_to_pq_index(
     with open(os.path.join(path, "meta.json")) as f:
         meta = json.load(f)
     n_sub, d_sub = meta["n_sub"], meta["d_sub"]
-    from .similarity import _pq_assign_l2
+    from .similarity import _assign_codes
 
     cents = load_codebooks(spark, path, n_sub)
     cent_dfs = [
@@ -487,15 +485,7 @@ def append_to_pq_index(
         for s in range(n_sub)
     ]
     normed = _normalized_long_ids(new_emb, id_col, vec_col).localCheckpoint(eager=True)
-    codes = None
-    for s in range(n_sub):
-        sub = normed.select(
-            "vid", F.slice("nvec", s * d_sub + 1, d_sub).alias("nvec")
-        )
-        code_s = _pq_assign_l2(sub, cent_dfs[s]).select(
-            F.col("vid").alias("vec_id"), F.col("cluster").alias(f"c{s}")
-        )
-        codes = code_s if codes is None else codes.join(code_s, "vec_id")
+    codes = _assign_codes(normed, cent_dfs, n_sub, d_sub)
     codes.select(
         "vec_id", *[F.col(f"c{s}").cast("tinyint") for s in range(n_sub)]
     ).write.mode("append").parquet(f"{path}/codes")

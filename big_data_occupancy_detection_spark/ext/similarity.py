@@ -696,6 +696,27 @@ def _pq_assign_l2(df: DataFrame, cent: DataFrame) -> DataFrame:
     )
 
 
+def _assign_codes(
+    normed: DataFrame, cents: list[DataFrame], n_sub: int, d_sub: int
+) -> DataFrame:
+    """Per-subspace code assignment against FIXED codebooks: slice each
+    unit vector, ``_pq_assign_l2`` it against that subspace's (cid,
+    __cent) frame, and join the per-subspace codes into the wide
+    (vec_id, c0..c{n_sub-1}) table. Shared by the fit path and by
+    ``ext.pq_index.append_to_pq_index`` (frozen-codebook delta ingest)
+    so both assign bit-identically."""
+    codes = None
+    for s in range(n_sub):
+        sub = normed.select(
+            "vid", F.slice("nvec", s * d_sub + 1, d_sub).alias("nvec")
+        )
+        code_s = _pq_assign_l2(sub, cents[s]).select(
+            F.col("vid").alias("vec_id"), F.col("cluster").alias(f"c{s}")
+        )
+        codes = code_s if codes is None else codes.join(code_s, "vec_id")
+    return codes
+
+
 def _pq_fit_subspaces(
     normed: DataFrame, n_sub: int, codebook: int, d_sub: int
 ) -> tuple[list[DataFrame], DataFrame]:
@@ -705,20 +726,14 @@ def _pq_fit_subspaces(
     both produce bit-identical codebooks/codes. Returns
     (per-subspace centroid DataFrames (cid, __cent) — persisted —
     and the wide code table (vec_id, c0..c{n_sub-1}))."""
-    codes = None
     cents: list[DataFrame] = []
     for s in range(n_sub):
         sub = normed.select(
             "vid", F.slice("nvec", s * d_sub + 1, d_sub).alias("nvec")
         )
         seed = _seed_centroids(sub, codebook)
-        cent = _mean_centroids(_pq_assign_l2(sub, seed), "nvec").persist()
-        cents.append(cent)
-        code_s = _pq_assign_l2(sub, cent).select(
-            F.col("vid").alias("vec_id"), F.col("cluster").alias(f"c{s}")
-        )
-        codes = code_s if codes is None else codes.join(code_s, "vec_id")
-    return cents, codes
+        cents.append(_mean_centroids(_pq_assign_l2(sub, seed), "nvec").persist())
+    return cents, _assign_codes(normed, cents, n_sub, d_sub)
 
 
 def _pq_shortlist(
