@@ -161,3 +161,95 @@ class CmsAccumulator:
             c = self.grid.get((seed, h), 0)
             est = c if est is None else min(est, c)
         return est or 0
+
+
+# ------------------------------------------------------------------ bloom
+
+BLOOM_WORDS = 1 << 10  # 1024 words × 32 bits = 32768-bit default filter
+BLOOM_HASHES = 5
+
+
+def _bloom_probes(df: DataFrame, key_col: str, n_words: int, k: int) -> DataFrame:
+    """Fan each row out to its ``k`` probe positions: ``word_idx`` (which
+    32-bit word of the bitmap holds the bit) and ``__mask`` (the bit
+    inside it, always a non-negative long since bits run 0..31). The
+    position family is the portable md5-60bit hash of ``"i|key"`` — the
+    same seeding convention as the CMS ``_bucket`` — so a DuckDB oracle
+    rebuilds the identical filter bit-for-bit."""
+    m = n_words * 32
+    probed = df.select(
+        "*", F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("__i")
+    ).withColumn(
+        "__p",
+        F.pmod(
+            md5_hash64(
+                F.concat_ws("|", F.col("__i").cast("string"), F.col(key_col))
+            ),
+            F.lit(m),
+        ),
+    )
+    return probed.select(
+        "*",
+        F.expr("__p div 32").cast("int").alias("word_idx"),
+        F.expr(
+            "shiftleft(CAST(1 AS BIGINT), CAST(__p % 32 AS INT))"
+        ).alias("__mask"),
+    ).drop("__i", "__p")
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    n_words: int = BLOOM_WORDS,
+    k: int = BLOOM_HASHES,
+) -> DataFrame:
+    """Distributed Bloom filter build: (word_idx int, word long) — the
+    sparse non-zero words of an ``n_words × 32``-bit membership bitmap
+    with ``k`` set bits per key.
+
+    The classic ingest pre-screen at 100 TB: a corpus of fingerprints
+    folds into a fixed-size bitmap (one map-side-combined ``bit_or``
+    groupBy — the shuffle carries at most ``n_words × partitions``
+    partial words, NOT the key stream), the bitmap broadcasts, and a
+    delta batch discards its definite-new rows without ever joining the
+    corpus. No false negatives ever; false-positive rate
+    ≈ ``(1 - e^(-k·n/m))^k`` with ``m = 32·n_words`` bits — size
+    ``n_words`` ≈ keys/3 for ~1% at k=5 (the bitmap is 4·n_words bytes;
+    past broadcast size, shard the key space and build per-shard
+    filters). Duplicate keys are free (OR is idempotent), so no
+    distinct pass is spent. Mergeable: union two filters' word tables
+    and re-``bit_or`` by word_idx.
+    """
+    return (
+        _bloom_probes(df.select(F.col(key_col)), key_col, n_words, k)
+        .groupBy("word_idx")
+        .agg(F.bit_or("__mask").cast("long").alias("word"))
+    )
+
+
+def bloom_contains(
+    bloom: DataFrame,
+    df: DataFrame,
+    key_col: str,
+    n_words: int = BLOOM_WORDS,
+    k: int = BLOOM_HASHES,
+    out_col: str = "might_contain",
+) -> DataFrame:
+    """Membership probe: ``df`` plus a boolean ``out_col`` — true iff all
+    ``k`` of the key's bits are set in the filter (so false means the
+    key is DEFINITELY absent from the built corpus).
+
+    Pass a SLIM ``df`` (ids + key): the probe fan-out carries every
+    column through a ``k``-way explode and a groupBy over all of them.
+    The filter side joins broadcast (it is at most ``n_words`` rows);
+    words absent from the sparse table are zero."""
+    probed = _bloom_probes(df, key_col, n_words, k)
+    hit = (
+        F.coalesce(F.col("word"), F.lit(0)).bitwiseAND(F.col("__mask"))
+        != F.lit(0)
+    )
+    return (
+        probed.join(F.broadcast(bloom), "word_idx", "left")
+        .groupBy(*df.columns)
+        .agg(F.bool_and(hit).alias(out_col))
+    )

@@ -133,8 +133,6 @@ def lang_id_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def exact_dedup_groups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_dedup_groups(table(spark, sf_dir, "documents"))
-
-
 # --------------------------------------------------------------------------
 # q26 — document fingerprints (whole-doc md5 + winnowing min-hash of char
 # 5-grams: stable under local edits).
@@ -161,6 +159,89 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         TX.fingerprint_md5("text").alias("fp_md5"),
         TX.fingerprint_rolling_min("text", 5).alias("fp_rolling"),
     )
+
+
+# --------------------------------------------------------------------------
+# q — Bloom-filter ingest pre-screen (ext.sketches.bloom_build/
+# bloom_contains): fold the corpus's winnowing fingerprints (min
+# char-5-gram hash — the content-cluster key, stable under local edits)
+# into a fixed 32768-bit membership bitmap (one map-side-combined
+# bit_or groupBy — the shuffle carries words, not keys), then flag a
+# delta batch. bloom_candidate false ⇒ content cluster DEFINITELY
+# unseen (skip the dedup join entirely); is_dup is the exact ground
+# truth, so the no-false-negative contract (is_dup ⇒ bloom_candidate)
+# is visible — and testable — in the output. The oracle rebuilds the
+# identical bitmap from the same md5-60bit "i|fp" probe family.
+# --------------------------------------------------------------------------
+_BLOOM_W, _BLOOM_K = 1024, 5
+_BLOOM_M = _BLOOM_W * 32
+_FPR_SQL = (
+    "CAST(COALESCE(list_min(list_transform("
+    f"{_CHAR_GRAMS_SQL}, g -> {hash64_sql('g')})), -1) AS VARCHAR)"
+)
+_BPROBE_SQL = hash64_sql("i::VARCHAR || '|' || fp") + f" % {_BLOOM_M}"
+
+
+def _bloom_prescreen_oracle() -> str:
+    return f"""
+    WITH keyed AS (
+      SELECT doc_id, {_FPR_SQL} AS fp, (doc_id % 10 = 0) AS is_delta
+      FROM documents
+    ),
+    corpus AS (SELECT DISTINCT fp FROM keyed WHERE NOT is_delta),
+    seeds AS (SELECT unnest(range({_BLOOM_K})) AS i),
+    cpos AS (SELECT ({_BPROBE_SQL}) AS p FROM corpus, seeds),
+    bloom AS (
+      SELECT p // 32 AS word_idx,
+             CAST(bit_or(1::BIGINT << CAST(p % 32 AS INTEGER)) AS BIGINT)
+               AS word
+      FROM cpos GROUP BY 1
+    ),
+    delta AS (SELECT doc_id, fp FROM keyed WHERE is_delta),
+    dpos AS (SELECT doc_id, fp, ({_BPROBE_SQL}) AS p FROM delta, seeds),
+    flags AS (
+      SELECT doc_id,
+             bool_and(
+               (COALESCE(b.word, 0)
+                & (1::BIGINT << CAST(p % 32 AS INTEGER))) <> 0
+             ) AS bloom_candidate
+      FROM dpos LEFT JOIN bloom b ON (dpos.p // 32) = b.word_idx
+      GROUP BY doc_id
+    )
+    SELECT f.doc_id, f.bloom_candidate, (c.fp IS NOT NULL) AS is_dup
+    FROM flags f
+    JOIN delta d USING (doc_id)
+    LEFT JOIN corpus c ON d.fp = c.fp
+    ORDER BY doc_id
+    """
+
+
+@register("bloom_delta_prescreen", oracle=_bloom_prescreen_oracle())
+def bloom_delta_prescreen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ext import sketches as SK
+
+    docs = table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        F.coalesce(TX.fingerprint_rolling_min("text", 5), F.lit(-1))
+        .cast("string")
+        .alias("fp"),
+        (F.col("doc_id") % 10 == 0).alias("__is_delta"),
+    )
+    corpus = keyed.filter(~F.col("__is_delta")).select("fp").distinct()
+    delta = keyed.filter(F.col("__is_delta")).select("doc_id", "fp")
+    bloom = SK.bloom_build(corpus, "fp", n_words=_BLOOM_W, k=_BLOOM_K)
+    flagged = SK.bloom_contains(
+        bloom, delta, "fp",
+        n_words=_BLOOM_W, k=_BLOOM_K, out_col="bloom_candidate",
+    )
+    out = flagged.join(corpus.withColumn("__dup", F.lit(True)), "fp", "left")
+    return out.select(
+        "doc_id",
+        "bloom_candidate",
+        F.coalesce("__dup", F.lit(False)).alias("is_dup"),
+    ).orderBy("doc_id")
+
 
 
 # --------------------------------------------------------------------------

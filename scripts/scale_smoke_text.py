@@ -87,6 +87,62 @@ def main() -> None:
             "despan": ("doc_despanned_text", tmod.doc_despanned_text),
         }
         for op in ops:
+            if op == "bloom":
+                # R-way replicated CONTENT keeps the fingerprint key space
+                # flat, so the bloom smoke scales the key space itself:
+                # R/100 x 500k DISTINCT keys, filter sized keys/3 words,
+                # delta half-seen/half-new. Evidence for the claim that
+                # build shuffle carries words (partitions x n_words
+                # partials), never the key stream.
+                from big_data_occupancy_detection_spark.ext.sketches import (
+                    bloom_build,
+                    bloom_contains,
+                )
+
+                n_keys = 500_000 * r // 100
+                n_words = max(1024, n_keys // 3)
+                mk = lambda lo, hi: spark.range(lo, hi).select(
+                    F.concat(F.lit("k-"), F.col("id")).alias("k")
+                )
+                corpus = mk(0, n_keys)
+                half = 25_000
+                delta = mk(n_keys - half, n_keys + half)
+                r0, w0 = shuffle_totals(spark)
+                t0 = time.perf_counter()
+                bloom = bloom_build(
+                    corpus, "k", n_words=n_words
+                ).localCheckpoint(eager=True)
+                build_wall = time.perf_counter() - t0
+                t1 = time.perf_counter()
+                row = (
+                    bloom_contains(bloom, delta, "k", n_words=n_words)
+                    .agg(
+                        F.sum(F.col("might_contain").cast("int")).alias("c"),
+                        F.count(F.lit(1)).alias("n"),
+                    )
+                    .collect()[0]
+                )
+                probe_wall = time.perf_counter() - t1
+                r1, w1 = shuffle_totals(spark)
+                assert row["c"] >= half  # never a false negative
+                print(
+                    json.dumps(
+                        {
+                            "op": "bloom_build+probe",
+                            "keys": n_keys,
+                            "n_words": n_words,
+                            "build_wall_s": round(build_wall, 2),
+                            "probe_wall_s": round(probe_wall, 2),
+                            "candidates": int(row["c"]),
+                            "probed": int(row["n"]),
+                            "false_pos": int(row["c"]) - half,
+                            "shuffle_read_mb": round((r1 - r0) / 1e6, 1),
+                            "shuffle_write_mb": round((w1 - w0) / 1e6, 1),
+                        }
+                    ),
+                    flush=True,
+                )
+                continue
             name, fn = targets[op]
             r0, w0 = shuffle_totals(spark)
             t0 = time.perf_counter()
