@@ -241,15 +241,69 @@ def bloom_contains(
 
     Pass a SLIM ``df`` (ids + key): the probe fan-out carries every
     column through a ``k``-way explode and a groupBy over all of them.
-    The filter side joins broadcast (it is at most ``n_words`` rows);
-    words absent from the sparse table are zero."""
+    The filter side joins broadcast up to 2²¹ words (≤ ~32 MB of
+    (int, long) rows); a bigger filter — 10 B keys at 1% FP is ~12 GB —
+    falls back to a plain join so Spark shuffles probes to the filter
+    on ``word_idx`` instead of collecting it to the driver. Words
+    absent from the sparse table are zero either way."""
     probed = _bloom_probes(df, key_col, n_words, k)
+    bloom_side = F.broadcast(bloom) if n_words <= (1 << 21) else bloom
     hit = (
         F.coalesce(F.col("word"), F.lit(0)).bitwiseAND(F.col("__mask"))
         != F.lit(0)
     )
     return (
-        probed.join(F.broadcast(bloom), "word_idx", "left")
+        probed.join(bloom_side, "word_idx", "left")
         .groupBy(*df.columns)
         .agg(F.bool_and(hit).alias(out_col))
     )
+
+
+class BloomAccumulator:
+    """Streaming Bloom state: the bounded word dict fed by DISTRIBUTED
+    per-batch filters (``bloom_build`` runs on the cluster; only the
+    ≤ ``n_words`` aggregated words reach the driver). Use with
+    ``foreachBatch`` on a dedup-ingest stream: filters over disjoint
+    batches merge by OR, so the accumulated filter after N batches is
+    identical to ``bloom_build`` over the union of all batches
+    (test-asserted) — the streaming twin of the batch pre-screen, like
+    ``CmsAccumulator`` is for count-min.
+    """
+
+    def __init__(self, n_words: int = BLOOM_WORDS, k: int = BLOOM_HASHES):
+        self.n_words, self.k = n_words, k
+        self.words: dict[int, int] = {}
+
+    def merge_batch(self, batch_df: DataFrame, key_col: str) -> None:
+        for r in bloom_build(batch_df, key_col, self.n_words, self.k).collect():
+            i = int(r["word_idx"])
+            self.words[i] = self.words.get(i, 0) | int(r["word"])
+
+    def foreach_batch(self, key_col: str):
+        """A ``foreachBatch`` function maintaining this accumulator."""
+
+        def fn(batch_df: DataFrame, batch_id: int) -> None:
+            self.merge_batch(batch_df, key_col)
+
+        return fn
+
+    def as_dataframe(self, spark) -> DataFrame:
+        """The accumulated filter as the same (word_idx, word) table
+        ``bloom_build`` emits — feed it straight to ``bloom_contains``."""
+        return spark.createDataFrame(
+            sorted(self.words.items()), schema="word_idx int, word long"
+        )
+
+    def might_contain(self, key) -> bool:
+        """Driver-side probe — the same md5-60bit "i|key" positions the
+        distributed build sets, so verdicts agree with ``bloom_contains``."""
+        import hashlib
+
+        m = self.n_words * 32
+        for i in range(self.k):
+            p = int(
+                hashlib.md5(f"{i}|{key}".encode()).hexdigest()[:15], 16
+            ) % m
+            if not (self.words.get(p // 32, 0) >> (p % 32)) & 1:
+                return False
+        return True

@@ -82,3 +82,55 @@ def test_registry_query_contract_on_real_documents(spark):
     # shipped corpus (near-dup clusters straddle the delta boundary)
     assert any(r.bloom_candidate for r in rows)
     assert any(not r.bloom_candidate for r in rows)
+
+
+def test_streaming_bloom_merge_equals_batch_build(spark, tmp_path):
+    """Mergeability across micro-batches: a Bloom accumulated via
+    foreachBatch must equal the filter built over all keys at once, and
+    its driver-side probes must agree with the distributed
+    bloom_contains verdicts."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from big_data_occupancy_detection_spark.ext.sketches import (
+        BloomAccumulator,
+    )
+
+    keys = [f"key-{i}" for i in range(400)]
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in range(3):
+        pq.write_table(
+            pa.table({"k": keys[i * 140 : (i + 1) * 140]}),
+            src / f"b{i}.parquet",
+        )
+    acc = BloomAccumulator(n_words=64)
+    q = (
+        spark.readStream.schema("k string")
+        .parquet(str(src))
+        .writeStream.foreachBatch(acc.foreach_batch("k"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    all_keys = spark.createDataFrame([(k,) for k in keys], ["k"])
+    batch_words = {
+        r.word_idx: r.word
+        for r in bloom_build(all_keys, "k", n_words=64).collect()
+    }
+    assert acc.words == batch_words
+
+    probe = spark.createDataFrame(
+        [(k,) for k in keys[:20] + [f"unseen-{i}" for i in range(20)]], ["k"]
+    )
+    dist = {
+        r.k: r.might_contain
+        for r in bloom_contains(
+            acc.as_dataframe(spark), probe, "k", n_words=64
+        ).collect()
+    }
+    for k, want in dist.items():
+        assert acc.might_contain(k) == want
+    assert all(dist[k] for k in keys[:20])  # no false negatives
