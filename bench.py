@@ -88,6 +88,7 @@ HEADLINE = [
     "copurchase_triangles",    # degree-ordered wedge join triangle count
     "customer_spend_percentiles",  # two-pass distributed exact percentiles
     "monthly_open_order_backlog",  # sweep-line open-interval backlog
+    "bloom_delta_prescreen",   # Bloom bitmap build + broadcast delta probe
     # One flavor per operator family (round-4 trim): the registry keeps
     # every form oracle-verified; the headline benches the PRODUCTION
     # twin and names the slow/baseline twin it stands for —

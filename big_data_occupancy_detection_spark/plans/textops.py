@@ -219,14 +219,23 @@ def _bloom_prescreen_oracle() -> str:
 @register("bloom_delta_prescreen", oracle=_bloom_prescreen_oracle())
 def bloom_delta_prescreen(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ext import sketches as SK
+    from ..operators.partitioning import repartition_for_compute
 
     docs = table(spark, sf_dir, "documents")
-    keyed = docs.select(
-        "doc_id",
-        F.coalesce(TX.fingerprint_rolling_min("text", 5), F.lit(-1))
-        .cast("string")
-        .alias("fp"),
-        (F.col("doc_id") % 10 == 0).alias("__is_delta"),
+    # The winnowing fingerprint hashes EVERY char 5-gram (~|text| md5s
+    # per doc) and feeds three consumers (bloom build, delta probe,
+    # exact join): repartition off the single input file and checkpoint
+    # so the expensive pass runs once, parallel — not 3x single-threaded.
+    keyed = (
+        repartition_for_compute(docs)
+        .select(
+            "doc_id",
+            F.coalesce(TX.fingerprint_rolling_min("text", 5), F.lit(-1))
+            .cast("string")
+            .alias("fp"),
+            (F.col("doc_id") % 10 == 0).alias("__is_delta"),
+        )
+        .localCheckpoint(eager=True)
     )
     corpus = keyed.filter(~F.col("__is_delta")).select("fp").distinct()
     delta = keyed.filter(F.col("__is_delta")).select("doc_id", "fp")
