@@ -148,11 +148,18 @@ class CmsAccumulator:
 
         return fn
 
-    def estimate(self, key) -> int:
+    def estimate(self, key: str) -> int:
         """Driver-side point estimate — the same md5-60bit bucketing the
-        distributed build uses, so estimates agree with ``cms_estimate``."""
+        distributed build uses, so estimates agree with ``cms_estimate``.
+        Takes the key AS A STRING (same contract, and reason, as
+        ``BloomAccumulator.might_contain``)."""
         import hashlib
 
+        if not isinstance(key, str):
+            raise TypeError(
+                "estimate takes the key as a string — cast it the way "
+                "the built key column was cast"
+            )
         est = None
         for seed in range(self.depth):
             h = int(
@@ -175,10 +182,11 @@ def _bloom_probes(df: DataFrame, key_col: str, n_words: int, k: int) -> DataFram
     inside it, always a non-negative long since bits run 0..31). The
     position family is the portable md5-60bit hash of ``"i|key"`` — the
     same seeding convention as the CMS ``_bucket`` — so a DuckDB oracle
-    rebuilds the identical filter bit-for-bit."""
+    rebuilds the identical filter bit-for-bit. The depth fan-out is the
+    same ``explode_fused`` shape ``cms_build`` uses."""
     m = n_words * 32
-    probed = df.select(
-        "*", F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("__i")
+    probed = explode_fused(
+        df, F.sequence(F.lit(0), F.lit(k - 1)), "__i", keep=None
     ).withColumn(
         "__p",
         F.pmod(
@@ -239,14 +247,18 @@ def bloom_contains(
     ``k`` of the key's bits are set in the filter (so false means the
     key is DEFINITELY absent from the built corpus).
 
-    Pass a SLIM ``df`` (ids + key): the probe fan-out carries every
-    column through a ``k``-way explode and a groupBy over all of them.
-    The filter side joins broadcast up to 2²¹ words (≤ ~32 MB of
+    Row-preserving: every input row comes back exactly once (an internal
+    monotonic row tag keys the per-row reassembly, so duplicate rows —
+    the normal shape of a raw ingest batch — are NOT collapsed). Pass a
+    SLIM ``df`` (ids + key): the probe fan-out carries every column
+    through a ``k``-way explode and the reassembly groups over all of
+    them. The filter side joins broadcast up to 2²¹ words (≤ ~32 MB of
     (int, long) rows); a bigger filter — 10 B keys at 1% FP is ~12 GB —
     falls back to a plain join so Spark shuffles probes to the filter
     on ``word_idx`` instead of collecting it to the driver. Words
     absent from the sparse table are zero either way."""
-    probed = _bloom_probes(df, key_col, n_words, k)
+    tagged = df.withColumn("__row", F.monotonically_increasing_id())
+    probed = _bloom_probes(tagged, key_col, n_words, k)
     bloom_side = F.broadcast(bloom) if n_words <= (1 << 21) else bloom
     hit = (
         F.coalesce(F.col("word"), F.lit(0)).bitwiseAND(F.col("__mask"))
@@ -254,8 +266,9 @@ def bloom_contains(
     )
     return (
         probed.join(bloom_side, "word_idx", "left")
-        .groupBy(*df.columns)
+        .groupBy("__row", *df.columns)
         .agg(F.bool_and(hit).alias(out_col))
+        .drop("__row")
     )
 
 
@@ -294,11 +307,20 @@ class BloomAccumulator:
             sorted(self.words.items()), schema="word_idx int, word long"
         )
 
-    def might_contain(self, key) -> bool:
+    def might_contain(self, key: str) -> bool:
         """Driver-side probe — the same md5-60bit "i|key" positions the
-        distributed build sets, so verdicts agree with ``bloom_contains``."""
+        distributed build sets, so verdicts agree with ``bloom_contains``.
+        Takes the key AS A STRING: Python formatting of other types
+        diverges from Spark's CAST (``True`` vs ``true``), which would
+        probe the wrong bits and fabricate a driver-side false
+        negative."""
         import hashlib
 
+        if not isinstance(key, str):
+            raise TypeError(
+                "might_contain takes the key as a string — cast it the "
+                "way the built key column was cast"
+            )
         m = self.n_words * 32
         for i in range(self.k):
             p = int(

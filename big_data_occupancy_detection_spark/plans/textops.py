@@ -133,6 +133,8 @@ def lang_id_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def exact_dedup_groups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_dedup_groups(table(spark, sf_dir, "documents"))
+
+
 # --------------------------------------------------------------------------
 # q26 — document fingerprints (whole-doc md5 + winnowing min-hash of char
 # 5-grams: stable under local edits).
@@ -250,7 +252,6 @@ def bloom_delta_prescreen(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bloom_candidate",
         F.coalesce("__dup", F.lit(False)).alias("is_dup"),
     ).orderBy("doc_id")
-
 
 
 # --------------------------------------------------------------------------

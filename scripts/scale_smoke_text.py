@@ -18,7 +18,7 @@ Usage::
     python scripts/scale_smoke_text.py [R] [op ...]
 
     R    replication factor (default 100 -> 500k docs)
-    op   tfidf | bigram | pmi | spans | despan (default: the round-3 trio)
+    op   tfidf | bigram | pmi | spans | despan | bloom (default: the round-3 trio)
 """
 
 from __future__ import annotations
@@ -105,7 +105,8 @@ def main() -> None:
                     F.concat(F.lit("k-"), F.col("id")).alias("k")
                 )
                 corpus = mk(0, n_keys)
-                half = 25_000
+                # the seen half can never exceed the corpus (small R)
+                half = min(25_000, n_keys // 2)
                 delta = mk(n_keys - half, n_keys + half)
                 r0, w0 = shuffle_totals(spark)
                 t0 = time.perf_counter()

@@ -134,3 +134,16 @@ def test_streaming_bloom_merge_equals_batch_build(spark, tmp_path):
     for k, want in dist.items():
         assert acc.might_contain(k) == want
     assert all(dist[k] for k in keys[:20])  # no false negatives
+
+
+def test_contains_preserves_row_multiplicity(spark):
+    """A raw ingest batch carries duplicates; the probe must return one
+    output row per input row, not collapse them."""
+    built = _keys(spark, 0, 50)
+    bloom = bloom_build(built, "k")
+    dup = spark.createDataFrame(
+        [("key-1",), ("key-1",), ("key-1",), ("unseen",)], ["k"]
+    )
+    out = bloom_contains(bloom, dup, "k").collect()
+    assert len(out) == 4
+    assert sum(1 for r in out if r.k == "key-1" and r.might_contain) == 3

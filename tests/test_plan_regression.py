@@ -45,7 +45,6 @@ EXTRA_PLAN_PINNED = [
     "event_type_transitions",    # Markov transition matrix (lag pairs)
     "doc_despanned_text",        # span surgery: gram explode + JVM fold
     "warehouse_conformance_report",  # census + unique/FK anti-joins
-    "bloom_delta_prescreen",     # bit_or bitmap build + broadcast probe
 ]
 
 
