@@ -268,3 +268,124 @@ def vocab_coverage(
             ).alias("cum_share"),
         )
     )
+
+
+def _word_ngrams(tk: Column, n: int) -> Column:
+    """Array of space-joined word n-grams (NON-distinct — counts matter
+    for repetition metrics). Empty when the doc has fewer than ``n``
+    tokens (guarded: Spark's ``sequence(1, 0)`` would step DOWNWARD)."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(tk) - (n - 1)),
+        lambda i: F.array_join(F.slice(tk, i, n), " "),
+    )
+    return F.when(F.size(tk) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def repetition_features(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style WITHIN-document repetition metrics — the quality
+    filters that catch boilerplate/spam pages the corpus-level dedup
+    operators cannot see (a page repeating its own nav bar 50 times is
+    unique corpus-wide):
+
+    - ``dup_line_frac`` / ``dup_line_char_frac``: fraction of lines
+      (and of line characters, weighting each occurrence beyond the
+      first) that duplicate another line of the SAME document. Lines
+      come from the RAW text (normalization collapses newlines),
+      trimmed, empties dropped.
+    - ``top_bigram_cover_frac``: max character coverage of any single
+      word 2-gram (count × gram length / normalized chars).
+    - ``dup_5gram_frac``: fraction of word-5-gram occurrences whose
+      gram occurs more than once in the document.
+
+    Scale shape: three hash shuffles (per-doc line / 2-gram / 5-gram
+    counts, all map-side combined) re-joined on ``doc_id`` — no per-doc
+    O(len²) array HOFs, so a pathological 100k-line doc costs its token
+    volume, not its square. Ratios are single int/int double divisions
+    + ``portable_round`` so a DuckDB oracle reproduces them bit-for-bit.
+    """
+    base = repartition_for_compute(docs).select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t")
+    )
+    lines = base.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.transform(F.split("__t", "\n"), lambda x: F.trim(x)),
+                lambda x: x != "",
+            )
+        ).alias("line"),
+    )
+    ldoc = (
+        lines.groupBy("doc_id", "line")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("len", F.length("line"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_lines"),
+            F.count(F.lit(1)).alias("nd"),
+            F.sum((F.col("c") - 1) * F.col("len")).alias("dupch"),
+            F.sum(F.col("c") * F.col("len")).alias("totch"),
+        )
+    )
+    g2doc = (
+        base.select("doc_id", F.explode(_word_ngrams(tokens("__t"), 2)).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max(F.col("c") * F.length("g")).alias("max2cover"))
+    )
+    g5doc = (
+        base.select("doc_id", F.explode(_word_ngrams(tokens("__t"), 5)).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0))
+            ).alias("dup_occ"),
+            F.sum("c").alias("tot_occ"),
+        )
+    )
+    nch = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.length(norm_text(text_col)).alias("nchars"),
+    )
+    return (
+        nch.join(ldoc, "doc_id", "left")
+        .join(g2doc, "doc_id", "left")
+        .join(g5doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_lines", F.lit(0)).cast("long").alias("n_lines"),
+            portable_round(
+                F.when(
+                    F.col("n_lines") > 0,
+                    (F.col("n_lines") - F.col("nd")) / F.col("n_lines"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("dup_line_frac"),
+            portable_round(
+                F.when(
+                    F.col("totch") > 0, F.col("dupch") / F.col("totch")
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("dup_line_char_frac"),
+            portable_round(
+                F.when(
+                    F.col("nchars") > 0,
+                    F.coalesce("max2cover", F.lit(0)) / F.col("nchars"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("top_bigram_cover_frac"),
+            portable_round(
+                F.when(
+                    F.col("tot_occ") > 0, F.col("dup_occ") / F.col("tot_occ")
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("dup_5gram_frac"),
+        )
+    )

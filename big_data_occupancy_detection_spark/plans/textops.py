@@ -119,6 +119,71 @@ def lang_id_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q — Gopher-style within-document repetition metrics (ext.text.
+# repetition_features): dup-line fractions over the RAW text's lines,
+# max single-bigram character coverage, duplicate 5-gram occurrence
+# fraction — the boilerplate/spam filters corpus-level dedup cannot see.
+# All ratios are one int/int double division + portable_round, so the
+# oracle replays them bit-for-bit.
+# --------------------------------------------------------------------------
+def _repetition_oracle() -> str:
+    from ..functions.rounding import portable_round_sql as prs
+
+    return f"""
+    WITH lraw AS (
+      SELECT doc_id, unnest(string_split(text, chr(10))) AS l FROM documents
+    ),
+    lines AS (SELECT doc_id, trim(l) AS line FROM lraw WHERE trim(l) <> ''),
+    lstat AS (SELECT doc_id, line, count(*) AS c FROM lines GROUP BY 1, 2),
+    ldoc AS (
+      SELECT doc_id, sum(c) AS n_lines, count(*) AS nd,
+             sum((c - 1) * length(line)) AS dupch,
+             sum(c * length(line)) AS totch
+      FROM lstat GROUP BY 1
+    ),
+    {_TOKS_CTE},
+    g2l AS (
+      SELECT doc_id, list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+               i -> concat_ws(' ', t[i], t[i+1])) AS gl FROM toks
+    ),
+    g2 AS (SELECT doc_id, unnest(gl) AS g FROM g2l),
+    g2s AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+    g2d AS (SELECT doc_id, max(c * length(g)) AS max2cover FROM g2s GROUP BY 1),
+    g5l AS (
+      SELECT doc_id, list_transform(range(1, greatest(len(t) - 4, 0) + 1),
+               i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]))
+               AS gl FROM toks
+    ),
+    g5 AS (SELECT doc_id, unnest(gl) AS g FROM g5l),
+    g5s AS (SELECT doc_id, g, count(*) AS c FROM g5 GROUP BY 1, 2),
+    g5d AS (
+      SELECT doc_id, sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_occ,
+             sum(c) AS tot_occ
+      FROM g5s GROUP BY 1
+    ),
+    nch AS (SELECT doc_id, length({NORM_SQL}) AS nchars FROM documents)
+    SELECT n.doc_id,
+           CAST(COALESCE(l.n_lines, 0) AS BIGINT) AS n_lines,
+           {prs("CASE WHEN l.n_lines > 0 THEN (l.n_lines - l.nd) / l.n_lines ELSE 0.0 END", 6)} AS dup_line_frac,
+           {prs("CASE WHEN l.totch > 0 THEN l.dupch / l.totch ELSE 0.0 END", 6)} AS dup_line_char_frac,
+           {prs("CASE WHEN n.nchars > 0 THEN COALESCE(g2d.max2cover, 0) / n.nchars ELSE 0.0 END", 6)} AS top_bigram_cover_frac,
+           {prs("CASE WHEN g5d.tot_occ > 0 THEN g5d.dup_occ / g5d.tot_occ ELSE 0.0 END", 6)} AS dup_5gram_frac
+    FROM nch n
+    LEFT JOIN ldoc l USING (doc_id)
+    LEFT JOIN g2d USING (doc_id)
+    LEFT JOIN g5d USING (doc_id)
+    ORDER BY doc_id
+    """
+
+
+@register("doc_repetition_features", oracle=_repetition_oracle())
+def doc_repetition_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.repetition_features(table(spark, sf_dir, "documents")).orderBy(
+        "doc_id"
+    )
+
+
+# --------------------------------------------------------------------------
 # q25 — exact dedup groups (md5 fingerprint, deterministic representative).
 # --------------------------------------------------------------------------
 @register(

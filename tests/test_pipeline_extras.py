@@ -149,3 +149,40 @@ def test_streaming_cms_merge_equals_batch_build(spark, tmp_path, sf_dir):
     }
     for k in some_keys:
         assert acc.estimate(k) == dist_est[k]
+
+
+def test_repetition_features_discriminate_boilerplate(spark):
+    """Gopher-style within-doc repetition: crafted docs must separate
+    cleanly (the synthetic corpus is single-line and non-repetitive, so
+    the discrimination contract lives here, the bit-exactness in the
+    registry oracle)."""
+    nav = "home about contact\n" * 5
+    spam = " ".join(["buy cheap pills now today"] * 10)
+    clean = "the quick brown fox jumps over the lazy dog near a river bank"
+    docs = spark.createDataFrame(
+        [
+            (1, nav + "unique article body here"),
+            (2, spam),
+            (3, clean),
+            (4, ""),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in TX.repetition_features(docs).collect()}
+    assert set(out) == {1, 2, 3, 4, 5}
+    # nav-bar doc: 5 identical lines out of 6 -> 4/6 duplicate lines
+    assert out[1].n_lines == 6
+    assert abs(out[1].dup_line_frac - 4 / 6) < 1e-6
+    assert out[1].dup_line_char_frac > 0.5
+    # spam doc: every 5-gram window repeats; one bigram dominates
+    assert out[2].dup_5gram_frac > 0.9
+    assert out[2].top_bigram_cover_frac > 0.3
+    # clean doc: no repeated lines or 5-grams
+    assert out[3].dup_line_frac == 0.0
+    assert out[3].dup_5gram_frac == 0.0
+    # empty / NULL docs: all-zero row, never dropped
+    for d in (4, 5):
+        assert out[d].n_lines == 0
+        assert out[d].dup_line_frac == 0.0
+        assert out[d].dup_5gram_frac == 0.0

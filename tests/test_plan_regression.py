@@ -45,6 +45,7 @@ EXTRA_PLAN_PINNED = [
     "event_type_transitions",    # Markov transition matrix (lag pairs)
     "doc_despanned_text",        # span surgery: gram explode + JVM fold
     "warehouse_conformance_report",  # census + unique/FK anti-joins
+    "doc_repetition_features",   # line/2-gram/5-gram repetition censuses
 ]
 
 
