@@ -123,8 +123,11 @@ def lang_id_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
 # repetition_features): dup-line fractions over the RAW text's lines,
 # max single-bigram character coverage, duplicate 5-gram occurrence
 # fraction — the boilerplate/spam filters corpus-level dedup cannot see.
-# All ratios are one int/int double division + portable_round, so the
-# oracle replays them bit-for-bit.
+# Complements plans/curation.repetition_filter, which covers the
+# TOKEN-level pair of Gopher signals (top-token fraction, distinct-
+# bigram fraction + keep rule); this adds the line-level and long-gram
+# rows of the Gopher table. All ratios are one int/int double division
+# + portable_round, so the oracle replays them bit-for-bit.
 # --------------------------------------------------------------------------
 def _repetition_oracle() -> str:
     from ..functions.rounding import portable_round_sql as prs
