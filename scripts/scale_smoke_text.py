@@ -85,6 +85,10 @@ def main() -> None:
             # explode, global dup filter, interval merge, and fold.
             "spans": ("doc_repeated_spans", tmod.doc_repeated_spans),
             "despan": ("doc_despanned_text", tmod.doc_despanned_text),
+            # round 5: within-doc repetition censuses (line/2-gram/5-gram
+            # explode+groupBy) — per-doc work, so wall should scale
+            # linearly with docs and shuffle with token volume
+            "repet": ("doc_repetition_features", tmod.doc_repetition_features),
         }
         for op in ops:
             if op == "bloom":
