@@ -18,7 +18,7 @@ Usage::
     python scripts/scale_smoke_text.py [R] [op ...]
 
     R    replication factor (default 100 -> 500k docs)
-    op   tfidf | bigram | pmi | spans | despan | bloom (default: the round-3 trio)
+    op   tfidf | bigram | pmi | spans | despan | bloom | repet (default: the round-3 trio)
 """
 
 from __future__ import annotations

@@ -186,3 +186,53 @@ def test_repetition_features_discriminate_boilerplate(spark):
         assert out[d].n_lines == 0
         assert out[d].dup_line_frac == 0.0
         assert out[d].dup_5gram_frac == 0.0
+
+
+def test_repetition_oracle_parity_on_multiline_docs(spark, tmp_path):
+    """The shipped corpus is single-line, so the fuzz sweep never
+    exercises the dup-line half of the repetition oracle; this pins
+    Spark-vs-DuckDB parity on crafted MULTI-line documents (padded
+    lines, tabs, duplicates, empties, NULLs)."""
+    import duckdb
+    import importlib.util
+
+    docs = spark.createDataFrame(
+        [
+            (1, "home about contact\nhome about contact\nbody text here"),
+            (2, "  padded line \n\tpadded line\npadded line"),
+            (3, "a b c d e f a b c d e f a b c d e f"),
+            (4, "\n\n\n"),
+            (5, ""),
+            (6, None),
+            (7, "one line only"),
+        ],
+        "doc_id long, text string",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+
+    spec = importlib.util.spec_from_file_location(
+        "e", "/root/repo/__spark_entry__.py"
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    got = sorted(
+        tuple(r)
+        for r in m.queries()["doc_repetition_features"](
+            spark, str(tmp_path)
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet/*.parquet'"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            m.oracle_sql()["doc_repetition_features"]
+        ).fetchall()
+    )
+    assert got == want
+    by_id = {t[0]: t for t in got}
+    assert by_id[1][2] > 0  # dup_line_frac nonzero on the nav-bar doc
+    assert by_id[2][2] > 0  # trim makes the padded lines duplicates
