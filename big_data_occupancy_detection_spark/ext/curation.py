@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from ..functions.rounding import portable_round
 from ..functions.text_fns import hash64, md5_hash64, norm_text, tokens
 from ..operators.generate import explode_fused
+from ..operators.partitioning import repartition_for_compute
 from ..operators.relational import global_cumsum, global_row_number
 
 # Patterns chosen to parse identically under Java regex (Spark) and RE2
@@ -475,4 +476,102 @@ def mixture_resample(
             "n_copies",
             F.explode(F.sequence(F.lit(1), F.col("n_copies"))).alias("copy_idx"),
         )
+    )
+
+
+def dsir_log_weights(
+    docs: DataFrame,
+    target_pred: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 1024,
+    seed: int = 17,
+) -> DataFrame:
+    """(doc_id, n_tok, log_weight, keep) — DSIR-style importance weights
+    (Xie et al. 2023, "Data Selection for Language Models via Importance
+    Resampling"): score every document by how much more likely its hashed
+    bag-of-words is under the TARGET domain's unigram distribution than
+    under the RAW pool's, ``log w(d) = Σ_k c_dk · (ln p_k − ln q_k)``,
+    with add-one smoothing on both distributions over ``dim`` hashed
+    feature buckets. Documents with ``log_weight ≥ 0`` look more
+    target-like than pool-like (the resampling step keeps a
+    weight-proportional sample; the sign split is the hard-threshold
+    variant).
+
+    ``target_pred`` is a boolean column over ``docs`` marking the target
+    domain (e.g. ``source ∈ {curated sources}``).
+
+    Physical shape for 100 TB: the token stream is hashed to bucket ids
+    inside whole-stage codegen and reduced ONCE, map-side combined, to
+    the (doc, target-flag, bucket, count) grain — that reduced frame is
+    eagerly checkpointed because it feeds two consumers (the ``dim``-row
+    global count table and the per-doc scores); without the pin Catalyst
+    would re-run the corpus-dominating tokenize+hash pass per consumer
+    (the exact 3×-recompute the bloom pre-screen hit, PERF.md). The
+    global λ table is O(dim) regardless of corpus size and rides back as
+    a broadcast. The per-document score folds ``c_k · λ_k`` terms in
+    bucket order via a sorted-array ``F.aggregate`` — a deterministic
+    left fold the DuckDB oracle replays with ``list_reduce`` over the
+    identically-ordered list, so the float sum is bit-identical across
+    engines.
+    """
+    base = repartition_for_compute(
+        docs.select(F.col(id_col), target_pred.alias("__is_target"), text_col)
+    )
+    toks = explode_fused(
+        base.select(id_col, "__is_target", tokens(text_col).alias("__t")),
+        "__t",
+        "tok",
+        keep=[id_col, "__is_target"],
+    ).filter(F.col("tok") != "")
+    bucketed = toks.select(
+        F.col(id_col),
+        "__is_target",
+        (hash64(F.col("tok"), seed) % F.lit(dim)).alias("bucket"),
+    )
+    # ONE pass over the token stream; everything below reads this
+    # compact (≤ dim rows per doc, all longs) frame.
+    dc = (
+        bucketed.groupBy(id_col, "__is_target", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    bc = dc.groupBy("bucket").agg(
+        F.sum(F.when(F.col("__is_target"), F.col("c")).otherwise(0)).alias("ct"),
+        F.sum(F.when(F.col("__is_target"), 0).otherwise(F.col("c"))).alias("cq"),
+    )
+    tot = bc.agg(
+        F.sum("ct").cast("double").alias("tct"),
+        F.sum("cq").cast("double").alias("tcq"),
+    )
+    lam = (
+        bc.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            (
+                F.log((F.col("ct") + F.lit(1.0)) / (F.col("tct") + F.lit(float(dim))))
+                - F.log((F.col("cq") + F.lit(1.0)) / (F.col("tcq") + F.lit(float(dim))))
+            ).alias("lam"),
+        )
+    )
+    terms = dc.join(F.broadcast(lam), "bucket").select(
+        F.col(id_col),
+        "c",
+        "bucket",
+        (F.col("c") * F.col("lam")).alias("term"),
+    )
+    folded = terms.groupBy(id_col).agg(
+        F.sum("c").cast("long").alias("n_tok"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("bucket", "term"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x.getField("term"),
+        ).alias("__lw"),
+    )
+    lw6 = portable_round(F.col("__lw"), 6)
+    return folded.select(
+        F.col(id_col),
+        "n_tok",
+        lw6.alias("log_weight"),
+        (lw6 >= F.lit(0.0)).alias("keep"),
     )

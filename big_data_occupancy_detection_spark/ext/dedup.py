@@ -968,3 +968,50 @@ def remove_repeated_spans(
             "removed_chars"
         ),
     )
+
+
+def shingle_novelty(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """(doc, n_shingles, n_novel, novelty) — per-document fraction of its
+    DISTINCT n-word shingles that occur in no other document: the
+    cross-document memorization/overlap census (a doc with novelty ≈ 0 is
+    entirely assembled from phrases that exist elsewhere in the corpus;
+    novelty ≈ 1 is fresh content). Complements the within-document
+    repetition metrics (ext.text.repetition_features) with the
+    between-document axis.
+
+    Plan: the tokenize→shingle→hash pass runs ONCE into a compact
+    (doc, h:int64) stream, eagerly checkpointed because it feeds both
+    the shingle document-frequency aggregate and the rejoin (otherwise
+    Catalyst re-runs the corpus-dominating text pass per consumer). The
+    DF table and the rejoin shuffle on the 8-byte hash — at 100 TB the
+    shuffles carry longs, never shingle strings. Hash collisions merge
+    shingles identically in the oracle (same portable hash family), and
+    under SPARK_GRAFT_FAST_HASH the census semantics are unchanged
+    (a collision undercounts novelty by the same rule either way).
+    """
+    sh = with_shingles(df, text_col, n).select(
+        F.col(id_col).alias("doc"), "shingles"
+    )
+    e = (
+        explode_fused(sh, "shingles", "s", keep=["doc"])
+        .select("doc", hash64(F.col("s")).alias("h"))
+        .localCheckpoint(eager=True)
+    )
+    dfreq = e.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    novel = (F.col("df") == 1).cast("int")
+    return (
+        e.join(dfreq, "h")
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(novel).cast("long").alias("n_novel"),
+            portable_round(
+                F.sum(novel).cast("double") / F.count(F.lit(1)), 6
+            ).alias("novelty"),
+        )
+    )

@@ -310,9 +310,7 @@ def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # one agg back to doc grain. Everything after tokenization is counts and
 # one ln per distinct bigram row — no per-token Python anywhere.
 # --------------------------------------------------------------------------
-@register(
-    "doc_bigram_logprob",
-    oracle=f"""
+_BIGRAM_DOC_ORACLE = f"""
     WITH clean AS (
       SELECT doc_id,
              list_filter(string_split_regex(
@@ -334,8 +332,10 @@ def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, count(*) AS n_bigrams,
            {PR6('avg(lp)')} AS avg_logprob
     FROM scored GROUP BY doc_id
-    """,
-)
+    """
+
+
+@register("doc_bigram_logprob", oracle=_BIGRAM_DOC_ORACLE)
 def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document mean log-probability under an add-one-smoothed
     bigram LM fit on the corpus (p(w2|w1) = (c₁₂+1)/(c₁+V)) — low
@@ -389,6 +389,51 @@ def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_bigrams"),
         portable_round(F.avg("lp"), 6).alias("avg_logprob"),
+    )
+
+
+# --------------------------------------------------------------------------
+# CCNet-style perplexity buckets: split the corpus into head/middle/tail
+# thirds by LM score (Wenzek et al. 2020 keep the head+middle, drop the
+# tail). Tiling uses the scale-safe global_ntile (range partition +
+# broadcast offsets), never a single-task Window.orderBy; the order key
+# is the 6-decimal-rounded score + doc_id, a total order both engines
+# reproduce exactly, so DuckDB's ntile (same first-N%k-get-one-extra
+# quota arithmetic) lands every doc in the same bucket.
+# --------------------------------------------------------------------------
+@register(
+    "doc_perplexity_buckets",
+    oracle=f"""
+    SELECT CAST(bucket AS INTEGER) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_bigrams) AS BIGINT) AS n_bigrams,
+           max(avg_logprob) AS max_logprob,
+           min(avg_logprob) AS min_logprob
+    FROM (SELECT doc_id, n_bigrams, avg_logprob,
+                 ntile(3) OVER (ORDER BY avg_logprob DESC, doc_id) AS bucket
+          FROM ({_BIGRAM_DOC_ORACLE}))
+    GROUP BY bucket
+    """,
+)
+def doc_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head/middle/tail perplexity tertiles of the corpus under the
+    add-one bigram LM (bucket 1 = best-scored head): per-bucket doc and
+    bigram counts plus the score range — the CCNet quality-split report
+    that decides which thirds feed training."""
+    from ..operators.relational import global_ntile
+
+    scores = doc_bigram_logprob(spark, sf_dir)
+    tiled = global_ntile(
+        scores,
+        [F.col("avg_logprob").desc(), F.col("doc_id").asc()],
+        3,
+        out_col="bucket",
+    )
+    return tiled.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_bigrams").cast("long").alias("n_bigrams"),
+        F.max("avg_logprob").alias("max_logprob"),
+        F.min("avg_logprob").alias("min_logprob"),
     )
 
 

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..ext import curation as C
-from ..functions.rounding import portable_round_sql
+from ..functions.rounding import portable_round, portable_round_sql
 from ..sources.readers import table
 from .registry import register
 from .textops import NORM_SQL, TOKENS_SQL, SHINGLES_SQL
@@ -688,4 +688,136 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= _WS_K)
         .drop("rk")
+    )
+
+
+# --------------------------------------------------------------------------
+# DSIR importance weights (Xie et al. 2023): hashed bag-of-words
+# importance ratio of a curated target domain vs the raw pool. The
+# fold over per-bucket terms is sorted-order deterministic on both
+# engines (F.aggregate vs list_reduce over the bucket-ordered list), so
+# the float sum is bit-identical. The seeded portable hash keeps the
+# bucket assignment oracle-replayable; SPARK_GRAFT_FAST_HASH swaps in
+# xxhash64 at production scale with identical operator semantics.
+# --------------------------------------------------------------------------
+
+_DSIR_DIM, _DSIR_SEED = 1024, 17
+_DSIR_TARGET = "('src0','src1','src2')"
+
+
+def _dsir_oracle() -> str:
+    from .textops import hash64_sql
+
+    bucket = hash64_sql(f"'{_DSIR_SEED}|' || tok") + f" % {_DSIR_DIM}"
+    return f"""
+    WITH {_TOKS_CTE.replace('doc_id,', 'doc_id, source,')},
+    tk AS (SELECT doc_id, source IN {_DSIR_TARGET} AS is_t, unnest(t) AS tok
+           FROM toks),
+    b AS (SELECT doc_id, is_t, {bucket} AS bucket FROM tk WHERE tok <> ''),
+    bc AS (SELECT bucket,
+                  sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct,
+                  sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS cq
+           FROM b GROUP BY bucket),
+    tot AS (SELECT CAST(sum(ct) AS DOUBLE) AS tct,
+                   CAST(sum(cq) AS DOUBLE) AS tcq FROM bc),
+    lam AS (SELECT bucket,
+                   ln((ct + 1.0) / (tct + {_DSIR_DIM}.0))
+                 - ln((cq + 1.0) / (tcq + {_DSIR_DIM}.0)) AS lam
+            FROM bc, tot),
+    dc AS (SELECT doc_id, bucket, count(*) AS c FROM b GROUP BY doc_id, bucket),
+    terms AS (SELECT doc_id, c, c * lam AS term, bucket FROM dc JOIN lam USING (bucket)),
+    f AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok,
+                 list_reduce(list_prepend(0.0, list(term ORDER BY bucket)),
+                             (acc, x) -> acc + x) AS lw
+          FROM terms GROUP BY doc_id)
+    SELECT doc_id, n_tok,
+           {PR6('lw')} AS log_weight,
+           {PR6('lw')} >= 0.0 AS keep
+    FROM f
+    """
+
+
+@register("dsir_importance_weights", oracle=_dsir_oracle())
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data-selection scores: per-document log importance weight of
+    a curated target domain (sources src0-src2) against the raw pool
+    over 1024 hashed unigram buckets, add-one smoothed on both sides."""
+    docs = table(spark, sf_dir, "documents")
+    return C.dsir_log_weights(
+        docs,
+        F.col("source").isin("src0", "src1", "src2"),
+        dim=_DSIR_DIM,
+        seed=_DSIR_SEED,
+    )
+
+
+# --------------------------------------------------------------------------
+# Corpus data card: the one-pass ROLLUP census (per language × source,
+# per language, grand total) a training run's datasheet starts from.
+# One map-side-combined aggregation over the corpus; the rolled frame is
+# tiny (|langs|·|sources| rows) and is eagerly checkpointed because two
+# consumers read it (the grand-total row joins back as the share
+# denominator) — without the pin the corpus pass would run twice. All
+# sums are integers; the only doubles are two final ratios rounded
+# identically on both engines.
+# --------------------------------------------------------------------------
+
+_DATACARD_ORACLE = f"""
+WITH t AS (SELECT lang, source, len({TOKENS_SQL}) AS n_tok, n_chars
+           FROM documents),
+r AS (SELECT lang, source,
+             count(*) AS n_docs,
+             sum(n_tok) AS n_tokens,
+             sum(n_chars) AS n_chars,
+             GROUPING(lang, source) AS gid
+      FROM t GROUP BY ROLLUP (lang, source)),
+tot AS (SELECT CAST(n_tokens AS DOUBLE) AS tot FROM r WHERE gid = 3)
+SELECT coalesce(lang, 'ALL') AS lang,
+       coalesce(source, 'ALL') AS source,
+       CAST(gid AS INTEGER) AS gid,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       {PR6('CAST(n_tokens AS DOUBLE) / n_docs')} AS avg_doc_tokens,
+       {PR6('CAST(n_tokens AS DOUBLE) / tot')} AS token_share
+FROM r, tot
+"""
+
+
+@register("corpus_datacard", oracle=_DATACARD_ORACLE)
+def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datasheet census of the documents corpus: doc/token/char totals at
+    (lang, source), (lang) and grand grain, with per-group mean document
+    length and share of corpus tokens."""
+    from ..functions.text_fns import tokens as _tokens
+
+    docs = table(spark, sf_dir, "documents").select(
+        "lang", "source", F.size(_tokens("text")).alias("n_tok"), "n_chars"
+    )
+    rolled = (
+        docs.rollup("lang", "source")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.sum("n_chars").alias("n_chars"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tot = rolled.filter(F.col("gid") == 3).select(
+        F.col("n_tokens").cast("double").alias("tot")
+    )
+    return rolled.crossJoin(F.broadcast(tot)).select(
+        F.coalesce("lang", F.lit("ALL")).alias("lang"),
+        F.coalesce("source", F.lit("ALL")).alias("source"),
+        F.col("gid").cast("int").alias("gid"),
+        "n_docs",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        portable_round(
+            F.col("n_tokens").cast("double") / F.col("n_docs"), 6
+        ).alias("avg_doc_tokens"),
+        portable_round(F.col("n_tokens").cast("double") / F.col("tot"), 6).alias(
+            "token_share"
+        ),
     )

@@ -21,7 +21,7 @@ from ..ext import dedup as D
 from ..ext import multimodal as MM
 from ..ext import similarity as SIM
 from ..ext import text as TX
-from ..functions.rounding import portable_round
+from ..functions.rounding import portable_round, portable_round_sql
 from ..sources.readers import table
 from .registry import register
 
@@ -1648,3 +1648,30 @@ def doc_despanned_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.remove_repeated_spans(
         table(spark, sf_dir, "documents"), min_len=_SPAN_LEN
     )
+
+
+# --------------------------------------------------------------------------
+# q — cross-document shingle novelty: the between-document twin of the
+# Gopher within-document repetition census. DF table + rejoin both
+# shuffle 8-byte hashes; the text pass runs once (checkpointed compact
+# stream — see ext.dedup.shingle_novelty's plan notes).
+# --------------------------------------------------------------------------
+_NOVELTY_ORACLE = f"""
+WITH {_TOKS_CTE}, {_SH_CTE},
+e AS (SELECT doc_id AS doc, {hash64_sql('s')} AS h
+      FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)),
+dfq AS (SELECT h, count(*) AS df FROM e GROUP BY h)
+SELECT doc,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       {portable_round_sql('CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)', 6)} AS novelty
+FROM e JOIN dfq USING (h) GROUP BY doc
+"""
+
+
+@register("doc_shingle_novelty", oracle=_NOVELTY_ORACLE)
+def doc_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document fraction of distinct 3-word shingles appearing in no
+    other document — the cross-doc overlap census behind dedup triage
+    and memorization-risk reporting."""
+    return D.shingle_novelty(table(spark, sf_dir, "documents"))

@@ -200,3 +200,108 @@ def test_hll_sketch_union_equals_direct_sketch(spark, sf_dir):
     exact = ev.select("user_id").distinct().count()
     assert merged == direct
     assert abs(merged - exact) / exact < 0.05
+
+
+def test_dsir_log_weights_matches_reference_fold(spark):
+    """dsir_log_weights equals an independent Python reimplementation of
+    the DSIR math (hashed bag-of-words, add-one smoothing, bucket-ordered
+    left fold) and ranks target-like raw docs above pool-like ones."""
+    import hashlib
+    import math
+
+    dim, seed = 64, 17
+    corpus = {
+        1: ("alpha beta gamma", True),
+        2: ("alpha alpha beta", True),
+        3: ("gamma beta delta", True),
+        4: ("zed yankee xray", False),
+        5: ("zed zed yankee", False),
+        6: ("xray zed victor", False),
+        7: ("alpha beta gamma", False),  # raw but target-like
+        8: ("zed zed zed", False),
+    }
+    df = spark.createDataFrame(
+        [(k, t, g) for k, (t, g) in corpus.items()], ["doc_id", "text", "is_t"]
+    )
+    out = {
+        r.doc_id: r
+        for r in C.dsir_log_weights(
+            df, F.col("is_t"), dim=dim, seed=seed
+        ).collect()
+    }
+
+    def h(tok: str) -> int:
+        return int(hashlib.md5(f"{seed}|{tok}".encode()).hexdigest()[:15], 16)
+
+    ct: dict[int, int] = {}
+    cq: dict[int, int] = {}
+    for text, is_t in corpus.values():
+        for tok in text.split():
+            b = h(tok) % dim
+            d = ct if is_t else cq
+            d[b] = d.get(b, 0) + 1
+    tct, tcq = float(sum(ct.values())), float(sum(cq.values()))
+    for doc_id, (text, _) in corpus.items():
+        counts: dict[int, int] = {}
+        for tok in text.split():
+            b = h(tok) % dim
+            counts[b] = counts.get(b, 0) + 1
+        acc = 0.0
+        for b in sorted(counts):
+            lam = math.log((ct.get(b, 0) + 1.0) / (tct + dim)) - math.log(
+                (cq.get(b, 0) + 1.0) / (tcq + dim)
+            )
+            acc += counts[b] * lam
+        expected = math.floor(acc * 1e6 + 0.5) / 1e6
+        assert out[doc_id].log_weight == expected, doc_id
+        assert out[doc_id].n_tok == len(text.split())
+        assert out[doc_id].keep == (expected >= 0.0)
+
+    # target-like content scores identically whether in target or pool
+    assert out[7].log_weight == out[1].log_weight
+    # and strictly above pool-like content
+    assert out[7].log_weight > out[8].log_weight
+    assert out[1].keep and not out[8].keep
+
+
+def test_corpus_datacard_grains_are_consistent(spark, sf_dir):
+    from big_data_occupancy_detection_spark.plans.curation import corpus_datacard
+
+    rows = corpus_datacard(spark, sf_dir).collect()
+    grand = [r for r in rows if r.gid == 3]
+    langs = [r for r in rows if r.gid == 1]
+    leaves = [r for r in rows if r.gid == 0]
+    assert len(grand) == 1
+    g = grand[0]
+    assert (g.lang, g.source) == ("ALL", "ALL")
+    assert g.token_share == 1.0
+    # every grain re-adds to the grand totals
+    for grain in (langs, leaves):
+        assert sum(r.n_docs for r in grain) == g.n_docs
+        assert sum(r.n_tokens for r in grain) == g.n_tokens
+        assert sum(r.n_chars for r in grain) == g.n_chars
+    # shares are token-proportional
+    for r in langs:
+        import math
+
+        assert r.token_share == math.floor(r.n_tokens / g.n_tokens * 1e6 + 0.5) / 1e6
+
+
+def test_perplexity_buckets_split_is_ordered_partition(spark, sf_dir):
+    from big_data_occupancy_detection_spark.plans.analytics import (
+        doc_bigram_logprob,
+        doc_perplexity_buckets,
+    )
+
+    buckets = {r.bucket: r for r in doc_perplexity_buckets(spark, sf_dir).collect()}
+    assert set(buckets) == {1, 2, 3}
+    n_docs = doc_bigram_logprob(spark, sf_dir).count()
+    assert sum(r.n_docs for r in buckets.values()) == n_docs
+    # ntile quota: first N % 3 buckets get one extra row
+    base, extra = divmod(n_docs, 3)
+    assert sorted((r.n_docs for r in buckets.values()), reverse=True) == [
+        base + (1 if i < extra else 0) for i in range(3)
+    ]
+    # head scores strictly above middle above tail (desc LM score order)
+    assert buckets[1].min_logprob >= buckets[2].max_logprob
+    assert buckets[2].min_logprob >= buckets[3].max_logprob

@@ -830,3 +830,20 @@ def test_conformance_report_requires_at_least_one_rule(spark):
     df = spark.range(3)
     with pytest.raises(ValueError, match="at least one rule"):
         conformance_report(df)
+
+
+def test_shingle_novelty_counts_cross_doc_overlap(spark):
+    from big_data_occupancy_detection_spark.ext.dedup import shingle_novelty
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d"),   # shingles {a b c, b c d}
+            (2, "a b c x"),   # shares 'a b c' with doc 1
+            (3, "p q r s"),   # fully novel
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc: r for r in shingle_novelty(df).collect()}
+    assert (out[1].n_shingles, out[1].n_novel, out[1].novelty) == (2, 1, 0.5)
+    assert (out[2].n_shingles, out[2].n_novel, out[2].novelty) == (2, 1, 0.5)
+    assert (out[3].n_shingles, out[3].n_novel, out[3].novelty) == (2, 2, 1.0)
