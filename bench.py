@@ -89,6 +89,10 @@ HEADLINE = [
     "customer_spend_percentiles",  # two-pass distributed exact percentiles
     "monthly_open_order_backlog",  # sweep-line open-interval backlog
     "bloom_delta_prescreen",   # Bloom bitmap build + broadcast delta probe
+    "dsir_importance_weights", # DSIR hashed-BoW target/pool log ratio
+    "doc_shingle_novelty",     # cross-doc distinct-shingle novelty census
+    "corpus_datacard",         # ROLLUP corpus census (zero-shuffle map agg)
+    "orders_asof_events_forward",  # forward as-of (next-at-or-after)
     # One flavor per operator family (round-4 trim): the registry keeps
     # every form oracle-verified; the headline benches the PRODUCTION
     # twin and names the slow/baseline twin it stands for —

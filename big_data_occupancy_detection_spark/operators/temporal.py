@@ -89,6 +89,58 @@ def asof_join(
     return filled.filter(F.col("__is_left") == 1).drop("__is_left")
 
 
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """Forward as-of left join: attach ``value_cols`` from the right row
+    with the SMALLEST ``right_ts`` >= ``left_ts`` per ``on`` group (the
+    "next event at or after" lookup — matching SQL ``ASOF JOIN ... ON
+    l.ts <= r.ts``). Left rows with no later right row get nulls.
+
+    Mirror of :func:`asof_join` with the window frame reversed: same
+    union + one hash shuffle + per-key sort, cost independent of match
+    distance. Same contracts — ``right`` unique per (``on``,
+    ``right_ts``), non-null ``value_cols``, no column collisions.
+    """
+    clash = {c for c in value_cols} & (set(left.columns) | set(on) | {left_ts, right_ts})
+    if clash:
+        raise ValueError(
+            f"asof_join_forward value_cols collide with left/key/timestamp "
+            f"columns: {sorted(clash)}; alias them on the right before joining"
+        )
+    l_tagged = left.withColumn("__t", F.col(left_ts)).withColumn(
+        "__is_left", F.lit(1)
+    )
+    for c in value_cols:
+        l_tagged = l_tagged.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
+    r_tagged = right.select(
+        *on, F.col(right_ts).alias("__t"), *value_cols
+    ).withColumn("__is_left", F.lit(0))
+    for f in left.schema.fields:
+        if f.name not in r_tagged.columns:
+            r_tagged = r_tagged.withColumn(f.name, F.lit(None).cast(f.dataType))
+    unioned = l_tagged.unionByName(r_tagged)
+
+    # Left rows (1) sort before right rows (0) at equal __t, so a right
+    # row at exactly left_ts is inside the forward-looking frame.
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__t").asc(), F.col("__is_left").desc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    filled = unioned.select(
+        *[c for c in unioned.columns if c not in ("__t", "__is_left", *value_cols)],
+        F.col("__is_left"),
+        *[F.first(c, ignorenulls=True).over(w).alias(c) for c in value_cols],
+    )
+    return filled.filter(F.col("__is_left") == 1).drop("__is_left")
+
+
 def band_self_join_pairs(
     df: DataFrame,
     on: list[str],

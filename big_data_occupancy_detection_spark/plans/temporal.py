@@ -60,6 +60,49 @@ def orders_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Forward as-of: for every event, the customer's NEXT order at-or-after
+# the event (conversion attribution forward in time). Same union+sort
+# single-shuffle plan as the backward form, frame reversed.
+# --------------------------------------------------------------------------
+@register(
+    "orders_asof_events_forward",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey, o_orderdate,
+             min(o_orderkey) AS o_orderkey,
+             round(min_by(o_totalprice, o_orderkey), 4) AS o_totalprice
+      FROM orders GROUP BY 1, 2)
+    SELECT e.event_id, e.user_id, e.ts,
+           o.o_orderkey AS next_orderkey,
+           o.o_totalprice AS next_totalprice
+    FROM events e
+    ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
+    """,
+)
+def orders_asof_events_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next order at-or-after each event per user (forward as-of join)."""
+    from ..operators.temporal import asof_join_forward
+
+    ev = table(spark, sf_dir, "events")
+    orders = table(spark, sf_dir, "orders")
+    upcoming = orders.groupBy("o_custkey", "o_orderdate").agg(
+        F.min("o_orderkey").alias("next_orderkey"),
+        F.round(F.min_by("o_totalprice", "o_orderkey"), 4).alias("next_totalprice"),
+    )
+    joined = asof_join_forward(
+        ev.select("event_id", F.col("user_id"), "ts"),
+        upcoming.withColumnRenamed("o_custkey", "user_id"),
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="o_orderdate",
+        value_cols=["next_orderkey", "next_totalprice"],
+    )
+    return joined.select(
+        "event_id", "user_id", "ts", "next_orderkey", "next_totalprice"
+    )
+
+
+# --------------------------------------------------------------------------
 # q39 — band self-join: pairs of events by the same user within 15 minutes,
 # via the bucketed-replication pattern (hash join, not a nested-loop range
 # join). 900 s at sf0.01 → ~230 pairs.

@@ -54,9 +54,18 @@ def main() -> None:
         docs.select(
             "doc_id",
             "text",
+            "lang",
+            "source",
+            "n_chars",
             F.explode(F.sequence(F.lit(0), F.lit(r - 1))).alias("__k"),
         )
-        .select((F.col("doc_id") * r + F.col("__k")).alias("doc_id"), "text")
+        .select(
+            (F.col("doc_id") * r + F.col("__k")).alias("doc_id"),
+            "text",
+            "lang",
+            "source",
+            "n_chars",
+        )
         .localCheckpoint(eager=True)
     )
     n = rep.count()
@@ -66,6 +75,7 @@ def main() -> None:
     # monkey-point the plan functions at the replicated frame: they take
     # (spark, sf_dir) and read via table(); route through a patched table
     import big_data_occupancy_detection_spark.plans.analytics as mod
+    import big_data_occupancy_detection_spark.plans.curation as cmod
     import big_data_occupancy_detection_spark.plans.textops as tmod
 
     orig_table = mod.table
@@ -73,6 +83,8 @@ def main() -> None:
     mod.table = patched
     orig_ttable = tmod.table
     tmod.table = patched
+    orig_ctable = cmod.table
+    cmod.table = patched
     try:
         targets = {
             "tfidf": ("doc_tfidf_top_terms", A.doc_tfidf_top_terms),
@@ -89,6 +101,13 @@ def main() -> None:
             # explode+groupBy) — per-doc work, so wall should scale
             # linearly with docs and shuffle with token volume
             "repet": ("doc_repetition_features", tmod.doc_repetition_features),
+            # round 5b: DSIR importance weights (one token pass to the
+            # (doc, bucket, count) grain, O(dim) broadcast back) and the
+            # cross-doc shingle-novelty census (two long-keyed shuffles)
+            # — both should be wall-linear in corpus tokens
+            "dsir": ("dsir_importance_weights", cmod.dsir_importance_weights),
+            "novelty": ("doc_shingle_novelty", tmod.doc_shingle_novelty),
+            "datacard": ("corpus_datacard", cmod.corpus_datacard),
         }
         for op in ops:
             if op == "bloom":
@@ -169,6 +188,7 @@ def main() -> None:
     finally:
         mod.table = orig_table
         tmod.table = orig_ttable
+        cmod.table = orig_ctable
     spark.stop()
 
 

@@ -225,3 +225,45 @@ def test_asof_boundary_biased(spark, left, right):
         cands = [(rt, v) for (rk, rt), v in right_map.items() if rk == k and rt <= t]
         expect = float(max(cands)[1]) if cands else None
         assert got[i] == expect
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(left=left_rows, right=right_rows)
+def test_asof_forward_matches_naive(spark, left, right):
+    from big_data_occupancy_detection_spark.operators.temporal import (
+        asof_join_forward,
+    )
+
+    right_map = {(k, t): v for k, t, v in right}
+    right_list = [(k, t, v) for (k, t), v in right_map.items()]
+
+    ldf = spark.createDataFrame(
+        [
+            (i, k, BASE + dt.timedelta(minutes=t))
+            for i, (k, t) in enumerate(left)
+        ],
+        "lid LONG, k LONG, lts TIMESTAMP",
+    )
+    rdf = spark.createDataFrame(
+        [(k, BASE + dt.timedelta(minutes=t), float(v)) for k, t, v in right_list],
+        "k LONG, rts TIMESTAMP, val DOUBLE",
+    ) if right_list else spark.createDataFrame([], "k LONG, rts TIMESTAMP, val DOUBLE")
+
+    got = {
+        r.lid: r.val
+        for r in asof_join_forward(
+            ldf, rdf, on=["k"], left_ts="lts", right_ts="rts", value_cols=["val"]
+        ).collect()
+    }
+
+    for i, (k, t) in enumerate(left):
+        candidates = [
+            (rt, v) for (rk, rt), v in right_map.items() if rk == k and rt >= t
+        ]
+        expect = float(min(candidates)[1]) if candidates else None
+        assert got[i] == expect, f"row {i} key={k} t={t}: {got[i]} != {expect}"
