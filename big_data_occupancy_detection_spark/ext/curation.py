@@ -575,3 +575,52 @@ def dsir_log_weights(
         lw6.alias("log_weight"),
         (lw6 >= F.lit(0.0)).alias("keep"),
     )
+
+
+def temperature_mixture_sqrt(
+    docs: DataFrame,
+    strata_cols: list[str],
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-sampled mixture shares at α = 0.5 (the multilingual
+    up-sampling rule of mBERT/XLM-R/UniMax lineage): a stratum's target
+    share is ``n_tokens^α / Σ_m n_tokens_m^α``, flattening the natural
+    token distribution so low-resource strata are over-sampled. α is
+    fixed at 0.5 because ``sqrt`` is IEEE-754 correctly rounded on every
+    engine — the oracle reproduces it bit-identically, which a general
+    ``pow(x, α)`` (libm, last-ulp divergence risk) cannot promise.
+
+    One map-side-combined aggregation to stratum grain (the frame is
+    |strata| rows — tiny at any corpus size), eagerly checkpointed
+    because the denominator fold and the output both read it; the
+    denominator folds ``sqrt(n_tokens)`` in stratum order so the float
+    sum is deterministic and oracle-replayable.
+    """
+    toks = docs.select(*strata_cols, F.size(tokens(text_col)).alias("__n_tok"))
+    per = (
+        toks.groupBy(*strata_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__n_tok").cast("long").alias("n_tokens"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    sq = F.sqrt(F.col("n_tokens").cast("double"))
+    denom = per.agg(
+        F.sum("n_tokens").cast("double").alias("tot"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct(*strata_cols, sq.alias("sq")))),
+            F.lit(0.0),
+            lambda acc, x: acc + x.getField("sq"),
+        ).alias("sden"),
+    )
+    share = F.col("n_tokens").cast("double") / F.col("tot")
+    tshare = F.sqrt(F.col("n_tokens").cast("double")) / F.col("sden")
+    return per.crossJoin(F.broadcast(denom)).select(
+        *strata_cols,
+        "n_docs",
+        "n_tokens",
+        portable_round(share, 6).alias("token_share"),
+        portable_round(tshare, 6).alias("temp_share"),
+        portable_round(tshare / share, 6).alias("sampling_weight"),
+    )

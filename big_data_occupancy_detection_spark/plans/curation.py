@@ -821,3 +821,39 @@ def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "token_share"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Temperature-sampled language mixture (α = 0.5): sqrt is IEEE-correctly
+# rounded on both engines, so — unlike a general pow(x, α) — the target
+# shares are bit-identical; the denominator is a stratum-ordered fold.
+# --------------------------------------------------------------------------
+
+_TEMP_MIX_ORACLE = f"""
+WITH t AS (SELECT lang, len({TOKENS_SQL}) AS n_tok FROM documents),
+per AS (SELECT lang, count(*) AS n_docs, sum(n_tok) AS n_tokens
+        FROM t GROUP BY lang),
+d AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS tot,
+             list_reduce(
+               list_prepend(0.0,
+                 list(sqrt(CAST(n_tokens AS DOUBLE)) ORDER BY lang)),
+               (acc, x) -> acc + x) AS sden
+      FROM per)
+SELECT lang,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       {PR6('CAST(n_tokens AS DOUBLE) / tot')} AS token_share,
+       {PR6('sqrt(CAST(n_tokens AS DOUBLE)) / sden')} AS temp_share,
+       {PR6('(sqrt(CAST(n_tokens AS DOUBLE)) / sden) / (CAST(n_tokens AS DOUBLE) / tot)')} AS sampling_weight
+FROM per, d
+"""
+
+
+@register("lang_temperature_mixture", oracle=_TEMP_MIX_ORACLE)
+def lang_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language α=0.5 temperature-sampling plan: natural token share,
+    flattened target share, and the resampling weight that converts one
+    into the other."""
+    return C.temperature_mixture_sqrt(
+        table(spark, sf_dir, "documents"), ["lang"]
+    )

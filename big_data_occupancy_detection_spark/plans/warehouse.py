@@ -956,3 +956,41 @@ def warehouse_conformance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
     )
     return o_report.unionByName(l_report)
+
+
+# --------------------------------------------------------------------------
+# Cumulative distinct users: first-seen date per user (one map-side-
+# combinable min per user — the only fact-sized shuffle), then daily new
+# counts and a running total over the DAY grain (~10^3 rows for years of
+# data — the documented tiny-grain exception where an unpartitioned
+# window is the right call). The classic "running distinct count" that
+# a naive COUNT(DISTINCT) OVER (ORDER BY day) cannot express scalably.
+# --------------------------------------------------------------------------
+@register(
+    "daily_new_users",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS day FROM events GROUP BY user_id),
+    daily AS (SELECT day, CAST(count(*) AS BIGINT) AS new_users
+              FROM firsts GROUP BY day)
+    SELECT day, new_users,
+           CAST(sum(new_users) OVER (ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_users
+    FROM daily
+    """,
+)
+def daily_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New users per day (first event date) and the cumulative distinct-
+    user curve."""
+    ev = table(spark, sf_dir, "events").select("user_id", F.to_date("ts").alias("day"))
+    firsts = ev.groupBy("user_id").agg(F.min("day").alias("day"))
+    daily = firsts.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return daily.select(
+        "day", "new_users", F.sum("new_users").over(w).cast("long").alias("cum_users")
+    )

@@ -305,3 +305,24 @@ def test_perplexity_buckets_split_is_ordered_partition(spark, sf_dir):
     # head scores strictly above middle above tail (desc LM score order)
     assert buckets[1].min_logprob >= buckets[2].max_logprob
     assert buckets[2].min_logprob >= buckets[3].max_logprob
+
+
+def test_temperature_mixture_sqrt_flattens_shares(spark):
+    # lang a: 1 doc x 100 tokens, lang b: 1 doc x 400 tokens
+    df = spark.createDataFrame(
+        [(1, "a", " ".join(["x"] * 100)), (2, "b", " ".join(["y"] * 400))],
+        ["doc_id", "lang", "text"],
+    )
+    out = {
+        r.lang: r
+        for r in C.temperature_mixture_sqrt(df, ["lang"]).collect()
+    }
+    assert out["a"].n_tokens == 100 and out["b"].n_tokens == 400
+    assert out["a"].token_share == 0.2 and out["b"].token_share == 0.8
+    # sqrt temperature: 10 / (10+20) and 20 / (10+20)
+    assert out["a"].temp_share == 0.333333
+    assert out["b"].temp_share == 0.666667
+    # low-resource stratum is up-sampled, high-resource down-sampled
+    assert out["a"].sampling_weight > 1.0 > out["b"].sampling_weight
+    assert out["a"].sampling_weight == 1.666667
+    assert out["b"].sampling_weight == 0.833333

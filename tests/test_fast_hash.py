@@ -99,3 +99,29 @@ def test_minhash_signature_lockstep_with_oracle(spark):
     assert len(shared) >= 25
     for doc in shared:
         assert spark_sig[doc] == oracle_sig[doc], f"signature diverges for {doc}"
+
+
+def test_fast_hash_dsir_and_novelty_invariants(spark, monkeypatch):
+    """Hash-independent columns survive the fast-hash swap untouched:
+    DSIR's n_tok (token counts) and novelty's n_shingles (distinctness
+    is taken on the shingle STRINGS before hashing). The hash-dependent
+    scores may move; the row sets may not."""
+    from big_data_occupancy_detection_spark.ext.curation import dsir_log_weights
+    from big_data_occupancy_detection_spark.ext.dedup import shingle_novelty
+
+    docs = table(spark, SF_DIR, "documents")
+    pred = F.col("source").isin("src0", "src1", "src2")
+
+    slow_d = {r.doc_id: r.n_tok for r in dsir_log_weights(docs, pred).collect()}
+    slow_n = {
+        r.doc: r.n_shingles for r in shingle_novelty(docs).collect()
+    }
+
+    monkeypatch.setenv("SPARK_GRAFT_FAST_HASH", "1")
+    fast_d = {r.doc_id: r.n_tok for r in dsir_log_weights(docs, pred).collect()}
+    fast_n = {
+        r.doc: r.n_shingles for r in shingle_novelty(docs).collect()
+    }
+
+    assert fast_d == slow_d
+    assert fast_n == slow_n
