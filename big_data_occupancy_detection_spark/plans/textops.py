@@ -1675,3 +1675,85 @@ def doc_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     other document — the cross-doc overlap census behind dedup triage
     and memorization-risk reporting."""
     return D.shingle_novelty(table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# q — training-mix manifest: the END-TO-END selection a pretraining run
+# ships — curation survivors (exact dedup → quality gate → near-dup
+# removal, exactly corpus_curation's kept set) re-balanced by the
+# α=0.5 temperature mixture over the SURVIVORS' per-language token
+# mass, with each document's epoch multiplicity drawn by the same
+# deterministic stochastic rounding as mixture_resample (md5-uniform vs
+# the fractional weight — restartable, RNG-free, oracle-replayable).
+# The survivor frame is checkpointed once (manifest grain — it feeds
+# the per-lang aggregate and the output join); everything downstream of
+# it is |langs|-sized + one broadcast join. n_copies uses the ROUNDED
+# weight (as mixture_resample does) so the u-vs-fraction boundary
+# compares identical doubles on both engines.
+# --------------------------------------------------------------------------
+_MANIFEST_ORACLE = f"""
+WITH kept AS ({_CURATION_ORACLE}),
+per AS (SELECT lang, count(*) AS n_docs, sum(n_tokens) AS n_tokens
+        FROM kept GROUP BY lang),
+d AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS tot,
+             list_reduce(
+               list_prepend(0.0,
+                 list(sqrt(CAST(n_tokens AS DOUBLE)) ORDER BY lang)),
+               (acc, x) -> acc + x) AS sden
+      FROM per),
+wts AS (SELECT lang,
+               {portable_round_sql('(sqrt(CAST(n_tokens AS DOUBLE)) / sden) / (CAST(n_tokens AS DOUBLE) / tot)', 6)} AS w
+        FROM per, d)
+SELECT k.doc_id, k.lang, k.n_tokens, k.quality,
+       w AS sampling_weight,
+       CAST(floor(w) + CASE WHEN
+           CAST(('0x' || substr(md5('mix|' || CAST(k.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+             / 1152921504606846976.0 < w - floor(w)
+         THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+FROM kept k JOIN wts USING (lang)
+"""
+
+
+@register("training_mix_manifest", oracle=_MANIFEST_ORACLE)
+def training_mix_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation survivors with their α=0.5 temperature-mixture sampling
+    weight and deterministic epoch multiplicity — the shippable
+    what-we-train-on manifest."""
+    from ..functions.text_fns import md5_hash64
+
+    kept = corpus_curation(spark, sf_dir).localCheckpoint(eager=True)
+    per = kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+    )
+    sq = F.sqrt(F.col("n_tokens").cast("double"))
+    denom = per.agg(
+        F.sum("n_tokens").cast("double").alias("tot"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("lang", sq.alias("sq")))),
+            F.lit(0.0),
+            lambda acc, x: acc + x.getField("sq"),
+        ).alias("sden"),
+    )
+    tshare = F.sqrt(F.col("n_tokens").cast("double")) / F.col("sden")
+    share = F.col("n_tokens").cast("double") / F.col("tot")
+    wts = per.crossJoin(F.broadcast(denom)).select(
+        "lang", portable_round(tshare / share, 6).alias("w")
+    )
+    u = md5_hash64(
+        F.concat(F.lit("mix|"), F.col("doc_id").cast("string"))
+    ) / F.lit(float(1 << 60))
+    w = F.col("w")
+    return kept.join(F.broadcast(wts), "lang").select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "quality",
+        w.alias("sampling_weight"),
+        (
+            F.floor(w)
+            + F.when(u < (w - F.floor(w)), F.lit(1)).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("n_copies"),
+    )

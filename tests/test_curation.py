@@ -326,3 +326,33 @@ def test_temperature_mixture_sqrt_flattens_shares(spark):
     assert out["a"].sampling_weight > 1.0 > out["b"].sampling_weight
     assert out["a"].sampling_weight == 1.666667
     assert out["b"].sampling_weight == 0.833333
+
+
+def test_training_mix_manifest_composes_curation_and_mixture(spark, sf_dir):
+    import math
+
+    from big_data_occupancy_detection_spark.plans.textops import (
+        corpus_curation,
+        training_mix_manifest,
+    )
+
+    kept = {r.doc_id for r in corpus_curation(spark, sf_dir).collect()}
+    rows = training_mix_manifest(spark, sf_dir).collect()
+    # manifest == survivors, one row each
+    assert {r.doc_id for r in rows} == kept and len(rows) == len(kept)
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+        # multiplicity is the stochastic rounding of the weight
+        assert r.n_copies in (
+            math.floor(r.sampling_weight),
+            math.floor(r.sampling_weight) + 1,
+        )
+    # temperature flattening: the token-heaviest lang is down-weighted
+    # relative to the lightest
+    tokens_by_lang = {
+        lang: sum(r.n_tokens for r in rs) for lang, rs in by_lang.items()
+    }
+    heavy = max(tokens_by_lang, key=tokens_by_lang.get)
+    light = min(tokens_by_lang, key=tokens_by_lang.get)
+    assert by_lang[light][0].sampling_weight > by_lang[heavy][0].sampling_weight
