@@ -624,3 +624,45 @@ def temperature_mixture_sqrt(
         portable_round(tshare, 6).alias("temp_share"),
         portable_round(tshare / share, 6).alias("sampling_weight"),
     )
+
+
+def datacard_from_docs(docs: DataFrame) -> DataFrame:
+    """Datasheet census over a (lang, source, n_tok, n_chars)-bearing
+    frame: ROLLUP to (lang × source / lang / grand) with doc/token/char
+    totals, mean doc length and token share. Shared by the batch
+    ``corpus_datacard`` plan and the streaming census's merge-on-read
+    (``streaming.census.read_census_datacard``) so batch and incremental
+    paths are equal by construction.
+
+    Input grain may be raw docs (one row per doc) OR pre-aggregated
+    partials carrying ``n_docs`` — sums of sums equal sums.
+    """
+    if "n_docs" not in docs.columns:
+        docs = docs.withColumn("n_docs", F.lit(1))
+    rolled = (
+        docs.rollup("lang", "source")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.sum("n_chars").alias("n_chars"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tot = rolled.filter(F.col("gid") == 3).select(
+        F.col("n_tokens").cast("double").alias("tot")
+    )
+    return rolled.crossJoin(F.broadcast(tot)).select(
+        F.coalesce("lang", F.lit("ALL")).alias("lang"),
+        F.coalesce("source", F.lit("ALL")).alias("source"),
+        F.col("gid").cast("int").alias("gid"),
+        "n_docs",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        portable_round(
+            F.col("n_tokens").cast("double") / F.col("n_docs"), 6
+        ).alias("avg_doc_tokens"),
+        portable_round(F.col("n_tokens").cast("double") / F.col("tot"), 6).alias(
+            "token_share"
+        ),
+    )

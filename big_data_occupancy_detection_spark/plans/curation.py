@@ -794,33 +794,7 @@ def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").select(
         "lang", "source", F.size(_tokens("text")).alias("n_tok"), "n_chars"
     )
-    rolled = (
-        docs.rollup("lang", "source")
-        .agg(
-            F.grouping_id().alias("gid"),
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_tok").alias("n_tokens"),
-            F.sum("n_chars").alias("n_chars"),
-        )
-        .localCheckpoint(eager=True)
-    )
-    tot = rolled.filter(F.col("gid") == 3).select(
-        F.col("n_tokens").cast("double").alias("tot")
-    )
-    return rolled.crossJoin(F.broadcast(tot)).select(
-        F.coalesce("lang", F.lit("ALL")).alias("lang"),
-        F.coalesce("source", F.lit("ALL")).alias("source"),
-        F.col("gid").cast("int").alias("gid"),
-        "n_docs",
-        F.col("n_tokens").cast("long").alias("n_tokens"),
-        F.col("n_chars").cast("long").alias("n_chars"),
-        portable_round(
-            F.col("n_tokens").cast("double") / F.col("n_docs"), 6
-        ).alias("avg_doc_tokens"),
-        portable_round(F.col("n_tokens").cast("double") / F.col("tot"), 6).alias(
-            "token_share"
-        ),
-    )
+    return C.datacard_from_docs(docs)
 
 
 # --------------------------------------------------------------------------

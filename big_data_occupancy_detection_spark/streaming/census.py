@@ -1,0 +1,152 @@
+"""Streaming incremental corpus census: a foreachBatch pipeline that
+maintains the ``corpus_datacard`` aggregates as documents arrive, so the
+"what are we training on" datasheet is always current without ever
+re-scanning the corpus.
+
+Census layout under ``census_dir`` (delta-log style, the same
+append-plus-commit-marker discipline as ``streaming.dedup_ingest``):
+
+- ``deltas/batch-<id>/``  parquet (lang, source, n_docs, n_tok,
+  n_chars) — the micro-batch pre-aggregated to stratum grain (a
+  micro-batch contributes at most |langs|·|sources| rows regardless of
+  its size, so the persisted log grows with BATCH COUNT, not corpus
+  size). Written mode=overwrite so replaying an uncommitted batch is
+  idempotent.
+- ``_commits/<id>``       empty marker created LAST — the commit point.
+  A crash between the delta write and the marker leaves an ignorable
+  orphan the replay overwrites; a replay of a committed id is a no-op.
+
+Reads are merge-on-read: union the committed delta dirs (tiny), re-sum
+to stratum grain, and hand the partials to the SAME
+``ext.curation.datacard_from_docs`` tail the batch ``corpus_datacard``
+plan uses — sums of sums equal sums, so the streamed census equals the
+batch datacard on the same documents by construction (asserted across a
+restart in tests/test_streaming_census.py).
+
+Scale shape: per batch, one map-side-combined aggregation over the
+micro-batch only; the read path touches O(committed batches × strata)
+rows. If batch count ever grows unwieldy, the delta dirs compact with
+``sources.sinks.compact_parquet`` — the census is associative, so any
+prefix of deltas can be replaced by its sum.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text_fns import tokens
+
+
+def _committed_ids(census_dir: str) -> list[int]:
+    cdir = os.path.join(census_dir, "_commits")
+    if not os.path.isdir(cdir):
+        return []
+    return sorted(int(n) for n in os.listdir(cdir) if n.isdigit())
+
+
+def apply_census_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    census_dir: str,
+    text_col: str = "text",
+    chars_col: str = "n_chars",
+) -> None:
+    """Fold one micro-batch into the census: pre-aggregate to stratum
+    grain, append the delta, commit. Idempotent on replay of an
+    uncommitted batch; a no-op for a committed one."""
+    if batch_df.isEmpty():
+        return
+    if batch_id in set(_committed_ids(census_dir)):
+        return  # replay after a post-commit crash: already applied
+    chars = (
+        F.col(chars_col)
+        if chars_col in batch_df.columns
+        else F.length(text_col)
+    )
+    delta = (
+        batch_df.select(
+            "lang",
+            "source",
+            F.size(tokens(text_col)).alias("n_tok"),
+            chars.cast("long").alias("n_chars"),
+        )
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tok"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+        )
+    )
+    delta.write.mode("overwrite").parquet(
+        os.path.join(census_dir, "deltas", f"batch-{batch_id}")
+    )
+    cdir = os.path.join(census_dir, "_commits")
+    os.makedirs(cdir, exist_ok=True)
+    with open(os.path.join(cdir, str(batch_id)), "w"):
+        pass
+
+
+def read_census_partials(
+    spark: SparkSession, census_dir: str
+) -> DataFrame | None:
+    """(lang, source, n_docs, n_tok, n_chars) summed across every
+    committed batch, or None if the census is empty."""
+    paths = [
+        os.path.join(census_dir, "deltas", f"batch-{i}")
+        for i in _committed_ids(census_dir)
+    ]
+    paths = [p for p in paths if os.path.isdir(p)]
+    if not paths:
+        return None
+    return (
+        spark.read.parquet(*paths)
+        .groupBy("lang", "source")
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tok"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+        )
+    )
+
+
+def read_census_datacard(
+    spark: SparkSession, census_dir: str
+) -> DataFrame | None:
+    """The full ``corpus_datacard`` shape (ROLLUP grains, gid, shares)
+    over everything ingested so far — equal by construction to the batch
+    plan on the same documents."""
+    from ..ext.curation import datacard_from_docs
+
+    partials = read_census_partials(spark, census_dir)
+    if partials is None:
+        return None
+    return datacard_from_docs(partials)
+
+
+def census_sink(
+    docs_stream: DataFrame,
+    census_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    chars_col: str = "n_chars",
+):
+    """Start the checkpointed foreachBatch census query. Exactly-once:
+    Spark's checkpoint replays an in-flight batch with the same batch_id
+    after a crash/restart, and the commit markers make the replay
+    idempotent."""
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        apply_census_batch(
+            batch_df, batch_id, census_dir,
+            text_col=text_col, chars_col=chars_col,
+        )
+
+    return (
+        docs_stream.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )
