@@ -106,6 +106,11 @@ def main() -> None:
             # cross-doc shingle-novelty census (two long-keyed shuffles)
             # — both should be wall-linear in corpus tokens
             "dsir": ("dsir_importance_weights", cmod.dsir_importance_weights),
+            # composed curation -> temperature mixture -> resample; the
+            # R-way replicated corpus collapses to reps in the exact
+            # stage, so this stresses the staged-dedup front plus the
+            # manifest tail
+            "manifest": ("training_mix_manifest", tmod.training_mix_manifest),
             "novelty": ("doc_shingle_novelty", tmod.doc_shingle_novelty),
             "datacard": ("corpus_datacard", cmod.corpus_datacard),
         }

@@ -356,3 +356,76 @@ def test_training_mix_manifest_composes_curation_and_mixture(spark, sf_dir):
     heavy = max(tokens_by_lang, key=tokens_by_lang.get)
     light = min(tokens_by_lang, key=tokens_by_lang.get)
     assert by_lang[light][0].sampling_weight > by_lang[heavy][0].sampling_weight
+
+
+def test_dsir_matches_reference_on_random_corpora(spark):
+    """Hypothesis twin of the fixed-corpus DSIR test: random small
+    corpora (including empty docs and all-target / all-pool splits)
+    against an independent Python fold."""
+    import hashlib
+    import math
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    dim, seed = 32, 17
+    words = st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff", ""])
+    docs_strategy = st.lists(
+        st.tuples(st.lists(words, max_size=8), st.booleans()),
+        min_size=1,
+        max_size=12,
+    )
+
+    def h(tok: str) -> int:
+        return int(hashlib.md5(f"{seed}|{tok}".encode()).hexdigest()[:15], 16)
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        derandomize=True,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(corpus=docs_strategy)
+    def run(corpus):
+        rows = [
+            (i, " ".join(toks), is_t) for i, (toks, is_t) in enumerate(corpus)
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text", "is_t"])
+        got = {
+            r.doc_id: (r.n_tok, r.log_weight, r.keep)
+            for r in C.dsir_log_weights(
+                df, F.col("is_t"), dim=dim, seed=seed
+            ).collect()
+        }
+        # reference fold (normalized tokenization: split on whitespace,
+        # drop empties — matching functions.text_fns.tokens)
+        ct: dict[int, int] = {}
+        cq: dict[int, int] = {}
+        toks_by_doc = {
+            i: [t for t in text.split() if t] for i, text, _ in rows
+        }
+        for i, _, is_t in rows:
+            for tok in toks_by_doc[i]:
+                b = h(tok) % dim
+                d = ct if is_t else cq
+                d[b] = d.get(b, 0) + 1
+        tct, tcq = float(sum(ct.values())), float(sum(cq.values()))
+        for i, _, _ in rows:
+            toks = toks_by_doc[i]
+            if not toks:
+                assert i not in got  # empty docs drop out on both sides
+                continue
+            counts: dict[int, int] = {}
+            for tok in toks:
+                b = h(tok) % dim
+                counts[b] = counts.get(b, 0) + 1
+            acc = 0.0
+            for b in sorted(counts):
+                lam = math.log((ct.get(b, 0) + 1.0) / (tct + dim)) - math.log(
+                    (cq.get(b, 0) + 1.0) / (tcq + dim)
+                )
+                acc += counts[b] * lam
+            expected = math.floor(acc * 1e6 + 0.5) / 1e6
+            assert got[i] == (len(toks), expected, expected >= 0.0), i
+
+    run()
