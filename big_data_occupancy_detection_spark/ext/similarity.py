@@ -839,3 +839,61 @@ def pq_topk(
         F.col("vid").alias("vec_id"), F.col("nvec").alias("cn")
     )
     return _pq_rerank(short, qn, cvec, k)
+
+
+def cluster_outliers(
+    emb: DataFrame,
+    flag_per_cluster: int = 2,
+    n_centroids: int = None,
+    n_iters: int = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vid, cluster, centroid_cos, rnk, is_outlier) — per-cluster
+    embedding outlier census: cosine of every vector to its own k-means
+    centroid, ranked ascending inside the cluster (rank 1 = farthest),
+    with the ``flag_per_cluster`` farthest flagged. The standard
+    embedding-space noise/mislabel triage before semantic dedup or
+    ANN-index build (outliers poison centroid quality and recall).
+
+    Same fit/assignment machinery as ``ivf_topk``/``semantic_dedup``
+    (md5-seeded Lloyd rounds, argmax assignment, slim checkpointed
+    (vid, cluster) map); the per-vector cosine is one broadcast join of
+    the k·dim centroid frame against a column-pruned vector scan, and
+    the ranking window partitions by cluster — no global window, no
+    pair stage at all, so cost is one scan + one hash shuffle however
+    large the corpus.
+    """
+    if n_centroids is None:
+        n_centroids = IVF_CENTROIDS
+    if n_iters is None:
+        n_iters = IVF_ITERS
+    from ..functions.vector_fns import dot, l2_norm
+
+    normed = _normalized(emb, id_col, vec_col)
+    cent = _fit_centroids(normed, n_centroids, n_iters)
+    assigned = (
+        _assign_nearest(
+            emb.select(F.col(id_col).alias("vid"), vec_col), cent, "vid", vec_col
+        )
+        .select("vid", "cluster")
+        .localCheckpoint(eager=True)
+    )
+    vecs = emb.select(F.col(id_col).alias("vid"), vec_col)
+    cos9 = F.round(
+        dot(vec_col, "__cent") / (l2_norm(vec_col) * l2_norm("__cent")), 9
+    )
+    scored = (
+        assigned.join(vecs, "vid")
+        .join(
+            F.broadcast(cent.withColumnRenamed("cid", "cluster")), "cluster"
+        )
+        .select("vid", "cluster", cos9.alias("cos9"))
+    )
+    w = Window.partitionBy("cluster").orderBy(F.asc("cos9"), F.asc("vid"))
+    return scored.select(
+        "vid",
+        "cluster",
+        F.round("cos9", 6).alias("centroid_cos"),
+        F.row_number().over(w).cast("long").alias("rnk"),
+    ).withColumn("is_outlier", F.col("rnk") <= flag_per_cluster)

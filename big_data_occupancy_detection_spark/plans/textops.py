@@ -1757,3 +1757,40 @@ def training_mix_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_copies"),
     )
+
+
+# --------------------------------------------------------------------------
+# q — per-cluster embedding outlier census: cosine of each vector to its
+# own k-means centroid, farthest-2 flagged. Shares the deterministic
+# k-means CTE chain with the IVF/semantic-dedup oracles; no pair stage,
+# so cost is one scan + one assignment shuffle at any corpus size.
+# --------------------------------------------------------------------------
+def _cluster_outliers_oracle() -> str:
+    return f"""
+    WITH {kmeans_cassign_ctes()},
+    centnorm AS (SELECT cid, sqrt(sum(cv * cv)) AS cn FROM cent GROUP BY cid),
+    cosg AS (
+      SELECT a.vec_id, a.cluster,
+             round(sum(c.v * ct.cv) / (n.nrm * cn.cn), 9) AS cos9
+      FROM cassign a
+      JOIN c ON c.vec_id = a.vec_id
+      JOIN cent ct ON ct.cid = a.cluster AND ct.i = c.i
+      JOIN norms n ON n.vec_id = a.vec_id
+      JOIN centnorm cn ON cn.cid = a.cluster
+      GROUP BY a.vec_id, a.cluster, n.nrm, cn.cn),
+    ranked AS (
+      SELECT vec_id, cluster, cos9,
+             CAST(row_number() OVER (PARTITION BY cluster
+                                     ORDER BY cos9 ASC, vec_id) AS BIGINT) AS rnk
+      FROM cosg)
+    SELECT vec_id AS vid, cluster, round(cos9, 6) AS centroid_cos, rnk,
+           rnk <= 2 AS is_outlier
+    FROM ranked
+    """
+
+
+@register("embedding_cluster_outliers", oracle=_cluster_outliers_oracle())
+def embedding_cluster_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Farthest-from-centroid embedding outliers per k-means cluster —
+    the noise/mislabel triage pass before semantic dedup or index build."""
+    return SIM.cluster_outliers(table(spark, sf_dir, "embeddings"))

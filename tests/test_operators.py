@@ -847,3 +847,23 @@ def test_shingle_novelty_counts_cross_doc_overlap(spark):
     assert (out[1].n_shingles, out[1].n_novel, out[1].novelty) == (2, 1, 0.5)
     assert (out[2].n_shingles, out[2].n_novel, out[2].novelty) == (2, 1, 0.5)
     assert (out[3].n_shingles, out[3].n_novel, out[3].novelty) == (2, 2, 1.0)
+
+
+def test_cluster_outliers_flags_planted_outlier(spark):
+    from big_data_occupancy_detection_spark.ext.similarity import cluster_outliers
+
+    rows = [(i, [1.0, 0.02 * i, 0.0]) for i in range(8)]
+    rows.append((99, [0.0, 0.0, 1.0]))  # orthogonal to the pack
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {
+        r.vid: r
+        for r in cluster_outliers(
+            df, flag_per_cluster=1, n_centroids=1, n_iters=1
+        ).collect()
+    }
+    assert len(out) == 9
+    assert out[99].rnk == 1 and out[99].is_outlier
+    assert sum(1 for r in out.values() if r.is_outlier) == 1
+    # everyone sits in the single cluster and the pack scores higher
+    assert all(r.cluster == out[99].cluster for r in out.values())
+    assert min(r.centroid_cos for v, r in out.items() if v != 99) > out[99].centroid_cos
