@@ -524,10 +524,14 @@ def dsir_log_weights(
         "tok",
         keep=[id_col, "__is_target"],
     ).filter(F.col("tok") != "")
+    # pmod, not %: the portable md5 hash is non-negative (identical
+    # either way) but the SPARK_GRAFT_FAST_HASH xxhash64 swap is signed —
+    # a sign-preserving % would spread mass over (−dim, dim) while the
+    # add-one smoothing still assumes dim buckets
     bucketed = toks.select(
         F.col(id_col),
         "__is_target",
-        (hash64(F.col("tok"), seed) % F.lit(dim)).alias("bucket"),
+        F.pmod(hash64(F.col("tok"), seed), F.lit(dim)).alias("bucket"),
     )
     # ONE pass over the token stream; everything below reads this
     # compact (≤ dim rows per doc, all longs) frame.
@@ -597,14 +601,24 @@ def temperature_mixture_sqrt(
     sum is deterministic and oracle-replayable.
     """
     toks = docs.select(*strata_cols, F.size(tokens(text_col)).alias("__n_tok"))
-    per = (
-        toks.groupBy(*strata_cols)
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("__n_tok").cast("long").alias("n_tokens"),
-        )
-        .localCheckpoint(eager=True)
+    per = toks.groupBy(*strata_cols).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__n_tok").cast("long").alias("n_tokens"),
     )
+    return temperature_shares_from_partials(per, strata_cols)
+
+
+def temperature_shares_from_partials(
+    per: DataFrame, strata_cols: list[str]
+) -> DataFrame:
+    """The α=0.5 share/weight math over (strata..., n_docs, n_tokens)
+    partials — one row per stratum. Shared by
+    :func:`temperature_mixture_sqrt` and the training-mix manifest so
+    the sqrt-fold determinism contract (stratum-ordered ``F.aggregate``
+    mirroring DuckDB ``list_reduce ... ORDER BY``) lives in one place.
+    The partials are eagerly checkpointed here (|strata| rows) because
+    the denominator fold and the output both read them."""
+    per = per.localCheckpoint(eager=True)
     sq = F.sqrt(F.col("n_tokens").cast("double"))
     denom = per.agg(
         F.sum("n_tokens").cast("double").alias("tot"),

@@ -66,16 +66,22 @@ def asof_join(
     )
     for c in value_cols:
         l_tagged = l_tagged.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
-    r_tagged = right.select(
-        *on, F.col(right_ts).alias("__t"), *value_cols
-    ).withColumn("__is_left", F.lit(0))
+    r_tagged = (
+        right.select(*on, F.col(right_ts).alias("__t"), *value_cols)
+        # a null right timestamp can never satisfy l.ts >= r.ts; left it
+        # would sort NULLS FIRST and leak into every left row's frame
+        .filter(F.col("__t").isNotNull())
+        .withColumn("__is_left", F.lit(0))
+    )
     for f in left.schema.fields:
         if f.name not in r_tagged.columns:
             r_tagged = r_tagged.withColumn(f.name, F.lit(None).cast(f.dataType))
     unioned = l_tagged.unionByName(r_tagged)
 
     # Right rows (0) sort before left rows (1) at equal __t, so a right row
-    # at exactly left_ts is already visible to the running last().
+    # at exactly left_ts is already visible to the running last(). A
+    # NULL-timestamp left row sorts NULLS FIRST with an empty backward
+    # frame, so it gets nulls without needing a mask.
     w = (
         Window.partitionBy(*on)
         .orderBy("__t", "__is_left")
@@ -118,25 +124,40 @@ def asof_join_forward(
     )
     for c in value_cols:
         l_tagged = l_tagged.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
-    r_tagged = right.select(
-        *on, F.col(right_ts).alias("__t"), *value_cols
-    ).withColumn("__is_left", F.lit(0))
+    r_tagged = (
+        right.select(*on, F.col(right_ts).alias("__t"), *value_cols)
+        # a null right timestamp can never satisfy l.ts <= r.ts
+        .filter(F.col("__t").isNotNull())
+        .withColumn("__is_left", F.lit(0))
+    )
     for f in left.schema.fields:
         if f.name not in r_tagged.columns:
             r_tagged = r_tagged.withColumn(f.name, F.lit(None).cast(f.dataType))
     unioned = l_tagged.unionByName(r_tagged)
 
     # Left rows (1) sort before right rows (0) at equal __t, so a right
-    # row at exactly left_ts is inside the forward-looking frame.
+    # row at exactly left_ts is inside the forward-looking frame. A
+    # NULL-timestamp left row sorts NULLS FIRST — its forward frame
+    # would cover every right row — so its fill is masked back to null
+    # (l.ts <= r.ts is never true for a null probe, matching the SQL
+    # ASOF semantics and the backward twin).
     w = (
         Window.partitionBy(*on)
         .orderBy(F.col("__t").asc(), F.col("__is_left").desc())
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
+    null_probe = F.col("__t").isNull()
     filled = unioned.select(
         *[c for c in unioned.columns if c not in ("__t", "__is_left", *value_cols)],
         F.col("__is_left"),
-        *[F.first(c, ignorenulls=True).over(w).alias(c) for c in value_cols],
+        *[
+            F.when(
+                null_probe, F.lit(None).cast(right.schema[c].dataType)
+            )
+            .otherwise(F.first(c, ignorenulls=True).over(w))
+            .alias(c)
+            for c in value_cols
+        ],
     )
     return filled.filter(F.col("__is_left") == 1).drop("__is_left")
 

@@ -1719,6 +1719,7 @@ def training_mix_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curation survivors with their α=0.5 temperature-mixture sampling
     weight and deterministic epoch multiplicity — the shippable
     what-we-train-on manifest."""
+    from ..ext.curation import temperature_shares_from_partials
     from ..functions.text_fns import md5_hash64
 
     kept = corpus_curation(spark, sf_dir).localCheckpoint(eager=True)
@@ -1726,19 +1727,8 @@ def training_mix_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("n_tokens"),
     )
-    sq = F.sqrt(F.col("n_tokens").cast("double"))
-    denom = per.agg(
-        F.sum("n_tokens").cast("double").alias("tot"),
-        F.aggregate(
-            F.array_sort(F.collect_list(F.struct("lang", sq.alias("sq")))),
-            F.lit(0.0),
-            lambda acc, x: acc + x.getField("sq"),
-        ).alias("sden"),
-    )
-    tshare = F.sqrt(F.col("n_tokens").cast("double")) / F.col("sden")
-    share = F.col("n_tokens").cast("double") / F.col("tot")
-    wts = per.crossJoin(F.broadcast(denom)).select(
-        "lang", portable_round(tshare / share, 6).alias("w")
+    wts = temperature_shares_from_partials(per, ["lang"]).select(
+        "lang", F.col("sampling_weight").alias("w")
     )
     u = md5_hash64(
         F.concat(F.lit("mix|"), F.col("doc_id").cast("string"))

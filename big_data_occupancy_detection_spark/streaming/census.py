@@ -38,13 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text_fns import tokens
-
-
-def _committed_ids(census_dir: str) -> list[int]:
-    cdir = os.path.join(census_dir, "_commits")
-    if not os.path.isdir(cdir):
-        return []
-    return sorted(int(n) for n in os.listdir(cdir) if n.isdigit())
+from .dedup_ingest import _committed_ids  # same _commits marker layout
 
 
 def apply_census_batch(

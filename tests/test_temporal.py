@@ -151,3 +151,40 @@ def test_interval_join_matches_naive_and_avoids_nested_loop(spark):
     m = plan_metrics(interval_join(points, intervals, "x", "lo", "hi", 20.0))
     assert not m["cartesian"]
     assert m["joins"].get("BroadcastNestedLoopJoin", 0) == 0
+
+
+def test_asof_null_timestamps_never_match(spark):
+    """NULL probe timestamps get NULL fills (SQL ASOF: ts >= / <= NULL is
+    never true), and NULL right timestamps are invisible — in BOTH
+    directions. Regression: a nulls-first sort once leaked the earliest
+    right row into a null probe's forward frame."""
+    import datetime as dt
+
+    from big_data_occupancy_detection_spark.operators.temporal import (
+        asof_join,
+        asof_join_forward,
+    )
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    ldf = spark.createDataFrame(
+        [(1, 0, t(10)), (2, 0, None), (3, 0, t(30))],
+        "lid LONG, k LONG, lts TIMESTAMP",
+    )
+    rdf = spark.createDataFrame(
+        [(0, t(20), 20.0), (0, None, 99.0)],
+        "k LONG, rts TIMESTAMP, val DOUBLE",
+    )
+    fwd = {
+        r.lid: r.val
+        for r in asof_join_forward(
+            ldf, rdf, on=["k"], left_ts="lts", right_ts="rts", value_cols=["val"]
+        ).collect()
+    }
+    assert fwd == {1: 20.0, 2: None, 3: None}
+    bwd = {
+        r.lid: r.val
+        for r in asof_join(
+            ldf, rdf, on=["k"], left_ts="lts", right_ts="rts", value_cols=["val"]
+        ).collect()
+    }
+    assert bwd == {1: None, 2: None, 3: 20.0}
