@@ -395,3 +395,55 @@ def semantic_dedup_vectorized(
         F.when(F.col("dup_of") >= 0, F.col("dup_of")).alias("dup_of"),
         (F.col("dup_of") < 0).alias("keep"),
     )
+
+
+def cluster_outliers_vectorized(
+    emb: DataFrame,
+    flag_per_cluster: int = 2,
+    n_centroids: int = IVF_CENTROIDS,
+    n_iters: int = IVF_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Arrow twin of ``similarity.cluster_outliers``: same md5-seeded
+    fit (vectorized Lloyd rounds), then ONE mapInPandas computes the
+    argmax assignment AND the cosine-to-own-centroid in the same batch
+    matmul — no ×k crossJoin fan-out and no join back to the centroid
+    frame. Only the per-cluster ranking window shuffles (slim
+    (vid, cluster, cos9) rows). Same semantics up to last-ulp
+    assignment flips at cluster boundaries (numpy means differ from SQL
+    means in final ulps — the documented `_vec` contract, see
+    tests/test_similarity_vec.py)."""
+    cent_rows = fit_centroids_vectorized(
+        emb, n_centroids, n_iters, id_col=id_col, vec_col=vec_col
+    )
+    C = _centroid_matrix(cent_rows)
+    cn = np.sqrt((C * C).sum(axis=1))
+    schema = "vid long, cluster int, cos9 double"
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = _to_matrix(pdf[vec_col])
+            dots = X @ C.T
+            idx = np.argmax(dots, axis=1)  # ties -> first = smallest cid
+            xn = np.sqrt((X * X).sum(axis=1))
+            cos = dots[np.arange(len(X)), idx] / (xn * cn[idx])
+            yield pd.DataFrame(
+                {
+                    "vid": pdf[id_col].values,
+                    "cluster": idx.astype(np.int32),
+                    "cos9": _round_half_up9(cos),
+                }
+            )
+
+    src = repartition_for_compute(emb.select(id_col, vec_col))
+    scored = src.mapInPandas(part, schema=schema)
+    w = Window.partitionBy("cluster").orderBy(F.asc("cos9"), F.asc("vid"))
+    return scored.select(
+        "vid",
+        "cluster",
+        F.round("cos9", 6).alias("centroid_cos"),
+        F.row_number().over(w).cast("long").alias("rnk"),
+    ).withColumn("is_outlier", F.col("rnk") <= flag_per_cluster)

@@ -172,6 +172,21 @@ def main() -> None:
         if exact_rows is not None:
             print(json.dumps({"op": "ivf_topk_vectorized",
                               "recall_at_5": recall(exact_rows, rows)}), flush=True)
+    if "outliers" in ops:
+        # per-cluster outlier census: fit+assign (the IVF front) plus a
+        # cluster-partitioned ranking window; n_centroids scales with the
+        # corpus (sqrt-ish, as for IVF) so window partitions stay bounded
+        measure(
+            spark,
+            "cluster_outliers",
+            lambda: SIM.cluster_outliers(emb, n_centroids=64),
+        )
+    if "outliers_vec" in ops:
+        measure(
+            spark,
+            "cluster_outliers_vectorized",
+            lambda: SIMV.cluster_outliers_vectorized(emb, n_centroids=64),
+        )
     if "semdedup" in ops:
         rows = measure(
             spark,

@@ -136,3 +136,24 @@ def test_local_topk_tie_break_is_batch_invariant(spark):
     out = simv.brute_force_topk_vectorized(corpus, queries, k=3)
     got = [(r.vec_id, r.rnk) for r in out.orderBy("rnk").collect()]
     assert got == [(5, 1), (10, 2), (20, 3)]
+
+
+def test_cluster_outliers_vectorized_parity(emb):
+    out_fold = sim.cluster_outliers(emb, flag_per_cluster=2)
+    out_vec = simv.cluster_outliers_vectorized(emb, flag_per_cluster=2)
+    assert out_fold.columns == out_vec.columns
+    f = {r["vid"]: r for r in out_fold.collect()}
+    v = {r["vid"]: r for r in out_vec.collect()}
+    assert set(f) == set(v)
+    # same cluster for all but last-ulp boundary flips
+    moved = [k for k in f if f[k]["cluster"] != v[k]["cluster"]]
+    assert len(moved) <= max(1, len(f) // 100), moved[:5]
+    # cosines agree on the stable vectors
+    for k in f:
+        if k in moved:
+            continue
+        assert abs(f[k]["centroid_cos"] - v[k]["centroid_cos"]) <= 2e-6, k
+    # flagged outlier sets agree up to the same boundary tolerance
+    ff = {k for k in f if f[k]["is_outlier"]}
+    vf = {k for k in v if v[k]["is_outlier"]}
+    assert len(ff ^ vf) <= max(1, len(ff) // 10), (ff - vf, vf - ff)
