@@ -25,9 +25,19 @@ restart in tests/test_streaming_census.py).
 
 Scale shape: per batch, one map-side-combined aggregation over the
 micro-batch only; the read path touches O(committed batches × strata)
-rows. If batch count ever grows unwieldy, the delta dirs compact with
-``sources.sinks.compact_parquet`` — the census is associative, so any
-prefix of deltas can be replaced by its sum.
+rows. When batch count grows unwieldy, :func:`compact_census` replaces
+the committed prefix with its sum (the census is associative) behind a
+SINGLE atomic rename:
+
+- the summed partials are written to a dot-prefixed staging dir
+  (invisible to every reader), then renamed to
+  ``compacted/<lo>-<hi>`` — the commit point;
+- readers take the compacted range with the largest ``hi``, then
+  per-batch dirs only for ids > hi, so per-batch dirs covered by a
+  committed compaction are IGNORED, not trusted to be deleted —
+  a crash before the rename leaves only ignorable staging, a crash
+  after it leaves subsumed per-batch dirs that never double-count;
+- cleanup of subsumed dirs is lazy and optional (idempotent).
 """
 
 from __future__ import annotations
@@ -83,16 +93,42 @@ def apply_census_batch(
         pass
 
 
+def _best_compaction(census_dir: str) -> tuple[int, int, str] | None:
+    """(lo, hi, path) of the committed compaction covering the most
+    batches (largest hi, then largest lo), or None."""
+    cdir = os.path.join(census_dir, "compacted")
+    if not os.path.isdir(cdir):
+        return None
+    best = None
+    for name in os.listdir(cdir):
+        if name.startswith("."):
+            continue  # staging of an in-flight (crashed) compaction
+        try:
+            lo, hi = (int(x) for x in name.split("-"))
+        except ValueError:
+            continue
+        if best is None or (hi, lo) > (best[0][1], best[0][0]):
+            best = ((lo, hi), os.path.join(cdir, name))
+    return (best[0][0], best[0][1], best[1]) if best else None
+
+
 def read_census_partials(
     spark: SparkSession, census_dir: str
 ) -> DataFrame | None:
     """(lang, source, n_docs, n_tok, n_chars) summed across every
-    committed batch, or None if the census is empty."""
+    committed batch, or None if the census is empty. Per-batch dirs
+    covered by a committed compaction are ignored (they may or may not
+    still exist — cleanup is lazy)."""
+    comp = _best_compaction(census_dir)
+    hi = comp[1] if comp else -1
     paths = [
         os.path.join(census_dir, "deltas", f"batch-{i}")
         for i in _committed_ids(census_dir)
+        if i > hi
     ]
     paths = [p for p in paths if os.path.isdir(p)]
+    if comp:
+        paths.append(comp[2])
     if not paths:
         return None
     return (
@@ -104,6 +140,48 @@ def read_census_partials(
             F.sum("n_chars").cast("long").alias("n_chars"),
         )
     )
+
+
+def compact_census(spark: SparkSession, census_dir: str) -> int:
+    """Replace the committed prefix of per-batch deltas with its sum.
+
+    Returns the number of delta dirs the new compaction subsumes (0 if
+    there is nothing to compact). Crash-safe with one atomic rename:
+    the summed partials are staged dot-prefixed, renamed into
+    ``compacted/<lo>-<hi>`` (the commit point), and only then are the
+    now-subsumed per-batch dirs (and any older, narrower compaction)
+    removed — readers ignore subsumed dirs by range, so a crash at any
+    step leaves a correct census.
+    """
+    import shutil
+
+    ids = _committed_ids(census_dir)
+    prior = _best_compaction(census_dir)
+    prior_hi = prior[1] if prior else -1
+    fresh = [
+        i
+        for i in ids
+        if i > prior_hi
+        and os.path.isdir(os.path.join(census_dir, "deltas", f"batch-{i}"))
+    ]
+    if not fresh or (prior is None and len(fresh) < 2):
+        return 0
+    lo = prior[0] if prior else min(fresh)
+    hi = max(fresh)
+    summed = read_census_partials(spark, census_dir)
+    cdir = os.path.join(census_dir, "compacted")
+    os.makedirs(cdir, exist_ok=True)
+    staging = os.path.join(cdir, f".staging-{lo}-{hi}")
+    summed.write.mode("overwrite").parquet(staging)
+    os.rename(staging, os.path.join(cdir, f"{lo}-{hi}"))  # commit
+    # lazy cleanup: subsumed per-batch dirs + the narrower old compaction
+    for i in fresh:
+        shutil.rmtree(
+            os.path.join(census_dir, "deltas", f"batch-{i}"), ignore_errors=True
+        )
+    if prior:
+        shutil.rmtree(prior[2], ignore_errors=True)
+    return len(fresh)
 
 
 def read_census_datacard(

@@ -131,3 +131,59 @@ def test_census_replay_semantics(spark, tmp_path):
         )
         == before
     )
+
+
+def test_census_compaction_preserves_and_survives_crashes(spark, tmp_path):
+    import shutil
+
+    from big_data_occupancy_detection_spark.streaming.census import (
+        compact_census,
+    )
+
+    census = tmp_path / "census_compact"
+    for i, rows in enumerate(BATCHES):
+        apply_census_batch(spark.createDataFrame(rows, SCHEMA), i, str(census))
+    before = sorted(
+        tuple(r) for r in read_census_datacard(spark, str(census)).collect()
+    )
+
+    # a crashed compaction = staging dir without the rename: ignored
+    stale = census / "compacted" / ".staging-0-1"
+    stale.mkdir(parents=True)
+    assert (
+        sorted(tuple(r) for r in read_census_datacard(spark, str(census)).collect())
+        == before
+    )
+
+    # real compaction of the full committed prefix
+    assert compact_census(spark, str(census)) == len(BATCHES)
+    assert sorted(
+        tuple(r) for r in read_census_datacard(spark, str(census)).collect()
+    ) == before
+    # the per-batch dirs are gone; the compacted range serves alone
+    assert not any(
+        (census / "deltas" / f"batch-{i}").exists() for i in range(len(BATCHES))
+    )
+
+    # a crash AFTER the commit rename but BEFORE cleanup must not
+    # double-count: recreate a subsumed per-batch dir and re-read
+    apply_census_batch(
+        spark.createDataFrame(BATCHES[0], SCHEMA), 99, str(census)
+    )  # also prove post-compaction ingest keeps working
+    shutil.copytree(
+        census / "deltas" / "batch-99", census / "deltas" / "batch-1"
+    )
+    got = sorted(
+        tuple(r) for r in read_census_datacard(spark, str(census)).collect()
+    )
+    want = _expected_datacard(spark, _rows(BATCHES) + BATCHES[0])
+    assert got == want  # batch-1 (subsumed by 0-2) ignored; batch-99 counted
+
+    # nothing new to compact twice in a row is a no-op... but one fresh
+    # batch after a prior compaction IS compactable (prefix extension)
+    assert compact_census(spark, str(census)) == 1
+    assert (
+        sorted(tuple(r) for r in read_census_datacard(spark, str(census)).collect())
+        == want
+    )
+    assert compact_census(spark, str(census)) == 0
