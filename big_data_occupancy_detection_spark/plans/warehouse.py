@@ -16,6 +16,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.readers import table
+from ..functions.rounding import portable_round
 from .registry import register
 
 # exact cents for a 2-decimal money column — the basis of every
@@ -993,4 +994,108 @@ def daily_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return daily.select(
         "day", "new_users", F.sum("new_users").over(w).cast("long").alias("cum_users")
+    )
+
+
+# --------------------------------------------------------------------------
+# Kaplan-Meier customer survival curve: lifetime = first->last order
+# days; churned (event) iff the last order is >90 days before the
+# dataset's end, else censored. S(t) = prod_{t_i <= t} (1 - d_i/n_i)
+# over event times — an order-dependent float product, so both engines
+# fold the IDENTICALLY-ORDERED factor list (duration-ascending prefix,
+# seed 1.0). Fact-sized work is two map-side-combined aggs; everything
+# after lives at the distinct-duration grain (~10^3 rows max — the
+# documented tiny-grain window exception), with the factor list riding
+# a one-row broadcast.
+# --------------------------------------------------------------------------
+_KM_CHURN_DAYS = 90
+
+_KM_ORACLE = f"""
+WITH per AS (
+  SELECT o_custkey, min(CAST(o_orderdate AS DATE)) AS fd,
+         max(CAST(o_orderdate AS DATE)) AS ld
+  FROM orders GROUP BY o_custkey),
+m AS (SELECT max(CAST(o_orderdate AS DATE)) AS md FROM orders),
+cust AS (
+  SELECT date_diff('day', fd, ld) AS dur,
+         CASE WHEN date_diff('day', ld, md) > {_KM_CHURN_DAYS}
+              THEN 1 ELSE 0 END AS ev
+  FROM per, m),
+risk AS (SELECT dur, count(*) AS n_t, sum(ev) AS d_t FROM cust GROUP BY dur),
+r2 AS (
+  SELECT dur,
+         CAST(sum(n_t) OVER (ORDER BY dur DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS n_risk,
+         CAST(d_t AS BIGINT) AS n_events
+  FROM risk),
+ev AS (SELECT dur, n_risk, n_events FROM r2 WHERE n_events > 0),
+fl AS (
+  SELECT list(struct_pack(dur := dur,
+                          f := 1.0 - CAST(n_events AS DOUBLE) / n_risk)
+              ORDER BY dur) AS arr
+  FROM ev)
+SELECT CAST(dur AS BIGINT) AS t_days, n_risk, n_events,
+       {{PR4}} AS survival
+FROM ev, fl
+""".replace(
+    "{PR4}",
+    "(floor(CAST((list_reduce(list_prepend(1.0, "
+    "list_transform(list_filter(arr, x -> x.dur <= dur), x -> x.f)), "
+    "(acc, x) -> acc * x)) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0)",
+)
+
+
+@register("customer_survival_curve", oracle=_KM_ORACLE)
+def customer_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival of customer order-lifetimes (churn = no
+    order in the dataset's last 90 days): per event time, the at-risk
+    count, churn events, and the product-limit survival estimate."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey", F.to_date("o_orderdate").alias("d")
+    )
+    per = o.groupBy("o_custkey").agg(
+        F.min("d").alias("fd"), F.max("d").alias("ld")
+    )
+    m = o.agg(F.max("d").alias("md"))
+    cust = per.crossJoin(F.broadcast(m)).select(
+        F.datediff("ld", "fd").alias("dur"),
+        F.when(
+            F.datediff("md", "ld") > _KM_CHURN_DAYS, F.lit(1)
+        ).otherwise(F.lit(0)).alias("ev"),
+    )
+    risk = cust.groupBy("dur").agg(
+        F.count(F.lit(1)).alias("n_t"), F.sum("ev").alias("d_t")
+    )
+    w = Window.orderBy(F.desc("dur")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ev = (
+        risk.select(
+            "dur",
+            F.sum("n_t").over(w).cast("long").alias("n_risk"),
+            F.col("d_t").cast("long").alias("n_events"),
+        )
+        .filter(F.col("n_events") > 0)
+        .localCheckpoint(eager=True)
+    )
+    factor = F.lit(1.0) - F.col("n_events").cast("double") / F.col("n_risk")
+    fl = ev.agg(
+        F.array_sort(F.collect_list(F.struct("dur", factor.alias("f")))).alias(
+            "arr"
+        )
+    )
+    surv = F.aggregate(
+        F.transform(
+            F.filter("arr", lambda x: x.getField("dur") <= F.col("dur")),
+            lambda x: x.getField("f"),
+        ),
+        F.lit(1.0),
+        lambda acc, x: acc * x,
+    )
+    return ev.crossJoin(F.broadcast(fl)).select(
+        F.col("dur").cast("long").alias("t_days"),
+        "n_risk",
+        "n_events",
+        portable_round(surv, 6).alias("survival"),
     )

@@ -54,3 +54,50 @@ def test_copurchase_guard_noop_on_normal_baskets(spark, sf_dir):
         for r in copurchase_lift(items, max_basket_items=None).collect()
     )
     assert a == b
+
+
+def test_survival_curve_hand_computed(spark, tmp_path):
+    """Kaplan-Meier on a 4-customer cohort: at t=5, three at risk have
+    duration 5 (two churned, one censored) and one survives past ->
+    n_risk=4, S(5) = 1 - 2/4 = 0.5; the censored-only duration 100
+    emits no row."""
+    import datetime as dt
+
+    from big_data_occupancy_detection_spark.plans.warehouse import (
+        customer_survival_curve,
+    )
+
+    D = dt.datetime(2001, 8, 1)
+    day = dt.timedelta(days=1)
+    rows = []
+    ok = [1]
+
+    def order(cust, when):
+        rows.append((ok[0], cust, when, 10.0, "O"))
+        ok[0] += 1
+
+    order(1, D - 100 * day); order(1, D - 95 * day)   # dur 5, churned
+    order(2, D - 100 * day); order(2, D)              # dur 100, censored
+    order(3, D - 200 * day); order(3, D - 195 * day)  # dur 5, churned
+    order(4, D - 50 * day); order(4, D - 45 * day)    # dur 5, censored
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderdate timestamp,"
+        " o_totalprice double, o_orderstatus string",
+    )
+    path = str(tmp_path / "orders.parquet")
+    df.coalesce(1).write.parquet(path)
+
+    import big_data_occupancy_detection_spark.plans.warehouse as wmod
+
+    orig = wmod.table
+    wmod.table = lambda s, d, name: (
+        s.read.parquet(path) if name == "orders" else orig(s, d, name)
+    )
+    try:
+        out = customer_survival_curve(spark, "unused").collect()
+    finally:
+        wmod.table = orig
+    assert len(out) == 1
+    r = out[0]
+    assert (r.t_days, r.n_risk, r.n_events, r.survival) == (5, 4, 2, 0.5)
