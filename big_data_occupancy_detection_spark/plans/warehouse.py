@@ -16,7 +16,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.readers import table
-from ..functions.rounding import portable_round
+from ..functions.rounding import portable_round, portable_round_sql
 from .registry import register
 
 # exact cents for a 2-decimal money column — the basis of every
@@ -1036,14 +1036,12 @@ fl AS (
               ORDER BY dur) AS arr
   FROM ev)
 SELECT CAST(dur AS BIGINT) AS t_days, n_risk, n_events,
-       {{PR4}} AS survival
+       {portable_round_sql(
+           "list_reduce(list_prepend(1.0, "
+           "list_transform(list_filter(arr, x -> x.dur <= dur), x -> x.f)), "
+           "(acc, x) -> acc * x)", 6)} AS survival
 FROM ev, fl
-""".replace(
-    "{PR4}",
-    "(floor(CAST((list_reduce(list_prepend(1.0, "
-    "list_transform(list_filter(arr, x -> x.dur <= dur), x -> x.f)), "
-    "(acc, x) -> acc * x)) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0)",
-)
+"""
 
 
 @register("customer_survival_curve", oracle=_KM_ORACLE)

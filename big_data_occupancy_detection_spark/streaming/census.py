@@ -151,7 +151,17 @@ def compact_census(spark: SparkSession, census_dir: str) -> int:
     ``compacted/<lo>-<hi>`` (the commit point), and only then are the
     now-subsumed per-batch dirs (and any older, narrower compaction)
     removed — readers ignore subsumed dirs by range, so a crash at any
-    step leaves a correct census.
+    step leaves a correct census. Run from ONE maintenance process at a
+    time (same contract as ``sources.sinks.compact_parquet``); a racing
+    duplicate of the SAME range is detected at the commit rename and
+    skipped, but concurrent compactions of different ranges are not
+    supported.
+
+    The frame that is summed is built from the EXPLICIT list of dirs
+    being subsumed (``fresh`` + the prior compaction) — never from a
+    re-listing of the commit log — so a batch the live ``census_sink``
+    commits mid-compaction stays outside the compacted range and is
+    counted exactly once by readers.
     """
     import shutil
 
@@ -168,19 +178,54 @@ def compact_census(spark: SparkSession, census_dir: str) -> int:
         return 0
     lo = prior[0] if prior else min(fresh)
     hi = max(fresh)
-    summed = read_census_partials(spark, census_dir)
+    paths = [
+        os.path.join(census_dir, "deltas", f"batch-{i}") for i in fresh
+    ]
+    if prior:
+        paths.append(prior[2])
+    summed = (
+        spark.read.parquet(*paths)
+        .groupBy("lang", "source")
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tok"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+        )
+    )
     cdir = os.path.join(census_dir, "compacted")
     os.makedirs(cdir, exist_ok=True)
     staging = os.path.join(cdir, f".staging-{lo}-{hi}")
     summed.write.mode("overwrite").parquet(staging)
-    os.rename(staging, os.path.join(cdir, f"{lo}-{hi}"))  # commit
-    # lazy cleanup: subsumed per-batch dirs + the narrower old compaction
-    for i in fresh:
-        shutil.rmtree(
-            os.path.join(census_dir, "deltas", f"batch-{i}"), ignore_errors=True
-        )
-    if prior:
-        shutil.rmtree(prior[2], ignore_errors=True)
+    final = os.path.join(cdir, f"{lo}-{hi}")
+    try:
+        os.rename(staging, final)  # commit
+    except OSError:
+        if not os.path.isdir(final):
+            raise
+        # a racing duplicate of the same range already committed an
+        # identical sum; drop our staging and fall through to cleanup
+        shutil.rmtree(staging, ignore_errors=True)
+    # cleanup: EVERY per-batch dir the committed range now covers (not
+    # just this invocation's fresh list — a crash here on a previous
+    # run may have left older subsumed dirs), any narrower compaction,
+    # and any stale staging from crashed runs
+    for name in os.listdir(os.path.join(census_dir, "deltas")):
+        if name.startswith("batch-"):
+            try:
+                bid = int(name.removeprefix("batch-"))
+            except ValueError:
+                continue
+            if bid <= hi:
+                shutil.rmtree(
+                    os.path.join(census_dir, "deltas", name),
+                    ignore_errors=True,
+                )
+    for name in os.listdir(cdir):
+        path = os.path.join(cdir, name)
+        if name.startswith("."):
+            shutil.rmtree(path, ignore_errors=True)
+        elif path != final:
+            shutil.rmtree(path, ignore_errors=True)
     return len(fresh)
 
 
