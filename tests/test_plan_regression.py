@@ -46,6 +46,12 @@ EXTRA_PLAN_PINNED = [
     "doc_despanned_text",        # span surgery: gram explode + JVM fold
     "warehouse_conformance_report",  # census + unique/FK anti-joins
     "doc_repetition_features",   # line/2-gram/5-gram repetition censuses
+    "training_mix_manifest",     # curation -> mixture -> resample capstone
+    "embedding_cluster_outliers",  # k-means fit + per-cluster rank window
+    "customer_survival_curve",   # KM product-limit fold over event times
+    "doc_perplexity_buckets",    # bigram LM + global_ntile tertiles
+    "lang_temperature_mixture",  # sqrt-fold temperature shares
+    "daily_new_users",           # first-seen min + day-grain cumsum
 ]
 
 
