@@ -162,6 +162,114 @@ def asof_join_forward(
     return filled.filter(F.col("__is_left") == 1).drop("__is_left")
 
 
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    tolerance_seconds: int | None = None,
+) -> DataFrame:
+    """Nearest as-of left join: attach ``value_cols`` from the right row
+    whose ``right_ts`` is CLOSEST to ``left_ts`` (by absolute distance)
+    within the same ``on`` group — the pandas ``merge_asof
+    direction='nearest'`` shape. Equidistant backward/forward candidates
+    resolve to the BACKWARD (earlier) match. With ``tolerance_seconds``,
+    matches farther than the tolerance (inclusive bound: ``dist <= tol``)
+    are discarded and the left row gets nulls.
+
+    Same union+sort plan as :func:`asof_join`: ONE hash shuffle on ``on``
+    and ONE per-key sort — both directional fills share the sort order
+    ``(ts, is_left)`` so Spark evaluates them in a single WindowExec. An
+    equal-timestamp right row is only inside the backward frame under
+    this order, which is sufficient: it matches at distance 0 and the
+    backward side wins all ties.
+
+    Distances compare in INTEGER microseconds (``unix_micros``), never
+    double epoch-seconds — a double gap near the tolerance boundary could
+    classify differently from exact integer semantics (see
+    sessionize_intervals' boundary note). Same contracts as the backward
+    twin: ``right`` unique per (``on``, ``right_ts``), non-null
+    ``value_cols``, no column collisions.
+    """
+    clash = {c for c in value_cols} & (set(left.columns) | set(on) | {left_ts, right_ts})
+    if clash:
+        raise ValueError(
+            f"asof_join_nearest value_cols collide with left/key/timestamp "
+            f"columns: {sorted(clash)}; alias them on the right before joining"
+        )
+    l_tagged = (
+        left.withColumn("__t", F.col(left_ts).cast("timestamp"))
+        .withColumn("__is_left", F.lit(1))
+        .withColumn("__rt", F.lit(None).cast("timestamp"))
+    )
+    for c in value_cols:
+        l_tagged = l_tagged.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
+    r_tagged = (
+        right.select(
+            *on, F.col(right_ts).cast("timestamp").alias("__t"), *value_cols
+        )
+        # a null right timestamp has no distance to any probe
+        .filter(F.col("__t").isNotNull())
+        .withColumn("__is_left", F.lit(0))
+        .withColumn("__rt", F.col("__t"))
+    )
+    for f in left.schema.fields:
+        if f.name not in r_tagged.columns:
+            r_tagged = r_tagged.withColumn(f.name, F.lit(None).cast(f.dataType))
+    unioned = l_tagged.unionByName(r_tagged)
+
+    w_back = (
+        Window.partitionBy(*on)
+        .orderBy("__t", "__is_left")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy(*on)
+        .orderBy("__t", "__is_left")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    # Project the fills ONCE (higher-order/window producers referenced
+    # twice are re-evaluated, not CSE'd), choose in the NEXT select.
+    passthrough = [
+        c for c in unioned.columns if c not in ("__t", "__is_left", "__rt", *value_cols)
+    ]
+    filled = unioned.select(
+        *passthrough,
+        F.col("__t"),
+        F.col("__is_left"),
+        F.last("__rt", ignorenulls=True).over(w_back).alias("__bt"),
+        F.first("__rt", ignorenulls=True).over(w_fwd).alias("__ft"),
+        *[F.last(c, ignorenulls=True).over(w_back).alias(f"__b_{c}") for c in value_cols],
+        *[F.first(c, ignorenulls=True).over(w_fwd).alias(f"__f_{c}") for c in value_cols],
+    ).filter(F.col("__is_left") == 1)
+
+    probe_us = F.unix_micros(F.col("__t"))
+    dist_b = probe_us - F.unix_micros(F.col("__bt"))
+    dist_f = F.unix_micros(F.col("__ft")) - probe_us
+    b_ok = F.col("__t").isNotNull() & F.col("__bt").isNotNull()
+    # a NULL-timestamp probe sorts NULLS FIRST: its forward frame covers
+    # every right row, so mask it (a null probe matches nothing)
+    f_ok = F.col("__t").isNotNull() & F.col("__ft").isNotNull()
+    if tolerance_seconds is not None:
+        tol_us = F.lit(int(tolerance_seconds) * 1_000_000)
+        b_ok = b_ok & (dist_b <= tol_us)
+        f_ok = f_ok & (dist_f <= tol_us)
+    use_b = b_ok & (~f_ok | (dist_b <= dist_f))
+    picked = filled.select(
+        *passthrough,
+        *[
+            F.when(use_b, F.col(f"__b_{c}"))
+            .when(f_ok, F.col(f"__f_{c}"))
+            .otherwise(F.lit(None).cast(right.schema[c].dataType))
+            .alias(c)
+            for c in value_cols
+        ],
+    )
+    return picked
+
+
 def band_self_join_pairs(
     df: DataFrame,
     on: list[str],

@@ -103,6 +103,73 @@ def orders_asof_events_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Nearest as-of: each event picks the user's order CLOSEST in time (either
+# direction) within a 30-day tolerance — the pandas merge_asof
+# direction='nearest' shape. Ties (equidistant before/after) resolve to the
+# backward (earlier) order. The oracle is a structurally different plan: a
+# banded inequality join enumerating every in-tolerance candidate, then a
+# row_number pick ordered by (distance, orderdate) — a TOTAL order, since
+# the right side is unique per (custkey, orderdate) and each event
+# partition holds one user.
+# --------------------------------------------------------------------------
+_NEAREST_TOL_S = 30 * 86400
+
+
+@register(
+    "orders_asof_events_nearest",
+    oracle=f"""
+    WITH o AS (
+      SELECT o_custkey, o_orderdate,
+             max(o_orderkey) AS orderkey,
+             round(max_by(o_totalprice, o_orderkey), 4) AS totalprice
+      FROM orders GROUP BY 1, 2),
+    cand AS (
+      SELECT e.event_id, o.orderkey, o.totalprice,
+             abs(epoch_us(CAST(o.o_orderdate AS TIMESTAMP)) - epoch_us(e.ts))
+               AS dist,
+             o.o_orderdate AS od
+      FROM events e JOIN o ON o.o_custkey = e.user_id
+       AND CAST(o.o_orderdate AS TIMESTAMP)
+             >= e.ts - INTERVAL {_NEAREST_TOL_S} SECOND
+       AND CAST(o.o_orderdate AS TIMESTAMP)
+             <= e.ts + INTERVAL {_NEAREST_TOL_S} SECOND),
+    best AS (
+      SELECT event_id, orderkey, totalprice,
+             row_number() OVER (PARTITION BY event_id ORDER BY dist, od) AS rn
+      FROM cand)
+    SELECT e.event_id, e.user_id, e.ts,
+           b.orderkey AS nearest_orderkey,
+           b.totalprice AS nearest_totalprice
+    FROM events e LEFT JOIN best b ON b.event_id = e.event_id AND b.rn = 1
+    """,
+)
+def orders_asof_events_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closest order to each event within ±30 days (nearest as-of join)."""
+    from ..operators.temporal import asof_join_nearest
+
+    ev = table(spark, sf_dir, "events")
+    orders = table(spark, sf_dir, "orders")
+    closest = orders.groupBy("o_custkey", "o_orderdate").agg(
+        F.max("o_orderkey").alias("nearest_orderkey"),
+        F.round(F.max_by("o_totalprice", "o_orderkey"), 4).alias(
+            "nearest_totalprice"
+        ),
+    )
+    joined = asof_join_nearest(
+        ev.select("event_id", F.col("user_id"), "ts"),
+        closest.withColumnRenamed("o_custkey", "user_id"),
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="o_orderdate",
+        value_cols=["nearest_orderkey", "nearest_totalprice"],
+        tolerance_seconds=_NEAREST_TOL_S,
+    )
+    return joined.select(
+        "event_id", "user_id", "ts", "nearest_orderkey", "nearest_totalprice"
+    )
+
+
+# --------------------------------------------------------------------------
 # q39 — band self-join: pairs of events by the same user within 15 minutes,
 # via the bucketed-replication pattern (hash join, not a nested-loop range
 # join). 900 s at sf0.01 → ~230 pairs.

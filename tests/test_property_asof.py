@@ -267,3 +267,59 @@ def test_asof_forward_matches_naive(spark, left, right):
         ]
         expect = float(min(candidates)[1]) if candidates else None
         assert got[i] == expect, f"row {i} key={k} t={t}: {got[i]} != {expect}"
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    left=left_rows,
+    right=right_rows,
+    tol=st.one_of(st.none(), st.integers(min_value=0, max_value=30)),
+)
+def test_asof_nearest_matches_naive(spark, left, right, tol):
+    """nearest ≡ per-row argmin of |dist| with backward tie-break, under an
+    optional inclusive tolerance."""
+    from big_data_occupancy_detection_spark.operators.temporal import (
+        asof_join_nearest,
+    )
+
+    right_map = {(k, t): v for k, t, v in right}
+    right_list = [(k, t, v) for (k, t), v in right_map.items()]
+
+    ldf = spark.createDataFrame(
+        [
+            (i, k, BASE + dt.timedelta(minutes=t))
+            for i, (k, t) in enumerate(left)
+        ],
+        "lid LONG, k LONG, lts TIMESTAMP",
+    )
+    rdf = spark.createDataFrame(
+        [(k, BASE + dt.timedelta(minutes=t), float(v)) for k, t, v in right_list],
+        "k LONG, rts TIMESTAMP, val DOUBLE",
+    ) if right_list else spark.createDataFrame([], "k LONG, rts TIMESTAMP, val DOUBLE")
+
+    got = {
+        r.lid: r.val
+        for r in asof_join_nearest(
+            ldf, rdf, on=["k"], left_ts="lts", right_ts="rts",
+            value_cols=["val"],
+            tolerance_seconds=None if tol is None else tol * 60,
+        ).collect()
+    }
+
+    for i, (k, t) in enumerate(left):
+        # argmin of (|dist|, rt): equidistant pairs differ only in rt, and
+        # the smaller rt is the backward candidate — the operator's tie rule
+        candidates = [
+            (abs(rt - t), rt, v)
+            for (rk, rt), v in right_map.items()
+            if rk == k and (tol is None or abs(rt - t) <= tol)
+        ]
+        expect = float(min(candidates)[2]) if candidates else None
+        assert got[i] == expect, (
+            f"row {i} key={k} t={t} tol={tol}: {got[i]} != {expect}"
+        )

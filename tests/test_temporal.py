@@ -188,3 +188,84 @@ def test_asof_null_timestamps_never_match(spark):
         ).collect()
     }
     assert bwd == {1: None, 2: None, 3: 20.0}
+
+
+def test_asof_nearest_semantics(spark):
+    """Nearest as-of: min |dist| wins, equidistant ties go BACKWARD, the
+    tolerance bound is INCLUSIVE, null probes and null right timestamps
+    never match."""
+    import datetime as dt
+
+    from big_data_occupancy_detection_spark.operators.temporal import (
+        asof_join_nearest,
+    )
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    ldf = spark.createDataFrame(
+        [
+            (1, 0, t(10)),   # equidistant to r@5 and r@15 -> backward (5)
+            (2, 0, t(14)),   # nearer to r@15
+            (3, 0, t(40)),   # only r@15 within nothing... dist 25 min
+            (4, 0, None),    # null probe -> null
+            (5, 1, t(10)),   # key with only a null right ts -> null
+        ],
+        "lid LONG, k LONG, lts TIMESTAMP",
+    )
+    rdf = spark.createDataFrame(
+        [(0, t(5), 5.0), (0, t(15), 15.0), (1, None, 99.0)],
+        "k LONG, rts TIMESTAMP, val DOUBLE",
+    )
+    got = {
+        r.lid: r.val
+        for r in asof_join_nearest(
+            ldf, rdf, on=["k"], left_ts="lts", right_ts="rts", value_cols=["val"]
+        ).collect()
+    }
+    assert got == {1: 5.0, 2: 15.0, 3: 15.0, 4: None, 5: None}
+
+    # inclusive tolerance: lid=3 is exactly 25 min from r@15
+    tol = {
+        r.lid: r.val
+        for r in asof_join_nearest(
+            ldf, rdf, on=["k"], left_ts="lts", right_ts="rts",
+            value_cols=["val"], tolerance_seconds=25 * 60,
+        ).collect()
+    }
+    assert tol[3] == 15.0
+    just_under = {
+        r.lid: r.val
+        for r in asof_join_nearest(
+            ldf, rdf, on=["k"], left_ts="lts", right_ts="rts",
+            value_cols=["val"], tolerance_seconds=25 * 60 - 1,
+        ).collect()
+    }
+    assert just_under[3] is None and just_under[2] == 15.0
+
+
+def test_asof_nearest_one_shuffle_one_sort(spark):
+    """The nearest join must cost the same as the backward twin: one hash
+    exchange on the key, one sort, ONE WindowExec evaluating both frames."""
+    import datetime as dt
+
+    from big_data_occupancy_detection_spark.operators.temporal import (
+        asof_join_nearest,
+    )
+
+    ldf = spark.createDataFrame(
+        [(1, 0, dt.datetime(2024, 1, 1))], "lid LONG, k LONG, lts TIMESTAMP"
+    )
+    rdf = spark.createDataFrame(
+        [(0, dt.datetime(2024, 1, 1), 1.0)], "k LONG, rts TIMESTAMP, val DOUBLE"
+    )
+    plan = (
+        asof_join_nearest(
+            ldf, rdf, on=["k"], left_ts="lts", right_ts="rts", value_cols=["val"]
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "SinglePartition" not in plan, plan
+    assert plan.count("Window") == 1, plan
+    assert plan.count("Sort ") == 1, plan
