@@ -86,6 +86,7 @@ HEADLINE = [
                                #   ← embedding_pq_topk, the fit-per-call twin)
     "als_part_recommendations",# ALS implicit matrix factorization + topk serve
     "copurchase_triangles",    # degree-ordered wedge join triangle count
+    "copurchase_bfs_depths",   # iterative frontier BFS (join + anti-join)
     "customer_spend_percentiles",  # two-pass distributed exact percentiles
     "monthly_open_order_backlog",  # sweep-line open-interval backlog
     "bloom_delta_prescreen",   # Bloom bitmap build + broadcast delta probe

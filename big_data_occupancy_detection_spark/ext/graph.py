@@ -1,4 +1,4 @@
-"""Graph analytics over edge DataFrames: fixed-iteration PageRank.
+"""Graph analytics over edge DataFrames: PageRank and frontier BFS.
 
 Complements the connected-components operators in ``ext.dedup`` (which
 cluster a similarity graph) with a centrality measure over the same kind
@@ -100,3 +100,56 @@ def pagerank(
             # O(|V|) rows; keeps per-round plan size constant.
             ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("node", F.col("pr").alias("pagerank"))
+
+
+def bfs_levels(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_depth: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+) -> DataFrame:
+    """(node, depth) — minimum hop count from any seed, breadth-first,
+    bounded at ``max_depth`` (unreached nodes are absent).
+
+    The missing third distributed-graph primitive next to
+    :func:`pagerank` and ``ext.dedup.connected_components``: frontier
+    expansion. ``edges`` is directed (pass both orientations for an
+    undirected graph); ``seeds`` is a one-column frame of start nodes.
+
+    Scale notes (100 TB): each round costs ONE hash join of the current
+    frontier against the edge list plus an anti-join against the visited
+    set — both O(|frontier| + |E_touched|), never O(|V|²). The frontier
+    and visited frames are node-grain; per-round eager
+    ``localCheckpoint``s keep plan depth constant (the pagerank pattern
+    above) and stop each round's join from re-executing the caller's
+    edge-discovery plan. Early exit on an empty frontier, so the bound
+    is a cap, not a fixed cost.
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).localCheckpoint(eager=True)
+    visited = (
+        seeds.select(F.col(node_col).alias("node"))
+        .distinct()
+        .withColumn("depth", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited
+    for d in range(1, max_depth + 1):
+        nbrs = (
+            frontier.join(e, frontier.node == e.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        fresh = (
+            nbrs.join(visited, "node", "left_anti")
+            .withColumn("depth", F.lit(d))
+            .localCheckpoint(eager=True)
+        )
+        if fresh.isEmpty():
+            break
+        visited = visited.unionByName(fresh).localCheckpoint(eager=True)
+        frontier = fresh
+    return visited

@@ -653,6 +653,76 @@ def copurchase_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# BFS levels from the smallest part in the co-purchase graph: frontier
+# expansion (ext.graph.bfs_levels) — the third distributed-graph
+# primitive next to PageRank and connected components. Depth is bounded
+# (8 hops covers any catalog neighborhood of interest); the oracle is a
+# bounded-depth recursive CTE whose UNION dedup terminates on the finite
+# (node, depth) space, with min(depth) per node = the BFS level.
+# --------------------------------------------------------------------------
+_BFS_MAX_DEPTH = 8
+
+
+@register(
+    "copurchase_bfs_depths",
+    oracle=f"""
+    WITH RECURSIVE items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    eset AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2),
+    edges AS (
+      SELECT u AS a, v AS b FROM eset UNION SELECT v, u FROM eset),
+    seed AS (SELECT min(u) AS s FROM eset),
+    bfs(node, depth) AS (
+      SELECT s, 0 FROM seed
+      UNION
+      SELECT e.b, f.depth + 1
+      FROM bfs f JOIN edges e ON e.a = f.node
+      WHERE f.depth < {_BFS_MAX_DEPTH}),
+    lvl AS (SELECT node, min(depth) AS depth FROM bfs GROUP BY node)
+    SELECT depth,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(min(node) AS BIGINT) AS min_part,
+           CAST(max(node) AS BIGINT) AS max_part
+    FROM lvl GROUP BY 1
+    """,
+)
+def copurchase_bfs_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-depth census of parts within 8 co-purchase hops of the
+    smallest part in the support-≥2 graph (frontier BFS)."""
+    from ..ext.graph import bfs_levels
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    items = li.distinct()
+    a = items.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("v"))
+    # eager checkpoint: edges AND seeds both read eset — without it the
+    # pair fan-out (the expensive part) executes twice
+    eset = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("u", "v")
+        .localCheckpoint(eager=True)
+    )
+    edges = eset.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        eset.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    seeds = eset.agg(F.min("u").alias("node"))
+    levels = bfs_levels(edges, seeds, max_depth=_BFS_MAX_DEPTH)
+    return levels.groupBy("depth").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.min("node").cast("long").alias("min_part"),
+        F.max("node").cast("long").alias("max_part"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Deterministic train/test split: the md5-hash draw every reproducible
 # data pipeline uses — split by md5(id ⊕ salt) mod 100, no RNG, no
 # state, identical on any engine and any partitioning (the same portable

@@ -118,6 +118,30 @@ def test_pagerank_dangling_mass_conserved(spark):
     assert out[3] > out[2] > out[1]
 
 
+def test_bfs_levels_matches_naive(spark):
+    """BFS depths = shortest hop counts; cycles don't loop; disconnected
+    nodes are absent; the cap truncates; multi-seed takes the min."""
+    from big_data_occupancy_detection_spark.ext.graph import bfs_levels
+
+    # 0-1-2-3-4 path with a 1-2-5-1 cycle; 9 isolated
+    pairs = [(0, 1), (1, 2), (2, 3), (3, 4), (2, 5), (5, 1)]
+    edges = spark.createDataFrame(
+        pairs + [(b, a) for a, b in pairs], ["src", "dst"]
+    )
+    seeds = spark.createDataFrame([(0,)], ["node"])
+    out = {r.node: r.depth for r in bfs_levels(edges, seeds, max_depth=8).collect()}
+    assert out == {0: 0, 1: 1, 2: 2, 3: 3, 4: 4, 5: 2}
+
+    capped = {r.node: r.depth for r in bfs_levels(edges, seeds, max_depth=2).collect()}
+    assert capped == {0: 0, 1: 1, 2: 2, 5: 2}
+
+    two_seeds = spark.createDataFrame([(0,), (4,)], ["node"])
+    both = {
+        r.node: r.depth for r in bfs_levels(edges, two_seeds, max_depth=8).collect()
+    }
+    assert both == {0: 0, 4: 0, 1: 1, 3: 1, 2: 2, 5: 2}
+
+
 def test_semantic_dedup_drops_near_identical(spark):
     from big_data_occupancy_detection_spark.ext.similarity import semantic_dedup
 
