@@ -831,3 +831,58 @@ def lang_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.temperature_mixture_sqrt(
         table(spark, sf_dir, "documents"), ["lang"]
     )
+
+
+# --------------------------------------------------------------------------
+# k-anonymity audit: group sizes over a quasi-identifier tuple
+# (nation, market segment, $1000 balance band) — the privacy census a
+# training-data pipeline runs before releasing user-derived records.
+# Rows in groups of size 1 are re-identifiable; size < 5 is the classic
+# suppression threshold. The balance band floors exact cents / 1e5: the
+# quotient is either an exactly-representable integer (multiples of
+# $1000) or >= 1/100000 away from one, so floor() is portable across
+# engines — no half-ulp banding flips (see functions/rounding.py).
+# --------------------------------------------------------------------------
+@register(
+    "customer_k_anonymity",
+    oracle="""
+    WITH qid AS (
+      SELECT c_nationkey, c_mktsegment,
+             floor(CAST(CAST(round(c_acctbal * 100) AS BIGINT) AS DOUBLE)
+                   / 100000.0) AS bal_band
+      FROM customer),
+    groups AS (
+      SELECT c_nationkey, c_mktsegment, bal_band, count(*) AS k
+      FROM qid GROUP BY 1, 2, 3)
+    SELECT CASE WHEN k = 1 THEN 'unique'
+                WHEN k < 5 THEN 'small'
+                ELSE 'anonymous' END AS risk_class,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(k) AS BIGINT) AS n_customers,
+           CAST(min(k) AS BIGINT) AS min_k,
+           CAST(max(k) AS BIGINT) AS max_k
+    FROM groups GROUP BY 1
+    """,
+)
+def customer_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity risk census over (nation, segment, $1000 balance
+    band) quasi-identifiers: group counts and sizes per risk class."""
+    cust = table(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    qid = cust.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(cents.cast("double") / 100000.0).alias("bal_band"),
+    )
+    groups = qid.groupBy("c_nationkey", "c_mktsegment", "bal_band").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    risk = F.when(F.col("k") == 1, "unique").when(F.col("k") < 5, "small").otherwise(
+        "anonymous"
+    )
+    return groups.groupBy(risk.alias("risk_class")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum("k").cast("long").alias("n_customers"),
+        F.min("k").cast("long").alias("min_k"),
+        F.max("k").cast("long").alias("max_k"),
+    )

@@ -1310,3 +1310,53 @@ def user_value_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         portable_round(fold, 6).alias("cusum"),
         (fold > _CUSUM_H).alias("drifted"),
     )
+
+
+# --------------------------------------------------------------------------
+# Autoregressive training-pair generation: each event becomes a
+# (context, label) example where the context is the user's previous 3
+# event types in order — the dataset-construction step for a next-event
+# sequence model (the event-stream analogue of packing next-token
+# examples). Window is totally ordered by (ts, event_id); partial
+# contexts at sequence heads are dropped on both engines, and the
+# context is joined only AFTER the all-non-null filter (concat_ws would
+# silently skip nulls and emit shortened contexts).
+# --------------------------------------------------------------------------
+@register(
+    "next_event_training_pairs",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, event_type,
+             lag(event_type, 3) OVER w AS t3,
+             lag(event_type, 2) OVER w AS t2,
+             lag(event_type, 1) OVER w AS t1
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT user_id, event_id,
+           t3 || '|' || t2 || '|' || t1 AS context,
+           event_type AS label
+    FROM seq
+    WHERE t3 IS NOT NULL AND t2 IS NOT NULL AND t1 IS NOT NULL
+    """,
+)
+def next_event_training_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(context, label) next-event training examples: previous 3 event
+    types -> current type, per user in (ts, event_id) order."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_id",
+        F.col("event_type").alias("label"),
+        F.lag("event_type", 3).over(w).alias("t3"),
+        F.lag("event_type", 2).over(w).alias("t2"),
+        F.lag("event_type", 1).over(w).alias("t1"),
+    ).filter(
+        F.col("t3").isNotNull() & F.col("t2").isNotNull() & F.col("t1").isNotNull()
+    )
+    return seq.select(
+        "user_id",
+        "event_id",
+        F.concat_ws("|", "t3", "t2", "t1").alias("context"),
+        "label",
+    )
