@@ -85,6 +85,7 @@ HEADLINE = [
     "embedding_pq_index_topk", # persisted-PQ ADC serve (build cached once;
                                #   ← embedding_pq_topk, the fit-per-call twin)
     "als_part_recommendations",# ALS implicit matrix factorization + topk serve
+    "part_negative_samples",   # hash-drawn negatives + exact anti-join
     "copurchase_triangles",    # degree-ordered wedge join triangle count
     "copurchase_bfs_depths",   # iterative frontier BFS (join + anti-join)
     "customer_spend_percentiles",  # two-pass distributed exact percentiles

@@ -227,3 +227,100 @@ def als_part_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
         finite_or_raise("score", "als_part_recommendations: non-finite score"),
     ).withColumn("rnk", F.row_number().over(w).cast("long"))
     return gated.select("custkey", "partkey", F.round("score", 6).alias("score"), "rnk")
+
+
+# --------------------------------------------------------------------------
+# Deterministic negative sampling for implicit-feedback training: each
+# (user, purchased part) positive draws K candidate negatives via the
+# portable md5 hash (stateless — any worker regenerates the same draw,
+# no RNG, no shuffle of a random column), then an anti-join against the
+# positive set removes false negatives exactly. Part keys are contiguous
+# 1..max, so hash mod N is a uniform draw over the catalog. The summary
+# is at user grain; the per-example frame (user, item, neg, draw_ix) is
+# what a trainer would consume.
+# --------------------------------------------------------------------------
+_NEG_K = 3
+
+
+@register(
+    "part_negative_samples",
+    oracle=f"""
+    WITH pos AS (
+      SELECT DISTINCT o_custkey AS user_id, l_partkey AS item
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+    np AS (SELECT max(p_partkey) AS n FROM part),
+    draws AS (
+      SELECT p.user_id, p.item,
+             1 + (CAST(('0x' || substr(md5(
+                    CAST(p.user_id AS VARCHAR) || ':' ||
+                    CAST(p.item AS VARCHAR) || ':' ||
+                    CAST(i.i AS VARCHAR)), 1, 15)) AS BIGINT) % np.n) AS neg
+      FROM pos p
+      CROSS JOIN np
+      CROSS JOIN (SELECT unnest(generate_series(0, {_NEG_K - 1})) AS i) i),
+    kept AS (
+      SELECT d.user_id, d.neg FROM draws d
+      LEFT JOIN pos q ON q.user_id = d.user_id AND q.item = d.neg
+      WHERE q.item IS NULL),
+    per_user AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n_negs,
+             CAST(count(DISTINCT neg) AS BIGINT) AS n_distinct_negs
+      FROM kept GROUP BY 1),
+    pos_counts AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_pos FROM pos GROUP BY 1)
+    SELECT p.user_id, p.n_pos,
+           coalesce(k.n_negs, 0) AS n_negs,
+           coalesce(k.n_distinct_negs, 0) AS n_distinct_negs
+    FROM pos_counts p LEFT JOIN per_user k ON k.user_id = p.user_id
+    """,
+)
+def part_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user negative-sampling census: K hash-drawn negatives per
+    positive (K=_NEG_K), false negatives anti-joined out exactly."""
+    from ..functions.text_fns import hash64
+
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # pos feeds three consumers (draws, the anti-join, per-user counts);
+    # the eager checkpoint executes the join+distinct once instead of 3x.
+    # O(|positives|) rows of two longs — executor-local, no driver collect.
+    pos = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("user_id"), F.col("l_partkey").alias("item"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    np_ = table(spark, sf_dir, "part").agg(F.max("p_partkey").alias("n"))
+    draw_key = F.concat(
+        F.col("user_id").cast("string"),
+        F.lit(":"),
+        F.col("item").cast("string"),
+        F.lit(":"),
+        F.col("i").cast("string"),
+    )
+    draws = (
+        pos.crossJoin(F.broadcast(np_))
+        .withColumn("i", F.explode(F.array(*[F.lit(i) for i in range(_NEG_K)])))
+        .select(
+            "user_id",
+            "item",
+            (F.lit(1) + F.pmod(hash64(draw_key), F.col("n"))).alias("neg"),
+        )
+    )
+    kept = draws.join(
+        pos.select("user_id", F.col("item").alias("neg")), ["user_id", "neg"], "left_anti"
+    )
+    per_user = kept.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_negs"),
+        F.countDistinct("neg").cast("long").alias("n_distinct_negs"),
+    )
+    pos_counts = pos.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pos")
+    )
+    return pos_counts.join(per_user, "user_id", "left_outer").select(
+        "user_id",
+        "n_pos",
+        F.coalesce("n_negs", F.lit(0).cast("long")).alias("n_negs"),
+        F.coalesce("n_distinct_negs", F.lit(0).cast("long")).alias("n_distinct_negs"),
+    )
