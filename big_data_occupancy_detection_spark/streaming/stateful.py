@@ -120,3 +120,62 @@ def running_user_totals_tws(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming training-pair generation: the stateful twin of
+# plans/events.py:next_event_training_pairs. State is the per-user tail
+# of the last 3 event types; each arriving event emits one
+# (context, label) example when the tail is complete, then shifts into
+# it. Append-mode output — one row per event, not per key — so the
+# emitted example set is EXACTLY the batch operator's output when events
+# arrive in (ts, event_id) order across micro-batches (rows within a
+# batch are sorted; cross-batch order is the ingest contract, as with
+# any changelog). A null event type shifts into the tail and poisons the
+# next 3 contexts on both paths (the batch twin's lag() carries the null
+# into the all-non-null filter).
+# ---------------------------------------------------------------------------
+
+PAIRS_STATE_SCHEMA = "t3 STRING, t2 STRING, t1 STRING"
+PAIRS_OUTPUT_SCHEMA = (
+    "user_id LONG, event_id LONG, context STRING, label STRING"
+)
+
+
+def streaming_training_pairs(events: DataFrame) -> DataFrame:
+    """(user_id, event_id, context, label) examples from an event stream,
+    context = previous 3 event types per user, carried across batches."""
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (user_id,) = key
+        t3, t2, t1 = state.get if state.exists else (None, None, None)
+        out = []
+        chunks = [pdf for pdf in pdfs]
+        if chunks:
+            batch = pd.concat(chunks).sort_values(["ts", "event_id"])
+            for ev_id, ev_type in zip(batch["event_id"], batch["event_type"]):
+                label = None if pd.isna(ev_type) else ev_type
+                if t3 is not None and t2 is not None and t1 is not None:
+                    out.append(
+                        {
+                            "user_id": user_id,
+                            "event_id": int(ev_id),
+                            "context": f"{t3}|{t2}|{t1}",
+                            "label": label,
+                        }
+                    )
+                t3, t2, t1 = t2, t1, label
+        state.update((t3, t2, t1))
+        yield pd.DataFrame(
+            out, columns=["user_id", "event_id", "context", "label"]
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=PAIRS_OUTPUT_SCHEMA,
+        stateStructType=PAIRS_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
