@@ -135,16 +135,24 @@ def asof_join_forward(
             r_tagged = r_tagged.withColumn(f.name, F.lit(None).cast(f.dataType))
     unioned = l_tagged.unionByName(r_tagged)
 
-    # Left rows (1) sort before right rows (0) at equal __t, so a right
-    # row at exactly left_ts is inside the forward-looking frame. A
-    # NULL-timestamp left row sorts NULLS FIRST — its forward frame
-    # would cover every right row — so its fill is masked back to null
-    # (l.ts <= r.ts is never true for a null probe, matching the SQL
-    # ASOF semantics and the backward twin).
+    # Forward fill as an INCREMENTAL frame over the REVERSED sort:
+    # (unboundedPreceding → currentRow) on (__t DESC, __is_left ASC) sees
+    # exactly the rows with __t >= left_ts, and last(ignorenulls) picks
+    # the smallest such right timestamp. A (currentRow →
+    # unboundedFollowing) frame on the ascending sort computes the same
+    # value but via Spark's UnboundedFollowingWindowFunctionFrame, which
+    # re-evaluates the aggregate from scratch per row — O(n²) in per-key
+    # density (measured: 59× wall for 10× rows on the 100× events
+    # smoke). At equal __t, right rows (0) sort before left rows (1), so
+    # an exact-timestamp match is inside the frame. A NULL-timestamp
+    # left row sorts NULLS LAST under DESC — its frame covers every
+    # right row — so its fill is masked back to null (l.ts <= r.ts is
+    # never true for a null probe, matching the SQL ASOF semantics and
+    # the backward twin).
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col("__t").asc(), F.col("__is_left").desc())
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.col("__t").desc(), F.col("__is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     null_probe = F.col("__t").isNull()
     filled = unioned.select(
@@ -154,7 +162,7 @@ def asof_join_forward(
             F.when(
                 null_probe, F.lit(None).cast(right.schema[c].dataType)
             )
-            .otherwise(F.first(c, ignorenulls=True).over(w))
+            .otherwise(F.last(c, ignorenulls=True).over(w))
             .alias(c)
             for c in value_cols
         ],
@@ -179,12 +187,13 @@ def asof_join_nearest(
     matches farther than the tolerance (inclusive bound: ``dist <= tol``)
     are discarded and the left row gets nulls.
 
-    Same union+sort plan as :func:`asof_join`: ONE hash shuffle on ``on``
-    and ONE per-key sort — both directional fills share the sort order
-    ``(ts, is_left)`` so Spark evaluates them in a single WindowExec. An
-    equal-timestamp right row is only inside the backward frame under
-    this order, which is sufficient: it matches at distance 0 and the
-    backward side wins all ties.
+    Same union plan as :func:`asof_join`: ONE hash shuffle on ``on``,
+    then two in-partition sorts (ascending for the backward fill,
+    descending for the forward fill) — both fills are INCREMENTAL
+    running-last frames, never the per-row-re-evaluated
+    UnboundedFollowing frame (O(n²) in per-key density). An
+    equal-timestamp right row matches at distance 0 from both sides and
+    the backward side wins the tie with the identical row.
 
     Distances compare in INTEGER microseconds (``unix_micros``), never
     double epoch-seconds — a double gap near the tolerance boundary could
@@ -225,10 +234,16 @@ def asof_join_nearest(
         .orderBy("__t", "__is_left")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # Forward fill via the REVERSED sort, same incremental frame — a
+    # (currentRow → unboundedFollowing) frame re-evaluates per row
+    # (O(n²) in per-key density; see asof_join_forward). Costs a second
+    # in-partition sort, never a second shuffle. At equal __t the right
+    # row is inside this frame (dist 0 — the backward side wins the tie
+    # with the identical row, right being unique per (on, ts)).
     w_fwd = (
         Window.partitionBy(*on)
-        .orderBy("__t", "__is_left")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.col("__t").desc(), F.col("__is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     # Project the fills ONCE (higher-order/window producers referenced
     # twice are re-evaluated, not CSE'd), choose in the NEXT select.
@@ -240,9 +255,9 @@ def asof_join_nearest(
         F.col("__t"),
         F.col("__is_left"),
         F.last("__rt", ignorenulls=True).over(w_back).alias("__bt"),
-        F.first("__rt", ignorenulls=True).over(w_fwd).alias("__ft"),
+        F.last("__rt", ignorenulls=True).over(w_fwd).alias("__ft"),
         *[F.last(c, ignorenulls=True).over(w_back).alias(f"__b_{c}") for c in value_cols],
-        *[F.first(c, ignorenulls=True).over(w_fwd).alias(f"__f_{c}") for c in value_cols],
+        *[F.last(c, ignorenulls=True).over(w_fwd).alias(f"__f_{c}") for c in value_cols],
     ).filter(F.col("__is_left") == 1)
 
     probe_us = F.unix_micros(F.col("__t"))

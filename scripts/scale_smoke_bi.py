@@ -42,6 +42,8 @@ OPS = [
     "part_abc_classes",
     "part_copurchase_lift",
     "order_interarrival_stats",
+    "copurchase_bfs_depths",
+    "part_negative_samples",
 ]
 
 
@@ -80,10 +82,11 @@ def main() -> None:
     print(json.dumps({"replication": r, **sizes}), flush=True)
 
     import big_data_occupancy_detection_spark.plans.bi as BI
+    import big_data_occupancy_detection_spark.plans.mlplans as ML
     import big_data_occupancy_detection_spark.plans.warehouse as WH
 
     orig = BI.table
-    for mod in (BI, WH):
+    for mod in (BI, WH, ML):
         mod.table = (
             lambda s, d, name, _o=orig: reps.get(name) or _o(s, d, name)
         )
@@ -112,6 +115,7 @@ def main() -> None:
     finally:
         BI.table = orig
         WH.table = orig
+        ML.table = orig
     spark.stop()
 
 

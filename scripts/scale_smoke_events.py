@@ -42,6 +42,9 @@ OPS = {
     "lateness": "event_lateness_profile",
     "anomalies": "events_hourly_anomalies",
     "cusum": "user_value_cusum",
+    "asof_nearest": "orders_asof_events_nearest",
+    "asof_fwd": "orders_asof_events_forward",
+    "training_pairs": "next_event_training_pairs",
 }
 
 
@@ -83,9 +86,10 @@ def main() -> None:
 
     from big_data_occupancy_detection_spark.plans import events as EV
     from big_data_occupancy_detection_spark.plans import analytics as AN
+    from big_data_occupancy_detection_spark.plans import temporal as TP
     from big_data_occupancy_detection_spark.plans import warehouse as WH
 
-    for mod in (EV, AN, WH):
+    for mod in (EV, AN, TP, WH):
         orig = mod.table
         mod.table = (
             lambda s, d, name, _o=orig: rep if name == "events" else _o(s, d, name)

@@ -243,8 +243,9 @@ def test_asof_nearest_semantics(spark):
 
 
 def test_asof_nearest_one_shuffle_one_sort(spark):
-    """The nearest join must cost the same as the backward twin: one hash
-    exchange on the key, one sort, ONE WindowExec evaluating both frames."""
+    """The nearest join must shuffle ONCE (like the backward twin); the
+    two directional fills each get an in-partition sort + WindowExec —
+    and neither may plan the O(n²) UnboundedFollowing frame."""
     import datetime as dt
 
     from big_data_occupancy_detection_spark.operators.temporal import (
@@ -267,5 +268,5 @@ def test_asof_nearest_one_shuffle_one_sort(spark):
     )
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "SinglePartition" not in plan, plan
-    assert plan.count("Window") == 1, plan
-    assert plan.count("Sort ") == 1, plan
+    assert plan.count("Window") == 2, plan
+    assert "unboundedfollowing" not in plan.lower(), plan
