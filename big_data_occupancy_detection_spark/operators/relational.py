@@ -327,6 +327,61 @@ def global_cumsum(
     )
 
 
+def weighted_percentiles(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    pct_points: list[int],
+    out_value: str = "value",
+) -> DataFrame:
+    """Weighted lower quantiles: for each integer percent ``k`` in
+    ``pct_points``, the smallest value whose cumulative weight reaches
+    ``k``% of the total weight — e.g. "the price below which 50% of
+    shipped QUANTITY falls", the weighted median every BI layer wants
+    and Spark has no operator for.
+
+    Contract: ``weight_col`` must be non-negative INTEGERS (pre-scale
+    fixed decimals to cents/hundredths) — thresholds then compare in
+    exact integer arithmetic (``cumw * 100 >= k * total``), so two
+    engines can never disagree on a boundary the way a float
+    ``p * total`` could. Null values/weights are dropped (SQL aggregate
+    semantics).
+
+    Scale: the input reduces to distinct-value grain first (one
+    map-side-combined agg); the running weight comes from
+    :func:`global_cumsum` (range-bucketed prefix sums — never a
+    single-task ``Window.orderBy``); the per-percentile pick is a
+    broadcast of |pct_points| literals + one min-agg. One full-data
+    shuffle total.
+    """
+    # eager checkpoint: the reduced frame feeds global_cumsum (data +
+    # its bucket-boundary probe) AND the total — without it the source
+    # aggregation executes three times. O(|distinct values|) rows.
+    g = (
+        df.filter(F.col(value_col).isNotNull() & F.col(weight_col).isNotNull())
+        .groupBy(value_col)
+        .agg(F.sum(weight_col).cast("long").alias("__w"))
+        .localCheckpoint(eager=True)
+    )
+    c = global_cumsum(g, [value_col], "__w", out_col="__cumw")
+    tot = g.agg(F.sum("__w").alias("__tot"))
+    ks = (
+        df.sparkSession.range(1)
+        .select(
+            F.explode(
+                F.array(*[F.lit(int(k)) for k in pct_points])
+            ).alias("pct")
+        )
+    )
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(ks))
+        .filter(F.col("__cumw") * 100 >= F.col("pct") * F.col("__tot"))
+        .groupBy("pct")
+        .agg(F.min(value_col).alias(out_value))
+    )
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,

@@ -1167,3 +1167,46 @@ def customer_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         portable_round(surv, 6).alias("survival"),
     )
+
+
+# --------------------------------------------------------------------------
+# Weighted price percentiles: the smallest price below which k% of
+# shipped QUANTITY falls (weighted median & friends) — via
+# operators.relational.weighted_percentiles: distinct-value reduction,
+# global_cumsum range-bucketed running weight (no single-task global
+# window), integer-exact thresholds cumw*100 >= k*total on cent-scaled
+# quantities. The oracle spells the same cumulative rule with a plain
+# window — v is unique after the group-by, so its ORDER BY is total.
+# --------------------------------------------------------------------------
+@register(
+    "lineitem_weighted_price_percentiles",
+    oracle="""
+    WITH g AS (
+      SELECT l_extendedprice AS v,
+             sum(CAST(round(l_quantity * 100) AS BIGINT)) AS w
+      FROM lineitem
+      WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+      GROUP BY 1),
+    c AS (SELECT v, sum(w) OVER (ORDER BY v) AS cumw FROM g),
+    t AS (SELECT sum(w) AS tot FROM g),
+    p AS (SELECT unnest([25, 50, 75, 90, 99]) AS pct)
+    SELECT p.pct, CAST(min(c.v) AS DOUBLE) AS value
+    FROM c CROSS JOIN t CROSS JOIN p
+    WHERE c.cumw * 100 >= p.pct * t.tot
+    GROUP BY 1
+    """,
+)
+def lineitem_weighted_price_percentiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quantity-weighted price percentiles (25/50/75/90/99)."""
+    from ..operators.relational import weighted_percentiles
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_extendedprice",
+        F.round(F.col("l_quantity") * 100).cast("long").alias("qty_c"),
+    )
+    out = weighted_percentiles(
+        li, "l_extendedprice", "qty_c", [25, 50, 75, 90, 99]
+    )
+    return out.select("pct", F.col("value").cast("double").alias("value"))

@@ -867,3 +867,30 @@ def test_cluster_outliers_flags_planted_outlier(spark):
     # everyone sits in the single cluster and the pack scores higher
     assert all(r.cluster == out[99].cluster for r in out.values())
     assert min(r.centroid_cos for v, r in out.items() if v != 99) > out[99].centroid_cos
+
+
+def test_weighted_percentiles_boundaries_and_nulls(spark):
+    """Inclusive integer thresholds (cumw*100 >= k*total), weight-skewed
+    median, and null value/weight rows dropped."""
+    from big_data_occupancy_detection_spark.operators.relational import (
+        weighted_percentiles,
+    )
+
+    uniform = spark.createDataFrame(
+        [(1.0, 1), (2.0, 1), (3.0, 1), (4.0, 1), (None, 5), (9.0, None)],
+        "v DOUBLE, w LONG",
+    )
+    got = {
+        r.pct: r.value
+        for r in weighted_percentiles(uniform, "v", "w", [25, 50, 75, 99]).collect()
+    }
+    # 25% of total weight 4 = 1.0 exactly -> v=1 is included (>=, not >)
+    assert got == {25: 1.0, 50: 2.0, 75: 3.0, 99: 4.0}
+
+    skewed = spark.createDataFrame(
+        [(10.0, 1), (20.0, 1), (30.0, 8)], "v DOUBLE, w LONG"
+    )
+    med = {
+        r.pct: r.value for r in weighted_percentiles(skewed, "v", "w", [50]).collect()
+    }
+    assert med == {50: 30.0}  # 80% of the weight sits on 30

@@ -52,6 +52,7 @@ EXTRA_PLAN_PINNED = [
     "doc_perplexity_buckets",    # bigram LM + global_ntile tertiles
     "lang_temperature_mixture",  # sqrt-fold temperature shares
     "daily_new_users",           # first-seen min + day-grain cumsum
+    "lineitem_weighted_price_percentiles",  # global_cumsum weighted quantiles
 ]
 
 
