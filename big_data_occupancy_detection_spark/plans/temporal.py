@@ -9,7 +9,7 @@ of the semantics.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.datetime_fns import epoch_seconds
@@ -315,4 +315,93 @@ def promo_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("promo_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_events"),
         F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Point-in-time training features (the feature-store pattern): each order
+# picks up the customer's event-history features AS OF the order date —
+# running event/purchase counts and cumulative value — with no leakage
+# from later events, via the same one-shuffle asof_join. The feature
+# timeline is cumulative per user (incremental frame), deduped to one
+# row per (user, ts) so the as-of tie-break is well-defined; cumulative
+# value coalesces to 0 cents so the non-null value_cols contract holds
+# even when a user's early events carry null values.
+# --------------------------------------------------------------------------
+@register(
+    "order_features_point_in_time",
+    oracle="""
+    WITH tl AS (
+      SELECT user_id, ts, event_id,
+             CAST(count(*) OVER w AS BIGINT) AS n_events_before,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  OVER w AS BIGINT) AS n_purchases_before,
+             CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT)) OVER w, 0)
+                  AS BIGINT) AS value_cents_before,
+             row_number() OVER (PARTITION BY user_id, ts
+                                ORDER BY event_id DESC) AS rn
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING)),
+    feat AS (
+      SELECT user_id, ts, n_events_before, n_purchases_before,
+             value_cents_before
+      FROM tl WHERE rn = 1)
+    SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+           f.n_events_before, f.n_purchases_before,
+           CAST(f.value_cents_before AS DOUBLE) / 100 AS value_before
+    FROM orders o
+    ASOF LEFT JOIN feat f
+      ON o.o_custkey = f.user_id AND CAST(o.o_orderdate AS TIMESTAMP) >= f.ts
+    """,
+)
+def order_features_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-order leakage-free user features as of the order date."""
+    ev = table(spark, sf_dir, "events")
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wrn = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    tl = ev.select(
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_events_before"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .over(w)
+        .cast("long")
+        .alias("n_purchases_before"),
+        F.coalesce(
+            F.sum(F.round(F.col("value") * 100).cast("long")).over(w), F.lit(0)
+        )
+        .cast("long")
+        .alias("value_cents_before"),
+        F.row_number().over(wrn).alias("rn"),
+    ).filter(F.col("rn") == 1)
+    feat = tl.select(
+        F.col("user_id").alias("o_custkey"),
+        "ts",
+        "n_events_before",
+        "n_purchases_before",
+        "value_cents_before",
+    )
+    joined = asof_join(
+        orders,
+        feat,
+        on=["o_custkey"],
+        left_ts="o_orderdate",
+        right_ts="ts",
+        value_cols=["n_events_before", "n_purchases_before", "value_cents_before"],
+    )
+    return joined.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        "n_events_before",
+        "n_purchases_before",
+        (F.col("value_cents_before").cast("double") / 100).alias("value_before"),
     )

@@ -53,6 +53,7 @@ EXTRA_PLAN_PINNED = [
     "lang_temperature_mixture",  # sqrt-fold temperature shares
     "daily_new_users",           # first-seen min + day-grain cumsum
     "lineitem_weighted_price_percentiles",  # global_cumsum weighted quantiles
+    "order_features_point_in_time",  # cumulative features + as-of join
 ]
 
 
