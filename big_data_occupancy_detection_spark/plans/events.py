@@ -1360,3 +1360,94 @@ def next_event_training_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws("|", "t3", "t2", "t1").alias("context"),
         "label",
     )
+
+
+# --------------------------------------------------------------------------
+# Time-decay multi-touch attribution: every event by the same user in
+# the 7 days before a PURCHASE event is a touch; a touch's weight HALVES
+# per whole day of age (64 >> days — exact small integers, so the decay
+# is float-free by construction, unlike an exp(-dt/tau) kernel whose
+# irrational weights could round differently per engine). Per-conversion
+# credit shares are scaled-integer half-up micro-units; the census sums
+# them exactly and pays ONE IEEE division at the end. The self-join is a
+# hash equi-join on the user key with the 7-day band as residual —
+# candidate fan-out is per-user purchases x in-window events, never
+# |events|^2. (Conversions anchor in EVENT time: the orders table's
+# 1990s dates never overlap the events range, so an order-anchored
+# window would be vacuously empty.)
+# --------------------------------------------------------------------------
+@register(
+    "attribution_time_decay",
+    oracle="""
+    WITH conv AS (
+      SELECT event_id AS conv_id, user_id, ts AS conv_ts
+      FROM events WHERE event_type = 'purchase'),
+    touch AS (
+      SELECT c.conv_id, e.event_type,
+             (64 >> CAST(CAST(floor((epoch(c.conv_ts) - epoch(e.ts))
+                                    / 86400) AS BIGINT) AS INTEGER)) AS w
+      FROM conv c JOIN events e ON e.user_id = c.user_id
+       AND e.event_id <> c.conv_id
+       AND e.ts <= c.conv_ts
+       AND e.ts > c.conv_ts - INTERVAL 7 DAY),
+    per_type AS (
+      SELECT conv_id, event_type, sum(w) AS s
+      FROM touch GROUP BY 1, 2),
+    tot AS (
+      SELECT conv_id, sum(s) AS t FROM per_type GROUP BY 1),
+    shares AS (
+      SELECT p.event_type,
+             (p.s * 1000000 + f.t // 2) // f.t AS share_micro
+      FROM per_type p JOIN tot f ON f.conv_id = p.conv_id)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_conversions,
+           CAST(sum(share_micro) AS DOUBLE) / 1000000 AS total_credit
+    FROM shares GROUP BY 1
+    """,
+)
+def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type attribution credit toward purchase conversions:
+    daily-halving touch weights over the prior 7 days, exact shares."""
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "event_type")
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        F.col("user_id").alias("conv_user"),
+        F.col("ts").alias("conv_ts"),
+    )
+    touch = conv.join(
+        ev,
+        (F.col("user_id") == F.col("conv_user"))
+        & (F.col("event_id") != F.col("conv_id"))
+        & (F.col("ts") <= F.col("conv_ts"))
+        & (F.col("ts") > F.col("conv_ts") - F.expr("INTERVAL 7 DAY")),
+    )
+    # days ∈ [0, 6]: /86400 of non-negative seconds — exact multiples are
+    # representable, everything else is ≥1/86400 from a boundary, so
+    # floor() is portable (same argument as the k-anonymity band)
+    days = F.floor(
+        (epoch_seconds("conv_ts") - epoch_seconds("ts")) / 86400
+    ).cast("int")
+    touch = touch.withColumn("__days", days)
+    w = (
+        F.when(F.col("__days") == 0, 64)
+        .when(F.col("__days") == 1, 32)
+        .when(F.col("__days") == 2, 16)
+        .when(F.col("__days") == 3, 8)
+        .when(F.col("__days") == 4, 4)
+        .when(F.col("__days") == 5, 2)
+        .otherwise(1)
+    )
+    per_type = (
+        touch.select("conv_id", "event_type", w.alias("w"))
+        .groupBy("conv_id", "event_type")
+        .agg(F.sum("w").alias("s"))
+    )
+    tot = per_type.groupBy("conv_id").agg(F.sum("s").alias("t"))
+    shares = per_type.join(tot, "conv_id").select(
+        "event_type",
+        F.expr("(s * 1000000 + t DIV 2) DIV t").alias("share_micro"),
+    )
+    return shares.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_conversions"),
+        (F.sum("share_micro").cast("double") / 1000000).alias("total_credit"),
+    )
