@@ -25,6 +25,52 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _tag_and_union(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    op_name: str,
+    keep_rt: bool = False,
+) -> DataFrame:
+    """Shared as-of preamble: validate the no-collision contract, tag
+    both sides (``__t`` timestamp, ``__is_left`` flag), null-seed the
+    value columns on the left, drop null right timestamps (they can
+    never satisfy any as-of predicate — left in, they would sort into a
+    probe's frame), pad the right side to the left schema, and union.
+    ``keep_rt`` additionally carries the right timestamp as ``__rt``
+    (null on the left) for distance computations."""
+    clash = {c for c in value_cols} & (
+        set(left.columns) | set(on) | {left_ts, right_ts}
+    )
+    if clash:
+        raise ValueError(
+            f"{op_name} value_cols collide with left/key/timestamp columns: "
+            f"{sorted(clash)}; alias them on the right before joining"
+        )
+    l_tagged = left.withColumn("__t", F.col(left_ts).cast("timestamp")).withColumn(
+        "__is_left", F.lit(1)
+    )
+    for c in value_cols:
+        l_tagged = l_tagged.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
+    r_tagged = (
+        right.select(
+            *on, F.col(right_ts).cast("timestamp").alias("__t"), *value_cols
+        )
+        .filter(F.col("__t").isNotNull())
+        .withColumn("__is_left", F.lit(0))
+    )
+    if keep_rt:
+        l_tagged = l_tagged.withColumn("__rt", F.lit(None).cast("timestamp"))
+        r_tagged = r_tagged.withColumn("__rt", F.col("__t"))
+    for f in left.schema.fields:
+        if f.name not in r_tagged.columns:
+            r_tagged = r_tagged.withColumn(f.name, F.lit(None).cast(f.dataType))
+    return l_tagged.unionByName(r_tagged)
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -55,28 +101,9 @@ def asof_join(
     null on the left before the union, so a collision would silently null
     out left data instead of erroring. Rename on the left first.
     """
-    clash = {c for c in value_cols} & (set(left.columns) | set(on) | {left_ts, right_ts})
-    if clash:
-        raise ValueError(
-            f"asof_join value_cols collide with left/key/timestamp columns: "
-            f"{sorted(clash)}; alias them on the right before joining"
-        )
-    l_tagged = left.withColumn("__t", F.col(left_ts)).withColumn(
-        "__is_left", F.lit(1)
+    unioned = _tag_and_union(
+        left, right, on, left_ts, right_ts, value_cols, "asof_join"
     )
-    for c in value_cols:
-        l_tagged = l_tagged.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
-    r_tagged = (
-        right.select(*on, F.col(right_ts).alias("__t"), *value_cols)
-        # a null right timestamp can never satisfy l.ts >= r.ts; left it
-        # would sort NULLS FIRST and leak into every left row's frame
-        .filter(F.col("__t").isNotNull())
-        .withColumn("__is_left", F.lit(0))
-    )
-    for f in left.schema.fields:
-        if f.name not in r_tagged.columns:
-            r_tagged = r_tagged.withColumn(f.name, F.lit(None).cast(f.dataType))
-    unioned = l_tagged.unionByName(r_tagged)
 
     # Right rows (0) sort before left rows (1) at equal __t, so a right row
     # at exactly left_ts is already visible to the running last(). A
@@ -113,27 +140,9 @@ def asof_join_forward(
     distance. Same contracts — ``right`` unique per (``on``,
     ``right_ts``), non-null ``value_cols``, no column collisions.
     """
-    clash = {c for c in value_cols} & (set(left.columns) | set(on) | {left_ts, right_ts})
-    if clash:
-        raise ValueError(
-            f"asof_join_forward value_cols collide with left/key/timestamp "
-            f"columns: {sorted(clash)}; alias them on the right before joining"
-        )
-    l_tagged = left.withColumn("__t", F.col(left_ts)).withColumn(
-        "__is_left", F.lit(1)
+    unioned = _tag_and_union(
+        left, right, on, left_ts, right_ts, value_cols, "asof_join_forward"
     )
-    for c in value_cols:
-        l_tagged = l_tagged.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
-    r_tagged = (
-        right.select(*on, F.col(right_ts).alias("__t"), *value_cols)
-        # a null right timestamp can never satisfy l.ts <= r.ts
-        .filter(F.col("__t").isNotNull())
-        .withColumn("__is_left", F.lit(0))
-    )
-    for f in left.schema.fields:
-        if f.name not in r_tagged.columns:
-            r_tagged = r_tagged.withColumn(f.name, F.lit(None).cast(f.dataType))
-    unioned = l_tagged.unionByName(r_tagged)
 
     # Forward fill as an INCREMENTAL frame over the REVERSED sort:
     # (unboundedPreceding → currentRow) on (__t DESC, __is_left ASC) sees
@@ -202,32 +211,10 @@ def asof_join_nearest(
     twin: ``right`` unique per (``on``, ``right_ts``), non-null
     ``value_cols``, no column collisions.
     """
-    clash = {c for c in value_cols} & (set(left.columns) | set(on) | {left_ts, right_ts})
-    if clash:
-        raise ValueError(
-            f"asof_join_nearest value_cols collide with left/key/timestamp "
-            f"columns: {sorted(clash)}; alias them on the right before joining"
-        )
-    l_tagged = (
-        left.withColumn("__t", F.col(left_ts).cast("timestamp"))
-        .withColumn("__is_left", F.lit(1))
-        .withColumn("__rt", F.lit(None).cast("timestamp"))
+    unioned = _tag_and_union(
+        left, right, on, left_ts, right_ts, value_cols, "asof_join_nearest",
+        keep_rt=True,
     )
-    for c in value_cols:
-        l_tagged = l_tagged.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
-    r_tagged = (
-        right.select(
-            *on, F.col(right_ts).cast("timestamp").alias("__t"), *value_cols
-        )
-        # a null right timestamp has no distance to any probe
-        .filter(F.col("__t").isNotNull())
-        .withColumn("__is_left", F.lit(0))
-        .withColumn("__rt", F.col("__t"))
-    )
-    for f in left.schema.fields:
-        if f.name not in r_tagged.columns:
-            r_tagged = r_tagged.withColumn(f.name, F.lit(None).cast(f.dataType))
-    unioned = l_tagged.unionByName(r_tagged)
 
     w_back = (
         Window.partitionBy(*on)
@@ -264,8 +251,9 @@ def asof_join_nearest(
     dist_b = probe_us - F.unix_micros(F.col("__bt"))
     dist_f = F.unix_micros(F.col("__ft")) - probe_us
     b_ok = F.col("__t").isNotNull() & F.col("__bt").isNotNull()
-    # a NULL-timestamp probe sorts NULLS FIRST: its forward frame covers
-    # every right row, so mask it (a null probe matches nothing)
+    # a NULL-timestamp probe sorts NULLS LAST under the DESC forward
+    # order, putting it at the partition END where its incremental frame
+    # covers every right row — so mask it (a null probe matches nothing)
     f_ok = F.col("__t").isNotNull() & F.col("__ft").isNotNull()
     if tolerance_seconds is not None:
         tol_us = F.lit(int(tolerance_seconds) * 1_000_000)

@@ -130,8 +130,11 @@ def running_user_totals_tws(events: DataFrame) -> DataFrame:
 # it. Append-mode output — one row per event, not per key — so the
 # emitted example set is EXACTLY the batch operator's output when events
 # arrive in (ts, event_id) order across micro-batches (rows within a
-# batch are sorted; cross-batch order is the ingest contract, as with
-# any changelog). A null event type shifts into the tail and poisons the
+# batch are sorted with nulls FIRST, matching Spark's window order;
+# cross-batch order is the ingest contract, as with any changelog — a
+# null-ts event globally sorts to its user's timeline head, so in-order
+# ingest delivers it in that user's first batch). A null event type
+# shifts into the tail and poisons the
 # next 3 contexts on both paths (the batch twin's lag() carries the null
 # into the all-non-null filter).
 # ---------------------------------------------------------------------------
@@ -154,7 +157,12 @@ def streaming_training_pairs(events: DataFrame) -> DataFrame:
         out = []
         chunks = [pdf for pdf in pdfs]
         if chunks:
-            batch = pd.concat(chunks).sort_values(["ts", "event_id"])
+            # na_position='first': Spark's Window.orderBy sorts nulls
+            # FIRST (asc), pandas defaults NaT LAST — a null-ts event
+            # must fold in the same position as the batch twin's lag()
+            batch = pd.concat(chunks).sort_values(
+                ["ts", "event_id"], na_position="first"
+            )
             for ev_id, ev_type in zip(batch["event_id"], batch["event_type"]):
                 label = None if pd.isna(ev_type) else ev_type
                 if t3 is not None and t2 is not None and t1 is not None:

@@ -149,6 +149,12 @@ def test_streaming_training_pairs_equals_batch_across_restart(spark, tmp_path):
     b1 = [ev(0, 1, 10, "view"), ev(1, 1, 11, "cart"), ev(2, 2, 20, "view")]
     b2 = [ev(3, 1, 12, "view"), ev(4, 1, 13, "purchase"), ev(5, 2, 21, "cart")]
     b3 = [ev(6, 1, 14, "view"), ev(7, 2, 22, "view"), ev(8, 2, 23, "purchase")]
+    # null-ts event: Spark windows sort nulls FIRST, pandas NaT defaults
+    # LAST — the divergence under test. It globally sorts to the head of
+    # user 2's timeline, so the in-order ingest contract puts it in the
+    # user's FIRST batch; na_position='first' must fold it before event
+    # 20 within that batch.
+    b1.append({"ts": None, "user_id": 2, "event_id": 24, "event_type": "error"})
 
     src = tmp_path / "ev"
     src.mkdir()
