@@ -94,8 +94,8 @@ HEADLINE = [
     "dsir_importance_weights", # DSIR hashed-BoW target/pool log ratio
     "doc_shingle_novelty",     # cross-doc distinct-shingle novelty census
     "corpus_datacard",         # ROLLUP corpus census (zero-shuffle map agg)
-    "orders_asof_events_forward",  # forward as-of (next-at-or-after)
-    "orders_asof_events_nearest",  # nearest as-of (dual-frame single sort)
+    "next_purchase_asof_events",  # forward as-of (next-at-or-after)
+    "nearest_error_to_purchase",  # nearest as-of (dual-frame, tolerance)
     # One flavor per operator family (round-4 trim): the registry keeps
     # every form oracle-verified; the headline benches the PRODUCTION
     # twin and names the slow/baseline twin it stands for —

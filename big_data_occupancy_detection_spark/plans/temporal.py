@@ -60,112 +60,138 @@ def orders_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Forward as-of: for every event, the customer's NEXT order at-or-after
-# the event (conversion attribution forward in time). Same union+sort
-# single-shuffle plan as the backward form, frame reversed.
+# Forward as-of: for every event, the user's NEXT purchase event at or
+# after it — time-to-conversion, the forward-in-time attribution lookup.
+# Anchored in EVENT time: a cross-table window against orders would be
+# vacuously NULL (the orders table's 1990s dates never overlap the 2024
+# events range — the round-5 review catch). The right side reduces to one
+# representative purchase per (user, ts); the matched timestamp rides
+# along as a value column so the output can carry the exact gap.
 # --------------------------------------------------------------------------
 @register(
-    "orders_asof_events_forward",
+    "next_purchase_asof_events",
     oracle="""
-    WITH o AS (
-      SELECT o_custkey, o_orderdate,
-             min(o_orderkey) AS o_orderkey,
-             round(min_by(o_totalprice, o_orderkey), 4) AS o_totalprice
-      FROM orders GROUP BY 1, 2)
+    WITH p AS (
+      SELECT user_id, ts AS pts, max(event_id) AS next_purchase_id
+      FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
+      GROUP BY 1, 2)
     SELECT e.event_id, e.user_id, e.ts,
-           o.o_orderkey AS next_orderkey,
-           o.o_totalprice AS next_totalprice
+           p.next_purchase_id,
+           (floor(CAST((epoch(p.pts) - epoch(e.ts)) AS DOUBLE) * 10000.0
+                  + 0.5) / 10000.0) AS secs_to_purchase
     FROM events e
-    ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
+    ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts <= p.pts
     """,
 )
-def orders_asof_events_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Next order at-or-after each event per user (forward as-of join)."""
+def next_purchase_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next purchase at-or-after each event per user (forward as-of),
+    with the exact seconds-to-conversion gap."""
     from ..operators.temporal import asof_join_forward
 
-    ev = table(spark, sf_dir, "events")
-    orders = table(spark, sf_dir, "orders")
-    upcoming = orders.groupBy("o_custkey", "o_orderdate").agg(
-        F.min("o_orderkey").alias("next_orderkey"),
-        F.round(F.min_by("o_totalprice", "o_orderkey"), 4).alias("next_totalprice"),
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    purchases = (
+        table(spark, sf_dir, "events")
+        .filter((F.col("event_type") == "purchase") & F.col("ts").isNotNull())
+        .groupBy("user_id", F.col("ts").alias("pts"))
+        .agg(F.max("event_id").alias("next_purchase_id"))
+        .withColumn("next_purchase_ts", F.col("pts"))
     )
     joined = asof_join_forward(
-        ev.select("event_id", F.col("user_id"), "ts"),
-        upcoming.withColumnRenamed("o_custkey", "user_id"),
+        ev,
+        purchases,
         on=["user_id"],
         left_ts="ts",
-        right_ts="o_orderdate",
-        value_cols=["next_orderkey", "next_totalprice"],
+        right_ts="pts",
+        value_cols=["next_purchase_id", "next_purchase_ts"],
     )
     return joined.select(
-        "event_id", "user_id", "ts", "next_orderkey", "next_totalprice"
+        "event_id",
+        "user_id",
+        "ts",
+        "next_purchase_id",
+        portable_round(
+            epoch_seconds("next_purchase_ts") - epoch_seconds("ts"), 4
+        ).alias("secs_to_purchase"),
     )
 
 
 # --------------------------------------------------------------------------
-# Nearest as-of: each event picks the user's order CLOSEST in time (either
-# direction) within a 30-day tolerance — the pandas merge_asof
-# direction='nearest' shape. Ties (equidistant before/after) resolve to the
-# backward (earlier) order. The oracle is a structurally different plan: a
-# banded inequality join enumerating every in-tolerance candidate, then a
-# row_number pick ordered by (distance, orderdate) — a TOTAL order, since
-# the right side is unique per (custkey, orderdate) and each event
-# partition holds one user.
+# Nearest as-of: for each purchase, the user's error event CLOSEST in
+# time within ±1 day — "did an error coincide with this conversion?" —
+# the pandas merge_asof direction='nearest' shape, with the tolerance
+# genuinely exercised on shipped data (some purchases have a same-day
+# error, others none → real NULLs). Equidistant before/after ties
+# resolve to the earlier error. The oracle is a structurally different
+# plan: a banded inequality join enumerating every in-tolerance
+# candidate, then a row_number pick ordered by (distance, ts) — a TOTAL
+# order, since errors are unique per (user, ts) after the reduce and
+# each partition holds one purchase.
 # --------------------------------------------------------------------------
-_NEAREST_TOL_S = 30 * 86400
+_NEAREST_TOL_S = 86400
 
 
 @register(
-    "orders_asof_events_nearest",
+    "nearest_error_to_purchase",
     oracle=f"""
-    WITH o AS (
-      SELECT o_custkey, o_orderdate,
-             max(o_orderkey) AS orderkey,
-             round(max_by(o_totalprice, o_orderkey), 4) AS totalprice
-      FROM orders GROUP BY 1, 2),
+    WITH pur AS (
+      SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'purchase'),
+    err AS (
+      SELECT user_id, ts AS ets, max(event_id) AS nearest_error_id
+      FROM events WHERE event_type = 'error' AND ts IS NOT NULL
+      GROUP BY 1, 2),
     cand AS (
-      SELECT e.event_id, o.orderkey, o.totalprice,
-             abs(epoch_us(CAST(o.o_orderdate AS TIMESTAMP)) - epoch_us(e.ts))
-               AS dist,
-             o.o_orderdate AS od
-      FROM events e JOIN o ON o.o_custkey = e.user_id
-       AND CAST(o.o_orderdate AS TIMESTAMP)
-             >= e.ts - INTERVAL {_NEAREST_TOL_S} SECOND
-       AND CAST(o.o_orderdate AS TIMESTAMP)
-             <= e.ts + INTERVAL {_NEAREST_TOL_S} SECOND),
+      SELECT p.event_id, e.nearest_error_id, e.ets,
+             abs(epoch_us(e.ets) - epoch_us(p.ts)) AS dist
+      FROM pur p JOIN err e ON e.user_id = p.user_id
+       AND e.ets >= p.ts - INTERVAL {_NEAREST_TOL_S} SECOND
+       AND e.ets <= p.ts + INTERVAL {_NEAREST_TOL_S} SECOND),
     best AS (
-      SELECT event_id, orderkey, totalprice,
-             row_number() OVER (PARTITION BY event_id ORDER BY dist, od) AS rn
+      SELECT event_id, nearest_error_id, ets,
+             row_number() OVER (PARTITION BY event_id
+                                ORDER BY dist, ets) AS rn
       FROM cand)
-    SELECT e.event_id, e.user_id, e.ts,
-           b.orderkey AS nearest_orderkey,
-           b.totalprice AS nearest_totalprice
-    FROM events e LEFT JOIN best b ON b.event_id = e.event_id AND b.rn = 1
+    SELECT p.event_id, p.user_id, p.ts,
+           b.nearest_error_id,
+           (floor(CAST((epoch(b.ets) - epoch(p.ts)) AS DOUBLE) * 10000.0
+                  + 0.5) / 10000.0) AS err_gap_s
+    FROM pur p LEFT JOIN best b ON b.event_id = p.event_id AND b.rn = 1
     """,
 )
-def orders_asof_events_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Closest order to each event within ±30 days (nearest as-of join)."""
+def nearest_error_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closest error event to each purchase within ±1 day (nearest
+    as-of join), with the signed gap in seconds."""
     from ..operators.temporal import asof_join_nearest
 
-    ev = table(spark, sf_dir, "events")
-    orders = table(spark, sf_dir, "orders")
-    closest = orders.groupBy("o_custkey", "o_orderdate").agg(
-        F.max("o_orderkey").alias("nearest_orderkey"),
-        F.round(F.max_by("o_totalprice", "o_orderkey"), 4).alias(
-            "nearest_totalprice"
-        ),
+    pur = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts")
+    )
+    err = (
+        table(spark, sf_dir, "events")
+        .filter((F.col("event_type") == "error") & F.col("ts").isNotNull())
+        .groupBy("user_id", F.col("ts").alias("ets"))
+        .agg(F.max("event_id").alias("nearest_error_id"))
+        .withColumn("nearest_error_ts", F.col("ets"))
     )
     joined = asof_join_nearest(
-        ev.select("event_id", F.col("user_id"), "ts"),
-        closest.withColumnRenamed("o_custkey", "user_id"),
+        pur,
+        err,
         on=["user_id"],
         left_ts="ts",
-        right_ts="o_orderdate",
-        value_cols=["nearest_orderkey", "nearest_totalprice"],
+        right_ts="ets",
+        value_cols=["nearest_error_id", "nearest_error_ts"],
         tolerance_seconds=_NEAREST_TOL_S,
     )
     return joined.select(
-        "event_id", "user_id", "ts", "nearest_orderkey", "nearest_totalprice"
+        "event_id",
+        "user_id",
+        "ts",
+        "nearest_error_id",
+        portable_round(
+            epoch_seconds("nearest_error_ts") - epoch_seconds("ts"), 4
+        ).alias("err_gap_s"),
     )
 
 
@@ -319,19 +345,31 @@ def promo_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Point-in-time training features (the feature-store pattern): each order
-# picks up the customer's event-history features AS OF the order date —
-# running event/purchase counts and cumulative value — with no leakage
-# from later events, via the same one-shuffle asof_join. The feature
-# timeline is cumulative per user (incremental frame), deduped to one
-# row per (user, ts) so the as-of tie-break is well-defined; cumulative
-# value coalesces to 0 cents so the non-null value_cols contract holds
-# even when a user's early events carry null values.
+# Point-in-time training features (the feature-store pattern): weekly
+# snapshot probes — (user × week-end spine derived from the event range)
+# — pick up each user's event-history features AS OF the snapshot
+# instant, with no leakage from later events, via the same one-shuffle
+# asof_join. Probes are deliberately NOT event rows: the as-of join is
+# what materializes features at arbitrary training timestamps. (The
+# first draft probed at order dates and was vacuously all-NULL — the
+# orders table's 1990s dates never overlap the 2024 events range; the
+# spine (day 1 of each of 5 weeks) keeps both real matches and real
+# NULLs, since the first snapshot predates some users' first event.) The feature timeline is
+# cumulative per user (incremental frame), deduped to one row per
+# (user, ts) for a well-defined tie-break; cumulative value coalesces to
+# 0 cents so the non-null value_cols contract holds under null event
+# values.
 # --------------------------------------------------------------------------
 @register(
-    "order_features_point_in_time",
+    "user_features_point_in_time",
     oracle="""
-    WITH tl AS (
+    WITH b AS (SELECT date_trunc('week', min(ts)) AS w0 FROM events),
+    u AS (SELECT DISTINCT user_id FROM events),
+    spine AS (
+      SELECT u.user_id, b.w0 + (k.k * 7 + 1) * INTERVAL 1 DAY AS snap_ts
+      FROM u CROSS JOIN b
+      CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS k) k),
+    tl AS (
       SELECT user_id, ts, event_id,
              CAST(count(*) OVER w AS BIGINT) AS n_events_before,
              CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
@@ -347,19 +385,32 @@ def promo_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, ts, n_events_before, n_purchases_before,
              value_cents_before
       FROM tl WHERE rn = 1)
-    SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+    SELECT s.user_id, s.snap_ts,
            f.n_events_before, f.n_purchases_before,
            CAST(f.value_cents_before AS DOUBLE) / 100 AS value_before
-    FROM orders o
+    FROM spine s
     ASOF LEFT JOIN feat f
-      ON o.o_custkey = f.user_id AND CAST(o.o_orderdate AS TIMESTAMP) >= f.ts
+      ON s.user_id = f.user_id AND s.snap_ts >= f.ts
     """,
 )
-def order_features_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-order leakage-free user features as of the order date."""
+def user_features_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free user features at 5 weekly snapshot instants."""
     ev = table(spark, sf_dir, "events")
-    orders = table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_orderdate"
+    w0 = ev.agg(F.date_trunc("week", F.min("ts")).alias("w0"))
+    users = ev.select("user_id").distinct()
+    ks = (
+        ev.sparkSession.range(5)
+        .select(F.col("id").cast("int").alias("k"))
+    )
+    spine = (
+        users.crossJoin(F.broadcast(w0))
+        .crossJoin(F.broadcast(ks))
+        .select(
+            "user_id",
+            F.expr(
+                "w0 + make_interval(0, 0, 0, CAST(k * 7 + 1 AS INT))"
+            ).alias("snap_ts"),
+        )
     )
     w = (
         Window.partitionBy("user_id")
@@ -383,24 +434,23 @@ def order_features_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(wrn).alias("rn"),
     ).filter(F.col("rn") == 1)
     feat = tl.select(
-        F.col("user_id").alias("o_custkey"),
+        "user_id",
         "ts",
         "n_events_before",
         "n_purchases_before",
         "value_cents_before",
     )
     joined = asof_join(
-        orders,
+        spine,
         feat,
-        on=["o_custkey"],
-        left_ts="o_orderdate",
+        on=["user_id"],
+        left_ts="snap_ts",
         right_ts="ts",
         value_cols=["n_events_before", "n_purchases_before", "value_cents_before"],
     )
     return joined.select(
-        "o_orderkey",
-        "o_custkey",
-        "o_orderdate",
+        "user_id",
+        "snap_ts",
         "n_events_before",
         "n_purchases_before",
         (F.col("value_cents_before").cast("double") / 100).alias("value_before"),

@@ -42,8 +42,8 @@ OPS = {
     "lateness": "event_lateness_profile",
     "anomalies": "events_hourly_anomalies",
     "cusum": "user_value_cusum",
-    "asof_nearest": "orders_asof_events_nearest",
-    "asof_fwd": "orders_asof_events_forward",
+    "asof_nearest": "nearest_error_to_purchase",
+    "asof_fwd": "next_purchase_asof_events",
     "training_pairs": "next_event_training_pairs",
 }
 

@@ -53,7 +53,7 @@ EXTRA_PLAN_PINNED = [
     "lang_temperature_mixture",  # sqrt-fold temperature shares
     "daily_new_users",           # first-seen min + day-grain cumsum
     "lineitem_weighted_price_percentiles",  # global_cumsum weighted quantiles
-    "order_features_point_in_time",  # cumulative features + as-of join
+    "user_features_point_in_time",  # cumulative features + as-of join
     "attribution_time_decay",    # banded self-join + exact share division
 ]
 

@@ -270,3 +270,34 @@ def test_asof_nearest_one_shuffle_one_sort(spark):
     assert "SinglePartition" not in plan, plan
     assert plan.count("Window") == 2, plan
     assert "unboundedfollowing" not in plan.lower(), plan
+
+
+def test_asof_registry_queries_not_vacuous(spark):
+    """Regression (round-5 review): the forward/nearest/point-in-time
+    registry queries were once anchored on the orders table, whose 1990s
+    dates never overlap the 2024 events range — every match column was
+    NULL and oracle parity passed vacuously. Pin that each query now
+    produces BOTH real matches and (where the data affords them) real
+    NULLs, so a testdata regeneration that re-vacuates them fails loudly
+    instead of silently gutting the gates."""
+    from pyspark.sql import functions as F
+
+    from big_data_occupancy_detection_spark.plans import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+
+    def counts(name, col):
+        df = REGISTRY[name].fn(spark, sf)
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"), F.count(col).alias("nn")
+        ).first()
+        return r.n, r.nn
+
+    n, nn = counts("orders_asof_events", "last_orderkey")
+    assert n > 0 and nn > 0, (n, nn)
+    n, nn = counts("next_purchase_asof_events", "next_purchase_id")
+    assert nn > 0 and n - nn > 0, (n, nn)  # matches AND no-later-purchase nulls
+    n, nn = counts("nearest_error_to_purchase", "nearest_error_id")
+    assert nn > 0 and n - nn > 0, (n, nn)  # matches AND out-of-tolerance nulls
+    n, nn = counts("user_features_point_in_time", "n_events_before")
+    assert n > 0 and nn > 0, (n, nn)
