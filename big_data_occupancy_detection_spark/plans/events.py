@@ -1364,35 +1364,41 @@ def next_event_training_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # Time-decay multi-touch attribution: every event by the same user in
-# the 7 days before a PURCHASE event is a touch; a touch's weight HALVES
-# per whole day of age (64 >> days — exact small integers, so the decay
-# is float-free by construction, unlike an exp(-dt/tau) kernel whose
-# irrational weights could round differently per engine). Per-conversion
-# credit shares are scaled-integer half-up micro-units; the census sums
-# them exactly and pays ONE IEEE division at the end. The self-join is a
-# hash equi-join on the user key with the 7-day band as residual —
-# candidate fan-out is per-user purchases x in-window events, never
-# |events|^2. (Conversions anchor in EVENT time: the orders table's
-# 1990s dates never overlap the events range, so an order-anchored
-# window would be vacuously empty.)
+# the 7 calendar days up to a PURCHASE event is a touch; a touch's
+# weight HALVES per day of age (64 >> day_diff — exact small integers,
+# float-free by construction, unlike an exp(-dt/tau) kernel whose
+# irrational weights could round differently per engine). Touches
+# pre-aggregate to (user, day, type) grain BEFORE the join, so the
+# fan-out per conversion is bounded at 7 days x |types| — independent of
+# per-user event density. (The first formulation joined conversions to
+# RAW events in a timestamp band: correct, but quadratic in per-key
+# density — 13.8 s at 10x, 93.7 s at 30x on the density smoke. Weights
+# keyed by calendar-day age make the touch side aggregable and the cost
+# linear in events.) The conversion's own (purchase, day-0) cell is
+# subtracted exactly; types whose weight nets to zero drop, so each
+# conversion's total stays positive. Per-conversion credit shares are
+# scaled-integer half-up micro-units summed exactly with one final IEEE
+# division.
 # --------------------------------------------------------------------------
 @register(
     "attribution_time_decay",
     oracle="""
     WITH conv AS (
-      SELECT event_id AS conv_id, user_id, ts AS conv_ts
-      FROM events WHERE event_type = 'purchase'),
+      SELECT event_id AS conv_id, user_id, CAST(ts AS DATE) AS cd
+      FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL),
+    tagg AS (
+      SELECT user_id, CAST(ts AS DATE) AS td, event_type, count(*) AS n
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2, 3),
     touch AS (
-      SELECT c.conv_id, e.event_type,
-             (64 >> CAST(CAST(floor((epoch(c.conv_ts) - epoch(e.ts))
-                                    / 86400) AS BIGINT) AS INTEGER)) AS w
-      FROM conv c JOIN events e ON e.user_id = c.user_id
-       AND e.event_id <> c.conv_id
-       AND e.ts <= c.conv_ts
-       AND e.ts > c.conv_ts - INTERVAL 7 DAY),
+      SELECT c.conv_id, t.event_type,
+             (t.n - CASE WHEN t.event_type = 'purchase' AND t.td = c.cd
+                         THEN 1 ELSE 0 END)
+             * (64 >> CAST(date_diff('day', t.td, c.cd) AS INTEGER)) AS sw
+      FROM conv c JOIN tagg t ON t.user_id = c.user_id
+       AND t.td <= c.cd AND t.td >= c.cd - 6),
     per_type AS (
-      SELECT conv_id, event_type, sum(w) AS s
-      FROM touch GROUP BY 1, 2),
+      SELECT conv_id, event_type, sum(sw) AS s
+      FROM touch GROUP BY 1, 2 HAVING sum(sw) > 0),
     tot AS (
       SELECT conv_id, sum(s) AS t FROM per_type GROUP BY 1),
     shares AS (
@@ -1407,40 +1413,44 @@ def next_event_training_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type attribution credit toward purchase conversions:
-    daily-halving touch weights over the prior 7 days, exact shares."""
-    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "event_type")
-    conv = ev.filter(F.col("event_type") == "purchase").select(
+    daily-halving weights over the prior 7 calendar days, exact shares,
+    touch side pre-aggregated to (user, day, type) grain."""
+    ev = table(spark, sf_dir, "events")
+    conv = ev.filter(
+        (F.col("event_type") == "purchase") & F.col("ts").isNotNull()
+    ).select(
         F.col("event_id").alias("conv_id"),
         F.col("user_id").alias("conv_user"),
-        F.col("ts").alias("conv_ts"),
+        F.to_date("ts").alias("cd"),
+    )
+    tagg = (
+        ev.filter(F.col("ts").isNotNull())
+        .groupBy("user_id", F.to_date("ts").alias("td"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
     )
     touch = conv.join(
-        ev,
+        tagg,
         (F.col("user_id") == F.col("conv_user"))
-        & (F.col("event_id") != F.col("conv_id"))
-        & (F.col("ts") <= F.col("conv_ts"))
-        & (F.col("ts") > F.col("conv_ts") - F.expr("INTERVAL 7 DAY")),
+        & (F.col("td") <= F.col("cd"))
+        & (F.col("td") >= F.date_sub(F.col("cd"), 6)),
     )
-    # days ∈ [0, 6]: /86400 of non-negative seconds — exact multiples are
-    # representable, everything else is ≥1/86400 from a boundary, so
-    # floor() is portable (same argument as the k-anonymity band)
-    days = F.floor(
-        (epoch_seconds("conv_ts") - epoch_seconds("ts")) / 86400
-    ).cast("int")
-    touch = touch.withColumn("__days", days)
+    dd = F.datediff("cd", "td")
     w = (
-        F.when(F.col("__days") == 0, 64)
-        .when(F.col("__days") == 1, 32)
-        .when(F.col("__days") == 2, 16)
-        .when(F.col("__days") == 3, 8)
-        .when(F.col("__days") == 4, 4)
-        .when(F.col("__days") == 5, 2)
+        F.when(dd == 0, 64)
+        .when(dd == 1, 32)
+        .when(dd == 2, 16)
+        .when(dd == 3, 8)
+        .when(dd == 4, 4)
+        .when(dd == 5, 2)
         .otherwise(1)
     )
+    self_hit = (F.col("event_type") == "purchase") & (F.col("td") == F.col("cd"))
+    sw = (F.col("n") - F.when(self_hit, 1).otherwise(0)) * w
     per_type = (
-        touch.select("conv_id", "event_type", w.alias("w"))
+        touch.select("conv_id", "event_type", sw.alias("sw"))
         .groupBy("conv_id", "event_type")
-        .agg(F.sum("w").alias("s"))
+        .agg(F.sum("sw").alias("s"))
+        .filter(F.col("s") > 0)
     )
     tot = per_type.groupBy("conv_id").agg(F.sum("s").alias("t"))
     shares = per_type.join(tot, "conv_id").select(

@@ -44,6 +44,7 @@ OPS = [
     "order_interarrival_stats",
     "copurchase_bfs_depths",
     "part_negative_samples",
+    "lineitem_weighted_price_percentiles",
 ]
 
 

@@ -45,6 +45,8 @@ OPS = {
     "asof_nearest": "nearest_error_to_purchase",
     "asof_fwd": "next_purchase_asof_events",
     "training_pairs": "next_event_training_pairs",
+    "pit_features": "user_features_point_in_time",
+    "attribution_decay": "attribution_time_decay",
 }
 
 
