@@ -1210,3 +1210,63 @@ def lineitem_weighted_price_percentiles(
         li, "l_extendedprice", "qty_c", [25, 50, 75, 90, 99]
     )
     return out.select("pct", F.col("value").cast("double").alias("value"))
+
+
+# --------------------------------------------------------------------------
+# Grouped weighted median: quantity-weighted median price PER BRAND —
+# the group-grain complement of lineitem_weighted_price_percentiles.
+# Within a brand the cumulative-weight window is partitioned (sort
+# volume = |distinct prices per brand|, never global), so plain windows
+# are already the scale-correct plan here; the global form is the one
+# that needs global_cumsum. Same integer-exact pick: smallest value
+# whose cumulative weight doubles past the brand total.
+# --------------------------------------------------------------------------
+@register(
+    "brand_weighted_median_price",
+    oracle="""
+    WITH g AS (
+      SELECT p.p_brand, l.l_extendedprice AS v,
+             sum(CAST(round(l.l_quantity * 100) AS BIGINT)) AS w
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE l.l_extendedprice IS NOT NULL AND l.l_quantity IS NOT NULL
+      GROUP BY 1, 2),
+    c AS (
+      SELECT p_brand, v,
+             sum(w) OVER (PARTITION BY p_brand ORDER BY v) AS cumw,
+             sum(w) OVER (PARTITION BY p_brand) AS tot
+      FROM g)
+    SELECT p_brand,
+           CAST(min(CASE WHEN cumw * 2 >= tot THEN v END) AS DOUBLE)
+             AS weighted_median_price,
+           CAST(count(*) AS BIGINT) AS n_distinct_prices
+    FROM c GROUP BY 1
+    """,
+)
+def brand_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median extended price per part brand."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_quantity"
+    )
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    g = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .filter(
+            F.col("l_extendedprice").isNotNull() & F.col("l_quantity").isNotNull()
+        )
+        .groupBy("p_brand", F.col("l_extendedprice").alias("v"))
+        .agg(F.sum(_cents("l_quantity")).cast("long").alias("w"))
+    )
+    wc = Window.partitionBy("p_brand").orderBy("v")
+    wt = Window.partitionBy("p_brand")
+    c = g.select(
+        "p_brand",
+        "v",
+        F.sum("w").over(wc).alias("cumw"),
+        F.sum("w").over(wt).alias("tot"),
+    )
+    return c.groupBy("p_brand").agg(
+        F.min(F.when(F.col("cumw") * 2 >= F.col("tot"), F.col("v")))
+        .cast("double")
+        .alias("weighted_median_price"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_prices"),
+    )
