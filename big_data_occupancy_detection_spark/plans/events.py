@@ -1461,3 +1461,41 @@ def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_conversions"),
         (F.sum("share_micro").cast("double") / 1000000).alias("total_credit"),
     )
+
+
+# --------------------------------------------------------------------------
+# Sliding DISTINCT census: distinct users per 2-hour window hopping
+# hourly. Unlike sliding count/sum (mergeable partials —
+# sliding_hour_activity), COUNT(DISTINCT) cannot merge across hops, so
+# the scale-correct plan dedupes (window, user) FIRST — one exchange on
+# the composite key turns the distinct into a plain count and keeps the
+# per-window state at |distinct users|, not |events|.
+# --------------------------------------------------------------------------
+@register(
+    "sliding_distinct_users",
+    oracle="""
+    WITH x AS (SELECT date_trunc('hour', ts) AS h, user_id FROM events),
+    ex AS (
+      SELECT h AS win_start, user_id FROM x
+      UNION ALL
+      SELECT h - INTERVAL 1 HOUR, user_id FROM x)
+    SELECT win_start,
+           win_start + INTERVAL 2 HOUR AS win_end,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM ex GROUP BY 1
+    """,
+)
+def sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per 2-hour window, 1-hour hop (explicit
+    dedupe-then-count plan)."""
+    ev = table(spark, sf_dir, "events")
+    pairs = ev.select(
+        F.window("ts", "2 hours", "1 hour").alias("win"), "user_id"
+    ).dropDuplicates(["win", "user_id"])
+    return pairs.groupBy("win").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    ).select(
+        F.col("win.start").alias("win_start"),
+        F.col("win.end").alias("win_end"),
+        "n_users",
+    )

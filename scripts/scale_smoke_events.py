@@ -47,6 +47,7 @@ OPS = {
     "training_pairs": "next_event_training_pairs",
     "pit_features": "user_features_point_in_time",
     "attribution_decay": "attribution_time_decay",
+    "sliding_distinct": "sliding_distinct_users",
 }
 
 
