@@ -242,10 +242,12 @@ def als_part_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NEG_K = 3
 
 
-@register(
-    "part_negative_samples",
-    oracle=f"""
-    WITH pos AS (
+# Shared CTE text: the positive set, the hash draws, and the kept
+# (false-negative-filtered) negatives — reused by part_negative_samples
+# and recsys_training_examples so the two oracles are equal by
+# construction.
+_NEG_CTES = f"""
+    pos AS (
       SELECT DISTINCT o_custkey AS user_id, l_partkey AS item
       FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
     np AS (SELECT max(p_partkey) AS n FROM part),
@@ -261,30 +263,17 @@ _NEG_K = 3
     kept AS (
       SELECT d.user_id, d.neg FROM draws d
       LEFT JOIN pos q ON q.user_id = d.user_id AND q.item = d.neg
-      WHERE q.item IS NULL),
-    per_user AS (
-      SELECT user_id,
-             CAST(count(*) AS BIGINT) AS n_negs,
-             CAST(count(DISTINCT neg) AS BIGINT) AS n_distinct_negs
-      FROM kept GROUP BY 1),
-    pos_counts AS (
-      SELECT user_id, CAST(count(*) AS BIGINT) AS n_pos FROM pos GROUP BY 1)
-    SELECT p.user_id, p.n_pos,
-           coalesce(k.n_negs, 0) AS n_negs,
-           coalesce(k.n_distinct_negs, 0) AS n_distinct_negs
-    FROM pos_counts p LEFT JOIN per_user k ON k.user_id = p.user_id
-    """,
-)
-def part_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user negative-sampling census: K hash-drawn negatives per
-    positive (K=_NEG_K), false negatives anti-joined out exactly."""
+      WHERE q.item IS NULL)"""
+
+
+def _implicit_examples(spark: SparkSession, sf_dir: str):
+    """(pos, kept): the positive (user, item) set — eagerly checkpointed,
+    it feeds 3+ consumers — and the kept hash-drawn negatives, shared by
+    part_negative_samples and recsys_training_examples."""
     from ..functions.text_fns import hash64
 
     orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    # pos feeds three consumers (draws, the anti-join, per-user counts);
-    # the eager checkpoint executes the join+distinct once instead of 3x.
-    # O(|positives|) rows of two longs — executor-local, no driver collect.
     pos = (
         orders.join(li, orders.o_orderkey == li.l_orderkey)
         .select(F.col("o_custkey").alias("user_id"), F.col("l_partkey").alias("item"))
@@ -309,8 +298,34 @@ def part_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     kept = draws.join(
-        pos.select("user_id", F.col("item").alias("neg")), ["user_id", "neg"], "left_anti"
+        pos.select("user_id", F.col("item").alias("neg")),
+        ["user_id", "neg"],
+        "left_anti",
     )
+    return pos, kept
+
+
+@register(
+    "part_negative_samples",
+    oracle=f"""
+    WITH {_NEG_CTES},
+    per_user AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n_negs,
+             CAST(count(DISTINCT neg) AS BIGINT) AS n_distinct_negs
+      FROM kept GROUP BY 1),
+    pos_counts AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_pos FROM pos GROUP BY 1)
+    SELECT p.user_id, p.n_pos,
+           coalesce(k.n_negs, 0) AS n_negs,
+           coalesce(k.n_distinct_negs, 0) AS n_distinct_negs
+    FROM pos_counts p LEFT JOIN per_user k ON k.user_id = p.user_id
+    """,
+)
+def part_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user negative-sampling census: K hash-drawn negatives per
+    positive (K=_NEG_K), false negatives anti-joined out exactly."""
+    pos, kept = _implicit_examples(spark, sf_dir)
     per_user = kept.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_negs"),
         F.countDistinct("neg").cast("long").alias("n_distinct_negs"),
@@ -323,4 +338,72 @@ def part_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pos",
         F.coalesce("n_negs", F.lit(0).cast("long")).alias("n_negs"),
         F.coalesce("n_distinct_negs", F.lit(0).cast("long")).alias("n_distinct_negs"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Training-dataset capstone: the materialized implicit-feedback example
+# table a recommender trainer consumes — positives (label 1) and the
+# kept hash-drawn negatives (label 0) from the SAME construction as
+# part_negative_samples (_implicit_examples / _NEG_CTES — equal by
+# construction), each enriched with the user's event-history features.
+# Order customers absent from the events table get zero-filled features
+# on both engines. Output is the deterministic 10% user shard
+# (user_id % 10 = 0) — the oracle compare stays bounded while every
+# pipeline stage still runs over the full inputs; a trainer would write
+# all shards with the same plan.
+# --------------------------------------------------------------------------
+@register(
+    "recsys_training_examples",
+    oracle=f"""
+    WITH {_NEG_CTES},
+    ex AS (
+      SELECT user_id, item, 1 AS label FROM pos
+      UNION ALL
+      SELECT user_id, neg AS item, 0 AS label FROM kept),
+    f AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS ne,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS np2,
+             CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT)), 0)
+                  AS BIGINT) AS vc
+      FROM events GROUP BY 1)
+    SELECT e.user_id, e.item, e.label,
+           coalesce(f.ne, 0) AS n_events,
+           coalesce(f.np2, 0) AS n_purchases,
+           CAST(coalesce(f.vc, 0) AS DOUBLE) / 100 AS value_total
+    FROM ex e LEFT JOIN f ON f.user_id = e.user_id
+    WHERE e.user_id % 10 = 0
+    """,
+)
+def recsys_training_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Labeled implicit-feedback training rows with user features."""
+    pos, kept = _implicit_examples(spark, sf_dir)
+    ex = pos.select(
+        "user_id", "item", F.lit(1).alias("label")
+    ).unionByName(
+        kept.select("user_id", F.col("neg").alias("item"), F.lit(0).alias("label"))
+    )
+    ev = table(spark, sf_dir, "events")
+    feats = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("ne"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("np2"),
+        F.coalesce(F.sum(F.round(F.col("value") * 100).cast("long")), F.lit(0))
+        .cast("long")
+        .alias("vc"),
+    )
+    return ex.filter(F.pmod("user_id", F.lit(10)) == 0).join(
+        feats, "user_id", "left_outer"
+    ).select(
+        "user_id",
+        "item",
+        "label",
+        F.coalesce("ne", F.lit(0).cast("long")).alias("n_events"),
+        F.coalesce("np2", F.lit(0).cast("long")).alias("n_purchases"),
+        (F.coalesce("vc", F.lit(0).cast("long")).cast("double") / 100).alias(
+            "value_total"
+        ),
     )
