@@ -41,7 +41,14 @@ def _tag_and_union(
     never satisfy any as-of predicate — left in, they would sort into a
     probe's frame), pad the right side to the left schema, and union.
     ``keep_rt`` additionally carries the right timestamp as ``__rt``
-    (null on the left) for distance computations."""
+    (null on the left) for distance computations.
+
+    Contract: ``left_ts``/``right_ts`` must be timestamp or date
+    columns — both are cast to ``timestamp`` so the two sides union to
+    one comparable axis. A numeric "timestamp" (epoch seconds, sequence
+    number) would be reinterpreted by the cast (or nulled, for an
+    unparseable string) — pre-convert such columns to real timestamps
+    before calling."""
     clash = {c for c in value_cols} & (
         set(left.columns) | set(on) | {left_ts, right_ts}
     )

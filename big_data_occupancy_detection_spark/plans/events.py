@@ -1363,22 +1363,23 @@ def next_event_training_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Time-decay multi-touch attribution: every event by the same user in
-# the 7 calendar days up to a PURCHASE event is a touch; a touch's
-# weight HALVES per day of age (64 >> day_diff — exact small integers,
-# float-free by construction, unlike an exp(-dt/tau) kernel whose
-# irrational weights could round differently per engine). Touches
-# pre-aggregate to (user, day, type) grain BEFORE the join, so the
-# fan-out per conversion is bounded at 7 days x |types| — independent of
-# per-user event density. (The first formulation joined conversions to
-# RAW events in a timestamp band: correct, but quadratic in per-key
-# density — 13.8 s at 10x, 93.7 s at 30x on the density smoke. Weights
-# keyed by calendar-day age make the touch side aggregable and the cost
-# linear in events.) The conversion's own (purchase, day-0) cell is
-# subtracted exactly; types whose weight nets to zero drop, so each
-# conversion's total stays positive. Per-conversion credit shares are
-# scaled-integer half-up micro-units summed exactly with one final IEEE
-# division.
+# Time-decay multi-touch attribution: every event by the same user on
+# the 7 calendar days STRICTLY BEFORE a PURCHASE event's day is a
+# touch; a touch's weight HALVES per day of age (64 >> (day_diff-1) for
+# day_diff 1..7 — exact small integers, float-free by construction,
+# unlike an exp(-dt/tau) kernel whose irrational weights could round
+# differently per engine). Touches pre-aggregate to (user, day, type)
+# grain BEFORE the join, so the fan-out per conversion is bounded at
+# 7 days x |types| — independent of per-user event density. (The first
+# formulation joined conversions to RAW events in a timestamp band:
+# correct but quadratic in per-key density — 13.8 s at 10x, 93.7 s at
+# 30x on the density smoke. A second day-grain draft INCLUDED the
+# conversion's own calendar day, which silently credited touches
+# occurring AFTER the purchase — same-day future leakage the raw form
+# excluded; strictly-prior days keep the aggregable grain with no
+# leakage and no self-subtraction special case.) Per-conversion credit
+# shares are scaled-integer half-up micro-units summed exactly with one
+# final IEEE division.
 # --------------------------------------------------------------------------
 @register(
     "attribution_time_decay",
@@ -1391,14 +1392,13 @@ def next_event_training_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events WHERE ts IS NOT NULL GROUP BY 1, 2, 3),
     touch AS (
       SELECT c.conv_id, t.event_type,
-             (t.n - CASE WHEN t.event_type = 'purchase' AND t.td = c.cd
-                         THEN 1 ELSE 0 END)
-             * (64 >> CAST(date_diff('day', t.td, c.cd) AS INTEGER)) AS sw
+             t.n * (64 >> CAST(date_diff('day', t.td, c.cd) - 1 AS INTEGER))
+               AS sw
       FROM conv c JOIN tagg t ON t.user_id = c.user_id
-       AND t.td <= c.cd AND t.td >= c.cd - 6),
+       AND t.td < c.cd AND t.td >= c.cd - 7),
     per_type AS (
       SELECT conv_id, event_type, sum(sw) AS s
-      FROM touch GROUP BY 1, 2 HAVING sum(sw) > 0),
+      FROM touch GROUP BY 1, 2),
     tot AS (
       SELECT conv_id, sum(s) AS t FROM per_type GROUP BY 1),
     shares AS (
@@ -1413,8 +1413,9 @@ def next_event_training_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type attribution credit toward purchase conversions:
-    daily-halving weights over the prior 7 calendar days, exact shares,
-    touch side pre-aggregated to (user, day, type) grain."""
+    daily-halving weights over the 7 strictly-prior calendar days,
+    exact shares, touch side pre-aggregated to (user, day, type)
+    grain."""
     ev = table(spark, sf_dir, "events")
     conv = ev.filter(
         (F.col("event_type") == "purchase") & F.col("ts").isNotNull()
@@ -1431,26 +1432,23 @@ def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     touch = conv.join(
         tagg,
         (F.col("user_id") == F.col("conv_user"))
-        & (F.col("td") <= F.col("cd"))
-        & (F.col("td") >= F.date_sub(F.col("cd"), 6)),
+        & (F.col("td") < F.col("cd"))
+        & (F.col("td") >= F.date_sub(F.col("cd"), 7)),
     )
-    dd = F.datediff("cd", "td")
+    dd = F.datediff("cd", "td")  # 1..7 under the join predicate
     w = (
-        F.when(dd == 0, 64)
-        .when(dd == 1, 32)
-        .when(dd == 2, 16)
-        .when(dd == 3, 8)
-        .when(dd == 4, 4)
-        .when(dd == 5, 2)
+        F.when(dd == 1, 64)
+        .when(dd == 2, 32)
+        .when(dd == 3, 16)
+        .when(dd == 4, 8)
+        .when(dd == 5, 4)
+        .when(dd == 6, 2)
         .otherwise(1)
     )
-    self_hit = (F.col("event_type") == "purchase") & (F.col("td") == F.col("cd"))
-    sw = (F.col("n") - F.when(self_hit, 1).otherwise(0)) * w
     per_type = (
-        touch.select("conv_id", "event_type", sw.alias("sw"))
+        touch.select("conv_id", "event_type", (F.col("n") * w).alias("sw"))
         .groupBy("conv_id", "event_type")
         .agg(F.sum("sw").alias("s"))
-        .filter(F.col("s") > 0)
     )
     tot = per_type.groupBy("conv_id").agg(F.sum("s").alias("t"))
     shares = per_type.join(tot, "conv_id").select(
@@ -1474,7 +1472,9 @@ def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sliding_distinct_users",
     oracle="""
-    WITH x AS (SELECT date_trunc('hour', ts) AS h, user_id FROM events),
+    WITH x AS (
+      SELECT date_trunc('hour', ts) AS h, user_id FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL),
     ex AS (
       SELECT h AS win_start, user_id FROM x
       UNION ALL
@@ -1488,7 +1488,13 @@ def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct users per 2-hour window, 1-hour hop (explicit
     dedupe-then-count plan)."""
-    ev = table(spark, sf_dir, "events")
+    # explicit null filters pin the engine contract: Spark's F.window
+    # drops null-ts rows while SQL date_trunc groups them into a NULL
+    # bucket, and COUNT(DISTINCT) ignores null users while
+    # dropDuplicates+count would count one
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
     pairs = ev.select(
         F.window("ts", "2 hours", "1 hour").alias("win"), "user_id"
     ).dropDuplicates(["win", "user_id"])
