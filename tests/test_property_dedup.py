@@ -211,3 +211,99 @@ def test_remove_repeated_spans_surgery(spark):
         per_doc[s["doc_id"]] = per_doc.get(s["doc_id"], 0) + 1
     for d, r in out.items():
         assert per_doc.get(d, 0) == r["n_spans"]
+
+
+# ---------------------------------------------------------------------------
+# Round-5 operators: frontier BFS and weighted percentiles vs naive
+# references (same style as the as-of property suite).
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck as _HC, given as _given, settings as _settings
+from hypothesis import strategies as _st
+
+_edges = _st.lists(
+    _st.tuples(_st.integers(0, 9), _st.integers(0, 9)), min_size=0, max_size=25
+)
+
+
+@_settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[_HC.function_scoped_fixture],
+)
+@_given(pairs=_edges, depth=_st.integers(1, 4))
+def test_bfs_levels_matches_python_bfs(spark, pairs, depth):
+    from big_data_occupancy_detection_spark.ext.graph import bfs_levels
+
+    pairs = [(a, b) for a, b in pairs if a != b]
+    sym = pairs + [(b, a) for a, b in pairs]
+    if not sym:
+        return
+    edges = spark.createDataFrame(sym, ["src", "dst"])
+    seeds = spark.createDataFrame([(0,)], ["node"])
+    got = {
+        r.node: r.depth for r in bfs_levels(edges, seeds, max_depth=depth).collect()
+    }
+
+    # reference BFS
+    adj = {}
+    for a, b in sym:
+        adj.setdefault(a, set()).add(b)
+    want, frontier = {0: 0}, {0}
+    for d in range(1, depth + 1):
+        nxt = set()
+        for n in frontier:
+            nxt |= adj.get(n, set())
+        nxt -= want.keys()
+        for n in nxt:
+            want[n] = d
+        frontier = nxt
+        if not frontier:
+            break
+    assert got == want
+
+
+_wrows = _st.lists(
+    _st.tuples(_st.integers(0, 20), _st.integers(0, 9)), min_size=1, max_size=25
+)
+
+
+@_settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[_HC.function_scoped_fixture],
+)
+@_given(rows=_wrows, ks=_st.sets(_st.integers(1, 99), min_size=1, max_size=4))
+def test_weighted_percentiles_match_naive(spark, rows, ks):
+    from big_data_occupancy_detection_spark.operators.relational import (
+        weighted_percentiles,
+    )
+
+    df = spark.createDataFrame(
+        [(float(v), int(w)) for v, w in rows], "v DOUBLE, w LONG"
+    )
+    got = {
+        r.pct: r.value
+        for r in weighted_percentiles(df, "v", "w", sorted(ks)).collect()
+    }
+
+    # naive: smallest value whose cumulative weight*100 >= k*total
+    agg = {}
+    for v, w in rows:
+        agg[float(v)] = agg.get(float(v), 0) + w
+    total = sum(agg.values())
+    for k in ks:
+        expect = None
+        cum = 0
+        for v in sorted(agg):
+            cum += agg[v]
+            if cum * 100 >= k * total:
+                expect = v
+                break
+        if total == 0:
+            # all-zero weights: no value ever reaches the threshold...
+            # except cum*100 >= k*0 = 0 holds immediately -> smallest value
+            expect = min(agg) if agg else None
+        assert got.get(k) == expect, (k, got, agg)
