@@ -131,3 +131,41 @@ def enrich_stream_static(
     picks up slowly-changing updates without restarting the query.
     """
     return stream.join(F.broadcast(dim), on=on, how=how)
+
+
+def sliding_distinct_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    window_size: str = "2 hours",
+    slide: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Distinct ``key_col`` per sliding window on a stream, bounded
+    state — the streaming twin of ``plans/events.py:
+    sliding_distinct_users``.
+
+    COUNT(DISTINCT) is not a mergeable streaming aggregate, so the plan
+    dedupes (window, key) FIRST with a watermarked ``dropDuplicates``
+    (state = one row per distinct pair, expired once the watermark
+    passes the window) and then counts plain rows per window in append
+    mode. Null timestamps/keys are dropped, matching the batch twin's
+    pinned contract.
+    """
+    w = (
+        events.filter(F.col(ts_col).isNotNull() & F.col(key_col).isNotNull())
+        .withWatermark(ts_col, watermark)
+        .select(
+            F.window(ts_col, window_size, slide).alias("win"), F.col(key_col)
+        )
+        .dropDuplicates(["win", key_col])
+    )
+    return (
+        w.groupBy("win")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "n_users",
+        )
+    )

@@ -202,3 +202,79 @@ def test_stream_static_enrichment(spark, tmp_path):
     finally:
         q.stop()
     assert rows == {1: "gold", 2: "silver", 99: None}
+
+
+def test_sliding_distinct_counts_matches_batch(spark, tmp_path):
+    """Streaming sliding distinct (watermarked dedupe-then-count, append
+    mode) must emit exactly the batch twin's rows for every window the
+    watermark has closed — duplicates within and across micro-batches
+    collapse once."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from big_data_occupancy_detection_spark.streaming.windows import (
+        sliding_distinct_counts,
+    )
+
+    def ev(h, m, u):
+        return {"ts": f"2026-01-01T{h:02d}:{m:02d}:00", "user_id": u}
+
+    b1 = [ev(9, 0, 1), ev(9, 10, 1), ev(9, 20, 2), ev(10, 5, 1)]
+    b2 = [ev(10, 30, 3), ev(10, 40, 1), ev(9, 50, 2)]
+    # watermark pusher: 3 days later, closes every earlier window
+    b3 = [ev(9, 0, 99)]
+    b3[0]["ts"] = "2026-01-04T09:00:00"
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    schema = "ts timestamp, user_id long"
+    stream = (
+        spark.readStream.format("json")
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(str(src))
+    )
+    q = (
+        sliding_distinct_counts(stream, watermark="30 minutes")
+        .writeStream.format("memory")
+        .queryName("sliding_distinct")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        for i, b in enumerate([b1, b2, b3]):
+            (src / f"b{i}.json").write_text(
+                "\n".join(_json.dumps(e) for e in b)
+            )
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (str(r.win_start), str(r.win_end)): r.n_users
+        for r in spark.table("sliding_distinct").collect()
+    }
+
+    all_ev = spark.createDataFrame(
+        [(e["ts"], e["user_id"]) for e in b1 + b2], "ts string, user_id long"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    expect = {
+        (str(r.win_start), str(r.win_end)): r.n_users
+        for r in all_ev.select(
+            F.window("ts", "2 hours", "1 hour").alias("win"), "user_id"
+        )
+        .dropDuplicates(["win", "user_id"])
+        .groupBy("win")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "n_users",
+        )
+        .collect()
+    }
+    # every closed window from the first two batches must match exactly
+    for k, v in expect.items():
+        assert got.get(k) == v, (k, v, got)
+    assert len(expect) == 3  # events span 9:00-10:40 -> 3 hop windows
