@@ -218,21 +218,18 @@ def test_remove_repeated_spans_surgery(spark):
 # references (same style as the as-of property suite).
 # ---------------------------------------------------------------------------
 
-from hypothesis import HealthCheck as _HC, given as _given, settings as _settings
-from hypothesis import strategies as _st
-
-_edges = _st.lists(
-    _st.tuples(_st.integers(0, 9), _st.integers(0, 9)), min_size=0, max_size=25
+_edges = st.lists(
+    st.tuples(st.integers(0, 9), st.integers(0, 9)), min_size=0, max_size=25
 )
 
 
-@_settings(
+@settings(
     max_examples=10,
     deadline=None,
     derandomize=True,
-    suppress_health_check=[_HC.function_scoped_fixture],
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
-@_given(pairs=_edges, depth=_st.integers(1, 4))
+@given(pairs=_edges, depth=st.integers(1, 4))
 def test_bfs_levels_matches_python_bfs(spark, pairs, depth):
     from big_data_occupancy_detection_spark.ext.graph import bfs_levels
 
@@ -264,18 +261,18 @@ def test_bfs_levels_matches_python_bfs(spark, pairs, depth):
     assert got == want
 
 
-_wrows = _st.lists(
-    _st.tuples(_st.integers(0, 20), _st.integers(0, 9)), min_size=1, max_size=25
+_wrows = st.lists(
+    st.tuples(st.integers(0, 20), st.integers(0, 9)), min_size=1, max_size=25
 )
 
 
-@_settings(
+@settings(
     max_examples=10,
     deadline=None,
     derandomize=True,
-    suppress_health_check=[_HC.function_scoped_fixture],
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
-@_given(rows=_wrows, ks=_st.sets(_st.integers(1, 99), min_size=1, max_size=4))
+@given(rows=_wrows, ks=st.sets(st.integers(1, 99), min_size=1, max_size=4))
 def test_weighted_percentiles_match_naive(spark, rows, ks):
     from big_data_occupancy_detection_spark.operators.relational import (
         weighted_percentiles,
@@ -295,6 +292,8 @@ def test_weighted_percentiles_match_naive(spark, rows, ks):
         agg[float(v)] = agg.get(float(v), 0) + w
     total = sum(agg.values())
     for k in ks:
+        # when total == 0, cum*100 >= k*0 holds at the first value, so the
+        # smallest value wins on both paths — no special case needed
         expect = None
         cum = 0
         for v in sorted(agg):
@@ -302,8 +301,4 @@ def test_weighted_percentiles_match_naive(spark, rows, ks):
             if cum * 100 >= k * total:
                 expect = v
                 break
-        if total == 0:
-            # all-zero weights: no value ever reaches the threshold...
-            # except cum*100 >= k*0 = 0 holds immediately -> smallest value
-            expect = min(agg) if agg else None
         assert got.get(k) == expect, (k, got, agg)

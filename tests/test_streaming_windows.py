@@ -256,6 +256,10 @@ def test_sliding_distinct_counts_matches_batch(spark, tmp_path):
         for r in spark.table("sliding_distinct").collect()
     }
 
+    # expected side deliberately SPELLS OUT the batch semantics
+    # (window-replicate, dedupe, count) rather than calling the operator
+    # on a batch frame — calling shared code would make the equality
+    # trivially true instead of checking the streaming machinery
     all_ev = spark.createDataFrame(
         [(e["ts"], e["user_id"]) for e in b1 + b2], "ts string, user_id long"
     ).withColumn("ts", F.to_timestamp("ts"))
