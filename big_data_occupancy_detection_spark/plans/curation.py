@@ -886,3 +886,57 @@ def customer_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("k").cast("long").alias("min_k"),
         F.max("k").cast("long").alias("max_k"),
     )
+
+
+# --------------------------------------------------------------------------
+# l-diversity audit: k-anonymity's companion — a quasi-identifier group
+# can be large (k-anonymous) yet still leak if everyone in it shares the
+# same SENSITIVE value. Here the sensitive attribute is the market
+# segment within (nation, $1000 balance band) quasi-groups: groups whose
+# distinct-segment count l falls below 3 are reportable. Two map-side
+# aggregations, no windows.
+# --------------------------------------------------------------------------
+@register(
+    "customer_l_diversity",
+    oracle="""
+    WITH qid AS (
+      SELECT c_nationkey,
+             floor(CAST(CAST(round(c_acctbal * 100) AS BIGINT) AS DOUBLE)
+                   / 100000.0) AS bal_band,
+             c_mktsegment
+      FROM customer),
+    groups AS (
+      SELECT c_nationkey, bal_band,
+             count(*) AS k,
+             count(DISTINCT c_mktsegment) AS l
+      FROM qid GROUP BY 1, 2)
+    SELECT l,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(k) AS BIGINT) AS n_customers,
+           CAST(min(k) AS BIGINT) AS min_k,
+           CAST(max(k) AS BIGINT) AS max_k,
+           (l < 3) AS below_l3
+    FROM groups GROUP BY 1
+    """,
+)
+def customer_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-sensitive-value (market segment) census per
+    (nation, $1000 balance band) quasi-group — the l-diversity audit."""
+    cust = table(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    qid = cust.select(
+        "c_nationkey",
+        F.floor(cents.cast("double") / 100000.0).alias("bal_band"),
+        "c_mktsegment",
+    )
+    groups = qid.groupBy("c_nationkey", "bal_band").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.countDistinct("c_mktsegment").alias("l"),
+    )
+    return groups.groupBy("l").agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum("k").cast("long").alias("n_customers"),
+        F.min("k").cast("long").alias("min_k"),
+        F.max("k").cast("long").alias("max_k"),
+        (F.first("l") < 3).alias("below_l3"),
+    )
