@@ -1270,3 +1270,72 @@ def brand_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("weighted_median_price"),
         F.count(F.lit(1)).cast("long").alias("n_distinct_prices"),
     )
+
+
+# --------------------------------------------------------------------------
+# Benford first-digit audit: the data-forensics census over order
+# totals — synthetic or manipulated money columns drift from Benford's
+# expected first-digit distribution. Expected permilles are HARDCODED
+# integer constants (301 = round(1000*log10(2)) etc.) on both engines —
+# no irrational function evaluates at query time, so the deviation
+# column is exact integer arithmetic end to end.
+# --------------------------------------------------------------------------
+_BENFORD_PERMILLE = {1: 301, 2: 176, 3: 125, 4: 97, 5: 79, 6: 67, 7: 58,
+                     8: 51, 9: 46}
+
+
+@register(
+    "orders_benford_digits",
+    oracle=f"""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS INTEGER) AS digit
+      FROM orders
+      WHERE o_totalprice IS NOT NULL AND o_totalprice > 0),
+    c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+    t AS (SELECT sum(n) AS tot FROM c),
+    e AS (
+      SELECT unnest([1,2,3,4,5,6,7,8,9]) AS digit,
+             unnest([{", ".join(str(_BENFORD_PERMILLE[i]) for i in range(1, 10))}])
+               AS expected_permille)
+    SELECT e.digit,
+           CAST(coalesce(c.n, 0) AS BIGINT) AS n_orders,
+           CAST((coalesce(c.n, 0) * 1000 + t.tot // 2) // t.tot AS BIGINT)
+             AS observed_permille,
+           e.expected_permille,
+           CAST((coalesce(c.n, 0) * 1000 + t.tot // 2) // t.tot
+                - e.expected_permille AS BIGINT) AS deviation_permille
+    FROM e LEFT JOIN c ON c.digit = e.digit CROSS JOIN t
+    """,
+)
+def orders_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-digit distribution of order totals vs Benford's expected
+    permilles (exact integer deviations)."""
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull() & (F.col("o_totalprice") > 0)
+    )
+    digit = F.substring(_cents("o_totalprice").cast("string"), 1, 1).cast("int")
+    c = o.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    t = c.agg(F.sum("n").alias("tot"))
+    e = o.sparkSession.createDataFrame(
+        sorted(_BENFORD_PERMILLE.items()), "digit INT, expected_permille INT"
+    )
+    joined = (
+        e.join(c, "digit", "left_outer")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "digit",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_orders"),
+            F.expr(
+                "(coalesce(n, 0) * 1000 + tot DIV 2) DIV tot"
+            ).cast("long").alias("observed_permille"),
+            "expected_permille",
+            (
+                F.expr("(coalesce(n, 0) * 1000 + tot DIV 2) DIV tot")
+                - F.col("expected_permille")
+            ).cast("long").alias("deviation_permille"),
+        )
+    )
+    return joined
