@@ -125,3 +125,39 @@ def test_fast_hash_dsir_and_novelty_invariants(spark, monkeypatch):
 
     assert fast_d == slow_d
     assert fast_n == slow_n
+
+
+def test_fast_hash_negative_samples_valid(spark, monkeypatch):
+    """Under the xxhash64 production path the negative draws CHANGE
+    (documented — oracle parity is the md5 path's contract) but the
+    pipeline invariants must hold: draws stay in the 1..max-part range
+    (the signed hash must flow through pmod, never %), no kept negative
+    collides with a positive, and counts are consistent. Regression for
+    the round-5 lesson: a signed hash fed to % doubles the bucket range."""
+    monkeypatch.setenv("SPARK_GRAFT_FAST_HASH", "1")
+
+    from pyspark.sql import functions as F
+
+    from big_data_occupancy_detection_spark.plans.mlplans import (
+        _NEG_K,
+        _implicit_examples,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    pos, kept = _implicit_examples(spark, sf)
+    n_parts = (
+        spark.read.parquet(f"{sf}/part.parquet").agg(F.max("p_partkey")).first()[0]
+    )
+
+    bad_range = kept.filter(
+        (F.col("neg") < 1) | (F.col("neg") > n_parts)
+    ).count()
+    assert bad_range == 0
+
+    leaked = kept.join(
+        pos.select("user_id", F.col("item").alias("neg")), ["user_id", "neg"]
+    ).count()
+    assert leaked == 0
+
+    n_pos, n_kept = pos.count(), kept.count()
+    assert 0 < n_kept <= _NEG_K * n_pos
