@@ -19,9 +19,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
-from big_data_occupancy_detection_spark.functions.datetime_fns import (
-    tolerant_timestamp,
-)
 from big_data_occupancy_detection_spark.ml.evaluation import evaluate_classifier
 from big_data_occupancy_detection_spark.ml.pipelines import (
     SEED,
@@ -52,15 +49,24 @@ def main() -> None:
 
     spark = get_local_session("occupancy-train")
     spark.sparkContext.setLogLevel("ERROR")
+    # Column layout at split time matters: randomSplit sorts each partition by
+    # ALL columns for determinism, so reproducing the reference's seed-42 split
+    # (ml/train_model.py:131-132,347) requires the same leading column order —
+    # `id` first (unique, so it alone fixes the total order), Occupancy cast
+    # then RENAMED (not duplicated), weight column appended last, and no extra
+    # derived columns before the split.
     df = (
         read_csv_inferred(spark, data_path)
-        .withColumn("label", F.col("Occupancy").cast("int"))
-        .withColumn("datetime", tolerant_timestamp("date"))
+        .withColumn("Occupancy", F.col("Occupancy").cast("int"))
+        .withColumnRenamed("Occupancy", "label")
         .na.drop(subset=features + ["label"])
     )
 
     if algo == "lr":
-        weighted = class_weights(df, "label", num_classes=2)
+        cols = df.columns
+        weighted = class_weights(df, "label", num_classes=2).select(
+            *cols, "class_weight"
+        )
         train, test = weighted.randomSplit([0.7, 0.3], seed=SEED)
         model = build_weighted_lr_pipeline(features).fit(train)
     elif algo == "rf":
