@@ -220,61 +220,64 @@ def _serve_codes(
     vec_col: str,
     probe_df: DataFrame | None = None,
 ) -> DataFrame:
-    """Shared ADC-serve tail: driver-side LUT → broadcast-literal scoring
-    over ``codes`` → window shortlist → collect → exact re-rank with a
-    pushed id filter on ``<path>/vectors``. ``probe_df`` (qid, cluster),
-    if given, replaces the crossJoin with a broadcast join on the
-    cluster column — each query scores only its probed inverted lists
-    (the IVF-PQ composite)."""
-    q_rows = queries.select(id_col, vec_col).limit(MAX_QUERY_BATCH + 1).collect()
-    if len(q_rows) > MAX_QUERY_BATCH:
+    """Shared ADC-serve tail, distributed up to the bounded shortlist
+    collect: queries are L2-normalized Spark-side (``_normalized`` — the
+    zip_with/fold IEEE sequence whose driver replica
+    ``_normalize_driver`` documents), and each per-query LUT (n_sub ×
+    codebook exact subvector dots) is built by JVM higher-order
+    functions against ONE broadcast codebook row. Round-6 change: the
+    LUTs were previously assembled in a serial driver loop as boxed
+    Python floats — ~20M of them (~0.5-1 GB Python RSS) at the 10k
+    batch cap; now the only driver materializations are the broadcast
+    build of the LUT relation (compact UnsafeRows, JVM-side) and the
+    final |queries|·shortlist id collect that feeds the pushed IN
+    filter on ``<path>/vectors``. ``probe_df`` (qid, cluster), if
+    given, replaces the crossJoin with a broadcast join on the cluster
+    column — each query scores only its probed inverted lists (the
+    IVF-PQ composite)."""
+    from .similarity import _self_match
+
+    if queries.limit(MAX_QUERY_BATCH + 1).count() > MAX_QUERY_BATCH:
         raise ValueError(
             f"query batch exceeds MAX_QUERY_BATCH={MAX_QUERY_BATCH}; "
             "for corpus-vs-corpus similarity use the near-pairs operators"
         )
     qid_type = queries.schema[id_col].dataType
-    lut_rows, qn_rows = [], []
-    for r in q_rows:
-        nv = _normalize_driver(r[vec_col])
-        qn_rows.append((r[id_col], nv))
-        lut_rows.append(
-            (
-                r[id_col],
-                [
-                    # Index by POSITION = cid: an empty cluster (possible
-                    # when duplicate embeddings collapse two seeds) leaves
-                    # a cid gap, and no code ever references a gap — the
-                    # 0.0 filler only keeps element_at(lut, code+1)
-                    # positionally aligned with the surviving cids.
-                    [
-                        _fold_dot(
-                            nv[s * d_sub : (s + 1) * d_sub], cents[s][c]
-                        )
-                        if c in cents[s]
-                        else 0.0
-                        for c in range(max(cents[s]) + 1)
-                    ]
-                    for s in range(n_sub)
-                ],
-            )
-        )
-    lut_df = spark.createDataFrame(
-        lut_rows,
+    qn = _normalized(queries, id_col, vec_col).select(
+        F.col("vid").alias("qid"), F.col("nvec").alias("qnv")
+    )
+    # ONE row of nested codebooks: n_sub·codebook·d_sub doubles, tiny.
+    # Index by POSITION = cid: an empty cluster (possible when duplicate
+    # embeddings collapse two seeds) leaves a cid gap, and no code ever
+    # references a gap — the zero-vector filler only keeps
+    # element_at(lut, code+1) positionally aligned with surviving cids.
+    cb = [
+        [cents[s].get(c, [0.0] * d_sub) for c in range(max(cents[s]) + 1)]
+        for s in range(n_sub)
+    ]
+    cb_df = spark.createDataFrame(
+        [(cb,)],
         StructType(
-            [
-                StructField("qid", qid_type),
-                StructField("luts", ArrayType(ArrayType(DoubleType()))),
-            ]
+            [StructField("cbs", ArrayType(ArrayType(ArrayType(DoubleType()))))]
         ),
     )
-    qn = spark.createDataFrame(
-        qn_rows,
-        StructType(
-            [
-                StructField("qid", qid_type),
-                StructField("qnv", ArrayType(DoubleType())),
-            ]
-        ),
+
+    def _sub_lut(s: int):
+        # strict left fold from 0.0 over elementwise products — the exact
+        # IEEE sequence of functions.vector_fns.dot / _fold_dot, so index
+        # serve scores stay bit-identical to pq_topk's fit-per-call path
+        qs = F.slice("qnv", s * d_sub + 1, d_sub)
+        return F.transform(
+            F.element_at("cbs", s + 1),
+            lambda cent: F.aggregate(
+                F.zip_with(qs, cent, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+        )
+
+    lut_df = qn.crossJoin(F.broadcast(cb_df)).select(
+        "qid", F.array(*[_sub_lut(s) for s in range(n_sub)]).alias("luts")
     )
     if probe_df is not None:
         fan = codes.join(F.broadcast(probe_df), "cluster").join(
@@ -288,7 +291,7 @@ def _serve_codes(
         total = total + F.element_at(
             F.element_at("luts", s + 1), F.col(f"c{s}").cast("int") + 1
         )
-    pairs = fan.filter(F.col("vec_id") != F.col("qid")).select(
+    pairs = fan.filter(~_self_match(qid_type)).select(
         "qid", "vec_id", F.round(total, 9).alias("score9")
     )
     w = Window.partitionBy("qid").orderBy(F.desc("score9"), F.asc("vec_id"))
@@ -297,12 +300,16 @@ def _serve_codes(
         .filter(F.col("srnk") <= shortlist)
         .select("qid", "vec_id")
     )
-    # the shortlist is bounded (|queries| x shortlist rows): collect it
-    # once so (a) the ADC job runs exactly once and (b) the candidate
-    # ids can be pushed INTO the vectors scan as a parquet filter
-    short_rows = short.collect()
-    short_df = spark.createDataFrame(short_rows, schema=short.schema)
-    ids = sorted({r["vec_id"] for r in short_rows})
+    # the shortlist is bounded (|queries| x shortlist rows) but still the
+    # largest driver-adjacent set: materialize it EXECUTOR-side once
+    # (eager localCheckpoint — the ADC job runs exactly once and both
+    # consumers below reuse the blocks) and collect only the DISTINCT
+    # candidate ids (corpus-bounded, typically far smaller) to push INTO
+    # the vectors scan as a parquet filter
+    short_df = short.localCheckpoint(eager=True)
+    ids = sorted(
+        r["vec_id"] for r in short_df.select("vec_id").distinct().collect()
+    )
     vectors = spark.read.parquet(f"{path}/vectors")
     if len(ids) <= _MAX_IN_FILTER_IDS:
         vectors = vectors.filter(F.col("vec_id").isin(ids))

@@ -36,6 +36,31 @@ def _flips_of(bucket_col: str, planes: int):
         *[F.col(bucket_col).bitwiseXOR(F.lit(1 << j)) for j in range(planes)],
     )
 
+def _self_match(qid_type):
+    """Self-exclusion predicate against the corpus's numeric ``vec_id``
+    that stays safe for NON-numeric query ids. Spark's cross-type
+    comparison casts both sides, and a failed cast yields NULL — a bare
+    ``vec_id != qid`` with a string qid therefore evaluates NULL on every
+    row and silently drops the entire result. Integral qids compare
+    natively (the registry/serving hot path, unchanged); string qids
+    compare against the id's decimal rendering (self-exclusion only
+    applies when the query id lives in the corpus id domain); any other
+    qid type has a disjoint id domain — exclude nothing."""
+    from pyspark.sql.types import (
+        ByteType,
+        IntegerType,
+        LongType,
+        ShortType,
+        StringType,
+    )
+
+    if isinstance(qid_type, (ByteType, ShortType, IntegerType, LongType)):
+        return F.col("vec_id") == F.col("qid")
+    if isinstance(qid_type, StringType):
+        return F.col("vec_id").cast("string") == F.col("qid")
+    return F.lit(False)
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -57,7 +82,7 @@ def brute_force_topk(
     cos = F.round(cosine_similarity("qvec", "cvec"), 9)
     pairs = (
         c.crossJoin(F.broadcast(q))
-        .filter(F.col("vec_id") != F.col("qid"))
+        .filter(~_self_match(queries.schema[id_col].dataType))
         .select("qid", "vec_id", cos.alias("cos"))
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
@@ -225,7 +250,7 @@ def lsh_bucketed_topk(
     cos = F.round(cosine_similarity("qvec", "cvec"), 9)
     pairs = (
         c.join(F.broadcast(q), "bucket")
-        .filter(F.col("vec_id") != F.col("qid"))
+        .filter(~_self_match(queries.schema[id_col].dataType))
         .select("qid", "vec_id", cos.alias("cos"))
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
@@ -406,7 +431,7 @@ def ivf_topk(
     cos = F.round(cosine_similarity("qvec", "cvec"), 9)
     pairs = (
         c.join(F.broadcast(q), "cluster")
-        .filter(F.col("vec_id") != F.col("qid"))
+        .filter(~_self_match(queries.schema[id_col].dataType))
         .select("qid", "vec_id", cos.alias("cos"))
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
@@ -771,7 +796,7 @@ def _pq_shortlist(
     total = F.col("d0")
     for s in range(1, n_sub):
         total = total + F.col(f"d{s}")
-    pairs = fan.filter(F.col("vec_id") != F.col("qid")).select(
+    pairs = fan.filter(~_self_match(qn.schema["qid"].dataType)).select(
         "qid", "vec_id", F.round(total, 9).alias("score9")
     )
     w = Window.partitionBy("qid").orderBy(F.desc("score9"), F.asc("vec_id"))
