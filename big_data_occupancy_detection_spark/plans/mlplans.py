@@ -267,42 +267,81 @@ _NEG_CTES = f"""
 
 
 def _implicit_examples(spark: SparkSession, sf_dir: str):
-    """(pos, kept): the positive (user, item) set — eagerly checkpointed,
-    it feeds 3+ consumers — and the kept hash-drawn negatives, shared by
-    part_negative_samples and recsys_training_examples."""
+    """(user_items, pos, kept), shared by part_negative_samples and
+    recsys_training_examples.
+
+    Round-6 rewrite (r5 verdict "what's wrong #2"): the previous
+    draw/anti-join form shuffled the full 3×|pos| draw stream — 5.0 GB
+    and the worst wall constant in the registry at the 100× smoke. But
+    negative sampling is USER-LOCAL math: each draw depends only on
+    (user_id, item, i), and its false-negative test only on that user's
+    own positive set. So the operator reduces to user grain once (sorted
+    distinct item array — the single exchange) and then generates AND
+    membership-filters the draws per user row with JVM higher-order
+    functions; the pos/kept row streams are explode()s of those arrays,
+    adding no exchange. Semantics identical to the _NEG_CTES oracle:
+    pos = distinct (user, item), draws = K per pair keyed
+    'user:item:i', kept = draws not in the user's positives (duplicate
+    draws preserved).
+
+    Scale bound: per-user work is O(K·|items|²) via the array
+    membership probe, and the user's item set must fit a row. Item sets
+    in implicit-feedback corpora are small (TPC-H ~30, real carts
+    1e2-1e3 → ≤3e6 comparisons/user); for corpora with 1e5-item power
+    users, shard those users back through the draw/anti-join form (git
+    history, round 5) — for everyone else the exchange the anti-join
+    needs costs more than it saves."""
     from ..functions.text_fns import hash64
 
     orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    pos = (
-        orders.join(li, orders.o_orderkey == li.l_orderkey)
-        .select(F.col("o_custkey").alias("user_id"), F.col("l_partkey").alias("item"))
-        .distinct()
-        .localCheckpoint(eager=True)
+    pairs = orders.join(li, orders.o_orderkey == li.l_orderkey).select(
+        F.col("o_custkey").alias("user_id"), F.col("l_partkey").alias("item")
     )
     np_ = table(spark, sf_dir, "part").agg(F.max("p_partkey").alias("n"))
-    draw_key = F.concat(
-        F.col("user_id").cast("string"),
-        F.lit(":"),
-        F.col("item").cast("string"),
-        F.lit(":"),
-        F.col("i").cast("string"),
-    )
-    draws = (
-        pos.crossJoin(F.broadcast(np_))
-        .withColumn("i", F.explode(F.array(*[F.lit(i) for i in range(_NEG_K)])))
-        .select(
-            "user_id",
-            "item",
-            (F.lit(1) + F.pmod(hash64(draw_key), F.col("n"))).alias("neg"),
+
+    def _draws_of(item):
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(_NEG_K - 1)),
+            lambda i: F.lit(1)
+            + F.pmod(
+                hash64(
+                    F.concat(
+                        F.col("user_id").cast("string"),
+                        F.lit(":"),
+                        item.cast("string"),
+                        F.lit(":"),
+                        i.cast("string"),
+                    )
+                ),
+                F.col("n"),
+            ),
         )
+
+    user_items = (
+        pairs.groupBy("user_id")
+        .agg(F.sort_array(F.collect_set("item")).alias("items"))
+        .crossJoin(F.broadcast(np_))
+        .withColumn(
+            "kept_negs",
+            F.flatten(
+                F.transform(
+                    "items",
+                    lambda item: F.filter(
+                        _draws_of(item),
+                        lambda neg: ~F.exists(
+                            F.col("items"), lambda it: it == neg
+                        ),
+                    ),
+                )
+            ),
+        )
+        .select("user_id", "items", "kept_negs")
+        .localCheckpoint(eager=True)
     )
-    kept = draws.join(
-        pos.select("user_id", F.col("item").alias("neg")),
-        ["user_id", "neg"],
-        "left_anti",
-    )
-    return pos, kept
+    pos = user_items.select("user_id", F.explode("items").alias("item"))
+    kept = user_items.select("user_id", F.explode("kept_negs").alias("neg"))
+    return user_items, pos, kept
 
 
 @register(
@@ -325,19 +364,14 @@ def _implicit_examples(spark: SparkSession, sf_dir: str):
 def part_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user negative-sampling census: K hash-drawn negatives per
     positive (K=_NEG_K), false negatives anti-joined out exactly."""
-    pos, kept = _implicit_examples(spark, sf_dir)
-    per_user = kept.groupBy("user_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_negs"),
-        F.countDistinct("neg").cast("long").alias("n_distinct_negs"),
-    )
-    pos_counts = pos.groupBy("user_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_pos")
-    )
-    return pos_counts.join(per_user, "user_id", "left_outer").select(
+    user_items, _, _ = _implicit_examples(spark, sf_dir)
+    # the census is a pure projection of the per-user arrays — zero
+    # shuffles beyond _implicit_examples' single user-grain exchange
+    return user_items.select(
         "user_id",
-        "n_pos",
-        F.coalesce("n_negs", F.lit(0).cast("long")).alias("n_negs"),
-        F.coalesce("n_distinct_negs", F.lit(0).cast("long")).alias("n_distinct_negs"),
+        F.size("items").cast("long").alias("n_pos"),
+        F.size("kept_negs").cast("long").alias("n_negs"),
+        F.size(F.array_distinct("kept_negs")).cast("long").alias("n_distinct_negs"),
     )
 
 
@@ -379,7 +413,7 @@ def part_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def recsys_training_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Labeled implicit-feedback training rows with user features."""
-    pos, kept = _implicit_examples(spark, sf_dir)
+    _, pos, kept = _implicit_examples(spark, sf_dir)
     ex = pos.select(
         "user_id", "item", F.lit(1).alias("label")
     ).unionByName(

@@ -144,7 +144,7 @@ def test_fast_hash_negative_samples_valid(spark, monkeypatch):
     )
 
     sf = "/root/testdata/sf0.001"
-    pos, kept = _implicit_examples(spark, sf)
+    _, pos, kept = _implicit_examples(spark, sf)
     n_parts = (
         spark.read.parquet(f"{sf}/part.parquet").agg(F.max("p_partkey")).first()[0]
     )
