@@ -228,8 +228,18 @@ def bloom_build(
     distinct pass is spent. Mergeable: union two filters' word tables
     and re-``bit_or`` by word_idx.
     """
+    # NULL keys never enter the filter: concat_ws silently DROPS a null
+    # arg, so a null key would hash as the bare seed string — every null
+    # sharing one fingerprint and (worse) aliasing any key whose rendering
+    # equals "" (r5 advice). The probe side answers null keys definitively
+    # below instead.
     return (
-        _bloom_probes(df.select(F.col(key_col)), key_col, n_words, k)
+        _bloom_probes(
+            df.select(F.col(key_col)).filter(F.col(key_col).isNotNull()),
+            key_col,
+            n_words,
+            k,
+        )
         .groupBy("word_idx")
         .agg(F.bit_or("__mask").cast("long").alias("word"))
     )
@@ -264,11 +274,19 @@ def bloom_contains(
         F.coalesce(F.col("word"), F.lit(0)).bitwiseAND(F.col("__mask"))
         != F.lit(0)
     )
+    # Null contract (r5 advice): bloom_build never admits null keys, so a
+    # null-keyed probe is DEFINITELY absent — answer false instead of
+    # letting concat_ws hash it as the bare seed (which would collide all
+    # nulls onto one fingerprint and return true once anything aliasing
+    # the empty rendering was built in).
     return (
         probed.join(bloom_side, "word_idx", "left")
         .groupBy("__row", *df.columns)
-        .agg(F.bool_and(hit).alias(out_col))
-        .drop("__row")
+        .agg(F.bool_and(hit).alias("__hit"))
+        .select(
+            *df.columns,
+            (F.col("__hit") & F.col(key_col).isNotNull()).alias(out_col),
+        )
     )
 
 

@@ -342,10 +342,13 @@ def weighted_percentiles(
 
     Contract: ``weight_col`` must be non-negative INTEGERS (pre-scale
     fixed decimals to cents/hundredths) — thresholds then compare in
-    exact integer arithmetic (``cumw * 100 >= k * total``), so two
+    exact arithmetic (``cumw * 100 >= k * total`` in decimal(38,0), so
+    the ×100 can't overflow a long at 100 TB weight totals), and two
     engines can never disagree on a boundary the way a float
-    ``p * total`` could. Null values/weights are dropped (SQL aggregate
-    semantics).
+    ``p * total`` could. ``pct_points`` must be integers in 1..100
+    (validated). Null values/weights are dropped (SQL aggregate
+    semantics). Bound: the running weight itself accumulates in BIGINT,
+    so sum(weight) must stay below 2^63 (~9.2e18 — a quintillion cents).
 
     Scale: the input reduces to distinct-value grain first (one
     map-side-combined agg); the running weight comes from
@@ -354,6 +357,11 @@ def weighted_percentiles(
     broadcast of |pct_points| literals + one min-agg. One full-data
     shuffle total.
     """
+    bad = [k for k in pct_points if not (1 <= int(k) <= 100)]
+    if bad:
+        # pct=0 would silently yield the min value and pct>100 no row at
+        # all (r5 advice) — neither is a percentile; fail loudly instead
+        raise ValueError(f"pct_points must be integers in 1..100, got {bad}")
     # eager checkpoint: the reduced frame feeds global_cumsum (data +
     # its bucket-boundary probe) AND the total — without it the source
     # aggregation executes three times. O(|distinct values|) rows.
@@ -373,10 +381,18 @@ def weighted_percentiles(
             ).alias("pct")
         )
     )
+    # threshold compare in decimal(38,0): long arithmetic would overflow
+    # silently past sum(weight) ~9.2e16 cents and flip the comparison at
+    # exactly the 100 TB scale this operator is for (r5 advice). DECIMAL
+    # keeps the compare exact to 1e38 and DuckDB's HUGEINT oracle agrees.
+    dec = "decimal(38,0)"
     return (
         c.crossJoin(F.broadcast(tot))
         .crossJoin(F.broadcast(ks))
-        .filter(F.col("__cumw") * 100 >= F.col("pct") * F.col("__tot"))
+        .filter(
+            F.col("__cumw").cast(dec) * 100
+            >= F.col("pct").cast(dec) * F.col("__tot").cast(dec)
+        )
         .groupBy("pct")
         .agg(F.min(value_col).alias(out_value))
     )

@@ -224,7 +224,21 @@ def compact_census(spark: SparkSession, census_dir: str) -> int:
         path = os.path.join(cdir, name)
         if name.startswith("."):
             shutil.rmtree(path, ignore_errors=True)
-        elif path != final:
+            continue
+        if path == final:
+            continue
+        # delete only compactions STRICTLY SUBSUMED by the committed
+        # range (r5 advice): "everything that is not final" would also
+        # delete a WIDER committed compaction (debris of a violated
+        # single-maintainer contract) whose extra batches step 1 of
+        # cleanup already removed from deltas/ — readers would silently
+        # lose those counts. A wider/overlapping range is left for the
+        # best-compaction reader to prefer and a later run to subsume.
+        try:
+            lo_other, hi_other = (int(x) for x in name.split("-", 1))
+        except ValueError:
+            continue
+        if lo <= lo_other and hi_other <= hi:
             shutil.rmtree(path, ignore_errors=True)
     return len(fresh)
 

@@ -147,3 +147,27 @@ def test_contains_preserves_row_multiplicity(spark):
     out = bloom_contains(bloom, dup, "k").collect()
     assert len(out) == 4
     assert sum(1 for r in out if r.k == "key-1" and r.might_contain) == 3
+
+
+def test_bloom_null_keys_definitely_absent(spark):
+    """NULL keys never enter the filter and probe as definitely-absent
+    (r5 advice): concat_ws drops a null arg, so unguarded nulls would all
+    share the bare-seed fingerprint — one null in the build making every
+    null probe (and any ""-rendered key) a false positive."""
+    from pyspark.sql import functions as F
+
+    built = spark.createDataFrame(
+        [("a",), (None,), ("b",)], "k string"
+    )
+    bloom = bloom_build(built, "k", n_words=64)
+    probes = spark.createDataFrame(
+        [("a",), (None,), ("zz-not-built",)], "k string"
+    )
+    got = {
+        r["k"]: r["might_contain"]
+        for r in bloom_contains(bloom, probes, "k", n_words=64).collect()
+    }
+    assert got["a"] is True
+    assert got[None] is False  # definitely absent, never a bare-seed hit
+    # row-preservation with nulls intact
+    assert len(got) == 3

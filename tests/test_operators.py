@@ -894,3 +894,31 @@ def test_weighted_percentiles_boundaries_and_nulls(spark):
         r.pct: r.value for r in weighted_percentiles(skewed, "v", "w", [50]).collect()
     }
     assert med == {50: 30.0}  # 80% of the weight sits on 30
+
+
+def test_weighted_percentiles_huge_weights_and_pct_validation(spark):
+    """r5 advice: (a) the threshold compare runs in decimal(38,0), so
+    cent-scale weight totals past ~9.2e16 — where `cumw * 100` would
+    silently overflow a long and flip the comparison — still pick the
+    right value; (b) out-of-domain pct points raise instead of silently
+    returning the min (pct=0) or nothing (pct>100)."""
+    import pytest as _pytest
+
+    from big_data_occupancy_detection_spark.operators.relational import (
+        weighted_percentiles,
+    )
+
+    w = 500_000_000_000_000_000  # 5e17: cumw*100 overflows int64 at row 2
+    df = spark.createDataFrame(
+        [(1.0, w), (2.0, w), (3.0, w)], "v double, wt long"
+    )
+    got = {
+        r["pct"]: r["value"]
+        for r in weighted_percentiles(df, "v", "wt", [33, 34, 66, 100]).collect()
+    }
+    # cumulative: 1/3, 2/3, 3/3 of total weight at v=1,2,3
+    assert got == {33: 1.0, 34: 2.0, 66: 2.0, 100: 3.0}
+
+    for bad in ([0], [101], [-5], [50, 0]):
+        with _pytest.raises(ValueError):
+            weighted_percentiles(df, "v", "wt", bad)
