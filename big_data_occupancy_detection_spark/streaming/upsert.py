@@ -102,6 +102,7 @@ def upsert_sink(
     checkpoint_dir: str,
     op_col: str | None = None,
     retain: int = 1,
+    output_mode: str = "update",
 ):
     """Start a foreachBatch query maintaining a keyed parquet snapshot.
 
@@ -200,9 +201,13 @@ def upsert_sink(
             ):
                 shutil.rmtree(os.path.join(target_dir, name), ignore_errors=True)
 
+    # output_mode governs what a STATEFUL upstream emits into the
+    # foreachBatch: "update" for CDC-style change rows, "append" when the
+    # upstream is a watermarked window/session aggregation and only CLOSED
+    # windows should reach the snapshot (the event-time pipeline capstone).
     return (
         updates.writeStream.foreachBatch(apply)
         .option("checkpointLocation", checkpoint_dir)
-        .outputMode("update")
+        .outputMode(output_mode)
         .start()
     )

@@ -44,13 +44,20 @@ def session_counts(
     events: DataFrame,
     ts_col: str = "ts",
     gap: str = "30 minutes",
-    watermark: str = "2 hours",
+    watermark: str | None = "2 hours",
     key_col: str = "user_id",
 ) -> DataFrame:
     """Gap-based session aggregation (streaming twin of the batch
-    lag/cumsum sessionization)."""
+    lag/cumsum sessionization).
+
+    ``watermark=None`` skips the withWatermark call — required when
+    composing BELOW another stateful stage (e.g. after
+    ``dropDuplicatesWithinWatermark``): the watermark must be defined
+    once, upstream, and redefining it mid-chain is rejected by the
+    engine."""
+    wm = events if watermark is None else events.withWatermark(ts_col, watermark)
     return (
-        events.withWatermark(ts_col, watermark)
+        wm
         .groupBy(F.session_window(ts_col, gap).alias("sess"), F.col(key_col))
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(

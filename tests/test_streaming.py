@@ -358,3 +358,164 @@ def test_python_datasource_stream_source(spark, tmp_path):
     second = run_until(250, max_rows=250)
     ids = sorted(r[0] for r in second)
     assert ids == list(range(250)), (len(ids), ids[:3], ids[-3:])
+
+
+def test_event_time_pipeline_capstone_restart(spark, tmp_path):
+    """Round-6 capstone: the production event-time shape composed from
+    the individually-proven pieces — file source → exact re-delivery
+    dedup (dropDuplicatesWithinWatermark) → watermarked session windows
+    (append) → keyed upsert snapshot, with the SAME deduped doc stream
+    feeding the incremental near-dedup corpus index. Three stateful
+    planes (dedup state, session state, on-disk corpus/snapshot), both
+    queries KILLED mid-stream and restarted from their checkpoints;
+    final state must equal the batch twins."""
+    import json as _json
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from big_data_occupancy_detection_spark.streaming.dedup_ingest import (
+        near_dedup_ingest_sink,
+        read_decisions,
+    )
+    from big_data_occupancy_detection_spark.streaming.upsert import (
+        read_snapshot,
+        upsert_sink,
+    )
+    from big_data_occupancy_detection_spark.streaming.windows import (
+        session_counts,
+    )
+
+    BASE = "the quick brown fox jumps over the lazy dog again and again"
+    NEAR = "the quick brown fox jumps over the lazy dog again and often"
+    OTHER = "completely different content about spark execution plans here"
+    THIRD = "yet another unrelated document that talks about parquet files"
+    FRESH = "some genuinely fresh text with no overlap at all"
+
+    def _write(name, rows):
+        p = src / name
+        p.write_text(
+            "\n".join(
+                _json.dumps(
+                    {
+                        "doc_id": d,
+                        "user_id": u,
+                        "ts": f"2026-01-01T{t}:00",
+                        "text": x,
+                    }
+                )
+                for d, u, t, x in rows
+            )
+        )
+        # FileStreamSource orders a listing by modification time; files
+        # written within one mtime tick would batch in UNSTABLE order and
+        # could process a flush file (advancing the watermark to 22:50)
+        # before b2 — making doc 6 late. Stagger mtimes explicitly.
+        _write.seq += 1
+        _os.utime(p, (1700000000 + _write.seq, 1700000000 + _write.seq))
+
+    _write.seq = 0
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    schema = "doc_id long, user_id long, ts timestamp, text string"
+    # phase 1 files — doc 3 is RE-DELIVERED in b1 (its event time is still
+    # above the watermark, so the dedup state is alive and drops it).
+    # Every event in the fixture arrives ABOVE the watermark at its
+    # processing time — the batch twin is only an equality oracle for
+    # on-time data; late-data routing has its own taxonomy tests.
+    _write("b0.json", [(1, 1, "09:00", BASE), (2, 1, "09:05", OTHER),
+                       (3, 2, "09:45", THIRD)])
+    _write("b1.json", [(3, 2, "09:45", THIRD), (5, 2, "10:00", FRESH),
+                       (4, 1, "10:30", NEAR)])
+
+    target = str(tmp_path / "sessions_snapshot")
+    index_dir = str(tmp_path / "dedup_index")
+    ckpt1, ckpt2 = str(tmp_path / "ck_sess"), str(tmp_path / "ck_dedup")
+    _os.makedirs(index_dir)
+
+    def _start_queries():
+        raw = (
+            spark.readStream.format("json")
+            .schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .load(str(src))
+        )
+        deduped = raw.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+            ["doc_id"]
+        )
+        sessions = session_counts(
+            deduped, ts_col="ts", gap="30 minutes", watermark=None
+        )
+        q1 = upsert_sink(
+            sessions,
+            target,
+            ["user_id", "session_start"],
+            "session_end",
+            ckpt1,
+            output_mode="append",
+        )
+        q2 = near_dedup_ingest_sink(deduped, index_dir, ckpt2)
+        return q1, q2
+
+    q1, q2 = _start_queries()
+    q1.processAllAvailable()
+    q2.processAllAvailable()
+    q1.stop()  # the kill: both stateful queries die mid-stream
+    q2.stop()
+
+    # phase 2: doc 6 is an exact near-dup (same text) of corpus doc 2 and
+    # merges into u1's open 10:30 session across the restart; the two
+    # flush docs push the watermark past every real session end
+    _write("b2.json", [(6, 1, "10:32", OTHER)])
+    _write("b3.json", [(99, 99, "23:00", "flush marker one unique words")])
+    _write("b4.json", [(100, 99, "23:30", "flush marker two other tokens")])
+
+    q1, q2 = _start_queries()
+    q1.processAllAvailable()
+    q2.processAllAvailable()
+    q1.stop()
+    q2.stop()
+
+    # --- session/upsert plane vs the batch twin ---
+    got = {
+        (r.user_id, str(r.session_start), str(r.session_end), r.n_events)
+        for r in read_snapshot(spark, target).collect()
+    }
+    static = spark.read.schema(schema).json(str(src))
+    batch_twin = {
+        (r.user_id, str(r.session_start), str(r.session_end), r.n_events)
+        for r in session_counts(
+            static.dropDuplicates(["doc_id"]),
+            ts_col="ts",
+            gap="30 minutes",
+            watermark=None,
+        )
+        .filter(F.col("user_id") != 99)  # flush sessions never close
+        .collect()
+    }
+    assert got == batch_twin
+    # pinned shape: u2's session counts re-delivered doc 3 ONCE (dedup
+    # stage participated) and u1's second session merged ACROSS the
+    # restart (session state survived the kill)
+    assert got == {
+        (1, "2026-01-01 09:00:00", "2026-01-01 09:35:00", 2),
+        (1, "2026-01-01 10:30:00", "2026-01-01 11:02:00", 2),
+        (2, "2026-01-01 09:45:00", "2026-01-01 10:30:00", 2),
+    }
+
+    # --- near-dedup plane vs hand-computed truth ---
+    decisions = {
+        r.doc_id: (r.keep, r.dup_of)
+        for r in read_decisions(spark, index_dir).collect()
+    }
+    assert decisions == {
+        1: (True, None),
+        2: (True, None),
+        3: (True, None),     # re-delivery was dropped BEFORE ingest
+        4: (False, 1),       # near-dup of corpus doc 1
+        5: (True, None),
+        6: (False, 2),       # exact dup of corpus doc 2, found after restart
+        99: (True, None),
+        100: (True, None),
+    }
