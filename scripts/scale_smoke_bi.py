@@ -45,6 +45,11 @@ OPS = [
     "copurchase_bfs_depths",
     "part_negative_samples",
     "lineitem_weighted_price_percentiles",
+    "orders_benford_digits",
+    "brand_weighted_median_price",
+    "customer_k_anonymity",
+    "customer_l_diversity",
+    "recsys_training_examples",
 ]
 
 
@@ -83,11 +88,12 @@ def main() -> None:
     print(json.dumps({"replication": r, **sizes}), flush=True)
 
     import big_data_occupancy_detection_spark.plans.bi as BI
+    import big_data_occupancy_detection_spark.plans.curation as CU
     import big_data_occupancy_detection_spark.plans.mlplans as ML
     import big_data_occupancy_detection_spark.plans.warehouse as WH
 
     orig = BI.table
-    for mod in (BI, WH, ML):
+    for mod in (BI, WH, ML, CU):
         mod.table = (
             lambda s, d, name, _o=orig: reps.get(name) or _o(s, d, name)
         )
@@ -117,6 +123,7 @@ def main() -> None:
         BI.table = orig
         WH.table = orig
         ML.table = orig
+        CU.table = orig
     spark.stop()
 
 
