@@ -108,6 +108,9 @@ HEADLINE = [
     # embedding_near_pairs_lsh is oracle-verified but excluded here: at 2k
     # vectors its bucket pruning (~3x) is below the explode+join overhead —
     # the operator pays off when per-bucket cardinality << corpus (real scale)
+    "kmv_day_retention",       # KMV/theta sketch set-algebra retention (r6)
+    "priority_revenue_holt",   # Holt double-exponential JVM fold (r6)
+    "corpus_snapshot_diff",    # fingerprint-grain corpus version diff (r6)
 ]
 
 

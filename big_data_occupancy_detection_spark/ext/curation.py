@@ -680,3 +680,48 @@ def datacard_from_docs(docs: DataFrame) -> DataFrame:
             "token_share"
         ),
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str = "doc_id",
+    payload_col: str = "text",
+) -> DataFrame:
+    """Corpus version diff: (key, status, chars_old, chars_new) for every
+    document ADDED, REMOVED or CHANGED between two snapshots — the
+    dataset-versioning primitive behind incremental training-data releases
+    (what changed since the corpus the last model trained on?).
+
+    Scale shape: each side reduces to (key, fingerprint, length) BEFORE
+    the exchange — the full-outer join moves ~50 bytes/doc, never document
+    payloads — and unchanged keys (the overwhelming majority of a
+    production diff) are dropped immediately after. Fingerprint is md5 of
+    the payload (null-safe via '' coalesce), so equal text always
+    diffs-equal cross-engine.
+    """
+    def _slim(df: DataFrame, f: str, c: str) -> DataFrame:
+        p = F.coalesce(F.col(payload_col), F.lit(""))
+        return df.select(
+            F.col(key_col).alias("k"),
+            F.md5(p).alias(f),
+            F.length(p).cast("long").alias(c),
+        )
+
+    j = _slim(old, "__fo", "chars_old").join(
+        _slim(new, "__fn", "chars_new"), "k", "full_outer"
+    )
+    status = (
+        F.when(F.col("__fo").isNull(), F.lit("added"))
+        .when(F.col("__fn").isNull(), F.lit("removed"))
+        .when(F.col("__fo") != F.col("__fn"), F.lit("changed"))
+    )
+    return (
+        j.select(
+            F.col("k").alias(key_col),
+            status.alias("status"),
+            "chars_old",
+            "chars_new",
+        )
+        .filter(F.col("status").isNotNull())
+    )

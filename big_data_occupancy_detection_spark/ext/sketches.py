@@ -17,7 +17,7 @@ identical grid (Spark's xxhash64 would never hash-match an oracle).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text_fns import md5_hash64
@@ -347,3 +347,101 @@ class BloomAccumulator:
             if not (self.words.get(p // 32, 0) >> (p % 32)) & 1:
                 return False
         return True
+
+
+# ------------------------------------------------------------------ KMV
+
+KMV_K = 256
+KMV_SPACE = 1 << 60  # md5_hash64's range: [0, 2^60)
+
+
+def kmv_sketch(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    k: int = KMV_K,
+    bucket_shift: int = 50,
+) -> tuple[DataFrame, DataFrame]:
+    """Per-group KMV (k-minimum-values / bottom-k theta) sketch: the ``k``
+    smallest distinct 60-bit key hashes per group, the sketch family whose
+    estimates COMPOSE under set algebra — union/intersection/Jaccard of
+    group cardinalities from k-row summaries, the set operations HLL
+    sketches cannot answer (:func:`hll` only merges by union).
+
+    Returns ``(sketch, counts)``: ``sketch`` = (g, h, r) with r = 1..k in
+    hash order; ``counts`` = (g, n_distinct) — the EXACT per-group distinct
+    count, free from the prune's bucket table.
+
+    100 TB shape: one map-side-combined distinct on (group, hash) — the
+    only fact-sized exchange — then a DETERMINISTIC two-level prune before
+    the rank window: bucket = h div 2^bucket_shift (1024 buckets), per-group
+    cumulative bucket counts find the first bucket where the running count
+    reaches k, and only rows at-or-below that cutoff bucket (≈ k + one
+    bucket's worth, NOT the group's millions of distincts) enter the sort.
+    The prune is exact — the k smallest values all live at-or-below the
+    cutoff bucket by construction — so the oracle can skip it and rank
+    everything. Hashing is the portable md5-60bit family: estimates are
+    engine-reproducible bit-for-bit (uniformity within [0, 2^60) is what
+    the estimator needs; do NOT swap in xxhash64 here — its signed full
+    int64 range breaks the (k-1)·M/h_k estimator's M).
+    """
+    d = (
+        df.filter(F.col(key_col).isNotNull() & F.col(group_col).isNotNull())
+        .select(
+            F.col(group_col).alias("g"),
+            md5_hash64(F.col(key_col).cast("string")).alias("h"),
+        )
+        .distinct()
+    )
+    # the distinct pass feeds BOTH the bucket-count table and the survivor
+    # filter — materialize it once (the standing two-consumer rule)
+    b = d.withColumn(
+        "b", F.expr(f"h div {1 << bucket_shift}")
+    ).localCheckpoint(eager=True)
+    bc = b.groupBy("g", "b").agg(F.count(F.lit(1)).alias("n"))
+    wcum = (
+        Window.partitionBy("g")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cut = (
+        bc.withColumn("c", F.sum("n").over(wcum))
+        .groupBy("g")
+        .agg(
+            F.min(F.when(F.col("c") >= k, F.col("b"))).alias("cut"),
+            F.sum("n").cast("long").alias("n_distinct"),
+        )
+        # feeds both the survivor filter and the caller's estimates
+        .localCheckpoint(eager=True)
+    )
+    surv = b.join(F.broadcast(cut.select("g", "cut")), "g").filter(
+        F.col("cut").isNull() | (F.col("b") <= F.col("cut"))
+    )
+    wr = Window.partitionBy("g").orderBy("h")
+    sketch = (
+        surv.withColumn("r", F.row_number().over(wr))
+        .filter(F.col("r") <= k)
+        .select("g", "h", "r")
+    )
+    return sketch, cut.select("g", "n_distinct")
+
+
+def kmv_distinct_estimate(
+    sketch: DataFrame, counts: DataFrame, k: int = KMV_K
+) -> DataFrame:
+    """(g, n_distinct, est): the KMV cardinality estimator — exact when the
+    group has ≤ k distincts (the sketch is exhaustive), else
+    ``(k-1)·M / h_k`` with h_k the k-th smallest hash (Beyer et al.'s
+    unbiased form). All-double arithmetic on identical operands in any
+    engine; the constant (k-1)·M is formed once, exactly."""
+    hk = sketch.filter(F.col("r") == k).select("g", F.col("h").alias("hk"))
+    c = float((k - 1) * KMV_SPACE)
+    return counts.join(hk, "g", "left").select(
+        "g",
+        "n_distinct",
+        F.when(
+            F.col("n_distinct") <= k, F.col("n_distinct").cast("double")
+        )
+        .otherwise(F.lit(c) / F.col("hk").cast("double"))
+        .alias("est"),
+    )

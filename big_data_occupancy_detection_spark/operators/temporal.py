@@ -595,3 +595,78 @@ def session_windows_auto(
         )
         .drop("__sid")
     )
+
+
+def grouped_holt_jvm(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+) -> DataFrame:
+    """Per-group Holt double-exponential smoothing (level + linear trend),
+    the order-dependent fold EWMA can't express (it tracks a trend state
+    alongside the level):
+
+        f_t     = l_{t-1} + b_{t-1}                (one-step forecast)
+        l_t     = α·y_t + (1-α)·(l_{t-1} + b_{t-1})
+        b_t     = β·(l_t − l_{t-1}) + (1-β)·b_{t-1}
+
+    seeded l_0 = y_0, b_0 = 0. Same JVM-fold shape as
+    :func:`grouped_ewma_jvm`: one shuffle on the key,
+    ``array_sort(collect_list)`` + ``F.aggregate``, no Python crossing —
+    and the same engine-portability contract: a DuckDB ``list_reduce``
+    over the identically-ordered list of {l,t,sae,n} structs (whose FIRST
+    element is the seed) replays the identical IEEE sequence, so results
+    are bit-identical cross-engine. The level' expression is inlined
+    twice inside the lambda (higher-order lambdas have no lets and are
+    not CSE'd) — identical duplication on both engines.
+
+    Returns (key, n_points, level, trend, sae): sae = Σ|y_t − f_t| over
+    the n_points−1 folded steps (one-step in-sample absolute error —
+    mae = sae/(n_points−1)); forecasts are level + h·trend.
+
+    Groups must fit a task (collect_list materializes the series per
+    key) — bounded for calendar-grain series (≤ a few k points/key).
+    """
+    a, b1 = float(alpha), float(beta)
+    seq = F.array_sort(
+        F.collect_list(F.struct(*order_cols, F.col(value_col).alias("__v")))
+    )
+    grouped = df.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_points"), seq.alias("seq")
+    )
+    rest = F.slice("seq", F.lit(2), F.greatest(F.size("seq") - 1, F.lit(0)))
+
+    def _step(acc, x):
+        y = x["__v"].cast("double")
+        lvl = F.lit(a) * y + F.lit(1.0 - a) * (acc["l"] + acc["t"])
+        lvl2 = F.lit(a) * y + F.lit(1.0 - a) * (acc["l"] + acc["t"])
+        return F.struct(
+            lvl.alias("l"),
+            (F.lit(b1) * (lvl2 - acc["l"]) + F.lit(1.0 - b1) * acc["t"]).alias(
+                "t"
+            ),
+            (acc["s"] + F.abs(y - (acc["l"] + acc["t"]))).alias("s"),
+            (acc["n"] + F.lit(1.0)).alias("n"),
+        )
+
+    seed = F.struct(
+        F.element_at("seq", 1)["__v"].cast("double").alias("l"),
+        F.lit(0.0).alias("t"),
+        F.lit(0.0).alias("s"),
+        F.lit(0.0).alias("n"),
+    )
+    # project the fold ONCE, read fields in the next select — higher-order
+    # aggregates are not CSE'd (see PERF.md round-5 despan note)
+    folded = grouped.select(
+        key_col, "n_points", F.aggregate(rest, seed, _step).alias("__h")
+    )
+    return folded.select(
+        key_col,
+        "n_points",
+        F.col("__h")["l"].alias("level"),
+        F.col("__h")["t"].alias("trend"),
+        F.col("__h")["s"].alias("sae"),
+    )

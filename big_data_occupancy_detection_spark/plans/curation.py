@@ -940,3 +940,53 @@ def customer_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("k").cast("long").alias("max_k"),
         (F.first("l") < 3).alias("below_l3"),
     )
+
+
+# --------------------------------------------------------------------------
+# q — corpus snapshot diff (ext.curation.snapshot_diff): the dataset-
+# versioning primitive — added/removed/changed rows between two corpus
+# versions, compared by md5 fingerprint so the full-outer join moves
+# ~50 bytes/doc instead of payloads. The two versions are derived
+# deterministically from the documents table (doc_id % 13 == 0 missing
+# from v1 = "added"; % 11 == 0 missing from v2 = "removed"; % 7 == 0
+# rewritten in v2 = "changed") so the oracle reproduces both sides.
+# --------------------------------------------------------------------------
+@register(
+    "corpus_snapshot_diff",
+    oracle="""
+    WITH v1 AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 13 <> 0),
+    v2 AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN text || ' (rev 2)' ELSE text END
+               AS text
+      FROM documents WHERE doc_id % 11 <> 0),
+    o AS (SELECT doc_id, md5(coalesce(text, '')) AS f,
+                 CAST(length(coalesce(text, '')) AS BIGINT) AS c FROM v1),
+    n AS (SELECT doc_id, md5(coalesce(text, '')) AS f,
+                 CAST(length(coalesce(text, '')) AS BIGINT) AS c FROM v2)
+    SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.f IS NULL THEN 'added'
+                WHEN n.f IS NULL THEN 'removed'
+                WHEN o.f <> n.f THEN 'changed' END AS status,
+           o.c AS chars_old, n.c AS chars_new
+    FROM o FULL OUTER JOIN n ON n.doc_id = o.doc_id
+    WHERE (CASE WHEN o.f IS NULL THEN 'added'
+                WHEN n.f IS NULL THEN 'removed'
+                WHEN o.f <> n.f THEN 'changed' END) IS NOT NULL
+    """,
+)
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diff two deterministic versions of the documents corpus."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    v1 = docs.filter(F.pmod("doc_id", F.lit(13)) != 0)
+    v2 = docs.filter(F.pmod("doc_id", F.lit(11)) != 0).select(
+        "doc_id",
+        F.when(
+            F.pmod("doc_id", F.lit(7)) == 0,
+            F.concat(F.col("text"), F.lit(" (rev 2)")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return C.snapshot_diff(v1, v2, "doc_id", "text")

@@ -1505,3 +1505,177 @@ def sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("win.end").alias("win_end"),
         "n_users",
     )
+
+
+# --------------------------------------------------------------------------
+# q — KMV/theta-sketch next-day retention: per-day bottom-k sketches of the
+# active user set, composed under SET ALGEBRA — union, intersection and
+# Jaccard estimates for every consecutive-day pair from 64-row summaries.
+# This is the set operation HLL cannot answer (HLL merges by union only);
+# at 100 TB the day sketches are built once (one distinct exchange +
+# deterministic bucket prune, see ext.sketches.kmv_sketch) and every
+# pairwise question afterwards touches only k-row sketch tables. The exact
+# next-day intersection rides along so the estimator is oracle-checked
+# against ground truth row by row.
+# --------------------------------------------------------------------------
+
+_KMV_K = 64
+_KMV_CONST = repr(float((_KMV_K - 1) * SK.KMV_SPACE))  # (k-1)·M, exact double
+
+
+def _kmv_retention_oracle() -> str:
+    from .textops import hash64_sql
+
+    h = hash64_sql("CAST(user_id AS VARCHAR)")
+    k, c = _KMV_K, _KMV_CONST
+    union_est = (
+        f"CASE WHEN ag.m < {k} THEN CAST(ag.m AS DOUBLE) "
+        f"ELSE {c} / CAST(ag.hku AS DOUBLE) END"
+    )
+    jacc = "(CAST(ag.rho AS DOUBLE) / CAST(ag.m AS DOUBLE))"
+    return f"""
+    WITH d AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS g, {h} AS h
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+    nd AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+    sk AS (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS r
+           FROM d),
+    skk AS (SELECT g, h FROM sk WHERE r <= {k}),
+    hk AS (SELECT g, h AS hk FROM sk WHERE r = {k}),
+    est AS (
+      SELECT nd.g,
+             CASE WHEN nd.n <= {k} THEN CAST(nd.n AS DOUBLE)
+                  ELSE {c} / CAST(hk.hk AS DOUBLE) END AS est
+      FROM nd LEFT JOIN hk ON hk.g = nd.g),
+    pairs AS (SELECT a.g AS da, b.g AS db
+              FROM nd a JOIN nd b ON b.g = a.g + 1),
+    u AS (
+      SELECT p.da, p.db, s.h FROM pairs p JOIN skk s ON s.g = p.da
+      UNION
+      SELECT p.da, p.db, s.h FROM pairs p JOIN skk s ON s.g = p.db),
+    ur AS (SELECT da, db, h,
+                  row_number() OVER (PARTITION BY da, db ORDER BY h) AS r
+           FROM u),
+    um AS (SELECT da, db, h FROM ur WHERE r <= {k}),
+    fl AS (
+      SELECT um.da, um.db, um.h,
+             (a.h IS NOT NULL) AS ina, (b.h IS NOT NULL) AS inb
+      FROM um
+      LEFT JOIN skk a ON a.g = um.da AND a.h = um.h
+      LEFT JOIN skk b ON b.g = um.db AND b.h = um.h),
+    ag AS (
+      SELECT da, db, CAST(count(*) AS BIGINT) AS m, max(h) AS hku,
+             CAST(sum(CASE WHEN ina AND inb THEN 1 ELSE 0 END) AS BIGINT)
+               AS rho
+      FROM fl GROUP BY 1, 2),
+    ut AS (SELECT DISTINCT CAST(ts AS DATE) AS g, user_id
+           FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+    ix AS (
+      SELECT a.g AS da, CAST(count(*) AS BIGINT) AS inter_exact
+      FROM ut a JOIN ut b ON b.g = a.g + 1 AND b.user_id = a.user_id
+      GROUP BY 1)
+    SELECT p.da AS day_a, p.db AS day_b,
+           coalesce(ix.inter_exact, 0) AS inter_exact,
+           {PR4('ea.est')} AS est_a,
+           {PR4('eb.est')} AS est_b,
+           {PR4(union_est)} AS union_est,
+           {PR4(f'{jacc} * ({union_est})')} AS inter_est,
+           {PR6(jacc)} AS jaccard_est
+    FROM pairs p
+    JOIN ag ON ag.da = p.da AND ag.db = p.db
+    JOIN est ea ON ea.g = p.da
+    JOIN est eb ON eb.g = p.db
+    LEFT JOIN ix ON ix.da = p.da
+    ORDER BY day_a
+    """
+
+
+@register("kmv_day_retention", oracle=_kmv_retention_oracle())
+def kmv_day_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-day retention from per-day KMV sketches: distinct-user
+    estimates for each day, union/intersection/Jaccard estimates for each
+    (day, day+1) pair — all from 64-row sketches — with the exact
+    intersection alongside."""
+    k = _KMV_K
+    c = float((k - 1) * SK.KMV_SPACE)
+    ev = table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    sketch, counts = SK.kmv_sketch(ev, "user_id", "day", k=k)
+    est = SK.kmv_distinct_estimate(sketch, counts, k=k).localCheckpoint(
+        eager=True
+    )
+    sk_h = sketch.select("g", "h").localCheckpoint(eager=True)
+
+    pairs = (
+        est.select(F.col("g").alias("da"))
+        .join(
+            F.broadcast(est.select(F.col("g").alias("db"))),
+            F.col("db") == F.date_add(F.col("da"), 1),
+        )
+    )
+    ua = pairs.join(sk_h.withColumnRenamed("g", "da"), "da").select(
+        "da", "db", "h"
+    )
+    ub = pairs.join(sk_h.withColumnRenamed("g", "db"), "db").select(
+        "da", "db", "h"
+    )
+    u = ua.unionByName(ub).distinct()
+    wr = Window.partitionBy("da", "db").orderBy("h")
+    um = u.withColumn("r", F.row_number().over(wr)).filter(F.col("r") <= k)
+    fl = (
+        um.join(
+            sk_h.select(F.col("g").alias("da"), "h", F.lit(1).alias("ina")),
+            ["da", "h"],
+            "left",
+        ).join(
+            sk_h.select(F.col("g").alias("db"), "h", F.lit(1).alias("inb")),
+            ["db", "h"],
+            "left",
+        )
+    )
+    ag = fl.groupBy("da", "db").agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.max("h").alias("hku"),
+        F.sum(
+            F.when(F.col("ina").isNotNull() & F.col("inb").isNotNull(), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("rho"),
+    )
+    ut = ev.filter(
+        F.col("user_id").isNotNull() & F.col("day").isNotNull()
+    ).distinct()
+    ix = (
+        ut.alias("a")
+        .join(
+            ut.alias("b"),
+            (F.col("b.day") == F.date_add(F.col("a.day"), 1))
+            & (F.col("b.user_id") == F.col("a.user_id")),
+        )
+        .groupBy(F.col("a.day").alias("da"))
+        .agg(F.count(F.lit(1)).cast("long").alias("inter_exact"))
+    )
+    union_est = F.when(F.col("m") < k, F.col("m").cast("double")).otherwise(
+        F.lit(c) / F.col("hku").cast("double")
+    )
+    jacc = F.col("rho").cast("double") / F.col("m").cast("double")
+    return (
+        pairs.join(ag, ["da", "db"])
+        .join(est.select(F.col("g").alias("da"), F.col("est").alias("ea")), "da")
+        .join(est.select(F.col("g").alias("db"), F.col("est").alias("eb")), "db")
+        .join(ix, "da", "left")
+        .select(
+            F.col("da").alias("day_a"),
+            F.col("db").alias("day_b"),
+            F.coalesce("inter_exact", F.lit(0).cast("long")).alias(
+                "inter_exact"
+            ),
+            portable_round(F.col("ea"), 4).alias("est_a"),
+            portable_round(F.col("eb"), 4).alias("est_b"),
+            portable_round(union_est, 4).alias("union_est"),
+            portable_round(jacc * union_est, 4).alias("inter_est"),
+            portable_round(jacc, 6).alias("jaccard_est"),
+        )
+    )

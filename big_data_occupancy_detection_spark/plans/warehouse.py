@@ -1339,3 +1339,97 @@ def orders_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return joined
+
+
+# --------------------------------------------------------------------------
+# q — Holt double-exponential forecast of daily revenue per order
+# priority: the trend-aware smoothing EWMA can't express, as a JVM fold
+# (operators.temporal.grouped_holt_jvm — one shuffle to priority grain,
+# array_sort(collect_list) + F.aggregate, no Python crossing). Series are
+# calendar-grain (≤ ~2.4k days/priority regardless of fact size: the
+# daily pre-aggregation is the scale knob, same pattern as the
+# attribution day-grain rewrite). Revenue folds from exact integer cents;
+# the DuckDB oracle replays the identical fold via list_reduce over
+# {l,t,sae,n} structs whose first element is the seed.
+# --------------------------------------------------------------------------
+_HOLT_A, _HOLT_B = 0.3, 0.1
+
+
+def _holt_oracle() -> str:
+    # NOT list_reduce: DuckDB 1.0's list_reduce evaluates struct-literal
+    # lambdas with INCONSISTENT cross-field visibility (simultaneous on
+    # the first application, in-place-sequential on later ones — probed
+    # in tests/test_operators.py::test_duckdb_list_reduce_struct_quirk),
+    # which breaks any coupled recurrence like (level, trend). A
+    # recursive CTE replays the fold row-by-row with unambiguous
+    # semantics and the identical IEEE sequence.
+    a, b = _HOLT_A, _HOLT_B
+    lvl = f"{a} * CAST(s.cents AS DOUBLE) + {1.0 - a} * (h.l + h.t)"
+    p6 = lambda e: portable_round_sql(e, 6)
+    return f"""
+    WITH RECURSIVE daily AS (
+      SELECT o_orderpriority AS priority, o_orderdate AS day,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1, 2),
+    seq AS (
+      SELECT priority, cents,
+             row_number() OVER (PARTITION BY priority ORDER BY day) AS i
+      FROM daily),
+    nn AS (SELECT priority, CAST(max(i) AS BIGINT) AS n_days
+           FROM seq GROUP BY 1),
+    holt AS (
+      SELECT priority, i, CAST(cents AS DOUBLE) AS l,
+             CAST(0.0 AS DOUBLE) AS t, CAST(0.0 AS DOUBLE) AS sae
+      FROM seq WHERE i = 1
+      UNION ALL
+      SELECT h.priority, h.i + 1,
+             {lvl},
+             {b} * (({lvl}) - h.l) + {1.0 - b} * h.t,
+             h.sae + abs(CAST(s.cents AS DOUBLE) - (h.l + h.t))
+      FROM holt h JOIN seq s ON s.priority = h.priority AND s.i = h.i + 1)
+    SELECT h.priority AS priority, nn.n_days AS n_days,
+           {p6('h.l')} AS level,
+           {p6('h.t')} AS trend,
+           {p6('h.sae / CAST(nn.n_days - 1 AS DOUBLE)')} AS mae,
+           {p6('h.l + h.t')} AS forecast_1,
+           {p6('h.l + 7.0 * h.t')} AS forecast_7
+    FROM holt h JOIN nn ON nn.priority = h.priority AND h.i = nn.n_days
+    ORDER BY h.priority
+    """
+
+
+@register("priority_revenue_holt", oracle=_holt_oracle())
+def priority_revenue_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority Holt level/trend over daily revenue cents, with the
+    in-sample one-step MAE and 1-/7-day-ahead forecasts."""
+    from ..operators.temporal import grouped_holt_jvm
+
+    daily = (
+        table(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_orderdate").alias("day"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    h = grouped_holt_jvm(
+        daily, "priority", ["day"], "cents", alpha=_HOLT_A, beta=_HOLT_B
+    )
+    return h.select(
+        "priority",
+        F.col("n_points").cast("long").alias("n_days"),
+        portable_round("level", 6).alias("level"),
+        portable_round("trend", 6).alias("trend"),
+        portable_round(
+            F.col("sae") / (F.col("n_points") - 1).cast("double"), 6
+        ).alias("mae"),
+        portable_round(F.col("level") + F.col("trend"), 6).alias("forecast_1"),
+        portable_round(
+            F.col("level") + F.lit(7.0) * F.col("trend"), 6
+        ).alias("forecast_7"),
+    )

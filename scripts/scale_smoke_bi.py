@@ -50,6 +50,7 @@ OPS = [
     "customer_k_anonymity",
     "customer_l_diversity",
     "recsys_training_examples",
+    "priority_revenue_holt",
 ]
 
 

@@ -48,6 +48,7 @@ OPS = {
     "pit_features": "user_features_point_in_time",
     "attribution_decay": "attribution_time_decay",
     "sliding_distinct": "sliding_distinct_users",
+    "kmv_retention": "kmv_day_retention",
 }
 
 
@@ -87,6 +88,16 @@ def main() -> None:
     )
     print(json.dumps({"replication": r, "rows": rep.count()}), flush=True)
 
+    # kmv's stress axis is DISTINCT USERS (sketch input cardinality), not
+    # per-user density: rekey user_id too for that op so day-grain
+    # distincts grow r-fold
+    rep_users = rep.withColumn(
+        "user_id",
+        F.col("user_id") * r + F.pmod(F.col("event_id"), F.lit(r)),
+    ).localCheckpoint(eager=True) if any(
+        OPS[o] == "kmv_day_retention" for o in ops
+    ) else None
+
     from big_data_occupancy_detection_spark.plans import events as EV
     from big_data_occupancy_detection_spark.plans import analytics as AN
     from big_data_occupancy_detection_spark.plans import temporal as TP
@@ -102,6 +113,15 @@ def main() -> None:
     try:
         for op in ops:
             name = OPS[op]
+            cur = rep_users if name == "kmv_day_retention" else rep
+            for mod in (EV, AN, TP, WH):
+                orig0 = getattr(mod, "__orig_table", None) or mod.table
+                mod.__orig_table = orig0
+            for mod in (EV, AN, TP, WH):
+                mod.table = (
+                    lambda s, d, name2, _o=mod.__orig_table, _c=cur:
+                        _c if name2 == "events" else _o(s, d, name2)
+                )
             r0, w0 = shuffle_totals(spark)
             t0 = time.perf_counter()
             REGISTRY[name].fn(spark, SF_DIR).write.format("noop").mode(

@@ -113,6 +113,9 @@ def main() -> None:
             "manifest": ("training_mix_manifest", tmod.training_mix_manifest),
             "novelty": ("doc_shingle_novelty", tmod.doc_shingle_novelty),
             "datacard": ("corpus_datacard", cmod.corpus_datacard),
+            # round 6: fingerprint-grain snapshot diff — full-outer join
+            # of (key, md5, len) slims, payloads never cross the exchange
+            "diff": ("corpus_snapshot_diff", cmod.corpus_snapshot_diff),
         }
         for op in ops:
             if op == "bloom":

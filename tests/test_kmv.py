@@ -1,0 +1,94 @@
+"""KMV (bottom-k / theta) sketch: prune exactness, estimator envelope,
+set-algebra composition. The registry query `kmv_day_retention` carries
+the oracle-parity gate; these pin the operator-level contracts."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from big_data_occupancy_detection_spark.ext.sketches import (
+    KMV_SPACE,
+    kmv_distinct_estimate,
+    kmv_sketch,
+)
+
+
+def _frame(spark):
+    # group A: 40 keys (< k: sketch exhaustive), group B: 5000, group C:
+    # 3000 overlapping B by 1000 — enough mass to exercise the estimator
+    rows = (
+        [("A", f"a{i}") for i in range(40)]
+        + [("B", f"b{i}") for i in range(5000)]
+        + [("C", f"b{i}") for i in range(4000, 7000)]
+    )
+    # duplicates must not matter (sketch is over distincts)
+    rows += rows[:500]
+    return spark.createDataFrame(rows, "g string, k string")
+
+
+def test_kmv_prune_is_exact_k_smallest(spark):
+    """The bucket prune must be invisible: sketch == the k smallest
+    distinct hashes per group computed naively (and exhaustive when the
+    group has fewer than k distincts)."""
+    from big_data_occupancy_detection_spark.functions.text_fns import (
+        md5_hash64,
+    )
+
+    df = _frame(spark)
+    k = 64
+    sk, counts = kmv_sketch(df, "k", "g", k=k)
+    got = {
+        g: [r["h"] for r in rows]
+        for g, rows in _by_group(sk.orderBy("g", "r").collect()).items()
+    }
+    naive = (
+        df.select("g", md5_hash64(F.col("k")).alias("h"))
+        .distinct()
+        .collect()
+    )
+    want: dict[str, list[int]] = {}
+    for r in naive:
+        want.setdefault(r["g"], []).append(r["h"])
+    for g in want:
+        want[g] = sorted(want[g])[:k]
+    assert got == want
+    cnt = {r["g"]: r["n_distinct"] for r in counts.collect()}
+    assert cnt == {"A": 40, "B": 5000, "C": 3000}
+    assert len(got["A"]) == 40  # exhaustive below k
+
+
+def _by_group(rows):
+    out: dict[str, list] = {}
+    for r in rows:
+        out.setdefault(r["g"], []).append(r)
+    return out
+
+
+def test_kmv_estimator_envelope_and_union(spark):
+    """Distinct estimates within the k=256 relative-error envelope
+    (~1/sqrt(k-2) ≈ 6.3%; assert 4σ = 25%), exact below k, and the union
+    sketch of two groups estimates |B ∪ C| from the two k-row sketches
+    alone."""
+    df = _frame(spark)
+    k = 256
+    sk, counts = kmv_sketch(df, "k", "g", k=k)
+    est = {
+        r["g"]: (r["n_distinct"], r["est"])
+        for r in kmv_distinct_estimate(sk, counts, k=k).collect()
+    }
+    assert est["A"] == (40, 40.0)  # exhaustive → exact
+    for g, exact in (("B", 5000), ("C", 3000)):
+        n, e = est[g]
+        assert n == exact
+        assert abs(e - exact) / exact < 0.25, (g, e)
+
+    # union composition: k smallest of the two sketches' hash union
+    hb = sorted(r["h"] for r in sk.filter("g = 'B'").collect())
+    hc = sorted(r["h"] for r in sk.filter("g = 'C'").collect())
+    u = sorted(set(hb) | set(hc))[:k]
+    union_est = (k - 1) * KMV_SPACE / u[-1]
+    assert abs(union_est - 7000) / 7000 < 0.25
+    # intersection via Jaccard on the union sketch
+    rho = sum(1 for h in u if h in set(hb) and h in set(hc))
+    inter_est = rho / k * union_est
+    assert abs(inter_est - 1000) / 1000 < 0.5  # intersection noisier

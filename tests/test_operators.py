@@ -922,3 +922,55 @@ def test_weighted_percentiles_huge_weights_and_pct_validation(spark):
     for bad in ([0], [101], [-5], [50, 0]):
         with _pytest.raises(ValueError):
             weighted_percentiles(df, "v", "wt", bad)
+
+
+def test_duckdb_list_reduce_struct_quirk():
+    """Documents WHY the Holt oracle is a recursive CTE, not list_reduce:
+    DuckDB (1.0.0) evaluates struct-literal lambda fields with
+    inconsistent cross-field visibility — the FIRST application reads the
+    seed's old values, later applications see fields already overwritten
+    in place. If this probe starts failing, DuckDB fixed the semantics
+    and list_reduce oracles over struct accumulators become viable."""
+    import duckdb
+
+    con = duckdb.connect()
+    one = con.execute(
+        """SELECT list_reduce(
+             [{'a': CAST(1.0 AS DOUBLE), 'b': CAST(0.0 AS DOUBLE)},
+              {'a': CAST(10.0 AS DOUBLE), 'b': CAST(0.0 AS DOUBLE)}],
+             (acc, x) -> {'a': acc.a + x.a, 'b': acc.a})"""
+    ).fetchone()[0]
+    two = con.execute(
+        """SELECT list_reduce(
+             [{'a': CAST(1.0 AS DOUBLE), 'b': CAST(0.0 AS DOUBLE)},
+              {'a': CAST(10.0 AS DOUBLE), 'b': CAST(0.0 AS DOUBLE)},
+              {'a': CAST(100.0 AS DOUBLE), 'b': CAST(0.0 AS DOUBLE)}],
+             (acc, x) -> {'a': acc.a + x.a, 'b': acc.a})"""
+    ).fetchone()[0]
+    assert one == {"a": 11.0, "b": 1.0}  # first application: OLD acc.a
+    assert two == {"a": 111.0, "b": 111.0}  # later: in-place NEW acc.a
+
+
+def test_grouped_holt_jvm_matches_python_reference(spark):
+    """The JVM Holt fold replays the textbook recurrence bit-for-bit."""
+    from big_data_occupancy_detection_spark.operators.temporal import (
+        grouped_holt_jvm,
+    )
+
+    ys = [100.0, 120.0, 90.0, 130.0, 150.0, 110.0, 95.0]
+    df = spark.createDataFrame(
+        [("g", i, y) for i, y in enumerate(ys)], "g string, day int, v double"
+    )
+    got = grouped_holt_jvm(df, "g", ["day"], "v", 0.3, 0.1).collect()[0]
+
+    a, b = 0.3, 0.1
+    lvl, tr, sae = ys[0], 0.0, 0.0
+    for y in ys[1:]:
+        sae += abs(y - (lvl + tr))
+        nl = a * y + (1.0 - a) * (lvl + tr)
+        tr = b * (nl - lvl) + (1.0 - b) * tr
+        lvl = nl
+    assert got["n_points"] == len(ys)
+    assert got["level"] == lvl
+    assert got["trend"] == tr
+    assert got["sae"] == sae
