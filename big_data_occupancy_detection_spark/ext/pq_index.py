@@ -188,13 +188,15 @@ def pq_topk_from_index(
     scan — row groups outside the shortlist's id range are skipped via
     footer stats).
 
-    The per-query LUT (n_sub × codebook exact subvector dots) is
-    computed DRIVER-side — queries and codebooks are both tiny and
-    already driver-resident — with the same strict left-fold IEEE
-    sequence as ``pq_topk``'s Spark-side ``dot``, then shipped as ONE
-    broadcast array literal: the scoring scan is a single crossJoin +
-    2·n_sub ``element_at`` lookups per row, instead of the fit-per-call
-    path's n_sub broadcast hash joins (measured ~3× serve latency)."""
+    The per-query LUT (n_sub × codebook exact subvector dots) is built
+    DISTRIBUTED (round 6): queries L2-normalize Spark-side and each LUT
+    entry is a JVM higher-order fold against ONE broadcast codebook row
+    — the same strict left-fold IEEE sequence as ``pq_topk``'s ``dot``,
+    so scores stay bit-identical to the fit-per-call path. The scoring
+    scan is a single crossJoin + 2·n_sub ``element_at`` lookups per row;
+    the only driver materializations are the broadcast build of the LUT
+    relation (compact JVM UnsafeRows) and the distinct shortlist ids
+    (see ``_serve_codes``)."""
     with open(os.path.join(path, "meta.json")) as f:
         meta = json.load(f)
     n_sub, d_sub = meta["n_sub"], meta["d_sub"]
@@ -237,15 +239,21 @@ def _serve_codes(
     IVF-PQ composite)."""
     from .similarity import _self_match
 
-    if queries.limit(MAX_QUERY_BATCH + 1).count() > MAX_QUERY_BATCH:
+    qid_type = queries.schema[id_col].dataType
+    # normalize ONCE and materialize: qn feeds the cap check, the LUT
+    # build and the exact re-rank — without the checkpoint those are
+    # three separate evaluations of the caller's queries frame, and a
+    # nondeterministic source (e.g. a sample) could score one row set
+    # and re-rank another (round-6 review)
+    qn = _normalized(queries, id_col, vec_col).select(
+        F.col("vid").alias("qid"), F.col("nvec").alias("qnv")
+    )
+    qn = qn.limit(MAX_QUERY_BATCH + 1).localCheckpoint(eager=True)
+    if qn.count() > MAX_QUERY_BATCH:
         raise ValueError(
             f"query batch exceeds MAX_QUERY_BATCH={MAX_QUERY_BATCH}; "
             "for corpus-vs-corpus similarity use the near-pairs operators"
         )
-    qid_type = queries.schema[id_col].dataType
-    qn = _normalized(queries, id_col, vec_col).select(
-        F.col("vid").alias("qid"), F.col("nvec").alias("qnv")
-    )
     # ONE row of nested codebooks: n_sub·codebook·d_sub doubles, tiny.
     # Index by POSITION = cid: an empty cluster (possible when duplicate
     # embeddings collapse two seeds) leaves a cid gap, and no code ever
@@ -422,7 +430,16 @@ def ivfpq_topk_from_index(
         (int(r["cid"]), [float(x) for x in r["centroid"]])
         for r in spark.read.parquet(f"{path}/coarse").collect()
     )
-    q_rows = queries.select(id_col, vec_col).limit(MAX_QUERY_BATCH + 1).collect()
+    # pin the batch ONCE: the same checkpointed rows feed the driver-side
+    # probe selection here and the distributed serve tail below — a
+    # nondeterministic queries frame must not probe one row set and
+    # score another (round-6 review)
+    queries = (
+        queries.select(id_col, vec_col)
+        .limit(MAX_QUERY_BATCH + 1)
+        .localCheckpoint(eager=True)
+    )
+    q_rows = queries.collect()
     if len(q_rows) > MAX_QUERY_BATCH:
         raise ValueError(
             f"query batch exceeds MAX_QUERY_BATCH={MAX_QUERY_BATCH}; "

@@ -41,20 +41,15 @@ def _self_match(qid_type):
     that stays safe for NON-numeric query ids. Spark's cross-type
     comparison casts both sides, and a failed cast yields NULL — a bare
     ``vec_id != qid`` with a string qid therefore evaluates NULL on every
-    row and silently drops the entire result. Integral qids compare
-    natively (the registry/serving hot path, unchanged); string qids
-    compare against the id's decimal rendering (self-exclusion only
-    applies when the query id lives in the corpus id domain); any other
-    qid type has a disjoint id domain — exclude nothing."""
-    from pyspark.sql.types import (
-        ByteType,
-        IntegerType,
-        LongType,
-        ShortType,
-        StringType,
-    )
+    row and silently drops the entire result. Any NUMERIC qid (integral,
+    float/double, decimal) compares natively via Spark's numeric widening
+    — exactly the old ``vec_id != qid`` semantics; string qids compare
+    against the id's decimal rendering (self-exclusion only applies when
+    the query id lives in the corpus id domain); any other qid type has a
+    disjoint id domain — exclude nothing."""
+    from pyspark.sql.types import NumericType, StringType
 
-    if isinstance(qid_type, (ByteType, ShortType, IntegerType, LongType)):
+    if isinstance(qid_type, NumericType):
         return F.col("vec_id") == F.col("qid")
     if isinstance(qid_type, StringType):
         return F.col("vec_id").cast("string") == F.col("qid")

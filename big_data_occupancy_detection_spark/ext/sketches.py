@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text_fns import md5_hash64
+from ..operators.partitioning import checkpoint_for_reuse
 from ..operators.generate import explode_fused
 
 CMS_DEPTH = 4
@@ -395,9 +396,9 @@ def kmv_sketch(
     )
     # the distinct pass feeds BOTH the bucket-count table and the survivor
     # filter — materialize it once (the standing two-consumer rule)
-    b = d.withColumn(
-        "b", F.expr(f"h div {1 << bucket_shift}")
-    ).localCheckpoint(eager=True)
+    b = checkpoint_for_reuse(
+        d.withColumn("b", F.expr(f"h div {1 << bucket_shift}"))
+    )
     bc = b.groupBy("g", "b").agg(F.count(F.lit(1)).alias("n"))
     wcum = (
         Window.partitionBy("g")
@@ -411,9 +412,9 @@ def kmv_sketch(
             F.min(F.when(F.col("c") >= k, F.col("b"))).alias("cut"),
             F.sum("n").cast("long").alias("n_distinct"),
         )
-        # feeds both the survivor filter and the caller's estimates
-        .localCheckpoint(eager=True)
     )
+    # feeds both the survivor filter and the caller's estimates
+    cut = checkpoint_for_reuse(cut)
     surv = b.join(F.broadcast(cut.select("g", "cut")), "g").filter(
         F.col("cut").isNull() | (F.col("b") <= F.col("cut"))
     )

@@ -357,10 +357,16 @@ def weighted_percentiles(
     broadcast of |pct_points| literals + one min-agg. One full-data
     shuffle total.
     """
-    bad = [k for k in pct_points if not (1 <= int(k) <= 100)]
+    try:
+        bad = [
+            k for k in pct_points if k != int(k) or not (1 <= int(k) <= 100)
+        ]
+    except (TypeError, ValueError):
+        raise ValueError(f"pct_points must be integers in 1..100, got {pct_points!r}")
     if bad:
-        # pct=0 would silently yield the min value and pct>100 no row at
-        # all (r5 advice) — neither is a percentile; fail loudly instead
+        # pct=0 would silently yield the min value, pct>100 no row at all,
+        # and a fractional pct would silently truncate to a DIFFERENT
+        # percentile — none is what the caller asked for; fail loudly
         raise ValueError(f"pct_points must be integers in 1..100, got {bad}")
     # eager checkpoint: the reduced frame feeds global_cumsum (data +
     # its bucket-boundary probe) AND the total — without it the source

@@ -615,13 +615,15 @@ def grouped_holt_jvm(
 
     seeded l_0 = y_0, b_0 = 0. Same JVM-fold shape as
     :func:`grouped_ewma_jvm`: one shuffle on the key,
-    ``array_sort(collect_list)`` + ``F.aggregate``, no Python crossing —
-    and the same engine-portability contract: a DuckDB ``list_reduce``
-    over the identically-ordered list of {l,t,sae,n} structs (whose FIRST
-    element is the seed) replays the identical IEEE sequence, so results
-    are bit-identical cross-engine. The level' expression is inlined
-    twice inside the lambda (higher-order lambdas have no lets and are
-    not CSE'd) — identical duplication on both engines.
+    ``array_sort(collect_list)`` + ``F.aggregate``, no Python crossing.
+    Engine portability: the DuckDB oracle twin is a RECURSIVE CTE
+    replaying the identical IEEE sequence row by row — NOT list_reduce,
+    whose struct-literal lambdas evaluate cross-field references with
+    inconsistent visibility in DuckDB 1.0 (old values on the first
+    application, in-place-updated ones later; probed and pinned by
+    ``test_duckdb_list_reduce_struct_quirk``). The level' expression is
+    inlined twice inside the lambda (higher-order lambdas have no lets
+    and are not CSE'd) — duplicate it identically in any twin.
 
     Returns (key, n_points, level, trend, sae): sae = Σ|y_t − f_t| over
     the n_points−1 folded steps (one-step in-sample absolute error —
@@ -649,14 +651,12 @@ def grouped_holt_jvm(
                 "t"
             ),
             (acc["s"] + F.abs(y - (acc["l"] + acc["t"]))).alias("s"),
-            (acc["n"] + F.lit(1.0)).alias("n"),
         )
 
     seed = F.struct(
         F.element_at("seq", 1)["__v"].cast("double").alias("l"),
         F.lit(0.0).alias("t"),
         F.lit(0.0).alias("s"),
-        F.lit(0.0).alias("n"),
     )
     # project the fold ONCE, read fields in the next select — higher-order
     # aggregates are not CSE'd (see PERF.md round-5 despan note)

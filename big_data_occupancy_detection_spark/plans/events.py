@@ -1602,10 +1602,10 @@ def kmv_day_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_date("ts").alias("day"), "user_id"
     )
     sketch, counts = SK.kmv_sketch(ev, "user_id", "day", k=k)
-    est = SK.kmv_distinct_estimate(sketch, counts, k=k).localCheckpoint(
-        eager=True
-    )
-    sk_h = sketch.select("g", "h").localCheckpoint(eager=True)
+    from ..operators.partitioning import checkpoint_for_reuse
+
+    est = checkpoint_for_reuse(SK.kmv_distinct_estimate(sketch, counts, k=k))
+    sk_h = checkpoint_for_reuse(sketch.select("g", "h"))
 
     pairs = (
         est.select(F.col("g").alias("da"))

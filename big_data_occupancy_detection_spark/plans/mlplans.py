@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from ..ml.evaluation import confusion_matrix
 from ..ml.pipelines import build_weighted_lr_pipeline, strip_training_summary
 from ..operators.relational import class_weights
+from ..operators.partitioning import checkpoint_for_reuse
 from ..sources.readers import table
 from ..functions.rounding import portable_round
 from .registry import register
@@ -337,8 +338,8 @@ def _implicit_examples(spark: SparkSession, sf_dir: str):
             ),
         )
         .select("user_id", "items", "kept_negs")
-        .localCheckpoint(eager=True)
     )
+    user_items = checkpoint_for_reuse(user_items)
     pos = user_items.select("user_id", F.explode("items").alias("item"))
     kept = user_items.select("user_id", F.explode("kept_negs").alias("neg"))
     return user_items, pos, kept

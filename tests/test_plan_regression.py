@@ -75,7 +75,10 @@ def test_baseline_covers_headline():
 
 
 @pytest.mark.parametrize("name", sorted(BASELINE))
-def test_plan_matches_baseline(spark, sf_dir, name):
+def test_plan_matches_baseline(spark, sf_dir, name, monkeypatch):
+    # measure the FULL lineage: checkpoint_for_reuse skips materialization
+    # under this flag so pins cover the work upstream of eager checkpoints
+    monkeypatch.setenv("SPARK_GRAFT_PLAN_AUDIT", "1")
     # cached frames persisted by earlier tests (e.g. ivf_topk's centroid
     # frame) get substituted into rebuilt plans by the cache manager and
     # inflate the exchange count in the plan string — measure clean plans

@@ -330,16 +330,19 @@ def test_pq_serve_string_qids_not_silently_empty(spark, emb, pq_path):
     int_rows = {
         (r["qid"], r["rnk"]): (r["vec_id"], r["score"])
         for r in pqx.pq_topk_from_index(spark, pq_path, base, k=5).collect()
-        # integer qids self-exclude, string qids can't match any corpus
-        # id — drop each query's own vector from the comparison instead
-        # of expecting identical neighbor sets
     }
     str_rows = {
         (int(r["qid"][2:]), r["rnk"]): (r["vec_id"], r["score"]) for r in served
     }
-    for (qid, rnk), (vid, score) in int_rows.items():
-        # the integer run's neighbors must all appear in the string run's
-        # top-k+1 (the string run additionally ranks the query's own
-        # vector at cos≈1); spot-check rank-1 scores are no worse
-        assert (qid, 1) in str_rows
-        assert str_rows[(qid, 1)][1] >= score or rnk > 1
+    # exact relationship: a string qid can't self-exclude, so its rank 1
+    # is the query's own vector at cos 1.0 and ranks 2..5 must equal the
+    # integer run's ranks 1..4 — same neighbor ids, same scores
+    for qid in [r["vec_id"] for r in base.select("vec_id").collect()]:
+        assert str_rows[(qid, 1)] == (qid, 1.0), str_rows[(qid, 1)]
+        for rnk in range(1, 5):
+            assert str_rows[(qid, rnk + 1)] == int_rows[(qid, rnk)], (
+                qid,
+                rnk,
+                str_rows[(qid, rnk + 1)],
+                int_rows[(qid, rnk)],
+            )

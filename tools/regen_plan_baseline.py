@@ -30,6 +30,11 @@ def headline_names() -> list[str]:
 
 
 def main() -> None:
+    # pins measure the FULL lineage: eager checkpoints would truncate the
+    # measured plan to whatever runs after them (the round-6 review found
+    # a pin degenerated to 0 exchanges) — checkpoint_for_reuse call sites
+    # skip materialization under this flag
+    os.environ["SPARK_GRAFT_PLAN_AUDIT"] = "1"
     # the extra (non-headline) pinned shapes live next to the gate that
     # enforces them
     sys.path.insert(0, os.path.join(REPO, "tests"))
