@@ -111,6 +111,8 @@ HEADLINE = [
     "kmv_day_retention",       # KMV/theta sketch set-algebra retention (r6)
     "priority_revenue_holt",   # Holt double-exponential JVM fold (r6)
     "corpus_snapshot_diff",    # fingerprint-grain corpus version diff (r6)
+    "part_name_levenshtein_pairs",  # blocked record linkage, full DP distance (r6)
+    "doc_hash_sample_per_lang",     # deterministic exact-quota hash sampling (r6)
 ]
 
 

@@ -372,3 +372,60 @@ def order_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.max("gap_days").cast("long").alias("max_gap_days"),
     )
+
+
+# --------------------------------------------------------------------------
+# q — blocked record linkage with FULL edit distance: candidate pairs of
+# part names that agree on the blocking key (last token — the noun) and
+# sit within Levenshtein distance 3, with each name's part support. The
+# classic entity-resolution shape at scale: the O(n²) DP comparison runs
+# only WITHIN blocks (names reduce to distinct grain first, blocks are
+# bounded by key frequency), never across the corpus — complements the
+# edit-1 neighborhood-generation join (fuzzy_pairs_edit1), which trades
+# generality for zero pairwise comparisons. Spark's levenshtein() and
+# DuckDB's agree exactly (probed incl. non-ASCII).
+# --------------------------------------------------------------------------
+@register(
+    "part_name_levenshtein_pairs",
+    oracle="""
+    WITH names AS (
+      SELECT p_name AS name, CAST(count(*) AS BIGINT) AS n_parts
+      FROM part GROUP BY 1),
+    blocked AS (
+      SELECT name, n_parts, string_split(name, ' ')[-1] AS block
+      FROM names)
+    SELECT a.name AS name_a, b.name AS name_b,
+           CAST(levenshtein(a.name, b.name) AS BIGINT) AS edit_dist,
+           a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
+    FROM blocked a JOIN blocked b
+      ON a.block = b.block AND a.name < b.name
+    WHERE levenshtein(a.name, b.name) <= 3
+    """,
+)
+def part_name_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same-noun part-name pairs within edit distance 3."""
+    names = (
+        table(spark, sf_dir, "part")
+        .groupBy(F.col("p_name").alias("name"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_parts"))
+        .withColumn("block", F.substring_index("name", " ", -1))
+    )
+    a = names.select(
+        F.col("name").alias("name_a"),
+        F.col("n_parts").alias("n_parts_a"),
+        "block",
+    )
+    b = names.select(
+        F.col("name").alias("name_b"),
+        F.col("n_parts").alias("n_parts_b"),
+        "block",
+    )
+    return (
+        a.join(b, "block")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .withColumn(
+            "edit_dist", F.levenshtein("name_a", "name_b").cast("long")
+        )
+        .filter(F.col("edit_dist") <= 3)
+        .select("name_a", "name_b", "edit_dist", "n_parts_a", "n_parts_b")
+    )

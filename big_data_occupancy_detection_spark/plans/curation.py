@@ -11,7 +11,7 @@ fixed regex set, fixed thresholds), so the driver hash-compares values.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..ext import curation as C
@@ -990,3 +990,50 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("text"),
     )
     return C.snapshot_diff(v1, v2, "doc_id", "text")
+
+
+# --------------------------------------------------------------------------
+# q — deterministic exact-quota sampling: the k documents per language
+# with the smallest portable hash of doc_id. Unlike Bernoulli sampleBy
+# (probabilistic quota) or randomSplit (RNG-state-dependent), hash-rank
+# sampling is reproducible across engines, clusters and reruns, composes
+# with incremental ingest (a doc's hash never changes, so the sample only
+# evolves at the margin), and hits quotas EXACTLY — the property a
+# training-mix spec needs. Rank windows run per language over hash-pruned
+# candidates; at 100 TB, pre-filter h < threshold the same way
+# ext/sketches.kmv_sketch prunes before its rank sort.
+# --------------------------------------------------------------------------
+_HASH_SAMPLE_K = 5
+
+
+def _hash_sample_oracle() -> str:
+    from .textops import hash64_sql
+
+    h = hash64_sql("CAST(doc_id AS VARCHAR)")
+    return f"""
+    WITH hashed AS (
+      SELECT lang, doc_id, {h} AS h FROM documents),
+    ranked AS (
+      SELECT lang, doc_id, h,
+             row_number() OVER (PARTITION BY lang ORDER BY h, doc_id)
+               AS rnk
+      FROM hashed)
+    SELECT lang, CAST(rnk AS BIGINT) AS rnk, doc_id
+    FROM ranked WHERE rnk <= {_HASH_SAMPLE_K}
+    """
+
+
+@register("doc_hash_sample_per_lang", oracle=_hash_sample_oracle())
+def doc_hash_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-quota deterministic sample: k smallest-hash docs per lang."""
+    from ..functions.text_fns import md5_hash64
+
+    docs = table(spark, sf_dir, "documents").select(
+        "lang", "doc_id", md5_hash64(F.col("doc_id").cast("string")).alias("h")
+    )
+    w = Window.partitionBy("lang").orderBy("h", "doc_id")
+    return (
+        docs.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= _HASH_SAMPLE_K)
+        .select("lang", "rnk", "doc_id")
+    )
