@@ -446,3 +446,61 @@ def kmv_distinct_estimate(
         .otherwise(F.lit(c) / F.col("hk").cast("double"))
         .alias("est"),
     )
+
+
+class KmvAccumulator:
+    """Streaming KMV state: per-group bottom-k hash sets fed by
+    DISTRIBUTED per-batch sketches (``kmv_sketch`` runs on the cluster;
+    only ≤ groups·k rows reach the driver — the same bounded-state
+    contract as ``CmsAccumulator``/``BloomAccumulator``). Merge is the k
+    smallest of the set union, so after N batches the state is identical
+    to ``kmv_sketch`` over the union of all batches (test-asserted) —
+    bottom-k sketches are mergeable by construction, which is what makes
+    them the streaming/set-algebra distinct counter.
+
+    Estimates come from the sketch alone: a group whose set is still
+    smaller than k is EXACT (the sketch holds every distinct hash seen);
+    past k it is the (k-1)·M/h_k estimator.
+    """
+
+    def __init__(self, k: int = KMV_K):
+        self.k = k
+        self.state: dict[object, list[int]] = {}
+
+    def merge_batch(
+        self, batch_df: DataFrame, key_col: str, group_col: str
+    ) -> None:
+        sk, _ = kmv_sketch(batch_df, key_col, group_col, k=self.k)
+        for r in sk.collect():
+            cur = self.state.setdefault(r["g"], [])
+            cur.append(r["h"])
+        for g, hs in self.state.items():
+            self.state[g] = sorted(set(hs))[: self.k]
+
+    def foreach_batch(self, key_col: str, group_col: str):
+        """A ``foreachBatch`` function maintaining this accumulator."""
+
+        def fn(batch_df: DataFrame, batch_id: int) -> None:
+            self.merge_batch(batch_df, key_col, group_col)
+
+        return fn
+
+    def as_dataframe(self, spark) -> DataFrame:
+        """The accumulated state as the same (g, h, r) table
+        ``kmv_sketch`` emits."""
+        rows = [
+            (g, h, i + 1)
+            for g, hs in sorted(self.state.items(), key=lambda kv: str(kv[0]))
+            for i, h in enumerate(hs)
+        ]
+        return spark.createDataFrame(rows, schema="g string, h long, r int")
+
+    def estimate(self, group) -> float:
+        """Distinct-count estimate for one group: exact below k, the
+        (k-1)·M/h_k estimator at or past k."""
+        hs = self.state.get(group)
+        if hs is None:
+            return 0.0
+        if len(hs) < self.k:
+            return float(len(hs))
+        return (self.k - 1) * KMV_SPACE / hs[-1]

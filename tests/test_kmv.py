@@ -92,3 +92,35 @@ def test_kmv_estimator_envelope_and_union(spark):
     rho = sum(1 for h in u if h in set(hb) and h in set(hc))
     inter_est = rho / k * union_est
     assert abs(inter_est - 1000) / 1000 < 0.5  # intersection noisier
+
+
+def test_kmv_accumulator_equals_batch_sketch(spark):
+    """Streaming twin: per-batch KMV sketches merged by bottom-k union
+    must equal the one-shot sketch over the union of all batches — the
+    mergeability contract that makes KMV the streaming distinct counter."""
+    from big_data_occupancy_detection_spark.ext.sketches import (
+        KmvAccumulator,
+        kmv_sketch,
+    )
+
+    batches = [
+        [("A", f"a{i}") for i in range(400)],
+        [("A", f"a{i}") for i in range(200, 700)] + [("B", f"b{i}") for i in range(50)],
+        [("B", f"b{i}") for i in range(30, 90)] + [("A", f"x{i}") for i in range(100)],
+    ]
+    k = 64
+    acc = KmvAccumulator(k=k)
+    for rows in batches:
+        acc.merge_batch(spark.createDataFrame(rows, "g string, k string"), "k", "g")
+
+    union = spark.createDataFrame(
+        [r for rows in batches for r in rows], "g string, k string"
+    )
+    want_sk, _ = kmv_sketch(union, "k", "g", k=k)
+    want = {(r["g"], r["h"], r["r"]) for r in want_sk.collect()}
+    got = {(r["g"], r["h"], r["r"]) for r in acc.as_dataframe(spark).collect()}
+    assert got == want
+
+    # estimates: A has 800 distinct (> k, estimator), B has 90 (> k at 64)
+    assert abs(acc.estimate("A") - 800) / 800 < 0.35
+    assert acc.estimate("missing") == 0.0
