@@ -70,6 +70,32 @@ for name in sorted(qs):
 
 total = time.perf_counter() - t_all
 fails = [r for r in results if r[1] not in ("PASS", "ROWS-ONLY")]
+# optional committed artifact (verdict r5 item 4): per-query verdicts for
+# the full registry, diffable by the next judge
+out_json = os.environ.get("SPARK_GRAFT_DRIVERSIM_OUT")
+if out_json:
+    import json
+
+    with open(out_json, "w") as fh:
+        json.dump(
+            {
+                "sf_dir": sf,
+                "n_queries": len(results),
+                "n_failures": len(fails),
+                "total_s": round(total, 1),
+                "queries": {
+                    r[0]: {
+                        "verdict": r[1],
+                        "rows": r[2],
+                        "spark_s": round(r[3], 2),
+                        "oracle_s": round(r[4], 2),
+                    }
+                    for r in sorted(results)
+                },
+            },
+            fh,
+            indent=1,
+        )
 print(f"\n=== {len(results)} queries, total {total:.1f}s, failures: {len(fails)} ===")
 for r in sorted(results, key=lambda r: -(r[3] + r[4]))[:12]:
     print(f"{r[3]+r[4]:7.2f}s (spark {r[3]:.2f} / oracle {r[4]:.2f})  {r[1]:<10} {r[0]}")
