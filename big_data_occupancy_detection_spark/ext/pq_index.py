@@ -299,6 +299,9 @@ def _serve_codes(
         total = total + F.element_at(
             F.element_at("luts", s + 1), F.col(f"c{s}").cast("int") + 1
         )
+    if probe_df is not None and "bias" in probe_df.columns:
+        # residual index: score = dot(q, coarse_c) + Σ_s dot(q_s, r̂_s)
+        total = F.col("bias") + total
     pairs = fan.filter(~_self_match(qid_type)).select(
         "qid", "vec_id", F.round(total, 9).alias("score9")
     )
@@ -348,6 +351,7 @@ def build_ivfpq_index(
     codebook: int = PQ_CODEBOOK,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    residual: bool = False,
 ) -> None:
     """Coarse IVF assignment + global PQ codes, codes partitioned by
     coarse cluster (Hive dirs = the inverted file, like
@@ -358,7 +362,18 @@ def build_ivfpq_index(
     vectorized build's tens of seconds at 200k×64 (PERF.md), and coarse
     partitioning carries NO result contract (the all-probes equality
     with the plain PQ index holds under ANY cluster assignment; probe
-    sets at serve time use these same persisted centroids)."""
+    sets at serve time use these same persisted centroids).
+
+    ``residual=True`` is the FAISS-IVFPQ refinement: codebooks are fit on
+    the RESIDUALS (unit vector − assigned coarse centroid), which have
+    far less variance than raw vectors, so the same code budget
+    quantizes finer. Scores decompose exactly: dot(q, x) ≈ dot(q, c) +
+    Σ_s dot(q_s, r̂_s) — serve adds the per-(query, probed-cluster) bias
+    dot(q, c) (driver-computed with the tiny coarse table) to the same
+    global residual-codebook LUT sum, so the serve plan shape is
+    unchanged. The all-probes-equality-with-plain-PQ contract does NOT
+    hold for residual indexes (the ADC shortlist ranks differently, on
+    purpose); the recall gate is the contract instead."""
     from .similarity import IVF_CENTROIDS, IVF_ITERS
     from .similarity_vec import assign_nearest_vectorized, fit_centroids_vectorized
 
@@ -377,7 +392,27 @@ def build_ivfpq_index(
         [(int(c), [float(x) for x in v]) for c, v in coarse_rows],
         schema="cid int, centroid array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/coarse")
-    cents, codes = _pq_fit_subspaces(normed, n_sub, codebook, d_sub)
+    if residual:
+        coarse_df = spark.createDataFrame(
+            [(int(c), [float(x) for x in v]) for c, v in coarse_rows],
+            schema="cluster int, __coarse array<double>",
+        )
+        fit_input = (
+            normed.join(
+                assigned.withColumnRenamed("vec_id", "vid"), "vid"
+            )
+            .join(F.broadcast(coarse_df), "cluster")
+            .select(
+                "vid",
+                F.zip_with(
+                    "nvec", "__coarse", lambda x, c: x - c
+                ).alias("nvec"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    else:
+        fit_input = normed
+    cents, codes = _pq_fit_subspaces(fit_input, n_sub, codebook, d_sub)
     _write_codebooks(spark, cents, path)
     (
         codes.join(assigned, "vec_id")
@@ -401,6 +436,7 @@ def build_ivfpq_index(
                 "dim": dim,
                 "codebook": codebook,
                 "n_coarse": n_coarse,
+                "residual": residual,
             },
             f,
         )
@@ -425,6 +461,7 @@ def ivfpq_topk_from_index(
     with open(os.path.join(path, "meta.json")) as f:
         meta = json.load(f)
     n_sub, d_sub = meta["n_sub"], meta["d_sub"]
+    residual = bool(meta.get("residual", False))
     cents = load_codebooks(spark, path, n_sub)
     coarse = sorted(
         (int(r["cid"]), [float(x) for x in r["centroid"]])
@@ -452,19 +489,22 @@ def ivfpq_topk_from_index(
         scored = sorted(
             ((-_fold_dot(nv, cv), cid) for cid, cv in coarse)
         )[:n_probes]
-        probe_rows += [(r[id_col], cid) for _, cid in scored]
+        # residual serve carries the per-(query, cluster) bias dot(q, c):
+        # the coarse dot was just computed for probe selection — reuse it
+        probe_rows += [(r[id_col], cid, -negdot) for negdot, cid in scored]
     from pyspark.sql.types import IntegerType
 
+    fields = [
+        StructField("qid", qid_type),
+        StructField("cluster", IntegerType()),
+    ]
+    if residual:
+        fields.append(StructField("bias", DoubleType()))
     probe_df = spark.createDataFrame(
-        probe_rows,
-        StructType(
-            [
-                StructField("qid", qid_type),
-                StructField("cluster", IntegerType()),
-            ]
-        ),
+        [row if residual else row[:2] for row in probe_rows],
+        StructType(fields),
     )
-    all_probed = sorted({c for _, c in probe_rows})
+    all_probed = sorted({row[1] for row in probe_rows})
     codes = spark.read.parquet(f"{path}/codes").filter(
         F.col("cluster").isin(all_probed)
     )

@@ -124,3 +124,50 @@ def test_kmv_accumulator_equals_batch_sketch(spark):
     # estimates: A has 800 distinct (> k, estimator), B has 90 (> k at 64)
     assert abs(acc.estimate("A") - 800) / 800 < 0.35
     assert acc.estimate("missing") == 0.0
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_kmv_frames = st.lists(
+    st.tuples(
+        st.sampled_from(["g1", "g2", "g3"]),
+        st.text(alphabet="abcdef0123456789", min_size=0, max_size=8),
+    ),
+    min_size=1,
+    max_size=300,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_kmv_frames, k=st.sampled_from([1, 3, 16]))
+def test_kmv_prune_property(spark, rows, k):
+    """For ANY key multiset (duplicates, empty strings, tiny groups) and
+    any k, the bucket-pruned sketch equals the naive per-group k smallest
+    distinct hashes, and n_distinct is exact."""
+    import hashlib
+
+    df = spark.createDataFrame(rows, "g string, k string")
+    sk, counts = kmv_sketch(df, "k", "g", k=k)
+    got: dict[str, list[int]] = {}
+    for r in sk.collect():
+        got.setdefault(r["g"], []).append((r["r"], r["h"]))
+    want: dict[str, list[int]] = {}
+    exact: dict[str, int] = {}
+    for g in {g for g, _ in rows}:
+        hs = sorted(
+            {
+                int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+                for gg, s in rows
+                if gg == g
+            }
+        )
+        exact[g] = len(hs)
+        want[g] = [(i + 1, h) for i, h in enumerate(hs[:k])]
+    assert {g: sorted(v) for g, v in got.items()} == want
+    assert {r["g"]: r["n_distinct"] for r in counts.collect()} == exact

@@ -346,3 +346,46 @@ def test_pq_serve_string_qids_not_silently_empty(spark, emb, pq_path):
                 str_rows[(qid, rnk + 1)],
                 int_rows[(qid, rnk)],
             )
+
+
+def test_ivfpq_residual_recall_at_tight_shortlist(spark, emb, tmp_path):
+    """FAISS-style residual refinement: codebooks fit on (vector − coarse
+    centroid) quantize finer at the same code budget, so with a TIGHT ADC
+    shortlist (where shortlist quality is exposed before the exact
+    re-rank can rescue it) recall@5 vs brute force must be at least the
+    plain ivfpq index's, and the serve contract (k rows per query,
+    self-excluded) must hold."""
+    from pyspark.sql import functions as F
+
+    plain_path = str(tmp_path / "ivfpq_plain")
+    res_path = str(tmp_path / "ivfpq_res")
+    pqx.build_ivfpq_index(emb, plain_path, n_coarse=8)
+    pqx.build_ivfpq_index(emb, res_path, n_coarse=8, residual=True)
+    import json as _json
+    import os as _os
+
+    assert _json.load(open(_os.path.join(res_path, "meta.json")))["residual"]
+
+    queries = emb.filter("vec_id < 12")
+    truth = {
+        (r["qid"], r["vec_id"])
+        for r in sim.brute_force_topk(emb, queries, k=5).collect()
+    }
+
+    def _recall(path, shortlist):
+        got = pqx.ivfpq_topk_from_index(
+            spark, path, queries, k=5, n_probes=8, shortlist=shortlist
+        ).collect()
+        assert len(got) == 5 * queries.count()
+        assert all(r["qid"] != r["vec_id"] for r in got)
+        return len({(r["qid"], r["vec_id"]) for r in got} & truth) / len(truth)
+
+    # measured on the shipped sf0.001 seed: plain 0.15/0.35/0.72 vs
+    # residual 0.27/0.43/0.88 at shortlist 8/20/100. Data regenerates
+    # between rounds, so gate with margins, not exact pins: residual must
+    # never be materially WORSE, and must clear an absolute bar at the
+    # production shortlist.
+    assert _recall(res_path, 8) >= _recall(plain_path, 8) - 0.05
+    r100 = _recall(res_path, 100)
+    assert r100 >= _recall(plain_path, 100) - 0.05
+    assert r100 >= 0.6, r100
