@@ -113,6 +113,7 @@ HEADLINE = [
     "corpus_snapshot_diff",    # fingerprint-grain corpus version diff (r6)
     "part_name_levenshtein_pairs",  # blocked record linkage, full DP distance (r6)
     "doc_hash_sample_per_lang",     # deterministic exact-quota hash sampling (r6)
+    "priority_revenue_trend_test",  # Mann-Kendall exact-integer trend test (r6)
 ]
 
 

@@ -1433,3 +1433,141 @@ def priority_revenue_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("level") + F.lit(7.0) * F.col("trend"), 6
         ).alias("forecast_7"),
     )
+
+
+# --------------------------------------------------------------------------
+# q — Mann-Kendall trend test on daily revenue per priority: the
+# nonparametric is-there-a-monotonic-trend statistic, built ENTIRELY from
+# exact integers (S = Σ_{i<j} sign(c_j − c_i) over day-ordered cents; the
+# tie-corrected variance n(n-1)(2n+5)/18 − Σ_t t(t-1)(2t+5)/18 is integer
+# arithmetic before ONE double division) — the fuzz-proof construction.
+# The pair fan-out is day-grain (calendar² per priority, bounded and
+# independent of fact size — the same scale knob as the Holt fold);
+# Kendall's tau and the normal-approximation z ride along.
+# --------------------------------------------------------------------------
+def _mk_oracle() -> str:
+    p6 = lambda e: portable_round_sql(e, 6)
+    z = (
+        "CASE WHEN s > 0 THEN CAST(s - 1 AS DOUBLE) / sqrt(CAST(vnum AS DOUBLE) / 18.0) "
+        "WHEN s < 0 THEN CAST(s + 1 AS DOUBLE) / sqrt(CAST(vnum AS DOUBLE) / 18.0) "
+        "ELSE 0.0 END"
+    )
+    return f"""
+    WITH daily AS (
+      SELECT o_orderpriority AS priority, o_orderdate AS day,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1, 2),
+    s_stat AS (
+      SELECT a.priority,
+             CAST(sum(CASE WHEN b.cents > a.cents THEN 1
+                           WHEN b.cents < a.cents THEN -1 ELSE 0 END)
+                  AS BIGINT) AS s
+      FROM daily a JOIN daily b
+        ON b.priority = a.priority AND b.day > a.day
+      GROUP BY 1),
+    nn AS (SELECT priority, CAST(count(*) AS BIGINT) AS n_days FROM daily
+           GROUP BY 1),
+    ties AS (
+      SELECT priority,
+             CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+               AS tie_corr
+      FROM (SELECT priority, CAST(count(*) AS BIGINT) AS t
+            FROM daily GROUP BY priority, cents) g
+      WHERE t > 1 GROUP BY 1),
+    v AS (
+      SELECT nn.priority, nn.n_days, s_stat.s,
+             nn.n_days * (nn.n_days - 1) * (2 * nn.n_days + 5)
+               - coalesce(ties.tie_corr, 0) AS vnum
+      FROM nn JOIN s_stat ON s_stat.priority = nn.priority
+      LEFT JOIN ties ON ties.priority = nn.priority)
+    SELECT priority, n_days, s AS s_stat, vnum AS var_num18,
+           {p6(z)} AS z_score,
+           {p6('CAST(s AS DOUBLE) / (CAST(n_days * (n_days - 1) AS DOUBLE) / 2.0)')}
+             AS kendall_tau
+    FROM v ORDER BY priority
+    """
+
+
+@register("priority_revenue_trend_test", oracle=_mk_oracle())
+def priority_revenue_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall S / tie-corrected z / Kendall tau per priority over
+    daily revenue cents."""
+    daily = (
+        table(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_orderdate").alias("day"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+        .localCheckpoint(eager=True)
+    )
+    a = daily.select("priority", F.col("day").alias("da"), F.col("cents").alias("ca"))
+    b = daily.select("priority", F.col("day").alias("db"), F.col("cents").alias("cb"))
+    s_stat = (
+        a.join(b, "priority")
+        .filter(F.col("db") > F.col("da"))
+        .groupBy("priority")
+        .agg(
+            F.sum(
+                F.when(F.col("cb") > F.col("ca"), 1)
+                .when(F.col("cb") < F.col("ca"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("s")
+        )
+    )
+    nn = daily.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days")
+    )
+    ties = (
+        daily.groupBy("priority", "cents")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .filter(F.col("t") > 1)
+        .groupBy("priority")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("tie_corr")
+        )
+    )
+    v = (
+        nn.join(s_stat, "priority")
+        .join(ties, "priority", "left")
+        .select(
+            "priority",
+            "n_days",
+            "s",
+            (
+                F.col("n_days") * (F.col("n_days") - 1) * (2 * F.col("n_days") + 5)
+                - F.coalesce("tie_corr", F.lit(0).cast("long"))
+            ).alias("vnum"),
+        )
+    )
+    sd = F.sqrt(F.col("vnum").cast("double") / F.lit(18.0))
+    z = (
+        F.when(F.col("s") > 0, (F.col("s") - 1).cast("double") / sd)
+        .when(F.col("s") < 0, (F.col("s") + 1).cast("double") / sd)
+        .otherwise(F.lit(0.0))
+    )
+    tau = F.col("s").cast("double") / (
+        (F.col("n_days") * (F.col("n_days") - 1)).cast("double") / F.lit(2.0)
+    )
+    return v.select(
+        "priority",
+        "n_days",
+        F.col("s").alias("s_stat"),
+        F.col("vnum").alias("var_num18"),
+        portable_round(z, 6).alias("z_score"),
+        portable_round(tau, 6).alias("kendall_tau"),
+    )

@@ -51,6 +51,7 @@ OPS = [
     "customer_l_diversity",
     "recsys_training_examples",
     "priority_revenue_holt",
+    "priority_revenue_trend_test",
 ]
 
 
