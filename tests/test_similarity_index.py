@@ -181,6 +181,62 @@ def test_ivfpq_probe_prunes_code_partitions(spark, emb, ivfpq_path):
     assert m and "cluster" in m.group(1), probed
 
 
+def test_ivfpq_probe_select_matches_driver_loop(spark, emb, ivfpq_path):
+    """Round-7 contract for the distributed probe selection: the JVM
+    array_sort/fold path must produce BIT-IDENTICAL (qid, cluster, bias)
+    rows — same probe sets, same tie-breaks, same IEEE bias doubles —
+    as the retired serial driver loop (kept as ``_probe_rows_driver``,
+    the parity oracle)."""
+    from pyspark.sql import functions as F
+
+    queries = emb.filter("vec_id < 64").select("vec_id", "embedding")
+    coarse = sorted(
+        (int(r["cid"]), [float(x) for x in r["centroid"]])
+        for r in spark.read.parquet(f"{ivfpq_path}/coarse").collect()
+    )
+    for n_probes in (1, 3, 16):
+        expected = sorted(
+            pqx._probe_rows_driver(
+                queries.collect(), coarse, n_probes, "vec_id", "embedding"
+            )
+        )
+        qn = pqx._capped_qn(queries, "vec_id", "embedding")
+        got = sorted(
+            (r["qid"], r["cluster"], r["bias"])
+            for r in pqx._probe_select(qn, coarse, n_probes).collect()
+        )
+        assert got == expected  # bit-identical, no tolerance
+
+
+def test_ivfpq_probe_select_runs_executor_side(spark, emb, ivfpq_path):
+    """The serve plan's probe relation must be a Spark job (broadcast
+    coarse row + higher-order fold), not driver-built literals: assert
+    the probe frame's plan contains the fold machinery, and that serving
+    never calls the driver loop (monkeypatch-free: the loop helper is
+    only referenced from tests)."""
+    import inspect
+
+    src = inspect.getsource(pqx.ivfpq_topk_from_index)
+    assert "_probe_rows_driver" not in src
+    assert "_probe_select" in src
+    coarse = sorted(
+        (int(r["cid"]), [float(x) for x in r["centroid"]])
+        for r in spark.read.parquet(f"{ivfpq_path}/coarse").collect()
+    )
+    qn = pqx._capped_qn(
+        emb.filter("vec_id < 4").select("vec_id", "embedding"),
+        "vec_id",
+        "embedding",
+    )
+    plan = (
+        pqx._probe_select(qn, coarse, 4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "aggregate(" in plan and "array_sort" in plan
+
+
 def test_append_to_pq_index_frozen_codebooks(spark, emb, tmp_path):
     """Index maintenance without refit: build on half the corpus, append
     the other half — codebooks unchanged, codes cover everything, and a
