@@ -466,16 +466,29 @@ class KmvAccumulator:
     def __init__(self, k: int = KMV_K):
         self.k = k
         self.state: dict[object, list[int]] = {}
+        # groups whose merged hash set EVER exceeded k: only these lost
+        # information, so only these may use the biased (k-1)·M/h_k
+        # estimator — a group with exactly k true distincts stays exact,
+        # matching kmv_distinct_estimate's n_distinct<=k branch
+        # (round-6 advice: the twins diverged at the len==k boundary)
+        self.truncated: set[object] = set()
 
     def merge_batch(
         self, batch_df: DataFrame, key_col: str, group_col: str
     ) -> None:
         sk, _ = kmv_sketch(batch_df, key_col, group_col, k=self.k)
+        touched: set[object] = set()
         for r in sk.collect():
             cur = self.state.setdefault(r["g"], [])
             cur.append(r["h"])
-        for g, hs in self.state.items():
-            self.state[g] = sorted(set(hs))[: self.k]
+            touched.add(r["g"])
+        # re-sort ONLY the groups this batch touched — a full-state sweep
+        # is O(total_groups·k log k) per micro-batch (round-6 advice)
+        for g in touched:
+            merged = sorted(set(self.state[g]))
+            if len(merged) > self.k:
+                self.truncated.add(g)
+            self.state[g] = merged[: self.k]
 
     def foreach_batch(self, key_col: str, group_col: str):
         """A ``foreachBatch`` function maintaining this accumulator."""
@@ -496,11 +509,12 @@ class KmvAccumulator:
         return spark.createDataFrame(rows, schema="g string, h long, r int")
 
     def estimate(self, group) -> float:
-        """Distinct-count estimate for one group: exact below k, the
-        (k-1)·M/h_k estimator at or past k."""
+        """Distinct-count estimate for one group: exact while the sketch
+        is exhaustive (never truncated — including EXACTLY k distincts),
+        the (k-1)·M/h_k estimator once information was lost."""
         hs = self.state.get(group)
         if hs is None:
             return 0.0
-        if len(hs) < self.k:
+        if group not in self.truncated:
             return float(len(hs))
         return (self.k - 1) * KMV_SPACE / hs[-1]

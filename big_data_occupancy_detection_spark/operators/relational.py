@@ -359,7 +359,11 @@ def weighted_percentiles(
     """
     try:
         bad = [
-            k for k in pct_points if k != int(k) or not (1 <= int(k) <= 100)
+            k
+            for k in pct_points
+            # bool first: True == int(True) == 1 would pass the range check
+            # and silently compute the 1st percentile (round-6 advice)
+            if isinstance(k, bool) or k != int(k) or not (1 <= int(k) <= 100)
         ]
     except (TypeError, ValueError):
         raise ValueError(f"pct_points must be integers in 1..100, got {pct_points!r}")

@@ -627,7 +627,11 @@ def grouped_holt_jvm(
 
     Returns (key, n_points, level, trend, sae): sae = Σ|y_t − f_t| over
     the n_points−1 folded steps (one-step in-sample absolute error —
-    mae = sae/(n_points−1)); forecasts are level + h·trend.
+    mae = sae/(n_points−1)); forecasts are level + h·trend. Contract:
+    a single-point group returns (level=y_0, trend=0, sae=0) and has NO
+    defined mae — callers deriving mae MUST null-guard with
+    ``F.when(n_points > 1, ...)`` (0.0/0.0 is NaN in Spark but NULL or
+    an error in SQL twins — a silent parity hazard otherwise).
 
     Groups must fit a task (collect_list materializes the series per
     key) — bounded for calendar-grain series (≤ a few k points/key).

@@ -1391,7 +1391,9 @@ def _holt_oracle() -> str:
     SELECT h.priority AS priority, nn.n_days AS n_days,
            {p6('h.l')} AS level,
            {p6('h.t')} AS trend,
-           {p6('h.sae / CAST(nn.n_days - 1 AS DOUBLE)')} AS mae,
+           CASE WHEN nn.n_days > 1
+                THEN {p6('h.sae / CAST(nn.n_days - 1 AS DOUBLE)')}
+                ELSE NULL END AS mae,
            {p6('h.l + h.t')} AS forecast_1,
            {p6('h.l + 7.0 * h.t')} AS forecast_7
     FROM holt h JOIN nn ON nn.priority = h.priority AND h.i = nn.n_days
@@ -1425,8 +1427,14 @@ def priority_revenue_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_points").cast("long").alias("n_days"),
         portable_round("level", 6).alias("level"),
         portable_round("trend", 6).alias("trend"),
-        portable_round(
-            F.col("sae") / (F.col("n_points") - 1).cast("double"), 6
+        # null-guard the single-point group: sae=0 over 0 steps is 0/0 →
+        # NaN in Spark but NULL in the SQL twin (round-6 advice); both
+        # sides now agree on NULL
+        F.when(
+            F.col("n_points") > 1,
+            portable_round(
+                F.col("sae") / (F.col("n_points") - 1).cast("double"), 6
+            ),
         ).alias("mae"),
         portable_round(F.col("level") + F.col("trend"), 6).alias("forecast_1"),
         portable_round(

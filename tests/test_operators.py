@@ -919,7 +919,9 @@ def test_weighted_percentiles_huge_weights_and_pct_validation(spark):
     # cumulative: 1/3, 2/3, 3/3 of total weight at v=1,2,3
     assert got == {33: 1.0, 34: 2.0, 66: 2.0, 100: 3.0}
 
-    for bad in ([0], [101], [-5], [50, 0]):
+    for bad in ([0], [101], [-5], [50, 0], [True], [50, False]):
+        # booleans last: True == int(True) == 1 passed the range check
+        # before the r6-advice fix and silently computed the 1st pctile
         with _pytest.raises(ValueError):
             weighted_percentiles(df, "v", "wt", bad)
 
@@ -974,3 +976,42 @@ def test_grouped_holt_jvm_matches_python_reference(spark):
     assert got["level"] == lvl
     assert got["trend"] == tr
     assert got["sae"] == sae
+
+
+def test_grouped_holt_jvm_single_point_group_mae_guard(spark):
+    """r6 advice: a single-point group folds zero steps (level=y_0,
+    trend=0, sae=0) and has NO defined mae — the documented caller
+    pattern (F.when(n_points > 1, sae/(n_points-1))) must yield NULL,
+    never the NaN an unguarded 0.0/0.0 produces."""
+    from big_data_occupancy_detection_spark.operators.temporal import (
+        grouped_holt_jvm,
+    )
+
+    df = spark.createDataFrame(
+        [("lone", 1, 42.0), ("pair", 1, 10.0), ("pair", 2, 20.0)],
+        "g string, day int, v double",
+    )
+    h = grouped_holt_jvm(df, "g", ["day"], "v", 0.3, 0.1)
+    rows = {
+        r["g"]: r
+        for r in h.select(
+            "g",
+            "n_points",
+            "level",
+            "trend",
+            "sae",
+            F.when(
+                F.col("n_points") > 1,
+                F.col("sae") / (F.col("n_points") - 1).cast("double"),
+            ).alias("mae"),
+        ).collect()
+    }
+    lone = rows["lone"]
+    assert (lone["n_points"], lone["level"], lone["trend"], lone["sae"]) == (
+        1,
+        42.0,
+        0.0,
+        0.0,
+    )
+    assert lone["mae"] is None  # guarded: NULL, not NaN
+    assert rows["pair"]["mae"] == abs(20.0 - 10.0)  # one step, |y_1 - f_1|
