@@ -114,6 +114,7 @@ HEADLINE = [
     "part_name_levenshtein_pairs",  # blocked record linkage, full DP distance (r6)
     "doc_hash_sample_per_lang",     # deterministic exact-quota hash sampling (r6)
     "priority_revenue_trend_test",  # Mann-Kendall exact-integer trend test (r6)
+    "embedding_ivfpq_residual_topk",  # residual IVF-PQ serve (r7; build cached)
 ]
 
 

@@ -98,7 +98,9 @@ def build_rf_cv_pipeline(
     grid = (
         ParamGridBuilder()
         .addGrid(rf.numTrees, num_trees_grid or [50, 100, 200])
-        .addGrid(rf.maxDepth, max_depth_grid or [5, 10, 15, 25])
+        # the reference's 3x4x2 grid (ml/model_creation_and_tuning.ipynb
+        # cell 12): maxDepth [10, 15, 20, 25]
+        .addGrid(rf.maxDepth, max_depth_grid or [10, 15, 20, 25])
         .addGrid(rf.subsamplingRate, subsampling_grid or [0.8, 1.0])
         .build()
     )
