@@ -133,11 +133,16 @@ def value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
              AS running_total
     FROM events
+    WHERE ts IS NOT NULL
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     """,
 )
 def user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = table(spark, sf_dir, "events")
+    # null-ts contract (r7 null fuzz): a timestampless event can't be
+    # sequenced — and the engines ORDER it differently (Spark NULLS
+    # FIRST, DuckDB NULLS LAST), skewing every later running value.
+    # Excluded identically on both sides.
+    ev = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return ev.select(
@@ -166,7 +171,7 @@ def user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
                     OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                        > INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS new_session
-      FROM events)
+      FROM events WHERE ts IS NOT NULL)
     SELECT user_id,
            CAST(sum(new_session) AS BIGINT) AS n_sessions,
            count(*) AS n_events
@@ -175,7 +180,8 @@ def user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = table(spark, sf_dir, "events")
+    # null-ts events can't be sessionized; excluded on both sides (r7)
+    ev = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev_ts = F.lag("ts").over(w)
     # cast-to-double keeps fractional seconds (unix_timestamp truncates,
@@ -314,6 +320,7 @@ def event_props_kv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS new_session
       FROM events
+      WHERE ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
     sessioned AS (
       SELECT user_id, event_id, ts, value,
@@ -339,7 +346,8 @@ def event_props_kv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def session_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = table(spark, sf_dir, "events")
+    # null-ts events can't be sessionized; excluded on both sides (r7)
+    ev = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     orders = table(spark, sf_dir, "orders")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev_ts = F.lag("ts").over(w)
@@ -448,13 +456,19 @@ _EWMA_ALPHA = 0.3
            count(*) AS n_events,
            {PR6(f'''list_reduce(list(value ORDER BY ts, event_id),
                              (acc, x) -> acc * {1.0 - _EWMA_ALPHA} + {_EWMA_ALPHA} * x)''')} AS ewma_value
-    FROM events GROUP BY user_id
+    FROM events WHERE ts IS NOT NULL GROUP BY user_id
     """,
 )
 def user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.temporal import grouped_ewma
 
-    ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    # null-ts rows have no position in the recursion's order — and the
+    # engines place them differently (r7 null fuzz); excluded both sides
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("user_id", "ts", "event_id", "value")
+    )
     out = grouped_ewma(
         ev, "user_id", ["ts", "event_id"], "value", alpha=_EWMA_ALPHA
     )
@@ -474,13 +488,18 @@ def user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_events,
            {PR6(f'''list_reduce(list(value ORDER BY ts, event_id),
                              (acc, x) -> acc * {1.0 - _EWMA_ALPHA} + {_EWMA_ALPHA} * x)''')} AS ewma_value
-    FROM events GROUP BY user_id
+    FROM events WHERE ts IS NOT NULL GROUP BY user_id
     """,
 )
 def user_value_ewma_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.temporal import grouped_ewma_jvm
 
-    ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    # same null-ts exclusion as user_value_ewma (twins stay equal)
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("user_id", "ts", "event_id", "value")
+    )
     out = grouped_ewma_jvm(
         ev, "user_id", ["ts", "event_id"], "value", alpha=_EWMA_ALPHA
     )
@@ -501,6 +520,7 @@ def user_value_ewma_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
              lag(ts) OVER w IS NULL
                OR event_type IS DISTINCT FROM lag(event_type) OVER w AS chg
       FROM events
+      WHERE ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
     runs AS (SELECT * FROM marked WHERE chg)
     SELECT user_id, event_type,
@@ -518,8 +538,11 @@ def user_type_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     lead interval close, both windows sharing one shuffle on user_id."""
     from ..operators.temporal import scd2_history
 
-    ev = table(spark, sf_dir, "events").select(
-        "user_id", "event_type", "ts", "event_id"
+    # a version interval needs a timestamp; null-ts rows excluded (r7)
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("user_id", "event_type", "ts", "event_id")
     )
     return scd2_history(
         ev, ["user_id"], "event_type", "ts", tiebreak_cols=["event_id"]
@@ -723,6 +746,7 @@ def zorder_events_key(spark: SparkSession, sf_dir: str) -> DataFrame:
                     OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS new_s
       FROM events
+      WHERE ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
     runs AS (
       SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -749,7 +773,11 @@ def user_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     # identical rows (property-tested), so the oracle is unchanged.
     from ..operators.temporal import session_windows_auto
 
-    ev = table(spark, sf_dir, "events")
+    # null-ts exclusion pinned EXPLICITLY on both sides (r7 null fuzz):
+    # the native session_window drops null-ts rows silently but the
+    # lag-gap twin would sequence them NULLS FIRST — the filter makes
+    # both dispatch arms and the oracle agree by construction
+    ev = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     return session_windows_auto(
         ev,
         "user_id",
@@ -770,7 +798,8 @@ def user_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sliding_hour_activity",
     oracle="""
-    WITH x AS (SELECT date_trunc('hour', ts) AS h, value FROM events),
+    WITH x AS (SELECT date_trunc('hour', ts) AS h, value FROM events
+               WHERE ts IS NOT NULL),
     ex AS (
       SELECT h AS win_start, value FROM x
       UNION ALL
@@ -784,7 +813,10 @@ def user_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def sliding_hour_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = table(spark, sf_dir, "events")
+    # Spark's F.window DROPS null-ts rows while SQL date_trunc buckets
+    # them into a NULL row — the null contract is pinned explicitly on
+    # both sides (r7 null fuzz)
+    ev = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     return (
         ev.groupBy(F.window("ts", "2 hours", "1 hour"))
         .agg(
@@ -913,7 +945,7 @@ def events_interp_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH ranked AS (
       SELECT user_id, event_type, value, ts, event_id,
              row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rk
-      FROM events),
+      FROM events WHERE ts IS NOT NULL),
     last_op AS (
       SELECT user_id,
              arg_max(event_type, rk) AS final_op,
@@ -929,7 +961,9 @@ def events_interp_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def cdc_user_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = table(spark, sf_dir, "events")
+    # a change without a timestamp has no position in the changelog
+    # order (and the engines rank NULL ts differently) — excluded (r7)
+    ev = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     ranked = ev.withColumn("rk", F.row_number().over(w))
     # NULL-payload rows are skipped from "last upsert value" on BOTH

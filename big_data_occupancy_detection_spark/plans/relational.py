@@ -398,7 +398,9 @@ def union_distinct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_rekey_pairs",
     oracle="""
-    SELECT CAST(row_number() OVER (ORDER BY user_id, event_type) AS BIGINT) AS id,
+    SELECT CAST(row_number() OVER (
+             ORDER BY user_id NULLS FIRST, event_type NULLS FIRST
+           ) AS BIGINT) AS id,
            user_id, event_type
     FROM (SELECT DISTINCT user_id, event_type FROM events)
     """,

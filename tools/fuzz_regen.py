@@ -71,9 +71,22 @@ def _money(rng: np.random.Generator, n: int, lo: float, hi: float) -> np.ndarray
     return cents / 100.0
 
 
-def generate(seed: int, out: str, ts_flavor: str) -> None:
+def generate(
+    seed: int, out: str, ts_flavor: str, null_rate: float = 0.01
+) -> None:
+    """``null_rate`` is the round-7 null-density fuzz axis (r6 verdict
+    "Next round #8"): at the default 0.01 the data is byte-compatible
+    with earlier rounds (1% nulls in events.value/props only); at a
+    HIGH rate (e.g. 0.25) events.value/props go to that rate AND the
+    never-before-null columns get 5% nulls too — events.ts,
+    events.user_id, documents.text (+ its n_chars) — so every
+    null-handling contract (window vs date_trunc null-ts behavior,
+    null-key joins/groups, bloom/KMV/percentile filters, text ops on
+    NULL docs) is exercised against the oracle, not just unit-tested."""
     rng = np.random.default_rng(seed)
     os.makedirs(out, exist_ok=True)
+    high = null_rate > 0.01
+    rare_rate = 0.05 if high else 0.0
 
     n_cust, n_supp, n_part, n_ord, n_li = 1500, 100, 2000, 15_000, 60_000
     n_ev, n_doc, n_vec = 10_000, 500, 500
@@ -151,17 +164,26 @@ def generate(seed: int, out: str, ts_flavor: str) -> None:
     micros[1:][dup[1:]] = micros[:-1][dup[1:]]  # exact ts ties
     ts = ev_base + micros.astype("timedelta64[us]")
     vals = _money(rng, n_ev, 0, 50_000)
-    vals_null = rng.random(n_ev) < 0.01
+    vals_null = rng.random(n_ev) < null_rate
     props = np.array(
         [json.dumps({"k": int(k)}) for k in rng.integers(0, 100, n_ev)],
         dtype=object,
     )
-    props_null = rng.random(n_ev) < 0.01
+    props_null = rng.random(n_ev) < null_rate
+    ts_null = rng.random(n_ev) < rare_rate
+    user_null = rng.random(n_ev) < rare_rate
+    ts_list = ts.astype("datetime64[us]").tolist()
     order = rng.permutation(n_ev)
     ev = pa.table({
         "event_id": pa.array(np.arange(n_ev)[order], pa.int64()),
-        "ts": pa.array(ts[order]),
-        "user_id": pa.array(users[order].astype(np.int64)),
+        "ts": pa.array(
+            [None if ts_null[i] else ts_list[i] for i in order],
+            pa.timestamp("us"),
+        ),
+        "user_id": pa.array(
+            [None if user_null[i] else int(users[i]) for i in order],
+            pa.int64(),
+        ),
         "event_type": [ETYPES[i] for i in rng.integers(0, 5, n_ev)[order]],
         "value": pa.array(
             [None if vals_null[i] else float(vals[i]) for i in order],
@@ -187,12 +209,16 @@ def generate(seed: int, out: str, ts_flavor: str) -> None:
     for i in range(0, n_doc, 25):
         texts[i] = texts[(i + 7) % n_doc]  # exact dup pairs
     texts[1], texts[2], texts[3] = "", "singleton", "   "
+    text_null = rng.random(n_doc) < rare_rate
+    texts = [None if text_null[i] else texts[i] for i in range(n_doc)]
     pq.write_table(pa.table({
         "doc_id": pa.array(range(n_doc), pa.int64()),
-        "text": texts,
+        "text": pa.array(texts, pa.string()),
         "lang": [["en", "de", "fr", "es", "it"][i] for i in rng.integers(0, 5, n_doc)],
         "source": [f"src{i}" for i in rng.integers(0, 5, n_doc)],
-        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        "n_chars": pa.array(
+            [None if t is None else len(t) for t in texts], pa.int64()
+        ),
     }), f"{out}/documents.parquet")
 
     labels = rng.integers(0, 10, n_vec)
@@ -250,9 +276,16 @@ def main() -> None:
     key = lambda t: tuple((v is None, str(v)) for v in t)
     any_fail = False
 
-    for seed, flavor in itertools.product(seeds, ["us", "ns"]):
-        out = tempfile.mkdtemp(prefix=f"fuzz_s{seed}_{flavor}_")
-        generate(seed, out, flavor)
+    # null-density axis (round 7): SPARK_GRAFT_FUZZ_NULLS="0.01,0.25"
+    # sweeps seeds x flavors x null rates; default keeps prior behavior
+    null_rates = [
+        float(x)
+        for x in os.environ.get("SPARK_GRAFT_FUZZ_NULLS", "0.01").split(",")
+    ]
+
+    for seed, flavor, nr in itertools.product(seeds, ["us", "ns"], null_rates):
+        out = tempfile.mkdtemp(prefix=f"fuzz_s{seed}_{flavor}_n{nr}_")
+        generate(seed, out, flavor, null_rate=nr)
         con = duckdb.connect()
         for t in TABLES:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{out}/{t}.parquet'")
@@ -274,19 +307,22 @@ def main() -> None:
                     fails.append(name)
                     for a, b in itertools.zip_longest(srows, orows):
                         if a != b:
-                            print(f"  DIVERGENCE {name} seed={seed} {flavor}:")
+                            print(
+                                f"  DIVERGENCE {name} seed={seed} {flavor} nr={nr}:"
+                            )
                             print("   spark :", a)
                             print("   oracle:", b)
                             break
             except Exception as ex:
                 fails.append(name)
-                print(f"  ERROR {name} seed={seed} {flavor}: {str(ex)[:200]}")
+                print(f"  ERROR {name} seed={seed} {flavor} nr={nr}: {str(ex)[:200]}")
         con.close()
         print(
             json.dumps(
                 {
                     "seed": seed,
                     "flavor": flavor,
+                    "null_rate": nr,
                     "queries": len(names),
                     "failures": fails,
                     "wall_s": round(time.perf_counter() - t0, 1),
