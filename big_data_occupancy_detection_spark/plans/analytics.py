@@ -712,7 +712,7 @@ def customer_chain_depths_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT date_trunc('hour', ts) AS bucket_ts,
              count(*) AS n_events, sum(value) AS s,
              min(value) AS mn, max(value) AS mx
-      FROM events GROUP BY 1)
+      FROM events WHERE ts IS NOT NULL GROUP BY 1)
     SELECT bucket_ts, n_events,
            {PR4('s')} AS sum_value,
            round(mn, 4) AS min_value,
@@ -723,8 +723,17 @@ def customer_chain_depths_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 def incremental_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly rollup maintained incrementally: partials of the base
     (ts < max(ts) − 7 days) merged with partials of the delta batch;
-    must equal the single-pass rollup (which IS the oracle)."""
-    ev = table(spark, sf_dir, "events").select("ts", "value")
+    must equal the single-pass rollup (which IS the oracle).
+
+    Null-ts contract (r7 null fuzz): a timestampless event belongs to
+    no bucket — and it would silently fail BOTH split predicates here
+    (dropped) while SQL date_trunc buckets it into a NULL row; excluded
+    identically on both sides."""
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("ts", "value")
+    )
     split = ev.agg(
         (F.max("ts") - F.expr("INTERVAL 7 DAY")).alias("split_ts")
     )
@@ -811,7 +820,7 @@ def approx_median_rank_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH daily AS (
       SELECT CAST(ts AS DATE) AS day, count(*) AS n
-      FROM events GROUP BY 1),
+      FROM events WHERE ts IS NOT NULL GROUP BY 1),
     win AS (
       SELECT day, n,
              avg(CAST(n AS DOUBLE)) OVER w AS m7,
@@ -827,7 +836,13 @@ def approx_median_rank_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def daily_volume_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily event volume with trailing-7-day z-score anomaly flags."""
-    ev = table(spark, sf_dir, "events").select("ts")
+    # null-ts events have no day; a NULL day row would also sort
+    # differently into the trailing frame per engine (r7 null fuzz)
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("ts")
+    )
     daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
         F.count(F.lit(1)).alias("n")
     )

@@ -193,7 +193,8 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _PACK_ORACLE = f"""
-WITH {_TOKS_CTE},
+WITH toks AS (SELECT doc_id, {TOKENS_SQL} AS t FROM documents
+              WHERE text IS NOT NULL),
 t2 AS (SELECT doc_id, len(t) AS n_tok FROM toks),
 c AS (SELECT doc_id, n_tok,
              sum(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
@@ -211,8 +212,11 @@ FROM c
 def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lay documents out contiguously in id order and cut 256-token
     training sequences; the global offset comes from the scalable
-    range-partitioned running sum, not a one-task window."""
-    docs = table(spark, sf_dir, "documents")
+    range-partitioned running sum, not a one-task window. NULL-text
+    docs have no tokens to pack — a NULL token count would poison the
+    running offset — so they are excluded on both sides (r7 null
+    fuzz)."""
+    docs = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     return C.pack_sequences(docs, budget=256)
 
 

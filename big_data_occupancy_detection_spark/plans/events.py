@@ -1145,7 +1145,7 @@ def weekly_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, event_type,
              lag(event_type) OVER (PARTITION BY user_id
                                    ORDER BY ts, event_id) AS prev_type
-      FROM events),
+      FROM events WHERE ts IS NOT NULL),
     pairs AS (
       SELECT prev_type, event_type, count(*) AS n
       FROM seq WHERE prev_type IS NOT NULL
@@ -1157,7 +1157,8 @@ def weekly_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = table(spark, sf_dir, "events")
+    # null-ts events have no position in the per-user sequence (r7)
+    ev = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(
         "event_type", F.lag("event_type").over(w).alias("prev_type")
@@ -1365,6 +1366,7 @@ def user_value_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
              lag(event_type, 2) OVER w AS t2,
              lag(event_type, 1) OVER w AS t1
       FROM events
+      WHERE ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
     SELECT user_id, event_id,
            t3 || '|' || t2 || '|' || t1 AS context,
@@ -1376,7 +1378,8 @@ def user_value_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
 def next_event_training_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(context, label) next-event training examples: previous 3 event
     types -> current type, per user in (ts, event_id) order."""
-    ev = table(spark, sf_dir, "events")
+    # null-ts events have no position in the per-user sequence (r7)
+    ev = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(
         "user_id",

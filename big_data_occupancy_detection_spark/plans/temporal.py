@@ -33,16 +33,27 @@ from .registry import register
       SELECT o_custkey, o_orderdate,
              max(o_orderkey) AS o_orderkey,
              round(max_by(o_totalprice, o_orderkey), 4) AS o_totalprice
-      FROM orders GROUP BY 1, 2)
+      FROM orders GROUP BY 1, 2),
+    ev AS (
+      SELECT event_id, user_id, ts FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL)
     SELECT e.event_id, e.user_id, e.ts,
            o.o_orderkey AS last_orderkey,
            o.o_totalprice AS last_totalprice
-    FROM events e
+    FROM ev e
     ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
     """,
 )
 def orders_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = table(spark, sf_dir, "events")
+    # null-key/null-ts probes pinned OUT on both sides (r7 null fuzz):
+    # Spark's window-form as-of groups NULL keys together (null user
+    # probes would match null-user rows) while SQL join equality never
+    # matches NULL; and DuckDB's ASOF sorts a NULL probe ts as greatest
+    # (matching the latest right row) while the operator masks it to a
+    # null match. A timestampless/keyless probe has no as-of meaning.
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
     orders = table(spark, sf_dir, "orders")
     latest = orders.groupBy("o_custkey", "o_orderdate").agg(
         F.max("o_orderkey").alias("last_orderkey"),
@@ -74,12 +85,15 @@ def orders_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH p AS (
       SELECT user_id, ts AS pts, max(event_id) AS next_purchase_id
       FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
-      GROUP BY 1, 2)
+      GROUP BY 1, 2),
+    ev AS (
+      SELECT event_id, user_id, ts FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL)
     SELECT e.event_id, e.user_id, e.ts,
            p.next_purchase_id,
            (floor(CAST((epoch(p.pts) - epoch(e.ts)) AS DOUBLE) * 10000.0
                   + 0.5) / 10000.0) AS secs_to_purchase
-    FROM events e
+    FROM ev e
     ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts <= p.pts
     """,
 )
@@ -88,7 +102,13 @@ def next_purchase_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the exact seconds-to-conversion gap."""
     from ..operators.temporal import asof_join_forward
 
-    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    # null-key/null-ts probes excluded on both sides — see
+    # orders_asof_events (r7 null fuzz)
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select("event_id", "user_id", "ts")
+    )
     purchases = (
         table(spark, sf_dir, "events")
         .filter((F.col("event_type") == "purchase") & F.col("ts").isNotNull())
@@ -135,7 +155,8 @@ _NEAREST_TOL_S = 86400
     oracle=f"""
     WITH pur AS (
       SELECT event_id, user_id, ts FROM events
-      WHERE event_type = 'purchase'),
+      WHERE event_type = 'purchase'
+        AND ts IS NOT NULL AND user_id IS NOT NULL),
     err AS (
       SELECT user_id, ts AS ets, max(event_id) AS nearest_error_id
       FROM events WHERE event_type = 'error' AND ts IS NOT NULL
@@ -163,9 +184,14 @@ def nearest_error_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     as-of join), with the signed gap in seconds."""
     from ..operators.temporal import asof_join_nearest
 
+    # null-key/null-ts probes excluded on both sides (r7 null fuzz)
     pur = (
         table(spark, sf_dir, "events")
-        .filter(F.col("event_type") == "purchase")
+        .filter(
+            (F.col("event_type") == "purchase")
+            & F.col("ts").isNotNull()
+            & F.col("user_id").isNotNull()
+        )
         .select("event_id", "user_id", "ts")
     )
     err = (
@@ -363,8 +389,10 @@ def promo_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "user_features_point_in_time",
     oracle="""
-    WITH b AS (SELECT date_trunc('week', min(ts)) AS w0 FROM events),
-    u AS (SELECT DISTINCT user_id FROM events),
+    WITH b AS (SELECT date_trunc('week', min(ts)) AS w0 FROM events
+               WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+    u AS (SELECT DISTINCT user_id FROM events
+          WHERE ts IS NOT NULL AND user_id IS NOT NULL),
     spine AS (
       SELECT u.user_id, b.w0 + (k.k * 7 + 1) * INTERVAL 1 DAY AS snap_ts
       FROM u CROSS JOIN b
@@ -379,6 +407,7 @@ def promo_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
              row_number() OVER (PARTITION BY user_id, ts
                                 ORDER BY event_id DESC) AS rn
       FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                    ROWS UNBOUNDED PRECEDING)),
     feat AS (
@@ -395,7 +424,12 @@ def promo_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def user_features_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-free user features at 5 weekly snapshot instants."""
-    ev = table(spark, sf_dir, "events")
+    # null-key/null-ts timeline rows excluded on both sides — see
+    # orders_asof_events (r7 null fuzz); min(ts) is null-skipping in
+    # both engines so the spine anchor is unchanged
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
     w0 = ev.agg(F.date_trunc("week", F.min("ts")).alias("w0"))
     users = ev.select("user_id").distinct()
     ks = (

@@ -42,6 +42,15 @@ SHINGLES_SQL = (
 )
 
 _TOKS_CTE = f"toks AS (SELECT doc_id, {TOKENS_SQL} AS t FROM documents)"
+# NULL-text exclusion variant (r7 null fuzz): queries whose Spark twin
+# drops NULL-text docs structurally (signature aggregates see no token
+# rows) pair with this CTE so both engines operate on the same corpus —
+# the unfiltered CTE yields t=NULL rows DuckDB folds into spurious
+# signature-0 groups.
+_TOKS_NN_CTE = (
+    f"toks AS (SELECT doc_id, {TOKENS_SQL} AS t FROM documents"
+    " WHERE text IS NOT NULL)"
+)
 _SH_CTE = f"sh AS (SELECT doc_id, {SHINGLES_SQL} AS shingles FROM toks)"
 
 
@@ -409,7 +418,7 @@ def _simhash_oracle() -> str:
         for j in range(D.SIMHASH_BITS)
     )
     return f"""
-    WITH {_TOKS_CTE},
+    WITH {_TOKS_NN_CTE},
     hashed AS (SELECT doc_id, list_transform(t, x -> {hash64_sql('x')}) AS hs FROM toks),
     sh AS (SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash FROM hashed)
     SELECT a.doc_id AS d1, b.doc_id AS d2, a.simhash
@@ -419,7 +428,10 @@ def _simhash_oracle() -> str:
 
 @register("simhash_pairs", oracle=_simhash_oracle())
 def simhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.simhash_dup_pairs(table(spark, sf_dir, "documents"))
+    # NULL-text docs excluded on both sides (r7 null fuzz — _TOKS_NN_CTE)
+    return D.simhash_dup_pairs(
+        table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    )
 
 
 # --------------------------------------------------------------------------
@@ -574,7 +586,8 @@ def media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the Python-side decode hash-verifiable end to end.
 # --------------------------------------------------------------------------
 _FAKE_FEATURES_ORACLE = f"""
-WITH f AS (SELECT doc_id, md5(text) AS h FROM documents),
+WITH f AS (SELECT doc_id, md5(text) AS h FROM documents
+           WHERE text IS NOT NULL),
 idx AS (SELECT doc_id, h, unnest(range({MM.FEATURE_DIM})) AS j FROM f)
 SELECT doc_id, CAST(j AS INT) AS feat_idx,
        round(CAST(('0x' || substr(h, CAST(2 * j + 1 AS INT), 2)) AS INT) / 255.0, 4)
@@ -585,7 +598,9 @@ FROM idx
 
 @register("media_fake_features", oracle=_FAKE_FEATURES_ORACLE)
 def media_fake_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    # a NULL-text doc has no payload to decode (the Python codec would
+    # see a null byte buffer); excluded on both sides (r7 null fuzz)
+    docs = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     decoded = MM.decode_features(MM.with_binary_payload(docs))
     return decoded.select(
         "doc_id", F.posexplode("features").alias("feat_idx", "feat_val")
@@ -787,7 +802,7 @@ _FRAME_ORACLE = f"""
 WITH n AS (
   SELECT doc_id, text,
          greatest(CAST(ceil(length(text) / {MM.CHUNK_BYTES}.0) AS INT), 1) AS nch
-  FROM documents),
+  FROM documents WHERE text IS NOT NULL),
 fr AS (SELECT doc_id, text, unnest(range(0, nch)) AS i FROM n)
 SELECT doc_id,
        CAST(i AS INT) AS frame_index,
@@ -800,7 +815,8 @@ WHERE i % {_FRAME_EVERY_N} = 0
 
 @register("media_frame_sample", oracle=_FRAME_ORACLE)
 def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    # NULL payload can't be frame-sampled; excluded both sides (r7)
+    docs = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     frames = MM.sample_frames(MM.with_binary_payload(docs), every_n=_FRAME_EVERY_N)
     return frames.select("doc_id", "frame_index", "frame_hash")
 
@@ -823,7 +839,7 @@ def _simhash_near_oracle() -> str:
         for bi in range(D.SIMHASH_BANDS)
     )
     return f"""
-    WITH {_TOKS_CTE},
+    WITH {_TOKS_NN_CTE},
     hashed AS (SELECT doc_id, list_transform(t, x -> {hash64_sql('x')}) AS hs FROM toks),
     sh AS (SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash FROM hashed),
     banded AS ({bands}),
@@ -838,8 +854,10 @@ def _simhash_near_oracle() -> str:
 
 @register("simhash_near_pairs", oracle=_simhash_near_oracle())
 def simhash_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NULL-text docs excluded on both sides (r7 null fuzz — _TOKS_NN_CTE)
     return D.simhash_near_pairs(
-        table(spark, sf_dir, "documents"), max_hamming=_SIMHASH_MAX_HAMMING
+        table(spark, sf_dir, "documents").filter(F.col("text").isNotNull()),
+        max_hamming=_SIMHASH_MAX_HAMMING,
     )
 
 
@@ -1179,7 +1197,7 @@ def incremental_near_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CHUNK_W, _CHUNK_S = 32, 24
 
 _CHUNK_ORACLE = f"""
-WITH {_TOKS_CTE},
+WITH {_TOKS_NN_CTE},
 base AS (
   SELECT doc_id, t,
          1 + CAST(floor((greatest(len(t) - {_CHUNK_W}, 0) + {_CHUNK_S - 1})
@@ -1198,9 +1216,12 @@ FROM ch
 @register("chunk_documents", oracle=_CHUNK_ORACLE)
 def chunk_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping token-window chunks of every document (window 32,
-    stride 24) — the map-only shaping step before training batches."""
+    stride 24) — the map-only shaping step before training batches.
+    NULL-text docs have no tokens to chunk; excluded both sides (r7)."""
     return TX.chunk_documents(
-        table(spark, sf_dir, "documents"), window=_CHUNK_W, stride=_CHUNK_S
+        table(spark, sf_dir, "documents").filter(F.col("text").isNotNull()),
+        window=_CHUNK_W,
+        stride=_CHUNK_S,
     )
 
 

@@ -1041,7 +1041,8 @@ def warehouse_conformance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     "daily_new_users",
     oracle="""
     WITH firsts AS (
-      SELECT user_id, min(CAST(ts AS DATE)) AS day FROM events GROUP BY user_id),
+      SELECT user_id, min(CAST(ts AS DATE)) AS day FROM events
+      WHERE ts IS NOT NULL GROUP BY user_id),
     daily AS (SELECT day, CAST(count(*) AS BIGINT) AS new_users
               FROM firsts GROUP BY day)
     SELECT day, new_users,
@@ -1054,7 +1055,14 @@ def warehouse_conformance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 def daily_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """New users per day (first event date) and the cumulative distinct-
     user curve."""
-    ev = table(spark, sf_dir, "events").select("user_id", F.to_date("ts").alias("day"))
+    # first-seen is defined over TIMESTAMPED events only: an all-null-ts
+    # user would otherwise produce a NULL day that the engines sort to
+    # opposite ends of the running-total frame (r7 null fuzz)
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("user_id", F.to_date("ts").alias("day"))
+    )
     firsts = ev.groupBy("user_id").agg(F.min("day").alias("day"))
     daily = firsts.groupBy("day").agg(
         F.count(F.lit(1)).cast("long").alias("new_users")
