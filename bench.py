@@ -115,6 +115,10 @@ HEADLINE = [
     "doc_hash_sample_per_lang",     # deterministic exact-quota hash sampling (r6)
     "priority_revenue_trend_test",  # Mann-Kendall exact-integer trend test (r6)
     "embedding_ivfpq_residual_topk",  # residual IVF-PQ serve (r7; build cached)
+    "embedding_sq8_topk",      # int8 scalar-quantized serve, oracle-paired (r7)
+    "priority_revenue_cusum",  # two-sided CUSUM level-shift detection (r7)
+    "customer_order_gaps",     # interarrival stats, exact-integer median (r7)
+    "copurchase_kcore",        # iterative k-core peeling, rows-only (r7)
 ]
 
 

@@ -153,3 +153,63 @@ def bfs_levels(
         visited = visited.unionByName(fresh).localCheckpoint(eager=True)
         frontier = fresh
     return visited
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    src_col: str = "u",
+    dst_col: str = "v",
+    max_iters: int = 100,
+) -> DataFrame:
+    """(node, core_degree): the k-core of an undirected graph — the
+    maximal subgraph in which every node has degree ≥ k — by iterative
+    peeling (round 7; completes the graph family beside connected
+    components, PageRank, degree-ordered triangles and frontier BFS).
+
+    ``edges`` is one row per undirected edge (either orientation; no
+    self-loops). Each round removes every node whose CURRENT degree is
+    below k and drops its incident edges; the loop stops when no node
+    falls below k (the fixpoint IS the k-core, independent of removal
+    order — the standard peeling invariant). ``core_degree`` is the
+    node's degree inside the k-core (≥ k by construction).
+
+    Scale shape: per round, one map-side-combined degree aggregation
+    over the live edge list plus two broadcast anti-joins against the
+    (shrinking, usually tiny) low-degree node set; the live edge frame
+    is eagerly checkpointed per round so Catalyst analysis stays
+    constant-depth (the ``pagerank`` pattern). Rounds are bounded by
+    the graph's degeneracy ordering depth — small for real co-purchase
+    / similarity graphs; ``max_iters`` is a runaway backstop.
+
+    Iterative (not SQL-expressible — DuckDB recursive CTEs cannot
+    re-aggregate degrees per round), so registry uses are rows-only;
+    correctness is gated by the pytest peeling-reference property test.
+    """
+    cur = edges.select(
+        F.col(src_col).alias("u"), F.col(dst_col).alias("v")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        deg = (
+            cur.select(F.col("u").alias("node"))
+            .unionAll(cur.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        low = deg.filter(F.col("deg") < k).select("node").localCheckpoint(
+            eager=True
+        )
+        if low.isEmpty():
+            return deg.select(
+                "node", F.col("deg").cast("long").alias("core_degree")
+            )
+        cur = (
+            cur.join(
+                F.broadcast(low), cur.u == low.node, "left_anti"
+            )
+            .join(F.broadcast(low), F.col("v") == low.node, "left_anti")
+            .localCheckpoint(eager=True)
+        )
+    raise RuntimeError(
+        f"kcore did not converge in {max_iters} rounds — raise max_iters"
+    )

@@ -917,3 +917,87 @@ def cluster_outliers(
         F.round("cos9", 6).alias("centroid_cos"),
         F.row_number().over(w).cast("long").alias("rnk"),
     ).withColumn("is_outlier", F.col("rnk") <= flag_per_cluster)
+
+
+# ---------------------------------------------------------------------------
+# SQ8 — per-dimension scalar quantization (the FAISS "SQ8" member of the
+# quantization family, alongside PQ/IVF-PQ in ext/pq_index.py): each
+# normalized vector compresses to one int8 code per dimension against
+# per-dimension [lo, hi] corpus bounds — 8x memory/IO at near-exact
+# recall, and, unlike PQ (whose k-means fit is not an IEEE sequence SQL
+# can replay), the WHOLE pipeline is oracle-expressible: lo/hi are exact
+# MIN/MAX, the code is one deterministic double expression on identical
+# operands, and scores rank under the round-to-9 key like every ANN
+# oracle here.
+# ---------------------------------------------------------------------------
+SQ8_LEVELS = 255
+
+
+def sq8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact-shape top-k cosine serve over SQ8-compressed vectors.
+
+    Scale shape: normalize (map-only) → per-dimension lo/hi (one
+    map-side-combined agg over dim keys; collected rows are O(dim), a
+    bounded driver edge) → encode (map-only against two literal arrays)
+    → score each (query, code) pair by decoding THROUGH the codes only
+    (the compression contract: the raw vector never reaches the scorer)
+    → per-query top-k window. One broadcast of the capped query batch;
+    the corpus is scanned once.
+    """
+    from ..operators.partitioning import checkpoint_for_reuse
+
+    qid_type = queries.schema[id_col].dataType
+    normed = checkpoint_for_reuse(_normalized(corpus, id_col, vec_col))
+    bounds = sorted(
+        (r["i"], r["lo"], r["hi"])
+        for r in normed.select(F.posexplode("nvec").alias("i", "v"))
+        .groupBy("i")
+        .agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+        .collect()
+    )
+    lo_lit = F.array(*[F.lit(float(lo)) for _, lo, _ in bounds])
+    hi_lit = F.array(*[F.lit(float(hi)) for _, _, hi in bounds])
+
+    def _span(i):
+        return F.element_at(hi_lit, i + 1) - F.element_at(lo_lit, i + 1)
+
+    codes = normed.select(
+        F.col("vid").alias("vec_id"),
+        F.transform(
+            "nvec",
+            lambda x, i: F.when(_span(i) > 0,
+                F.round(
+                    (x - F.element_at(lo_lit, i + 1))
+                    * F.lit(float(SQ8_LEVELS))
+                    / _span(i)
+                ).cast("int"),
+            ).otherwise(F.lit(0)).alias("c"),
+        ).alias("codes"),
+    )
+    # decode once per corpus row, map-only — scores see ONLY the codes
+    dvec = F.transform(
+        "codes",
+        lambda c, i: F.element_at(lo_lit, i + 1)
+        + c.cast("double") * _span(i) / F.lit(float(SQ8_LEVELS)),
+    )
+    q = _normalized(queries, id_col, vec_col).select(
+        F.col("vid").alias("qid"), F.col("nvec").alias("qn")
+    )
+    pairs = (
+        repartition_for_compute(codes.withColumn("dvec", dvec))
+        .crossJoin(F.broadcast(q))
+        .filter(~_self_match(qid_type))
+        .select("qid", "vec_id", F.round(dot("qn", "dvec"), 9).alias("score9"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score9"), F.asc("vec_id"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "vec_id", F.round("score9", 6).alias("score"), "rnk")
+    )

@@ -674,3 +674,92 @@ def grouped_holt_jvm(
         F.col("__h")["t"].alias("trend"),
         F.col("__h")["s"].alias("sae"),
     )
+
+
+def grouped_cusum_jvm(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Per-group two-sided CUSUM over the ordered series (round 7) — the
+    sequential change-detection statistic beside :func:`grouped_holt_jvm`
+    (forecast) and the Mann-Kendall trend test:
+
+        S⁺_t = max(0, S⁺_{t-1} + (y_t − μ))
+        S⁻_t = max(0, S⁻_{t-1} + (μ − y_t))
+
+    with μ the group's own mean (sum/count — one double division on
+    exact operands). Tracks the running maxima of both statistics and
+    the FIRST order key at which each peak was reached (strict-greater
+    update, so ties keep the earliest peak).
+
+    Same JVM-fold shape as the Holt/EWMA operators: one shuffle on the
+    key, ``array_sort(collect_list)`` + ``F.aggregate``, no Python
+    crossing; groups must fit a task (bounded for calendar-grain
+    series). Oracle twin: a RECURSIVE CTE replaying the identical IEEE
+    sequence (never list_reduce — the DuckDB struct-lambda quirk;
+    ``test_duckdb_list_reduce_struct_quirk``). All state expressions are
+    deterministic on identical operands, so inline duplication inside
+    the lambda (no lets in higher-order functions) cannot diverge from a
+    compute-once oracle.
+
+    Returns (key, n_points, mu, max_pos, max_neg, peak_pos_at,
+    peak_neg_at) with peak columns carrying the first order_cols[0]
+    value at each running-max peak (NULL when the statistic never rose
+    above 0).
+    """
+    ord0 = order_cols[0]
+    seq = F.array_sort(
+        F.collect_list(F.struct(*order_cols, F.col(value_col).alias("__v")))
+    )
+    grouped = df.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        (
+            F.sum(F.col(value_col).cast("double"))
+            / F.count(F.lit(1)).cast("double")
+        ).alias("__mu"),
+        seq.alias("seq"),
+    )
+
+    def _step(acc, x):
+        y = x["__v"].cast("double")
+        mu = acc["mu"]
+        sp = F.greatest(F.lit(0.0), acc["sp"] + (y - mu))
+        sn = F.greatest(F.lit(0.0), acc["sn"] + (mu - y))
+        return F.struct(
+            mu.alias("mu"),
+            sp.alias("sp"),
+            sn.alias("sn"),
+            F.greatest(acc["mp"], sp).alias("mp"),
+            F.greatest(acc["mn"], sn).alias("mn"),
+            F.when(sp > acc["mp"], x[ord0]).otherwise(acc["dp"]).alias("dp"),
+            F.when(sn > acc["mn"], x[ord0]).otherwise(acc["dn"]).alias("dn"),
+        )
+
+    ord0_type = df.schema[ord0].dataType.simpleString()
+    seed = F.struct(
+        F.col("__mu").alias("mu"),
+        F.lit(0.0).alias("sp"),
+        F.lit(0.0).alias("sn"),
+        F.lit(0.0).alias("mp"),
+        F.lit(0.0).alias("mn"),
+        F.lit(None).cast(ord0_type).alias("dp"),
+        F.lit(None).cast(ord0_type).alias("dn"),
+    )
+    # project the fold ONCE (higher-order aggregates are not CSE'd)
+    folded = grouped.select(
+        key_col,
+        "n_points",
+        "__mu",
+        F.aggregate("seq", seed, _step).alias("__h"),
+    )
+    return folded.select(
+        key_col,
+        "n_points",
+        F.col("__mu").alias("mu"),
+        F.col("__h")["mp"].alias("max_pos"),
+        F.col("__h")["mn"].alias("max_neg"),
+        F.col("__h")["dp"].alias("peak_pos_at"),
+        F.col("__h")["dn"].alias("peak_neg_at"),
+    )

@@ -470,6 +470,54 @@ def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q — SQ8 scalar-quantized top-k (round 7): the int8-per-dimension member
+# of the quantization family (8× compression, near-exact recall). Unlike
+# PQ (k-means fit → rows-only), EVERY stage is SQL-replayable: lo/hi are
+# exact MIN/MAX per dimension, the code is one deterministic double
+# expression on identical operands, scores decode from codes only and
+# rank under the standard round-to-9 key.
+# --------------------------------------------------------------------------
+_SQ8_ORACLE = """
+WITH c AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings),
+norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM c GROUP BY 1),
+nv AS (SELECT c.vec_id, c.i, c.v / n.nrm AS nv FROM c JOIN norms n USING (vec_id)),
+b AS (SELECT i, min(nv) AS lo, max(nv) AS hi FROM nv GROUP BY 1),
+codes AS (
+  SELECT nv.vec_id, nv.i,
+         CASE WHEN b.hi - b.lo > 0
+              THEN CAST(round((nv.nv - b.lo) * 255 / (b.hi - b.lo)) AS INT)
+              ELSE 0 END AS code
+  FROM nv JOIN b USING (i)),
+dec AS (
+  SELECT cd.vec_id, cd.i,
+         b.lo + CAST(cd.code AS DOUBLE) * (b.hi - b.lo) / 255.0 AS dv
+  FROM codes cd JOIN b USING (i)),
+q AS (SELECT vec_id AS qid, i, nv AS qv FROM nv WHERE vec_id < 10),
+dots AS (
+  SELECT q.qid, d.vec_id, round(sum(q.qv * d.dv), 9) AS score9
+  FROM q JOIN dec d ON d.i = q.i AND d.vec_id <> q.qid
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT qid, vec_id, score9,
+         CAST(row_number() OVER (PARTITION BY qid
+                                 ORDER BY score9 DESC, vec_id) AS BIGINT) AS rnk
+  FROM dots)
+SELECT qid, vec_id, round(score9, 6) AS score, rnk
+FROM ranked WHERE rnk <= 5
+"""
+
+
+@register("embedding_sq8_topk", oracle=_SQ8_ORACLE)
+def embedding_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 neighbors served from int8 scalar-quantized vectors."""
+    emb = table(spark, sf_dir, "embeddings")
+    return SIM.sq8_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+# --------------------------------------------------------------------------
 # q31 — embedding near-dup pairs above a cosine threshold.
 # --------------------------------------------------------------------------
 _NEAR_T = 0.4

@@ -723,6 +723,130 @@ def copurchase_bfs_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Inter-order gap statistics per customer (round 7): the interarrival
+# analysis behind churn/repeat-purchase models. Gaps are exact integer
+# days off the (o_orderdate, o_orderkey)-ordered lag (orderkey = unique
+# tie-break → total order); mean is the repo's scaled-integer half-up
+# division ((s·100 + n DIV 2) DIV n, one exact construction both
+# engines); median is the LOWER median picked from the sorted gap array
+# (exact integer — never an averaged even-count median, which would
+# reintroduce float division). One window shuffle + one hash agg.
+# --------------------------------------------------------------------------
+@register(
+    "customer_order_gaps",
+    oracle="""
+    WITH g AS (
+      SELECT o_custkey,
+             date_diff('day',
+                       CAST(lag(o_orderdate) OVER w AS DATE),
+                       CAST(o_orderdate AS DATE)) AS gap
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+    k AS (
+      SELECT o_custkey AS custkey,
+             CAST(count(*) AS BIGINT) AS n_gaps,
+             CAST(min(gap) AS BIGINT) AS min_gap,
+             CAST(max(gap) AS BIGINT) AS max_gap,
+             CAST(sum(gap) AS BIGINT) AS s,
+             list_sort(list(gap)) AS arr
+      FROM g WHERE gap IS NOT NULL GROUP BY 1)
+    SELECT custkey,
+           n_gaps + 1 AS n_orders,
+           n_gaps, min_gap, max_gap,
+           CAST((s * 100 + n_gaps // 2) // n_gaps AS DOUBLE) / 100
+             AS mean_gap,
+           CAST(arr[CAST((n_gaps + 1) // 2 AS INT)] AS BIGINT) AS median_gap
+    FROM k
+    """,
+)
+def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order interarrival stats: count, min/max/mean/lower-
+    median gap in days (customers with a single order have no gap and
+    are excluded by construction)."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    g = (
+        o.withColumn("prev_d", F.lag("o_orderdate").over(w))
+        .withColumn(
+            "gap", F.datediff("o_orderdate", "prev_d").cast("long")
+        )
+        .filter(F.col("gap").isNotNull())
+    )
+    k = g.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.min("gap").alias("min_gap"),
+        F.max("gap").alias("max_gap"),
+        F.sum("gap").alias("s"),
+        F.sort_array(F.collect_list("gap")).alias("arr"),
+    )
+    return k.select(
+        "custkey",
+        (F.col("n_gaps") + 1).alias("n_orders"),
+        "n_gaps",
+        "min_gap",
+        "max_gap",
+        (
+            F.expr("CAST((s * 100 + n_gaps DIV 2) DIV n_gaps AS DOUBLE)")
+            / 100
+        ).alias("mean_gap"),
+        F.element_at(
+            "arr", ((F.col("n_gaps") + 1) / 2).cast("int")
+        ).alias("median_gap"),
+    )
+
+
+# --------------------------------------------------------------------------
+# k-core of the co-purchase graph (round 7): the degeneracy/cohesion
+# primitive beside CC / PageRank / triangles / BFS — iterative peeling
+# until every surviving part has ≥ K co-purchase partners. Rows-only:
+# the per-round degree re-aggregation is not expressible in a DuckDB
+# recursive CTE (no aggregates in the recursive term); correctness is
+# carried by tests/test_graph_kcore.py's peeling-reference property
+# test, and the output threads a structural gate (core_degree < K
+# raises at execution time — Catalyst cannot prune a check living
+# inside the emitted column).
+# --------------------------------------------------------------------------
+_KCORE_K = 3
+
+
+@register("copurchase_kcore")
+def copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts in the 3-core of the support-≥2 co-purchase graph with
+    their in-core degree."""
+    from ..ext.graph import kcore
+    from .mlplans import finite_or_raise
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    items = li.distinct()
+    a = items.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("u", "v")
+    )
+    core = kcore(edges, k=_KCORE_K)
+    # structural gate: every emitted degree must be >= K (the k-core
+    # invariant) — threaded THROUGH the output column
+    gated = core.select(
+        F.col("node").cast("long").alias("part"),
+        F.when(
+            F.col("core_degree") < _KCORE_K,
+            F.raise_error("copurchase_kcore: degree below K in k-core"),
+        )
+        .otherwise(F.col("core_degree"))
+        .cast("long")
+        .alias("core_degree"),
+    )
+    return gated
+
+
+# --------------------------------------------------------------------------
 # Deterministic train/test split: the md5-hash draw every reproducible
 # data pipeline uses — split by md5(id ⊕ salt) mod 100, no RNG, no
 # state, identical on any engine and any partitioning (the same portable
@@ -1448,6 +1572,94 @@ def priority_revenue_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
         portable_round(
             F.col("level") + F.lit(7.0) * F.col("trend"), 6
         ).alias("forecast_7"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q — two-sided CUSUM change detection on daily revenue per priority
+# (round 7): completes the sequential-stats family (Holt = forecast,
+# Mann-Kendall = monotonic trend, CUSUM = level-shift detection). Same
+# day-grain JVM fold shape (operators.temporal.grouped_cusum_jvm); the
+# target mean folds from exact integer cents (integer-valued doubles sum
+# exactly in ANY aggregation order below 2^53, so the unordered SUM is
+# engine-identical); the oracle replays the identical IEEE recurrence as
+# a RECURSIVE CTE (never list_reduce — the DuckDB struct-lambda quirk).
+# --------------------------------------------------------------------------
+def _cusum_oracle() -> str:
+    p6 = lambda e: portable_round_sql(e, 6)
+    y = "CAST(s.cents AS DOUBLE)"
+    sp1 = f"greatest(0.0, {y} - nn.mu)"
+    sn1 = f"greatest(0.0, nn.mu - {y})"
+    spn = f"greatest(0.0, c.sp + ({y} - nn.mu))"
+    snn = f"greatest(0.0, c.sn + (nn.mu - {y}))"
+    return f"""
+    WITH RECURSIVE daily AS (
+      SELECT o_orderpriority AS priority, o_orderdate AS day,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1, 2),
+    seq AS (
+      SELECT priority, day, cents,
+             row_number() OVER (PARTITION BY priority ORDER BY day) AS i
+      FROM daily),
+    nn AS (SELECT priority, CAST(count(*) AS BIGINT) AS n_days,
+                  sum(CAST(cents AS DOUBLE)) / CAST(count(*) AS DOUBLE) AS mu
+           FROM seq GROUP BY 1),
+    cus AS (
+      SELECT s.priority, s.i,
+             {sp1} AS sp, {sn1} AS sn,
+             {sp1} AS mp, {sn1} AS mn,
+             CASE WHEN {sp1} > 0.0 THEN s.day END AS dp,
+             CASE WHEN {sn1} > 0.0 THEN s.day END AS dn
+      FROM seq s JOIN nn USING (priority) WHERE s.i = 1
+      UNION ALL
+      SELECT c.priority, c.i + 1,
+             {spn}, {snn},
+             greatest(c.mp, {spn}), greatest(c.mn, {snn}),
+             CASE WHEN {spn} > c.mp THEN s.day ELSE c.dp END,
+             CASE WHEN {snn} > c.mn THEN s.day ELSE c.dn END
+      FROM cus c
+      JOIN seq s ON s.priority = c.priority AND s.i = c.i + 1
+      JOIN nn ON nn.priority = c.priority)
+    SELECT c.priority AS priority, nn.n_days AS n_days,
+           {p6('nn.mu')} AS mu,
+           {p6('c.mp')} AS max_pos,
+           {p6('c.mn')} AS max_neg,
+           c.dp AS peak_pos_at,
+           c.dn AS peak_neg_at
+    FROM cus c JOIN nn ON nn.priority = c.priority AND c.i = nn.n_days
+    ORDER BY c.priority
+    """
+
+
+@register("priority_revenue_cusum", oracle=_cusum_oracle())
+def priority_revenue_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM of daily revenue cents per priority: running
+    max of the positive/negative cumulative deviations from the
+    priority's own mean, with the first peak day of each side."""
+    from ..operators.temporal import grouped_cusum_jvm
+
+    daily = (
+        table(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_orderdate").alias("day"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    c = grouped_cusum_jvm(daily, "priority", ["day"], "cents")
+    return c.select(
+        "priority",
+        F.col("n_points").cast("long").alias("n_days"),
+        portable_round("mu", 6).alias("mu"),
+        portable_round("max_pos", 6).alias("max_pos"),
+        portable_round("max_neg", 6).alias("max_neg"),
+        "peak_pos_at",
+        "peak_neg_at",
     )
 
 

@@ -1015,3 +1015,40 @@ def test_grouped_holt_jvm_single_point_group_mae_guard(spark):
     )
     assert lone["mae"] is None  # guarded: NULL, not NaN
     assert rows["pair"]["mae"] == abs(20.0 - 10.0)  # one step, |y_1 - f_1|
+
+
+def test_grouped_cusum_jvm_matches_python_reference(spark):
+    """The JVM CUSUM fold replays the textbook two-sided recurrence
+    bit-for-bit, tracks first-peak order keys (strict-greater update),
+    and a flat series yields zero maxima with NULL peak keys."""
+    from big_data_occupancy_detection_spark.operators.temporal import (
+        grouped_cusum_jvm,
+    )
+
+    ys = [100.0, 120.0, 90.0, 130.0, 150.0, 110.0, 95.0, 150.0]
+    rows = [("g", i, y) for i, y in enumerate(ys)]
+    rows += [("flat", i, 50.0) for i in range(4)]
+    df = spark.createDataFrame(rows, "g string, day int, v double")
+    got = {
+        r["g"]: r for r in grouped_cusum_jvm(df, "g", ["day"], "v").collect()
+    }
+
+    mu = sum(ys) / len(ys)
+    sp = sn = mp = mn = 0.0
+    dp = dn = None
+    for i, y in enumerate(ys):
+        sp = max(0.0, sp + (y - mu))
+        sn = max(0.0, sn + (mu - y))
+        if sp > mp:
+            mp, dp = sp, i
+        if sn > mn:
+            mn, dn = sn, i
+    g = got["g"]
+    assert g["n_points"] == len(ys)
+    assert g["mu"] == mu
+    assert g["max_pos"] == mp and g["peak_pos_at"] == dp
+    assert g["max_neg"] == mn and g["peak_neg_at"] == dn
+
+    f = got["flat"]
+    assert (f["max_pos"], f["max_neg"]) == (0.0, 0.0)
+    assert f["peak_pos_at"] is None and f["peak_neg_at"] is None

