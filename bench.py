@@ -119,6 +119,8 @@ HEADLINE = [
     "priority_revenue_cusum",  # two-sided CUSUM level-shift detection (r7)
     "customer_order_gaps",     # interarrival stats, exact-integer median (r7)
     "copurchase_kcore",        # iterative k-core peeling, rows-only (r7)
+    "priority_dow_seasonality",  # dow seasonal index, exact int ratio (r7)
+    "nation_spend_gini",       # Gini concentration, exact rank-weighted sums (r7)
 ]
 
 

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.partitioning import checkpoint_for_reuse
 from ..sources.readers import table
 from ..functions.rounding import portable_round, portable_round_sql
 from .registry import register
@@ -719,6 +720,153 @@ def copurchase_bfs_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_parts"),
         F.min("node").cast("long").alias("min_part"),
         F.max("node").cast("long").alias("max_part"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Day-of-week seasonality index per priority (round 7): the seasonal
+# decomposition companion to the Holt/CUSUM/Mann-Kendall family. Index =
+# mean(dow daily revenue) / mean(all daily revenue) computed as ONE
+# double division of exact integer products — (s_d·n) / (n_d·s) with s
+# in cents — so no intermediate float mean can diverge between engines
+# (products bounded ≪ 2^63 at any realistic revenue). Mon=1 remap kept
+# (the reference's eda_analysis.py:104-107 convention ⇔ SQL isodow).
+# --------------------------------------------------------------------------
+@register(
+    "priority_dow_seasonality",
+    oracle=f"""
+    WITH daily AS (
+      SELECT o_orderpriority AS priority, o_orderdate AS day,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1, 2),
+    d AS (
+      SELECT priority, CAST(isodow(day) AS INTEGER) AS dow,
+             CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(cents) AS BIGINT) AS s_d
+      FROM daily GROUP BY 1, 2),
+    t AS (
+      SELECT priority, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS s
+      FROM daily GROUP BY 1)
+    SELECT d.priority, d.dow, d.n_days,
+           {portable_round_sql('CAST(d.s_d * t.n AS DOUBLE) / CAST(d.n_days * t.s AS DOUBLE)', 6)}
+             AS seasonal_index
+    FROM d JOIN t USING (priority)
+    """,
+)
+def priority_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(priority, Mon=1 day-of-week) seasonal index of daily
+    revenue: mean dow-day revenue over mean all-day revenue, one exact
+    integer-product ratio."""
+    from ..functions.datetime_fns import dow_monday
+
+    daily = (
+        table(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_orderdate").alias("day"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    daily = checkpoint_for_reuse(daily)  # feeds the dow agg AND the total
+    d = daily.groupBy(
+        "priority", dow_monday("day").cast("int").alias("dow")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("cents").alias("s_d"),
+    )
+    t = daily.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").alias("s"),
+    )
+    return d.join(F.broadcast(t), "priority").select(
+        "priority",
+        "dow",
+        "n_days",
+        portable_round(
+            (F.col("s_d") * F.col("n")).cast("double")
+            / (F.col("n_days") * F.col("s")).cast("double"),
+            6,
+        ).alias("seasonal_index"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Gini coefficient of customer spend per nation (round 7): the
+# inequality/concentration metric beside the Pareto-frontier and ABC
+# queries. G = (2·Σ r_i·x_i) / (n·Σx) − (n+1)/n over spend sorted
+# ascending with rank r — every sum an exact integer (cents · rank), so
+# the only floats are two divisions of exact operands. Ranks come from a
+# per-nation window ((spend, custkey) total order); nations are bounded,
+# and per-nation customer counts shard naturally under the window
+# shuffle.
+# --------------------------------------------------------------------------
+@register(
+    "nation_spend_gini",
+    oracle=f"""
+    WITH spend AS (
+      SELECT c.c_nationkey AS nationkey, o.o_custkey,
+             CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT nationkey, cents,
+             CAST(row_number() OVER (PARTITION BY nationkey
+                                     ORDER BY cents, o_custkey) AS BIGINT) AS r
+      FROM spend),
+    agg AS (
+      SELECT nationkey,
+             CAST(count(*) AS BIGINT) AS n_customers,
+             CAST(sum(cents) AS BIGINT) AS total_cents,
+             CAST(sum(r * cents) AS BIGINT) AS rw
+      FROM ranked GROUP BY 1)
+    SELECT nationkey, n_customers,
+           CAST(total_cents AS DOUBLE) / 100 AS total_spend,
+           {portable_round_sql(
+               'CAST(2 * rw AS DOUBLE) / CAST(n_customers * total_cents AS DOUBLE)'
+               ' - CAST(n_customers + 1 AS DOUBLE) / CAST(n_customers AS DOUBLE)', 6)}
+             AS gini
+    FROM agg
+    """,
+)
+def nation_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation Gini coefficient of customer spend (exact integer
+    rank-weighted sums; two final divisions)."""
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    spend = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nationkey"), "o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    w = Window.partitionBy("nationkey").orderBy("cents", "o_custkey")
+    ranked = spend.withColumn("r", F.row_number().over(w).cast("long"))
+    agg = ranked.groupBy("nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("cents").alias("total_cents"),
+        F.sum(F.col("r") * F.col("cents")).alias("rw"),
+    )
+    return agg.select(
+        "nationkey",
+        "n_customers",
+        (F.col("total_cents").cast("double") / 100).alias("total_spend"),
+        portable_round(
+            (2 * F.col("rw")).cast("double")
+            / (F.col("n_customers") * F.col("total_cents")).cast("double")
+            - (F.col("n_customers") + 1).cast("double")
+            / F.col("n_customers").cast("double"),
+            6,
+        ).alias("gini"),
     )
 
 
