@@ -52,6 +52,12 @@ OPS = [
     "recsys_training_examples",
     "priority_revenue_holt",
     "priority_revenue_trend_test",
+    # round 7
+    "priority_revenue_cusum",
+    "priority_dow_seasonality",
+    "nation_spend_gini",
+    "customer_order_gaps",
+    "copurchase_kcore",
 ]
 
 
