@@ -476,7 +476,14 @@ class KmvAccumulator:
     def merge_batch(
         self, batch_df: DataFrame, key_col: str, group_col: str
     ) -> None:
-        sk, _ = kmv_sketch(batch_df, key_col, group_col, k=self.k)
+        sk, counts = kmv_sketch(batch_df, key_col, group_col, k=self.k)
+        # batch-level truncation happens INSIDE kmv_sketch (a group with
+        # >k distincts arrives already trimmed to k rows), so the merged
+        # length below can never reveal it — the counts frame's exact
+        # per-group n_distinct does (round-7 review)
+        for r in counts.collect():
+            if r["n_distinct"] > self.k:
+                self.truncated.add(r["g"])
         touched: set[object] = set()
         for r in sk.collect():
             cur = self.state.setdefault(r["g"], [])

@@ -192,9 +192,10 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Concat-and-chunk sequence packing at a 256-token budget.
 # --------------------------------------------------------------------------
 
+from .textops import _TOKS_NN_CTE  # noqa: E402  (r7 shared null-text CTE)
+
 _PACK_ORACLE = f"""
-WITH toks AS (SELECT doc_id, {TOKENS_SQL} AS t FROM documents
-              WHERE text IS NOT NULL),
+WITH {_TOKS_NN_CTE},
 t2 AS (SELECT doc_id, len(t) AS n_tok FROM toks),
 c AS (SELECT doc_id, n_tok,
              sum(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum

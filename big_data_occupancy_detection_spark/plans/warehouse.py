@@ -964,7 +964,6 @@ def copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parts in the 3-core of the support-≥2 co-purchase graph with
     their in-core degree."""
     from ..ext.graph import kcore
-    from .mlplans import finite_or_raise
 
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     items = li.distinct()

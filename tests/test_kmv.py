@@ -192,6 +192,13 @@ def test_kmv_accumulator_merge_touches_only_batch_groups(spark):
     assert acc.state["A"] == a_before
     assert id(acc.state["A"]) == a_id  # untouched, not rebuilt
     assert acc.estimate("B") == 3.0
+    # A had 20 distincts in ONE batch at k=8: kmv_sketch trims it to k
+    # rows BEFORE merge_batch sees it, so truncation must come from the
+    # counts frame (round-7 review) — estimate uses the estimator, never
+    # a claimed-exact 8.0
+    assert "A" in acc.truncated
+    est = acc.estimate("A")
+    assert est != 8.0 and abs(est - 20) / 20 < 0.8
 
 
 from hypothesis import HealthCheck, given, settings

@@ -75,8 +75,10 @@ def generate(
     seed: int, out: str, ts_flavor: str, null_rate: float = 0.01
 ) -> None:
     """``null_rate`` is the round-7 null-density fuzz axis (r6 verdict
-    "Next round #8"): at the default 0.01 the data is byte-compatible
-    with earlier rounds (1% nulls in events.value/props only); at a
+    "Next round #8"): at the default 0.01 the data keeps the earlier
+    rounds' SHAPE (1% nulls in events.value/props only, no new null
+    columns — though not byte-identical to pre-r7 outputs at the same
+    seed: the extra rng draws shift the stream); at a
     HIGH rate (e.g. 0.25) events.value/props go to that rate AND the
     never-before-null columns get 5% nulls too — events.ts,
     events.user_id, documents.text (+ its n_chars) — so every
