@@ -1304,7 +1304,8 @@ _CUSUM_H = 200.0
     "user_value_cusum",
     oracle=f"""
     WITH vals AS (
-      SELECT user_id, ts, event_id, value FROM events WHERE value IS NOT NULL)
+      SELECT user_id, ts, event_id, value FROM events
+      WHERE value IS NOT NULL AND ts IS NOT NULL)
     SELECT user_id,
            CAST(count(*) AS BIGINT) AS n_events,
            {PR6(f'''list_reduce(
@@ -1321,9 +1322,12 @@ _CUSUM_H = 200.0
 def user_value_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Final one-sided CUSUM statistic per user (K=50 reference, H=200
     decision threshold)."""
+    # null-ts rows have no position in the order-dependent fold and the
+    # engines sort them to opposite ends (r7 null fuzz, seed 4 @ 25%
+    # nulls) — excluded identically on both sides, like the EWMA twins
     ev = (
         table(spark, sf_dir, "events")
-        .filter(F.col("value").isNotNull())
+        .filter(F.col("value").isNotNull() & F.col("ts").isNotNull())
         .select("user_id", "ts", "event_id", "value")
     )
     seq = F.array_sort(
