@@ -763,3 +763,83 @@ def grouped_cusum_jvm(
         F.col("__h")["dp"].alias("peak_pos_at"),
         F.col("__h")["dn"].alias("peak_neg_at"),
     )
+
+
+class CusumAccumulator:
+    """Streaming one-sided CUSUM state per key (round 7): the drift
+    monitor twin of the batch ``user_value_cusum`` fold, and a NEW
+    accumulator class beside the mergeable CMS/Bloom/KMV sketches —
+    CUSUM's ``max(0, ·)`` clamp is NOT mergeable, but any left fold
+    composes over ordered concatenation (``fold(fold(s0, b1), b2) ==
+    fold(s0, b1 ++ b2)``), so sequential per-batch application equals
+    the one-shot batch fold EXACTLY (bit-identical doubles;
+    test-asserted) under the append-only ingest contract: batches
+    arrive in event-time order across batches, rows sort by
+    ``order_cols`` within a batch.
+
+    Scale/bounded-state contract (same as the sketch accumulators): the
+    fold itself runs distributed — per-key batch sequences fold in the
+    JVM seeded by the broadcast prior state — and only one (key, value,
+    n) row per key TOUCHED BY THE BATCH reaches the driver.
+    """
+
+    def __init__(self, k: float):
+        self.k = float(k)
+        self.state: dict[object, float] = {}
+        self.counts: dict[object, int] = {}
+
+    def merge_batch(
+        self,
+        batch_df: DataFrame,
+        key_col: str,
+        order_cols: list[str],
+        value_col: str,
+    ) -> None:
+        spark = batch_df.sparkSession
+        clean = batch_df.filter(
+            F.col(value_col).isNotNull() & F.col(order_cols[0]).isNotNull()
+        )
+        seq = F.array_sort(
+            F.collect_list(
+                F.struct(*order_cols, F.col(value_col).alias("__v"))
+            )
+        )
+        grouped = clean.groupBy(F.col(key_col).alias("__key")).agg(
+            F.count(F.lit(1)).alias("__n"), seq.alias("__seq")
+        )
+        if self.state:
+            key_type = dict(grouped.dtypes)["__key"]
+            seeds = spark.createDataFrame(
+                list(self.state.items()), f"__key {key_type}, __s0 double"
+            )
+            grouped = grouped.join(F.broadcast(seeds), "__key", "left")
+        else:
+            grouped = grouped.withColumn("__s0", F.lit(None).cast("double"))
+        fold = F.aggregate(
+            "__seq",
+            F.coalesce(F.col("__s0"), F.lit(0.0)),
+            lambda acc, x: F.greatest(
+                F.lit(0.0), acc + x["__v"] - F.lit(self.k)
+            ),
+        )
+        for r in grouped.select("__key", "__n", fold.alias("__c")).collect():
+            self.state[r["__key"]] = r["__c"]
+            self.counts[r["__key"]] = self.counts.get(r["__key"], 0) + r["__n"]
+
+    def foreach_batch(
+        self, key_col: str, order_cols: list[str], value_col: str
+    ):
+        """A ``foreachBatch`` function maintaining this accumulator."""
+
+        def fn(batch_df: DataFrame, batch_id: int) -> None:
+            self.merge_batch(batch_df, key_col, order_cols, value_col)
+
+        return fn
+
+    def value(self, key) -> float:
+        """Current CUSUM statistic for ``key`` (0.0 if never seen)."""
+        return self.state.get(key, 0.0)
+
+    def drifted(self, key, h: float) -> bool:
+        """Decision at threshold ``h``."""
+        return self.value(key) > float(h)

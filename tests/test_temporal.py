@@ -5,6 +5,7 @@ from __future__ import annotations
 import datetime as dt
 
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from big_data_occupancy_detection_spark.operators.temporal import (
     asof_join,
@@ -301,3 +302,49 @@ def test_asof_registry_queries_not_vacuous(spark):
     assert nn > 0 and n - nn > 0, (n, nn)  # matches AND out-of-tolerance nulls
     n, nn = counts("user_features_point_in_time", "n_events_before")
     assert n > 0 and nn > 0, (n, nn)
+
+
+def test_cusum_accumulator_equals_one_shot_fold(spark):
+    """Streaming CUSUM twin (round 7): sequential per-batch application
+    over time-ordered batches is BIT-IDENTICAL to the one-shot fold —
+    left folds compose over ordered concatenation even though max(0,·)
+    is not mergeable. Null ts/value rows are excluded like the batch
+    query; unseen keys read 0.0."""
+    from big_data_occupancy_detection_spark.operators.temporal import (
+        CusumAccumulator,
+    )
+
+    K = 50.0
+    rows = []
+    vals = {}
+    for i in range(90):
+        u = i % 3
+        v = float((i * 37) % 113)
+        rows.append((u, i, v))
+        vals.setdefault(u, []).append(v)
+    # a null value and a null order key must be ignored
+    rows.append((1, None, 999.0))
+    rows.append((2, 91, None))
+
+    df = spark.createDataFrame(rows, "user_id long, ts long, value double")
+    acc = CusumAccumulator(k=K)
+    # three time-ordered batches (append-only ingest contract)
+    for lo, hi in ((0, 30), (30, 60), (60, 95)):
+        acc.merge_batch(
+            df.filter(
+                (F.col("ts") >= lo) & (F.col("ts") < hi)
+                | F.col("ts").isNull()
+            ),
+            "user_id",
+            ["ts"],
+            "value",
+        )
+
+    for u, ys in vals.items():
+        s = 0.0
+        for y in ys:
+            s = max(0.0, s + y - K)
+        assert acc.value(u) == s, u  # bit-identical, not approx
+        assert acc.counts[u] == len(ys)
+        assert acc.drifted(u, h=0.0) == (s > 0.0)
+    assert acc.value("never-seen") == 0.0 and not acc.drifted("never-seen", 5)
