@@ -116,6 +116,7 @@ HEADLINE = [
     "priority_revenue_trend_test",  # Mann-Kendall exact-integer trend test (r6)
     "embedding_ivfpq_residual_topk",  # residual IVF-PQ serve (r7; build cached)
     "embedding_sq8_topk",      # int8 scalar-quantized serve, oracle-paired (r7)
+    "embedding_sq8_index_topk",  # persisted SQ8 serve + exact rerank (r7)
     "priority_revenue_cusum",  # two-sided CUSUM level-shift detection (r7)
     "customer_order_gaps",     # interarrival stats, exact-integer median (r7)
     "copurchase_kcore",        # iterative k-core peeling, rows-only (r7)

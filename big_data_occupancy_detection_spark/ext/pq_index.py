@@ -622,3 +622,148 @@ def append_to_pq_index(
         .write.mode("append")
         .parquet(f"{path}/vectors")
     )
+
+
+# ---------------------------------------------------------------------------
+# SQ8 persisted index (round 7): the scalar-quantization member of the
+# index family beside PQ / IVF-PQ / residual IVF-PQ. Layout:
+#   bounds/   (i, lo, hi) — one row per dimension (exact per-dim MIN/MAX
+#             of the normalized corpus; doubles round-trip parquet
+#             exactly, so serve decodes match the build fit bit-for-bit)
+#   codes/    (vec_id, codes array<int>) — one int8-valued code per dim,
+#             8x smaller than the raw vectors the ADC pass never reads
+#   vectors/  range-sorted unit vectors for the exact re-rank (the same
+#             pushed-IN-filter row-group pruning as the PQ serve)
+# Unlike PQ (k-means fit → rows-only), the WHOLE build+serve pipeline is
+# SQL-replayable, so the registry entry is oracle-paired end-to-end.
+# ---------------------------------------------------------------------------
+SQ8_LEVELS = 255
+
+
+def build_sq8_index(
+    emb: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Normalize → per-dimension [lo, hi] → int8 codes → three-dataset
+    layout. One corpus pass per dataset; the bounds aggregation is
+    map-side-combined over dim keys (collected rows are O(dim))."""
+    spark = emb.sparkSession
+    normed = _normalized_long_ids(emb, id_col, vec_col).localCheckpoint(
+        eager=True
+    )
+    bounds = sorted(
+        (int(r["i"]), float(r["lo"]), float(r["hi"]))
+        for r in normed.select(F.posexplode("nvec").alias("i", "v"))
+        .groupBy("i")
+        .agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+        .collect()
+    )
+    spark.createDataFrame(
+        bounds, schema="i int, lo double, hi double"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/bounds")
+    lo_lit = F.array(*[F.lit(lo) for _, lo, _ in bounds])
+    hi_lit = F.array(*[F.lit(hi) for _, _, hi in bounds])
+    (
+        normed.select(
+            F.col("vid").alias("vec_id"),
+            F.transform(
+                "nvec",
+                lambda x, i: F.when(
+                    F.element_at(hi_lit, i + 1) - F.element_at(lo_lit, i + 1)
+                    > 0,
+                    F.round(
+                        (x - F.element_at(lo_lit, i + 1))
+                        * F.lit(float(SQ8_LEVELS))
+                        / (
+                            F.element_at(hi_lit, i + 1)
+                            - F.element_at(lo_lit, i + 1)
+                        )
+                    ).cast("int"),
+                )
+                .otherwise(F.lit(0)),
+            ).alias("codes"),
+        )
+        .write.mode("overwrite")
+        .parquet(f"{path}/codes")
+    )
+    _write_vectors(normed, path)
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(
+            {
+                "kind": "sq8",
+                "dim": len(bounds),
+                "levels": SQ8_LEVELS,
+            },
+            f,
+        )
+
+
+def sq8_topk_from_index(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    shortlist: int = PQ_SHORTLIST,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Serve: ADC over the 8x-compressed codes (decode through persisted
+    bounds only — the raw vectors are never read in the scoring scan),
+    per-query shortlist, exact re-rank from the range-sorted vectors
+    with the collected candidate ids pushed into the scan (same shape
+    as ``pq_topk_from_index``)."""
+    from .similarity import _self_match
+
+    bounds = sorted(
+        (int(r["i"]), float(r["lo"]), float(r["hi"]))
+        for r in spark.read.parquet(f"{path}/bounds").collect()
+    )
+    lo_lit = F.array(*[F.lit(lo) for _, lo, _ in bounds])
+    hi_lit = F.array(*[F.lit(hi) for _, _, hi in bounds])
+    qid_type = queries.schema[id_col].dataType
+    qn = _capped_qn(queries, id_col, vec_col)
+    dvec = F.transform(
+        "codes",
+        lambda c, i: F.element_at(lo_lit, i + 1)
+        + c.cast("double")
+        * (F.element_at(hi_lit, i + 1) - F.element_at(lo_lit, i + 1))
+        / F.lit(float(SQ8_LEVELS)),
+    )
+    codes = spark.read.parquet(f"{path}/codes").withColumn("dvec", dvec)
+    pairs = (
+        codes.crossJoin(F.broadcast(qn))
+        .filter(~_self_match(qid_type))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(
+                F.aggregate(
+                    F.zip_with("qnv", "dvec", lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ),
+                9,
+            ).alias("score9"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score9"), F.asc("vec_id"))
+    short = (
+        pairs.withColumn("srnk", F.row_number().over(w))
+        .filter(F.col("srnk") <= shortlist)
+        .select("qid", "vec_id")
+    )
+    short_df = short.localCheckpoint(eager=True)
+    ids = sorted(
+        r["vec_id"] for r in short_df.select("vec_id").distinct().collect()
+    )
+    vectors = spark.read.parquet(f"{path}/vectors")
+    if len(ids) <= _MAX_IN_FILTER_IDS:
+        vectors = vectors.filter(F.col("vec_id").isin(ids))
+    else:
+        vectors = vectors.join(
+            F.broadcast(short_df.select("vec_id").distinct()), "vec_id"
+        )
+    cvec = vectors.select("vec_id", F.col("nvec").alias("cn"))
+    return _pq_rerank(short_df, qn, cvec, k)

@@ -518,6 +518,118 @@ def embedding_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q — persisted SQ8 index serve (round 7): ADC over the 8×-compressed
+# code table + per-query shortlist + EXACT re-rank from the range-sorted
+# vectors (pushed-IN-filter pruning — the pq_topk_from_index serve
+# shape). The only index-family serve that is oracle-paired END-TO-END:
+# the oracle replays fit → encode → decode → shortlist → exact-cosine
+# re-rank entirely in SQL (PQ's k-means fit can't be).
+# --------------------------------------------------------------------------
+_SQ8_IDX_SHORTLIST = 50
+
+_SQ8_INDEX_ORACLE = f"""
+WITH c AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings),
+norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM c GROUP BY 1),
+nv AS (SELECT c.vec_id, c.i, c.v / n.nrm AS nv FROM c JOIN norms n USING (vec_id)),
+b AS (SELECT i, min(nv) AS lo, max(nv) AS hi FROM nv GROUP BY 1),
+codes AS (
+  SELECT nv.vec_id, nv.i,
+         CASE WHEN b.hi - b.lo > 0
+              THEN CAST(round((nv.nv - b.lo) * 255 / (b.hi - b.lo)) AS INT)
+              ELSE 0 END AS code
+  FROM nv JOIN b USING (i)),
+dec AS (
+  SELECT cd.vec_id, cd.i,
+         b.lo + CAST(cd.code AS DOUBLE) * (b.hi - b.lo) / 255.0 AS dv
+  FROM codes cd JOIN b USING (i)),
+q AS (SELECT vec_id AS qid, i, nv AS qv FROM nv WHERE vec_id < 10),
+dots AS (
+  SELECT q.qid, d.vec_id, round(sum(q.qv * d.dv), 9) AS score9
+  FROM q JOIN dec d ON d.i = q.i AND d.vec_id <> q.qid
+  GROUP BY 1, 2),
+short AS (
+  SELECT qid, vec_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score9 DESC, vec_id) AS srnk
+  FROM dots),
+cand AS (SELECT qid, vec_id FROM short WHERE srnk <= {_SQ8_IDX_SHORTLIST}),
+ex AS (
+  SELECT ca.qid, ca.vec_id, round(sum(q.qv * n2.nv), 9) AS cos9
+  FROM cand ca
+  JOIN q ON q.qid = ca.qid
+  JOIN nv n2 ON n2.vec_id = ca.vec_id AND n2.i = q.i
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT qid, vec_id, cos9,
+         CAST(row_number() OVER (PARTITION BY qid
+                                 ORDER BY cos9 DESC, vec_id) AS BIGINT) AS rnk
+  FROM ex)
+SELECT qid, vec_id, round(cos9, 6) AS score, rnk
+FROM ranked WHERE rnk <= 5
+"""
+
+
+def _sq8_index_for(spark: SparkSession, sf_dir: str) -> str:
+    """Content-addressed persisted SQ8 index (the `_ivfpq_res_index_for`
+    build-once pattern: digest over the source parquet stats, staging
+    dir + atomic rename publish)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..ext import pq_index as PQX
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    parts = [os.path.abspath(src), "sq8"]
+    paths = (
+        sorted(
+            os.path.join(r, f)
+            for r, _, fs in os.walk(src)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+        if os.path.isdir(src)
+        else [src]
+    )
+    for p in paths:
+        st = os.stat(p)
+        parts.append(f"{p}:{st.st_size}:{st.st_mtime_ns}")
+    digest = hashlib.sha1("|".join(parts).encode()).hexdigest()[:16]
+    root = os.path.join(tempfile.gettempdir(), "bdo_sq8_index")
+    path = os.path.join(root, digest)
+    if not os.path.exists(os.path.join(path, "meta.json")):
+        os.makedirs(root, exist_ok=True)
+        staging = tempfile.mkdtemp(prefix=f".{digest}-", dir=root)
+        PQX.build_sq8_index(table(spark, sf_dir, "embeddings"), staging)
+        try:
+            os.rename(staging, path)  # atomic publish; loser cleans up
+        except OSError:
+            shutil.rmtree(staging, ignore_errors=True)
+    return path
+
+
+@register("embedding_sq8_index_topk", oracle=_SQ8_INDEX_ORACLE)
+def embedding_sq8_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 served from the PERSISTED SQ8 index (ADC shortlist 50 +
+    exact re-rank) — fully oracle-paired."""
+    from ..ext import pq_index as PQX
+
+    emb = table(spark, sf_dir, "embeddings")
+    path = _sq8_index_for(spark, sf_dir)
+    return PQX.sq8_topk_from_index(
+        spark,
+        path,
+        emb.filter(F.col("vec_id") < 10),
+        k=5,
+        shortlist=_SQ8_IDX_SHORTLIST,
+    )
+
+
+# --------------------------------------------------------------------------
 # q31 — embedding near-dup pairs above a cosine threshold.
 # --------------------------------------------------------------------------
 _NEAR_T = 0.4

@@ -445,3 +445,49 @@ def test_ivfpq_residual_recall_at_tight_shortlist(spark, emb, tmp_path):
     r100 = _recall(res_path, 100)
     assert r100 >= _recall(plain_path, 100) - 0.05
     assert r100 >= 0.6, r100
+
+
+def test_sq8_index_roundtrip_and_rerank_recall(spark, emb, tmp_path):
+    """Persisted SQ8 index (round 7): the serve path (ADC over codes →
+    shortlist → exact re-rank) must return near-perfect neighbors — the
+    int8 quantizer only has to keep the true top-5 inside the 50-wide
+    shortlist — and the bounds/codes/vectors layout must round-trip
+    (codes in 0..255, one per dimension, every corpus id present)."""
+    import json as _json
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from big_data_occupancy_detection_spark.ext import similarity as sim
+
+    path = str(tmp_path / "sq8_idx")
+    pqx.build_sq8_index(emb, path)
+    meta = _json.load(open(_os.path.join(path, "meta.json")))
+    assert meta["kind"] == "sq8" and meta["levels"] == 255
+
+    codes = spark.read.parquet(f"{path}/codes")
+    n = emb.count()
+    assert codes.count() == n
+    bad = codes.select(
+        F.exists(
+            "codes", lambda c: c.isNull() | (c < 0) | (c > 255)
+        ).alias("bad")
+    ).filter("bad").count()
+    assert bad == 0
+    dim = _json.load(open(_os.path.join(path, "meta.json")))["dim"]
+    assert codes.select(F.size("codes").alias("s")).filter(
+        F.col("s") != dim
+    ).count() == 0
+
+    queries = emb.filter("vec_id < 12")
+    truth = {
+        (r["qid"], r["vec_id"])
+        for r in sim.brute_force_topk(emb, queries, k=5).collect()
+    }
+    got = pqx.sq8_topk_from_index(
+        spark, path, queries, k=5, shortlist=50
+    ).collect()
+    assert len(got) == 5 * queries.count()
+    assert all(r["qid"] != r["vec_id"] for r in got)
+    hits = len({(r["qid"], r["vec_id"]) for r in got} & truth)
+    assert hits / len(truth) >= 0.95, hits / len(truth)
