@@ -122,6 +122,7 @@ HEADLINE = [
     "copurchase_kcore",        # iterative k-core peeling, rows-only (r7)
     "priority_dow_seasonality",  # dow seasonal index, exact int ratio (r7)
     "nation_spend_gini",       # Gini concentration, exact rank-weighted sums (r7)
+    "priority_revenue_acf",    # lag-1..7 autocorrelation, exact moments (r7)
 ]
 
 

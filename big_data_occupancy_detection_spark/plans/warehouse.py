@@ -1811,6 +1811,124 @@ def priority_revenue_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q — autocorrelation function of daily revenue per priority at lags
+# 1..7 (round 7): the serial-dependence diagnostic completing the
+# sequential-stats family (Holt forecast / Mann-Kendall trend / CUSUM
+# shift / dow seasonality / ACF). Pearson r over the lag-L day pairs
+# from EXACT integer moments (the user_value_trend DECIMAL(38)/HUGEINT
+# pattern — float regr_*-style accumulations cancel catastrophically
+# and diverge per engine): the five sufficient statistics sum exactly,
+# the closed form is then a fixed IEEE sequence on identical integers.
+# sqrt is IEEE-correctly-rounded (unlike ln/log10), so identical dens →
+# identical doubles. Day-grain self-join: |days| × 7 rows per priority,
+# calendar-bounded — the same scale knob as Holt/Mann-Kendall.
+# --------------------------------------------------------------------------
+def _acf_oracle() -> str:
+    p6 = lambda e: portable_round_sql(e, 6)
+    return f"""
+    WITH daily AS (
+      SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS day,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1, 2),
+    lags AS (SELECT unnest(generate_series(1, 7)) AS lag),
+    pairs AS (
+      SELECT a.priority, l.lag,
+             a.cents AS x, b.cents AS y
+      FROM daily a
+      CROSS JOIN lags l
+      JOIN daily b ON b.priority = a.priority
+                  AND b.day = a.day + l.lag * INTERVAL 1 DAY),
+    s AS (
+      SELECT priority, lag,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+             CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+             CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+             CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+             CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+      FROM pairs GROUP BY 1, 2),
+    d AS (
+      SELECT priority, lag, n,
+             CAST(n * sxy - sx * sy AS DOUBLE) AS num,
+             CAST(n * sxx - sx * sx AS DOUBLE) AS dx,
+             CAST(n * syy - sy * sy AS DOUBLE) AS dy
+      FROM s)
+    SELECT priority, CAST(lag AS INTEGER) AS lag, n AS n_pairs,
+           CASE WHEN dx > 0 AND dy > 0
+                THEN {p6('num / sqrt(dx * dy)')} END AS acf
+    FROM d
+    """
+
+
+@register("priority_revenue_acf", oracle=_acf_oracle())
+def priority_revenue_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1..7 autocorrelation of daily revenue cents per priority
+    (exact integer moments; NULL when either variance is zero)."""
+    daily = checkpoint_for_reuse(
+        table(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.to_date("o_orderdate").alias("day"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    lags = spark.range(1, 8).select(F.col("id").cast("int").alias("lag"))
+    a = daily.select(
+        "priority", "day", F.col("cents").alias("x")
+    ).crossJoin(F.broadcast(lags))
+    b = daily.select(
+        F.col("priority").alias("bp"),
+        F.col("day").alias("bday"),
+        F.col("cents").alias("y"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("bp") == F.col("priority"))
+        & (F.col("bday") == F.expr("date_add(day, lag)")),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
+    s = pairs.groupBy("priority", "lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dec("x")).alias("sx"),
+        F.sum(dec("y")).alias("sy"),
+        F.sum(dec("x") * F.col("x")).alias("sxx"),
+        F.sum(dec("y") * F.col("y")).alias("syy"),
+        F.sum(dec("x") * F.col("y")).alias("sxy"),
+    )
+    d = s.select(
+        "priority",
+        "lag",
+        F.col("n").alias("n_pairs"),
+        (dec("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .cast("double")
+        .alias("num"),
+        (dec("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast("double")
+        .alias("dx"),
+        (dec("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+        .cast("double")
+        .alias("dy"),
+    )
+    ok = (F.col("dx") > 0) & (F.col("dy") > 0)
+    return d.select(
+        "priority",
+        "lag",
+        "n_pairs",
+        F.when(
+            ok,
+            portable_round(
+                F.col("num") / F.sqrt(F.col("dx") * F.col("dy")), 6
+            ),
+        ).alias("acf"),
+    )
+
+
+# --------------------------------------------------------------------------
 # q — Mann-Kendall trend test on daily revenue per priority: the
 # nonparametric is-there-a-monotonic-trend statistic, built ENTIRELY from
 # exact integers (S = Σ_{i<j} sign(c_j − c_i) over day-ordered cents; the
