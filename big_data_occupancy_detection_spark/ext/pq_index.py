@@ -393,12 +393,22 @@ def _serve_codes(
         .filter(F.col("srnk") <= shortlist)
         .select("qid", "vec_id")
     )
-    # the shortlist is bounded (|queries| x shortlist rows) but still the
-    # largest driver-adjacent set: materialize it EXECUTOR-side once
-    # (eager localCheckpoint — the ADC job runs exactly once and both
-    # consumers below reuse the blocks) and collect only the DISTINCT
-    # candidate ids (corpus-bounded, typically far smaller) to push INTO
-    # the vectors scan as a parquet filter
+    return _rerank_from_vectors(spark, path, short, qn, k)
+
+
+def _rerank_from_vectors(
+    spark: SparkSession, path: str, short: DataFrame, qn: DataFrame, k: int
+) -> DataFrame:
+    """Shared serve tail (PQ / IVF-PQ / SQ8): materialize the shortlist
+    EXECUTOR-side once (eager localCheckpoint — the ADC job runs exactly
+    once and both consumers reuse the blocks; the shortlist is bounded at
+    |queries| × shortlist rows but is still the largest driver-adjacent
+    set), collect only the DISTINCT candidate ids (corpus-bounded,
+    typically far smaller) to push INTO the range-sorted vectors scan as
+    a parquet IN filter — falling back to a broadcast semi-join past
+    ``_MAX_IN_FILTER_IDS`` where a megabyte IN literal stops pruning —
+    then exact-cosine re-rank (round-7 review: previously copy-pasted
+    per serve)."""
     short_df = short.localCheckpoint(eager=True)
     ids = sorted(
         r["vec_id"] for r in short_df.select("vec_id").distinct().collect()
@@ -406,7 +416,7 @@ def _serve_codes(
     vectors = spark.read.parquet(f"{path}/vectors")
     if len(ids) <= _MAX_IN_FILTER_IDS:
         vectors = vectors.filter(F.col("vec_id").isin(ids))
-    else:  # huge batch: broadcast semi-join beats a megabyte IN literal
+    else:
         vectors = vectors.join(
             F.broadcast(short_df.select("vec_id").distinct()), "vec_id"
         )
@@ -636,8 +646,11 @@ def append_to_pq_index(
 #             pushed-IN-filter row-group pruning as the PQ serve)
 # Unlike PQ (k-means fit → rows-only), the WHOLE build+serve pipeline is
 # SQL-replayable, so the registry entry is oracle-paired end-to-end.
+# The quantizer scale is shared with the in-memory twin (one constant —
+# round-7 review: a local redefinition could silently desynchronize the
+# persisted build from sq8_topk and meta.json).
 # ---------------------------------------------------------------------------
-SQ8_LEVELS = 255
+from .similarity import SQ8_LEVELS  # noqa: E402
 
 
 def build_sq8_index(
@@ -731,21 +744,23 @@ def sq8_topk_from_index(
         * (F.element_at(hi_lit, i + 1) - F.element_at(lo_lit, i + 1))
         / F.lit(float(SQ8_LEVELS)),
     )
-    codes = spark.read.parquet(f"{path}/codes").withColumn("dvec", dvec)
+    from ..functions.vector_fns import dot
+    from ..operators.partitioning import repartition_for_compute
+
+    # repartition_for_compute: codes/ is typically ONE parquet file, and
+    # the per-(row, query) decode+fold below is the expensive stage — on
+    # one partition it runs on one core (the documented single-file trap;
+    # round-7 review — the in-memory twin sq8_topk already does this)
+    codes = repartition_for_compute(
+        spark.read.parquet(f"{path}/codes").withColumn("dvec", dvec)
+    )
     pairs = (
         codes.crossJoin(F.broadcast(qn))
         .filter(~_self_match(qid_type))
         .select(
             "qid",
             "vec_id",
-            F.round(
-                F.aggregate(
-                    F.zip_with("qnv", "dvec", lambda x, y: x * y),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                ),
-                9,
-            ).alias("score9"),
+            F.round(dot("qnv", "dvec"), 9).alias("score9"),
         )
     )
     w = Window.partitionBy("qid").orderBy(F.desc("score9"), F.asc("vec_id"))
@@ -754,16 +769,4 @@ def sq8_topk_from_index(
         .filter(F.col("srnk") <= shortlist)
         .select("qid", "vec_id")
     )
-    short_df = short.localCheckpoint(eager=True)
-    ids = sorted(
-        r["vec_id"] for r in short_df.select("vec_id").distinct().collect()
-    )
-    vectors = spark.read.parquet(f"{path}/vectors")
-    if len(ids) <= _MAX_IN_FILTER_IDS:
-        vectors = vectors.filter(F.col("vec_id").isin(ids))
-    else:
-        vectors = vectors.join(
-            F.broadcast(short_df.select("vec_id").distinct()), "vec_id"
-        )
-    cvec = vectors.select("vec_id", F.col("nvec").alias("cn"))
-    return _pq_rerank(short_df, qn, cvec, k)
+    return _rerank_from_vectors(spark, path, short, qn, k)

@@ -810,9 +810,17 @@ class CusumAccumulator:
         if self.state:
             key_type = dict(grouped.dtypes)["__key"]
             seeds = spark.createDataFrame(
-                list(self.state.items()), f"__key {key_type}, __s0 double"
+                list(self.state.items()), f"__seed_key {key_type}, __s0 double"
             )
-            grouped = grouped.join(F.broadcast(seeds), "__key", "left")
+            # eqNullSafe: a NULL key is a legitimate group (the batch twin
+            # emits one via groupBy) and a plain equality join would seed
+            # it at 0.0 every batch — silently restarting its fold while
+            # counts kept accumulating (round-7 review)
+            grouped = grouped.join(
+                F.broadcast(seeds),
+                grouped["__key"].eqNullSafe(seeds["__seed_key"]),
+                "left",
+            ).drop("__seed_key")
         else:
             grouped = grouped.withColumn("__s0", F.lit(None).cast("double"))
         fold = F.aggregate(

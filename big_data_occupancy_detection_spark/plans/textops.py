@@ -573,43 +573,11 @@ FROM ranked WHERE rnk <= 5
 
 
 def _sq8_index_for(spark: SparkSession, sf_dir: str) -> str:
-    """Content-addressed persisted SQ8 index (the `_ivfpq_res_index_for`
-    build-once pattern: digest over the source parquet stats, staging
-    dir + atomic rename publish)."""
-    import hashlib
-    import os
-    import shutil
-    import tempfile
-
     from ..ext import pq_index as PQX
 
-    src = os.path.join(sf_dir, "embeddings.parquet")
-    parts = [os.path.abspath(src), "sq8"]
-    paths = (
-        sorted(
-            os.path.join(r, f)
-            for r, _, fs in os.walk(src)
-            for f in fs
-            if f.endswith(".parquet")
-        )
-        if os.path.isdir(src)
-        else [src]
+    return _content_index_for(
+        spark, sf_dir, "sq8", "bdo_sq8_index", PQX.build_sq8_index
     )
-    for p in paths:
-        st = os.stat(p)
-        parts.append(f"{p}:{st.st_size}:{st.st_mtime_ns}")
-    digest = hashlib.sha1("|".join(parts).encode()).hexdigest()[:16]
-    root = os.path.join(tempfile.gettempdir(), "bdo_sq8_index")
-    path = os.path.join(root, digest)
-    if not os.path.exists(os.path.join(path, "meta.json")):
-        os.makedirs(root, exist_ok=True)
-        staging = tempfile.mkdtemp(prefix=f".{digest}-", dir=root)
-        PQX.build_sq8_index(table(spark, sf_dir, "embeddings"), staging)
-        try:
-            os.rename(staging, path)  # atomic publish; loser cleans up
-        except OSError:
-            shutil.rmtree(staging, ignore_errors=True)
-    return path
 
 
 @register("embedding_sq8_index_topk", oracle=_SQ8_INDEX_ORACLE)
@@ -1978,16 +1946,22 @@ def embedding_cluster_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # plain, 0.72 -> 0.88 at shortlist=100 on the shipped seed) and the serve
 # contract asserts; the driver records the rows-only check.
 # --------------------------------------------------------------------------
-def _ivfpq_res_index_for(spark: SparkSession, sf_dir: str) -> str:
+def _content_index_for(
+    spark: SparkSession, sf_dir: str, salt: str, cache_name: str, build
+) -> str:
+    """Content-addressed build-once index cache shared by every persisted
+    serve registry entry (round-7 review: previously copy-pasted per
+    index kind): digest over the source parquet file stats + ``salt``,
+    build into a dot-prefixed staging dir, publish with one atomic
+    rename (the loser of a race cleans up), and ALWAYS remove a staging
+    dir that failed to publish — including on builder exceptions."""
     import hashlib
     import os
     import shutil
     import tempfile
 
-    from ..ext import pq_index as PQX
-
     src = os.path.join(sf_dir, "embeddings.parquet")
-    parts = [os.path.abspath(src), "residual=1"]
+    parts = [os.path.abspath(src), salt]
     paths = (
         sorted(
             os.path.join(r, f)
@@ -2001,21 +1975,36 @@ def _ivfpq_res_index_for(spark: SparkSession, sf_dir: str) -> str:
     for p in paths:
         st = os.stat(p)
         parts.append(f"{p}:{st.st_size}:{st.st_mtime_ns}")
-    parts.append(f"sub={SIM.PQ_SUBSPACES},book={SIM.PQ_CODEBOOK}")
     digest = hashlib.sha1("|".join(parts).encode()).hexdigest()[:16]
-    root = os.path.join(tempfile.gettempdir(), "bdo_ivfpq_res_index")
+    root = os.path.join(tempfile.gettempdir(), cache_name)
     path = os.path.join(root, digest)
     if not os.path.exists(os.path.join(path, "meta.json")):
         os.makedirs(root, exist_ok=True)
         staging = tempfile.mkdtemp(prefix=f".{digest}-", dir=root)
-        PQX.build_ivfpq_index(
-            table(spark, sf_dir, "embeddings"), staging, residual=True
-        )
         try:
-            os.rename(staging, path)  # atomic publish; loser cleans up
+            build(table(spark, sf_dir, "embeddings"), staging)
+            os.rename(staging, path)  # atomic publish
         except OSError:
+            pass  # lost the publish race; fall through to cleanup
+        finally:
             shutil.rmtree(staging, ignore_errors=True)
+    if not os.path.exists(os.path.join(path, "meta.json")):
+        raise RuntimeError(f"index build failed to publish {path}")
     return path
+
+
+def _ivfpq_res_index_for(spark: SparkSession, sf_dir: str) -> str:
+    from ..ext import pq_index as PQX
+
+    return _content_index_for(
+        spark,
+        sf_dir,
+        f"residual=1|sub={SIM.PQ_SUBSPACES},book={SIM.PQ_CODEBOOK}",
+        "bdo_ivfpq_res_index",
+        lambda emb, staging: PQX.build_ivfpq_index(
+            emb, staging, residual=True
+        ),
+    )
 
 
 @register("embedding_ivfpq_residual_topk")

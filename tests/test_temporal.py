@@ -348,3 +348,32 @@ def test_cusum_accumulator_equals_one_shot_fold(spark):
         assert acc.counts[u] == len(ys)
         assert acc.drifted(u, h=0.0) == (s > 0.0)
     assert acc.value("never-seen") == 0.0 and not acc.drifted("never-seen", 5)
+
+
+def test_cusum_accumulator_null_key_state_survives_batches(spark):
+    """r7 review: a NULL key is a real group (the batch twin's groupBy
+    emits one) — the seed join must be null-safe, or the NULL group's
+    fold silently restarts at 0.0 every batch while counts accumulate."""
+    from big_data_occupancy_detection_spark.operators.temporal import (
+        CusumAccumulator,
+    )
+
+    K = 10.0
+    ys = [30.0, 5.0, 40.0, 2.0, 25.0, 33.0]
+    acc = CusumAccumulator(k=K)
+    df = spark.createDataFrame(
+        [(None, i, y) for i, y in enumerate(ys)],
+        "user_id long, ts long, value double",
+    )
+    for lo, hi in ((0, 2), (2, 4), (4, 6)):
+        acc.merge_batch(
+            df.filter((F.col("ts") >= lo) & (F.col("ts") < hi)),
+            "user_id",
+            ["ts"],
+            "value",
+        )
+    s = 0.0
+    for y in ys:
+        s = max(0.0, s + y - K)
+    assert acc.value(None) == s
+    assert acc.counts[None] == len(ys)
