@@ -335,23 +335,40 @@ def negative_samples_by_user(
         .agg(F.sort_array(F.collect_set("item")).alias("items"))
         .crossJoin(F.broadcast(np_))
     )
-    # two consumers (light/heavy branches; heavy reads it twice more)
+    # multiple consumers (dispatch probe + light/heavy branches; heavy
+    # reads it twice more)
     base = checkpoint_for_reuse(base)
+
+    def _array_form(src: DataFrame) -> DataFrame:
+        return src.withColumn(
+            "kept_negs",
+            F.flatten(
+                F.transform(
+                    "items",
+                    lambda item: F.filter(
+                        _draws_of(item),
+                        lambda neg: ~F.exists(
+                            F.col("items"), lambda it: it == neg
+                        ),
+                    ),
+                )
+            ),
+        ).select("user_id", "items", "kept_negs")
+
+    # density-guarded dispatch (the session_windows_auto pattern): one
+    # bounded max-aggregate over the ALREADY-MATERIALIZED base decides
+    # whether any power user exists — the common non-skewed corpus then
+    # skips the heavy branch's (empty) exchanges entirely instead of
+    # scheduling them every call
+    max_items = (
+        base.agg(F.max(F.size("items")).alias("m")).first()["m"] or 0
+    )
+    if max_items <= power_user_threshold:
+        return _array_form(base)
+
     light = base.filter(F.size("items") <= power_user_threshold)
     heavy = base.filter(F.size("items") > power_user_threshold)
-
-    light_out = light.withColumn(
-        "kept_negs",
-        F.flatten(
-            F.transform(
-                "items",
-                lambda item: F.filter(
-                    _draws_of(item),
-                    lambda neg: ~F.exists(F.col("items"), lambda it: it == neg),
-                ),
-            )
-        ),
-    ).select("user_id", "items", "kept_negs")
+    light_out = _array_form(light)
 
     # heavy branch: same draws as ROWS, own-positive filter as an
     # anti-join, then regrouped to the array shape. Kept per-user, the
