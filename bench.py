@@ -129,7 +129,13 @@ HEADLINE = [
 def main() -> None:
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
     spark = get_session(
-        app_name="bdo-spark-bench", master=f"local[{cpu_count()}]"
+        app_name="bdo-spark-bench",
+        master=f"local[{cpu_count()}]",
+        # size the single local JVM explicitly: at Spark's 1 GiB default
+        # the 82-query suite's accumulated localCheckpoint blocks OOM
+        # intermittently once ContextCleaner lags (first seen at 82
+        # queries; a real executor would never run 32 cores on 1 GiB)
+        extra_conf={"spark.driver.memory": "16g"},
     )
     spark.sparkContext.setLogLevel("ERROR")
 
