@@ -123,6 +123,11 @@ HEADLINE = [
     "priority_dow_seasonality",  # dow seasonal index, exact int ratio (r7)
     "nation_spend_gini",       # Gini concentration, exact rank-weighted sums (r7)
     "priority_revenue_acf",    # lag-1..7 autocorrelation, exact moments (r7)
+    "priority_theilsen_slope", # Theil-Sen median pairwise slope (r7)
+    "order_price_ks_drift",    # two-sample KS drift, exact int ECDF (r7)
+    "doc_lang_centroid_confusion",  # Rocchio centroid classifier confusion (r7)
+    "embedding_matryoshka_topk",    # truncated-dim topk + full-dim flag (r7)
+    "part_sorted_neighborhood_pairs",  # SNM banded linkage pass (r7)
 ]
 
 

@@ -429,3 +429,89 @@ def part_name_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("edit_dist") <= 3)
         .select("name_a", "name_b", "edit_dist", "n_parts_a", "n_parts_b")
     )
+
+
+# --------------------------------------------------------------------------
+# Sorted-neighborhood record linkage on part names (SNM, Hernandez &
+# Stolfo 1995): sort the name universe once, compare each record only to
+# its W successors in sort order. The complementary blocking strategy to
+# part_name_levenshtein_pairs' last-token blocking — SNM catches pairs
+# whose trailing noun differs (token blocking misses them) while token
+# blocking catches pairs far apart alphabetically (SNM misses those);
+# production linkage multi-passes both. Scale: global_row_number is the
+# range-partition + offsets form (no single-task window); the W-band
+# self-join runs bucket-local (rn DIV W, each left row exploded to its
+# own and the successor bucket), so the pair fan-out is exactly N×W and
+# every join is a hash join on the bucket key. NULL names are excluded
+# by contract (no sort position; Spark and DuckDB disagree on NULL
+# ordering).
+# --------------------------------------------------------------------------
+_SNM_WINDOW = 5
+_SNM_MAX_DIST = 4
+
+
+@register(
+    "part_sorted_neighborhood_pairs",
+    oracle=f"""
+    WITH names AS (
+      SELECT p_name AS name, CAST(count(*) AS BIGINT) AS n_parts
+      FROM part WHERE p_name IS NOT NULL GROUP BY 1),
+    r AS (
+      SELECT name, n_parts,
+             CAST(row_number() OVER (ORDER BY name) AS BIGINT) AS rn
+      FROM names)
+    SELECT a.name AS name_a, b.name AS name_b,
+           CAST(b.rn - a.rn AS BIGINT) AS gap,
+           CAST(levenshtein(a.name, b.name) AS BIGINT) AS edit_dist,
+           a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
+    FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND {_SNM_WINDOW}
+    WHERE levenshtein(a.name, b.name) <= {_SNM_MAX_DIST}
+    """,
+)
+def part_sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood (window W=5) part-name pairs within edit
+    distance 4 — the sort-order-blocked linkage pass."""
+    names = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_name").isNotNull())
+        .groupBy(F.col("p_name").alias("name"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_parts"))
+    )
+    r = global_row_number(names, ["name"], id_col="rn")
+    # bucket-local band join: left rows probe their own bucket and the
+    # next (a W-successor can live one bucket over), right rows keyed by
+    # their bucket — N×2 probe rows, hash join, then the exact band filter
+    a = r.select(
+        F.col("name").alias("name_a"),
+        F.col("n_parts").alias("n_parts_a"),
+        F.col("rn").alias("rn_a"),
+        F.explode(
+            F.array(
+                (F.col("rn") / _SNM_WINDOW).cast("long"),
+                (F.col("rn") / _SNM_WINDOW).cast("long") + 1,
+            )
+        ).alias("bucket"),
+    )
+    b = r.select(
+        F.col("name").alias("name_b"),
+        F.col("n_parts").alias("n_parts_b"),
+        F.col("rn").alias("rn_b"),
+        (F.col("rn") / _SNM_WINDOW).cast("long").alias("bucket"),
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(
+            (F.col("rn_b") - F.col("rn_a") >= 1)
+            & (F.col("rn_b") - F.col("rn_a") <= _SNM_WINDOW)
+        )
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b").cast("long"))
+        .filter(F.col("edit_dist") <= _SNM_MAX_DIST)
+        .select(
+            "name_a",
+            "name_b",
+            (F.col("rn_b") - F.col("rn_a")).cast("long").alias("gap"),
+            "edit_dist",
+            "n_parts_a",
+            "n_parts_b",
+        )
+    )

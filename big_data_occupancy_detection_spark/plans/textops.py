@@ -2018,3 +2018,183 @@ def embedding_ivfpq_residual_topk(
     return PQX.ivfpq_topk_from_index(
         spark, path, emb.filter(F.col("vec_id") < 10), k=5, n_probes=4
     )
+
+
+# --------------------------------------------------------------------------
+# q — centroid (Rocchio) language classifier, resubstitution confusion
+# matrix: per-language token-frequency centroids scored against every
+# document by a term-frequency dot product — the classic fully-
+# aggregative text classifier (the exact-arithmetic stand-in for
+# multinomial Naive Bayes, whose log-likelihood sums cannot be made
+# bit-portable across engines because ln() is not correctly-rounded in
+# either). Score_l(d) = Σ_t tf(d,t)·c(l,t) / N_l is an exact rational:
+# the numerator is a BIGINT dot product, the per-language normalizer is
+# applied as a HALF-UP SCALED-INTEGER division (e9), so the argmax and
+# every tie-break (score desc, lang asc) compare identical integers in
+# both engines. Scale: |doc-token pairs| × |langs| fan-out — linear in
+# corpus tokens with a small constant (languages), all hash joins on
+# token; no driver state. At extreme corpus sizes the e9-scaled BIGINT
+# numerator upgrades to DECIMAL(38,0) (headroom documented, not needed
+# below ~1e9 tokens/lang).
+# --------------------------------------------------------------------------
+_CENTROID_SCALE = 1_000_000_000
+
+
+def _centroid_oracle() -> str:
+    return f"""
+    WITH base AS (
+      SELECT doc_id, lang, {TOKENS_SQL} AS t
+      FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL),
+    tokrows AS (SELECT doc_id, lang, unnest(t) AS tok FROM base),
+    tf AS (
+      SELECT doc_id, lang AS true_lang, tok, CAST(count(*) AS BIGINT) AS tf
+      FROM tokrows GROUP BY 1, 2, 3),
+    cent AS (
+      SELECT lang AS lang_c, tok, CAST(count(*) AS BIGINT) AS c
+      FROM tokrows GROUP BY 1, 2),
+    tot AS (
+      SELECT lang AS lang_c, CAST(count(*) AS BIGINT) AS n_l
+      FROM tokrows GROUP BY 1),
+    scores AS (
+      SELECT tf.doc_id, tf.true_lang, cent.lang_c,
+             CAST(sum(tf.tf * cent.c) AS BIGINT) AS num
+      FROM tf JOIN cent ON cent.tok = tf.tok
+      GROUP BY 1, 2, 3),
+    scaled AS (
+      SELECT s.doc_id, s.true_lang, s.lang_c,
+             CAST((s.num * {_CENTROID_SCALE} + t.n_l // 2) // t.n_l
+                  AS BIGINT) AS score_e9
+      FROM scores s JOIN tot t ON t.lang_c = s.lang_c),
+    pred AS (
+      SELECT doc_id, true_lang, lang_c AS pred_lang,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score_e9 DESC, lang_c) AS rn
+      FROM scaled)
+    SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+    FROM pred WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+
+@register("doc_lang_centroid_confusion", oracle=_centroid_oracle())
+def doc_lang_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of a token-centroid (Rocchio) language classifier,
+    trained and scored on the corpus with exact scaled-integer scores."""
+    from pyspark.sql import Window
+    from ..functions.text_fns import tokens as _tokens
+    from ..operators.partitioning import checkpoint_for_reuse
+
+    tokrows = checkpoint_for_reuse(
+        table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & F.col("lang").isNotNull())
+        .select("doc_id", "lang", F.explode(_tokens("text")).alias("tok"))
+    )
+    tf = tokrows.groupBy(
+        "doc_id", F.col("lang").alias("true_lang"), "tok"
+    ).agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    cent = tokrows.groupBy(F.col("lang").alias("lang_c"), "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tot = tokrows.groupBy(F.col("lang").alias("lang_c")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_l")
+    )
+    scores = (
+        tf.join(cent, "tok")
+        .groupBy("doc_id", "true_lang", "lang_c")
+        .agg(F.sum(F.col("tf") * F.col("c")).cast("long").alias("num"))
+    )
+    scaled = scores.join(F.broadcast(tot), "lang_c").select(
+        "doc_id",
+        "true_lang",
+        "lang_c",
+        F.expr(
+            f"CAST((num * {_CENTROID_SCALE} + n_l DIV 2) DIV n_l AS BIGINT)"
+        ).alias("score_e9"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_e9"), F.asc("lang_c")
+    )
+    pred = (
+        scaled.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("true_lang", F.col("lang_c").alias("pred_lang"))
+    )
+    return (
+        pred.groupBy("true_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q — Matryoshka truncated-dimension top-k: brute-force cosine over only
+# the FIRST 16 of 64 dimensions (the matryoshka-embedding serving trick:
+# score with a prefix of the vector, 4× less arithmetic and bandwidth),
+# flagged against the full-dimension top-5 so the result quantifies the
+# recall cost of truncation per query. Both rankings use the engine's
+# standard round-to-9 + id tie-break, so the flag join is exact. Scale:
+# two brute-force passes over |corpus| × |queries| with the query side
+# broadcast — the truncated pass reads 1/4 of the vector bytes; the
+# production path would pair the truncated scan with full-dim reranking
+# of the shortlist (exactly the residual-IVFPQ serve pattern).
+# --------------------------------------------------------------------------
+_MATRYOSHKA_DIM = 16
+
+
+def _matryoshka_oracle() -> str:
+    def topk_cte(prefix: str, dim_filter: str) -> str:
+        return f"""
+    {prefix}c AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings),
+    {prefix}cd AS (SELECT * FROM {prefix}c {dim_filter}),
+    {prefix}norms AS (
+      SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM {prefix}cd GROUP BY vec_id),
+    {prefix}q AS (SELECT * FROM {prefix}cd WHERE vec_id < 10),
+    {prefix}dots AS (
+      SELECT q.vec_id AS qid, c.vec_id AS vec_id, sum(q.v * c.v) AS dot
+      FROM {prefix}q q JOIN {prefix}cd c
+        ON q.i = c.i AND q.vec_id <> c.vec_id
+      GROUP BY 1, 2),
+    {prefix}cos AS (
+      SELECT d.qid, d.vec_id, round(d.dot / (nq.nrm * nc.nrm), 9) AS cos9
+      FROM {prefix}dots d
+      JOIN {prefix}norms nq ON nq.vec_id = d.qid
+      JOIN {prefix}norms nc ON nc.vec_id = d.vec_id),
+    {prefix}ranked AS (
+      SELECT qid, vec_id, cos9,
+             CAST(row_number() OVER (PARTITION BY qid
+                                     ORDER BY cos9 DESC, vec_id) AS BIGINT)
+               AS rnk
+      FROM {prefix}cos)"""
+
+    return f"""
+    WITH {topk_cte('t', f'WHERE i <= {_MATRYOSHKA_DIM}')},
+    {topk_cte('f', '')}
+    SELECT t.qid, t.vec_id, round(t.cos9, 6) AS cos, t.rnk,
+           (f.vec_id IS NOT NULL) AS in_full_top5
+    FROM tranked t
+    LEFT JOIN (SELECT qid, vec_id FROM franked WHERE rnk <= 5) f
+      ON f.qid = t.qid AND f.vec_id = t.vec_id
+    WHERE t.rnk <= 5
+    """
+
+
+@register("embedding_matryoshka_topk", oracle=_matryoshka_oracle())
+def embedding_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 cosine neighbors scored on the first 16 of 64 dimensions,
+    flagged with membership in the full-dimension top-5."""
+    emb = table(spark, sf_dir, "embeddings")
+    trunc = emb.select(
+        "vec_id", F.slice("embedding", 1, _MATRYOSHKA_DIM).alias("embedding")
+    )
+    topk_t = SIM.brute_force_topk(trunc, trunc.filter(F.col("vec_id") < 10), k=5)
+    full = SIM.brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5).select(
+        "qid", "vec_id", F.lit(True).alias("in_full")
+    )
+    return topk_t.join(F.broadcast(full), ["qid", "vec_id"], "left").select(
+        "qid",
+        "vec_id",
+        "cos",
+        "rnk",
+        F.coalesce("in_full", F.lit(False)).alias("in_full_top5"),
+    )

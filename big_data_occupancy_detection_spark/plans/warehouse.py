@@ -2064,3 +2064,243 @@ def priority_revenue_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         portable_round(z, 6).alias("z_score"),
         portable_round(tau, 6).alias("kendall_tau"),
     )
+
+
+# --------------------------------------------------------------------------
+# q — Theil-Sen robust slope of daily revenue per priority: the
+# median-of-pairwise-slopes estimator that pairs with the Mann-Kendall
+# test above (MK answers "is there a monotonic trend?", Theil-Sen answers
+# "how steep?", robust to outlier days). Exactness: every slope is ONE
+# IEEE division of exact integers (cents delta / day delta), so both
+# engines hold the identical multiset of doubles; the median is selected
+# explicitly via row_number (avg of the two middle order statistics, a
+# 1-2 element mean that is order-insensitive) rather than each engine's
+# median() interpolation. Scale: the pair fan-out is day-grain — bounded
+# by calendar² per priority (~2.4k days → ~3M pairs), independent of fact
+# rows, the same knob as the MK/Holt/ACF family; the median window
+# partitions by priority so no single global sort task.
+# --------------------------------------------------------------------------
+def _theilsen_oracle() -> str:
+    return f"""
+    WITH daily AS (
+      SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS day,
+             CAST(sum({_CENTS.format(c='o_totalprice')}) AS BIGINT) AS cents
+      FROM orders GROUP BY 1, 2),
+    slopes AS (
+      SELECT a.priority,
+             CAST(b.cents - a.cents AS DOUBLE)
+               / CAST(date_diff('day', a.day, b.day) AS DOUBLE) AS slope
+      FROM daily a JOIN daily b
+        ON b.priority = a.priority AND b.day > a.day),
+    ranked AS (
+      SELECT priority, slope,
+             CAST(row_number() OVER (PARTITION BY priority ORDER BY slope)
+                  AS BIGINT) AS rn,
+             CAST(count(*) OVER (PARTITION BY priority) AS BIGINT) AS n
+      FROM slopes),
+    med AS (
+      SELECT priority, max(n) AS n_pairs, avg(slope) AS med_slope
+      FROM ranked
+      WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+      GROUP BY 1)
+    SELECT priority, n_pairs,
+           {portable_round_sql('med_slope', 6)} AS slope_cents_per_day
+    FROM med ORDER BY priority
+    """
+
+
+@register("priority_theilsen_slope", oracle=_theilsen_oracle())
+def priority_theilsen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen median pairwise slope (cents/day) of daily revenue per
+    priority — robust trend magnitude, companion to the Mann-Kendall test."""
+    daily = checkpoint_for_reuse(
+        table(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.to_date("o_orderdate").alias("day"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    # spread the PROBE side before the broadcast self-join: daily is a
+    # coalesced ~12k-row agg (1 post-AQE partition), so without this one
+    # task would generate all ~14.5M pair rows; with it the fan-out runs
+    # on every core and the division is computed inline in parallel
+    from ..operators.partitioning import repartition_for_compute
+
+    a = repartition_for_compute(
+        daily.select(
+            "priority", F.col("day").alias("da"), F.col("cents").alias("ca")
+        )
+    )
+    b = daily.select(
+        "priority", F.col("day").alias("db"), F.col("cents").alias("cb")
+    )
+    slopes = (
+        a.join(F.broadcast(b), "priority")
+        .filter(F.col("db") > F.col("da"))
+        .select(
+            "priority",
+            (
+                (F.col("cb") - F.col("ca")).cast("double")
+                / F.datediff("db", "da").cast("double")
+            ).alias("slope"),
+        )
+    )
+    # the median pass is the scale knob: a row_number window partitioned
+    # by priority funnels ~3M slopes/priority through 5 tasks (~17 s at
+    # sf0.1); grouped_exact_median's bucketed order-statistic selection
+    # sorts only the middle bucket of each group instead
+    from ..operators.relational import grouped_exact_median
+
+    med = grouped_exact_median(slopes, "priority", "slope")
+    return med.select(
+        "priority",
+        F.col("n").alias("n_pairs"),
+        portable_round(F.col("median"), 6).alias("slope_cents_per_day"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q — two-sample Kolmogorov-Smirnov drift statistic, one-vs-rest per
+# priority over order price cents: D = max_x |F_a(x) - F_b(x)|, the
+# classic distribution-shift detector (completes the monitoring family:
+# CUSUM = mean shift over time, chi² = categorical mix, KS = continuous
+# distribution). Exactness: ECDF steps are integer cumulative counts on
+# the value grid; D's numerator is an exact integer max of
+# |cumA·n_b − cumB·n_a| (DECIMAL(38) cross-multiplication — no per-step
+# division), and ks_stat is ONE double division of identical integers.
+# Scale: the grid is VALUE-grain (distinct cents × |priorities|), not
+# row-grain; the cumulative windows partition by priority (never a
+# global single task) and the global ECDF is recovered by SUMMING the
+# per-priority cumulatives at each grid point instead of a second
+# global window. NULL prices/priorities are excluded by contract on
+# both sides (nulls have no place on an ECDF axis, and Spark/DuckDB
+# disagree on NULL sort position).
+# --------------------------------------------------------------------------
+def _ks_oracle() -> str:
+    p6 = portable_round_sql
+    return f"""
+    WITH cnt AS (
+      SELECT o_orderpriority AS priority,
+             {_CENTS.format(c='o_totalprice')} AS cents,
+             CAST(count(*) AS BIGINT) AS k
+      FROM orders
+      WHERE o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL
+      GROUP BY 1, 2),
+    grid AS (
+      SELECT p.priority, v.cents
+      FROM (SELECT DISTINCT priority FROM cnt) p
+      CROSS JOIN (SELECT DISTINCT cents FROM cnt) v),
+    cum AS (
+      SELECT g.priority, g.cents,
+             CAST(sum(coalesce(c.k, 0))
+                  OVER (PARTITION BY g.priority ORDER BY g.cents)
+                  AS BIGINT) AS cum_a
+      FROM grid g LEFT JOIN cnt c
+        ON c.priority = g.priority AND c.cents = g.cents),
+    tot AS (
+      SELECT cents, CAST(sum(cum_a) AS BIGINT) AS cum_g
+      FROM cum GROUP BY 1),
+    n AS (
+      SELECT priority, max(cum_a) AS n_a,
+             CAST(sum(max(cum_a)) OVER () AS BIGINT) AS n_tot
+      FROM cum GROUP BY priority),
+    d AS (
+      SELECT cum.priority,
+             max(abs(CAST(cum.cum_a AS DECIMAL(38,0)) * (n.n_tot - n.n_a)
+                     - CAST(tot.cum_g - cum.cum_a AS DECIMAL(38,0)) * n.n_a))
+               AS d_num
+      FROM cum
+      JOIN tot ON tot.cents = cum.cents
+      JOIN n ON n.priority = cum.priority
+      GROUP BY 1)
+    SELECT d.priority, n.n_a, CAST(n.n_tot - n.n_a AS BIGINT) AS n_b,
+           CAST(d.d_num AS BIGINT) AS d_num,
+           {p6('CAST(d.d_num AS DOUBLE) / (CAST(n.n_a AS DOUBLE) * CAST(n.n_tot - n.n_a AS DOUBLE))', 9)}
+             AS ks_stat
+    FROM d JOIN n ON n.priority = d.priority
+    ORDER BY 1
+    """
+
+
+@register("order_price_ks_drift", oracle=_ks_oracle())
+def order_price_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-vs-rest two-sample KS statistic on order price cents per
+    priority (exact integer ECDF cross-multiplication, one final division)."""
+    cnt = (
+        table(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_totalprice").isNotNull()
+            & F.col("o_orderpriority").isNotNull()
+        )
+        .groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            _cents("o_totalprice").alias("cents"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("k"))
+    )
+    cnt = checkpoint_for_reuse(cnt)
+    grid = (
+        cnt.select("cents")
+        .distinct()
+        .crossJoin(F.broadcast(cnt.select("priority").distinct()))
+    )
+    cum = (
+        grid.join(cnt, ["priority", "cents"], "left")
+        .select(
+            "priority",
+            "cents",
+            F.coalesce("k", F.lit(0).cast("long")).alias("k"),
+        )
+        .withColumn(
+            "cum_a",
+            F.sum("k")
+            .over(Window.partitionBy("priority").orderBy("cents"))
+            .cast("long"),
+        )
+        .drop("k")
+    )
+    cum = checkpoint_for_reuse(cum)
+    tot = cum.groupBy("cents").agg(F.sum("cum_a").cast("long").alias("cum_g"))
+    n = (
+        cum.groupBy("priority")
+        .agg(F.max("cum_a").alias("n_a"))
+        .withColumn(
+            "n_tot", F.sum("n_a").over(Window.partitionBy()).cast("long")
+        )
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
+    d = (
+        cum.join(tot, "cents")
+        .join(F.broadcast(n), "priority")
+        .select(
+            "priority",
+            F.abs(
+                dec("cum_a") * (F.col("n_tot") - F.col("n_a"))
+                - (dec("cum_g") - dec("cum_a")) * F.col("n_a")
+            ).alias("diff"),
+        )
+        .groupBy("priority")
+        .agg(F.max("diff").alias("d_num"))
+    )
+    return (
+        d.join(F.broadcast(n), "priority")
+        .select(
+            "priority",
+            "n_a",
+            (F.col("n_tot") - F.col("n_a")).cast("long").alias("n_b"),
+            F.col("d_num").cast("long").alias("d_num"),
+            portable_round(
+                F.col("d_num").cast("double")
+                / (
+                    F.col("n_a").cast("double")
+                    * (F.col("n_tot") - F.col("n_a")).cast("double")
+                ),
+                9,
+            ).alias("ks_stat"),
+        )
+    )

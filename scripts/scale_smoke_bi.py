@@ -58,6 +58,9 @@ OPS = [
     "nation_spend_gini",
     "customer_order_gaps",
     "copurchase_kcore",
+    # round 7 late additions (orders-grain)
+    "priority_theilsen_slope",
+    "order_price_ks_drift",
 ]
 
 
