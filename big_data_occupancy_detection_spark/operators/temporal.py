@@ -851,3 +851,110 @@ class CusumAccumulator:
     def drifted(self, key, h: float) -> bool:
         """Decision at threshold ``h``."""
         return self.value(key) > float(h)
+
+
+class KsDriftAccumulator:
+    """Streaming two-sample Kolmogorov-Smirnov drift monitor per key
+    (round 7): a FIXED reference distribution versus the LIVE
+    distribution accumulated from micro-batches — the distribution-
+    shift member of the streaming drift plane (CusumAccumulator = mean
+    shift over time; this = full-shape divergence from a frozen
+    baseline, e.g. "has this priority's price distribution drifted
+    from last quarter's?").
+
+    Unlike CUSUM's ordered fold, histogram COUNTS merge exactly and
+    order-independently, so any batch arrival order yields the same
+    state, and the statistic at any point is the exact integer
+    arithmetic of the batch twin ``order_price_ks_drift``:
+    ``d_num = max |cum_live*n_ref - cum_ref*n_live|`` over the union
+    value grid, ``ks = d_num / (n_live * n_ref)`` as the identical
+    one-double-division (test-asserted bit-identical to an
+    independent fold and to a one-shot merge).
+
+    Bounded-state contract (the sketch-accumulator shape): per-key
+    state is VALUE-grain — values must come from a bounded domain
+    (integer cents of a bounded price range, bucketed readings, enum
+    codes). ``max_distinct`` guards runaway domains with an explicit
+    error instead of silent driver growth. Each merge groups
+    executor-side first and collects only the (key, value, count)
+    rows TOUCHED by the batch (delta-proportional). NULL keys/values
+    are excluded on ingest — the same contract as the batch twin
+    (NULL has no ECDF position).
+    """
+
+    def __init__(self, max_distinct: int = 100_000):
+        self.ref: dict[object, dict[object, int]] = {}
+        self.live: dict[object, dict[object, int]] = {}
+        self.max_distinct = int(max_distinct)
+
+    def _hist_rows(self, df: DataFrame, key_col: str, value_col: str):
+        clean = df.filter(
+            F.col(key_col).isNotNull() & F.col(value_col).isNotNull()
+        )
+        return (
+            clean.groupBy(
+                F.col(key_col).alias("__k"), F.col(value_col).alias("__v")
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+            .collect()
+        )
+
+    def _merge_into(
+        self,
+        store: dict[object, dict[object, int]],
+        df: DataFrame,
+        key_col: str,
+        value_col: str,
+    ) -> None:
+        for r in self._hist_rows(df, key_col, value_col):
+            h = store.setdefault(r["__k"], {})
+            h[r["__v"]] = h.get(r["__v"], 0) + r["__c"]
+            if len(h) > self.max_distinct:
+                raise ValueError(
+                    f"KsDriftAccumulator key {r['__k']!r} exceeded "
+                    f"max_distinct={self.max_distinct} tracked values — the "
+                    f"value domain is not bounded enough for value-grain "
+                    f"state; bucket/quantize upstream or raise the cap"
+                )
+
+    def set_reference(
+        self, df: DataFrame, key_col: str, value_col: str
+    ) -> None:
+        """Freeze the baseline histogram (callable more than once to
+        extend it; typically once from a batch frame)."""
+        self._merge_into(self.ref, df, key_col, value_col)
+
+    def merge_batch(
+        self, batch_df: DataFrame, key_col: str, value_col: str
+    ) -> None:
+        self._merge_into(self.live, batch_df, key_col, value_col)
+
+    def foreach_batch(self, key_col: str, value_col: str):
+        """A ``foreachBatch`` function maintaining this accumulator."""
+
+        def fn(batch_df: DataFrame, batch_id: int) -> None:
+            self.merge_batch(batch_df, key_col, value_col)
+
+        return fn
+
+    def ks(self, key) -> float | None:
+        """Exact two-sample KS statistic for ``key``, or None until both
+        the reference and the live side have data for it."""
+        a, b = self.live.get(key), self.ref.get(key)
+        if not a or not b:
+            return None
+        n_a, n_b = sum(a.values()), sum(b.values())
+        cum_a = cum_b = 0
+        d_num = 0
+        for v in sorted(set(a) | set(b)):
+            cum_a += a.get(v, 0)
+            cum_b += b.get(v, 0)
+            d_num = max(d_num, abs(cum_a * n_b - cum_b * n_a))
+        # the batch twin's exact form: integer numerator, ONE double
+        # division by the exact double product of the two counts
+        return float(d_num) / (float(n_a) * float(n_b))
+
+    def drifted(self, key, threshold: float) -> bool:
+        """Decision at ``threshold`` (False until computable)."""
+        d = self.ks(key)
+        return d is not None and d > float(threshold)

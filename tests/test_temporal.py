@@ -377,3 +377,81 @@ def test_cusum_accumulator_null_key_state_survives_batches(spark):
         s = max(0.0, s + y - K)
     assert acc.value(None) == s
     assert acc.counts[None] == len(ys)
+
+
+def test_ks_drift_accumulator_exact_and_order_independent(spark):
+    """The streaming KS must (1) equal an independent integer-arithmetic
+    fold over the raw values, (2) be identical for ANY batch split of
+    the same rows (counts merge, unlike CUSUM's ordered fold), and (3)
+    exclude null keys/values like the batch twin."""
+    from big_data_occupancy_detection_spark.operators.temporal import (
+        KsDriftAccumulator,
+    )
+
+    # reference: triangular-ish integer cents; live: shifted version
+    ref_rows = [("a", (i * 13) % 40) for i in range(200)] + [
+        ("b", (i * 7) % 25) for i in range(120)
+    ]
+    live_rows = [("a", ((i * 11) % 40) + 5) for i in range(150)] + [
+        ("b", (i * 7) % 25) for i in range(90)  # same shape -> small D
+    ]
+    live_rows += [(None, 3), ("a", None)]  # must be ignored
+
+    ref_df = spark.createDataFrame(ref_rows, "k string, v long")
+    acc = KsDriftAccumulator()
+    acc.set_reference(ref_df, "k", "v")
+
+    live_df = spark.createDataFrame(
+        [(k, v, i) for i, (k, v) in enumerate(live_rows)],
+        "k string, v long, i long",
+    )
+    # three arbitrary batch splits
+    for lo, hi in ((0, 100), (100, 200), (200, 400)):
+        acc.merge_batch(
+            live_df.filter((F.col("i") >= lo) & (F.col("i") < hi)), "k", "v"
+        )
+
+    # one-shot twin + reversed batch order must produce identical state
+    acc2 = KsDriftAccumulator()
+    acc2.set_reference(ref_df, "k", "v")
+    for lo, hi in ((200, 400), (100, 200), (0, 100)):
+        acc2.merge_batch(
+            live_df.filter((F.col("i") >= lo) & (F.col("i") < hi)), "k", "v"
+        )
+    assert acc.live == acc2.live and acc.ref == acc2.ref
+
+    # independent exact fold over raw python values
+    for key in ("a", "b"):
+        ref_v = sorted(v for k, v in ref_rows if k == key)
+        live_v = sorted(
+            v for k, v in live_rows if k == key and v is not None and k is not None
+        )
+        n_a, n_b = len(live_v), len(ref_v)
+        d_num = 0
+        for x in sorted(set(ref_v) | set(live_v)):
+            ca = sum(1 for v in live_v if v <= x)
+            cb = sum(1 for v in ref_v if v <= x)
+            d_num = max(d_num, abs(ca * n_b - cb * n_a))
+        expect = float(d_num) / (float(n_a) * float(n_b))
+        assert acc.ks(key) == expect  # bit-identical, not approx
+
+    # the shifted key drifts, the same-shape key doesn't
+    assert acc.ks("a") > acc.ks("b")
+    assert acc.drifted("a", 0.1)
+    assert acc.ks("never-seen") is None
+    assert not acc.drifted("never-seen", 0.0)
+
+
+def test_ks_drift_accumulator_max_distinct_guard(spark):
+    from big_data_occupancy_detection_spark.operators.temporal import (
+        KsDriftAccumulator,
+    )
+
+    acc = KsDriftAccumulator(max_distinct=10)
+    df = spark.createDataFrame(
+        [("a", i) for i in range(25)], "k string, v long"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_distinct"):
+        acc.merge_batch(df, "k", "v")
