@@ -128,6 +128,8 @@ HEADLINE = [
     "doc_lang_centroid_confusion",  # Rocchio centroid classifier confusion (r7)
     "embedding_matryoshka_topk",    # truncated-dim topk + full-dim flag (r7)
     "part_sorted_neighborhood_pairs",  # SNM banded linkage pass (r7)
+    "flag_spearman_qty_price", # tie-corrected Spearman, exact int ranks (r7)
+    "brand_association_rules", # basket rules A,B->C by lift, exact ints (r7)
 ]
 
 

@@ -85,11 +85,34 @@ def grouped_percentiles(
     return out.select(*sel)
 
 
+def _bounds_bucket(value_col: str, n_buckets: int) -> Column:
+    """Bucket index 0..n_buckets-1 by BINARY SEARCH over a sorted
+    ``__bnds`` percentile-bounds array column (log2 comparisons per row
+    instead of a linear n_buckets-1 fold — at 14.5M rows x 31 bounds the
+    linear fold alone cost ~5 s). With duplicate bounds the search may
+    land in a different (empty-ranged) bucket than a linear count would —
+    harmless wherever the SAME expression routes every pass, which is the
+    contract for grouped_exact_median and grouped_cumsum below.
+    ``n_buckets`` must be a power of two (validated by callers)."""
+    steps, acc = [], n_buckets
+    while acc > 1:
+        acc //= 2
+        steps.append(acc)
+    idx = F.lit(0)
+    for step in steps:
+        probe = F.element_at("__bnds", (idx + F.lit(step)).cast("int"))
+        idx = idx + F.when(F.col(value_col) > probe, F.lit(step)).otherwise(
+            F.lit(0)
+        )
+    return idx
+
+
 def grouped_exact_median(
     df: DataFrame,
     group_col: str,
     value_col: str,
     n_buckets: int = 32,
+    checkpoint_input: bool = False,
 ) -> DataFrame:
     """Exact per-group median of a numeric column WITHOUT a per-group
     single-task sort — the scale path for low-cardinality groups over
@@ -124,39 +147,31 @@ def grouped_exact_median(
             f"assignment), got {n_buckets}"
         )
     probs = [i / n_buckets for i in range(1, n_buckets)]
-    # spread before materializing: the value frame often arrives in 1-5
-    # partitions (e.g. a broadcast-join fan-out keyed by the GROUP — 5
-    # keys = 5 tasks), which would single-task the sketch pass, the
-    # checkpoint write, and every pass after it
-    src = checkpoint_for_reuse(
-        repartition_for_compute(df.select(group_col, value_col))
-    )
+    # spread first: the value frame often arrives in 1-5 partitions (e.g.
+    # a broadcast-join fan-out keyed by the GROUP — 5 keys = 5 tasks),
+    # which would single-task every pass. The input is NOT checkpointed
+    # by default: the three passes (bounds, counts, candidates) recompute
+    # it, which for the typical cheap fan-out lineage (Theil-Sen's pair
+    # join) costs ~1 s/pass — whereas PINNING it is ~300 MB of
+    # unreplicated storage at day-grain (scale-INVARIANT, so it hits
+    # sf0.01 driver sessions at 1 GiB heap just as hard as sf0.1; the
+    # round-7 fuzz OOMed exactly there). Callers with an expensive
+    # lineage pass checkpoint_input=True.
+    src = repartition_for_compute(df.select(group_col, value_col))
+    if checkpoint_input:
+        src = checkpoint_for_reuse(src)
     bounds = src.groupBy(group_col).agg(
         F.percentile_approx(
             value_col, F.array(*[F.lit(p) for p in probs]), 1_000
         ).alias("__bnds")
     )
-    # bucket assignment = binary search over the sorted bounds (log2
-    # comparisons per row instead of a linear n_buckets-1 fold — at 14.5M
-    # rows x 31 bounds the linear fold alone cost ~5 s). With duplicate
-    # bounds the search may land in a different (empty-ranged) bucket
-    # than a linear count would — harmless: the SAME expression routes
-    # both the counts pass and the candidate pass, so ranks stay exact.
-    steps, acc = [], n_buckets
-    while acc > 1:
-        acc //= 2
-        steps.append(acc)
-    idx = F.lit(0)
-    for step in steps:
-        probe = F.element_at("__bnds", (idx + F.lit(step)).cast("int"))
-        idx = idx + F.when(F.col(value_col) > probe, F.lit(step)).otherwise(
-            F.lit(0)
-        )
-    # NOT checkpointed: the fold is ~log2(n_buckets) comparisons/row, so
-    # recomputing it for the candidate pass is cheaper than writing the
-    # full (group, value, bucket) frame out and back
+    # NOT checkpointed: the bucket fold is ~log2(n_buckets) comparisons
+    # per row, so recomputing it for the candidate pass is cheaper than
+    # writing the full (group, value, bucket) frame out and back
     bucketed = src.join(F.broadcast(bounds), group_col).select(
-        group_col, value_col, idx.alias("__bkt")
+        group_col,
+        value_col,
+        _bounds_bucket(value_col, n_buckets).alias("__bkt"),
     )
     counts = bucketed.groupBy(group_col, "__bkt").agg(
         F.count(F.lit(1)).cast("long").alias("__c")
@@ -350,6 +365,80 @@ def global_ntile(
         )
         .withColumn(out_col, tile_expr)
         .drop("__pid", "__mid", "__offset", "__n", "__rn")
+    )
+
+
+def grouped_cumsum(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    value_col: str,
+    out_col: str = "cumsum",
+    n_buckets: int = 32,
+) -> DataFrame:
+    """INCLUSIVE running per-group sum of ``value_col`` in ``order_col``
+    order WITHOUT the per-group single-task window — the grouped sibling
+    of :func:`global_cumsum`'s numeric branch, for LOW-cardinality groups
+    over HIGH-cardinality numeric order keys (e.g. Spearman's per-flag
+    price-rank prefix: ``Window.partitionBy(flag)`` funnels ~20M
+    value-grain rows through 3 tasks).
+
+    Mechanics: per-group ``percentile_approx`` bounds split the order
+    key into ``n_buckets`` ordered ranges (binary-search assignment —
+    the bounds affect ROUTING only); the prefix window partitions by
+    (group, bucket), so its own hashpartitioning exchange is the ONLY
+    full-data shuffle and every bucket prefix-sums in parallel; each
+    bucket's exclusive offset (sum of earlier buckets' totals within the
+    group) comes from a |groups·buckets|-row window broadcast back. A
+    first-cut design used repartitionByRange + partition-id offsets
+    instead and was 2x SLOWER than the naive window at the 100x smoke:
+    the range sampler re-executes the (unmaterialized) input for
+    sampling, and the window's hash exchange re-shuffled what the range
+    exchange had just placed.
+
+    Contract: ``(group_col, order_col)`` must be jointly non-null and
+    unique (value-grain frames satisfy this by construction) — with ties
+    the ROWS-frame prefix inside a bucket would be order-dependent.
+    ``order_col`` must be numeric (percentile bounds).
+    """
+    from .partitioning import checkpoint_for_reuse
+
+    if n_buckets < 2 or n_buckets & (n_buckets - 1):
+        raise ValueError(
+            f"n_buckets must be a power of two >= 2 (binary-search bucket "
+            f"assignment), got {n_buckets}"
+        )
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    src = checkpoint_for_reuse(df)
+    bounds = src.groupBy(group_col).agg(
+        F.percentile_approx(
+            order_col, F.array(*[F.lit(p) for p in probs]), 1_000
+        ).alias("__bnds")
+    )
+    bucketed = src.join(F.broadcast(bounds), group_col).withColumn(
+        "__bkt", _bounds_bucket(order_col, n_buckets)
+    )
+    sizes = bucketed.groupBy(group_col, "__bkt").agg(
+        F.sum(value_col).alias("__tot")
+    )
+    w_off = (
+        Window.partitionBy(group_col)
+        .orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = sizes.withColumn(
+        "__goff", F.coalesce(F.sum("__tot").over(w_off), F.lit(0))
+    ).select(group_col, "__bkt", "__goff")
+    w_local = (
+        Window.partitionBy(group_col, "__bkt")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        bucketed.withColumn("__loc", F.sum(value_col).over(w_local))
+        .join(F.broadcast(offsets), [group_col, "__bkt"])
+        .withColumn(out_col, F.col("__loc") + F.col("__goff"))
+        .drop("__bkt", "__bnds", "__loc", "__goff")
     )
 
 

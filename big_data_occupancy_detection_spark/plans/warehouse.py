@@ -2304,3 +2304,164 @@ def order_price_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ks_stat"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q — grouped Spearman rank correlation (quantity vs price per return
+# flag): the rank-based complement to grouped_correlation's Pearson —
+# robust to the monotone-but-nonlinear relation Pearson understates.
+# Exactness: ties take AVERAGE ranks, kept integer by the classic
+# doubling trick (r2 = 2·|smaller| + tie_count + 1 = twice the average
+# rank), ranks are computed at VALUE GRAIN (a ~50-row window for
+# quantities, a |distinct cents| window for prices — never row-grain),
+# and rho is assembled from DECIMAL(38)/HUGEINT moments with one sqrt
+# of identical doubles. Overflow bound: n·Σ(r2·r2) stays inside 38
+# digits up to ~1e8 rows per group; past that, pre-aggregate to a
+# (qty, price-bucket) contingency grid first (same rho, bounded grain).
+# Scale: two value-grain rank windows + two hash joins back to rows +
+# one moment aggregation — all shuffle-partitioned, no global window.
+# --------------------------------------------------------------------------
+def _spearman_oracle() -> str:
+    p6 = portable_round_sql
+    rho = (
+        "CAST(n * sxy - sx * sy AS DOUBLE) / "
+        "sqrt(CAST(n * sxx - sx * sx AS DOUBLE) "
+        "* CAST(n * syy - sy * sy AS DOUBLE))"
+    )
+    return f"""
+    WITH base AS (
+      SELECT l_returnflag AS flag, l_quantity AS q,
+             {_CENTS.format(c='l_extendedprice')} AS p
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+    qg AS (
+      SELECT flag, q, CAST(count(*) AS BIGINT) AS c,
+             CAST(coalesce(sum(count(*)) OVER (PARTITION BY flag ORDER BY q
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS below
+      FROM base GROUP BY 1, 2),
+    pg AS (
+      SELECT flag, p, CAST(count(*) AS BIGINT) AS c,
+             CAST(coalesce(sum(count(*)) OVER (PARTITION BY flag ORDER BY p
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS below
+      FROM base GROUP BY 1, 2),
+    rr AS (
+      SELECT b.flag,
+             CAST(2 * qg.below + qg.c + 1 AS HUGEINT) AS r2x,
+             CAST(2 * pg.below + pg.c + 1 AS HUGEINT) AS r2y
+      FROM base b
+      JOIN qg ON qg.flag = b.flag AND qg.q = b.q
+      JOIN pg ON pg.flag = b.flag AND pg.p = b.p),
+    m AS (
+      SELECT flag, CAST(count(*) AS HUGEINT) AS n,
+             sum(r2x) AS sx, sum(r2y) AS sy,
+             sum(r2x * r2x) AS sxx, sum(r2y * r2y) AS syy,
+             sum(r2x * r2y) AS sxy
+      FROM rr GROUP BY 1)
+    SELECT flag AS l_returnflag, CAST(n AS BIGINT) AS n_rows,
+           CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                THEN {p6(rho, 6)} END AS spearman_qty_price
+    FROM m ORDER BY 1
+    """
+
+
+@register("flag_spearman_qty_price", oracle=_spearman_oracle())
+def flag_spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-corrected Spearman rank correlation of quantity vs extended
+    price per return flag (exact integer average-rank moments).
+
+    Shape chosen by the 100x smoke: quantity ranks live on a ~50-row
+    value grain (broadcast), and every price-side moment is computable
+    AT PRICE GRAIN by carrying sum(r2x) into the price groupBy —
+    sxy = SUM_p sxp*r2y(p) — so the plan never joins the near-unique
+    price-rank table back to 60M fact rows (the naive join-back SMJ
+    dominated every earlier variant: 201-764 s; this form is one
+    groupBy + one grouped_cumsum over the price grain). The price-grain
+    prefix uses grouped_cumsum (bounds-bucketed parallel windows), not
+    Window.partitionBy(flag), whose 3 fat tasks are the skew cliff.
+    """
+    from ..operators.relational import grouped_cumsum
+
+    base = (
+        table(spark, sf_dir, "lineitem")
+        .filter(
+            F.col("l_quantity").isNotNull()
+            & F.col("l_extendedprice").isNotNull()
+        )
+        .select(
+            F.col("l_returnflag").alias("flag"),
+            F.col("l_quantity").alias("q"),
+            _cents("l_extendedprice").alias("p"),
+        )
+    )
+    # quantity ranks: ~50 distinct values per flag -> tiny frame; the
+    # window is over value grain and the result broadcasts
+    wq = (
+        Window.partitionBy("flag")
+        .orderBy("q")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    qg = (
+        base.groupBy("flag", "q")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+        .select(
+            "flag",
+            "q",
+            (
+                2 * F.coalesce(F.sum("__c").over(wq), F.lit(0).cast("long"))
+                + F.col("__c")
+                + 1
+            ).alias("r2x"),
+        )
+    )
+    rows = base.join(F.broadcast(qg), ["flag", "q"]).select(
+        "flag", "p", "r2x"
+    )
+    pg = rows.groupBy("flag", "p").agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum("r2x").cast("long").alias("sxp"),
+    )
+    pgc = grouped_cumsum(pg, "flag", "p", "c", out_col="__cum")
+    dec = lambda e: e.cast("decimal(38,0)")
+    r2y = 2 * (F.col("__cum") - F.col("c")) + F.col("c") + 1
+    mp = (
+        pgc.select(
+            "flag",
+            F.col("c").alias("c"),
+            F.col("sxp").alias("sxp"),
+            r2y.alias("r2y"),
+        )
+        .groupBy("flag")
+        .agg(
+            F.sum("c").cast("decimal(38,0)").alias("n"),
+            F.sum(dec(F.col("c")) * F.col("r2y")).alias("sy"),
+            F.sum(dec(F.col("c")) * F.col("r2y") * F.col("r2y")).alias("syy"),
+            F.sum(dec(F.col("sxp")) * F.col("r2y")).alias("sxy"),
+        )
+    )
+    # quantity-side moments from the tiny q grain (exact, broadcast)
+    mq = (
+        base.groupBy("flag", "q")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+        .join(F.broadcast(qg), ["flag", "q"])
+        .groupBy("flag")
+        .agg(
+            F.sum(dec(F.col("__c")) * F.col("r2x")).alias("sx"),
+            F.sum(dec(F.col("__c")) * F.col("r2x") * F.col("r2x")).alias(
+                "sxx"
+            ),
+        )
+    )
+    m = mp.join(F.broadcast(mq), "flag")
+    dx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    rho = num.cast("double") / F.sqrt(dx.cast("double") * dy.cast("double"))
+    return m.select(
+        F.col("flag").alias("l_returnflag"),
+        F.col("n").cast("long").alias("n_rows"),
+        F.when((dx > 0) & (dy > 0), portable_round(rho, 6)).alias(
+            "spearman_qty_price"
+        ),
+    )

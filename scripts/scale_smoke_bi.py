@@ -61,6 +61,8 @@ OPS = [
     # round 7 late additions (orders-grain)
     "priority_theilsen_slope",
     "order_price_ks_drift",
+    "flag_spearman_qty_price",
+    "brand_association_rules",
 ]
 
 

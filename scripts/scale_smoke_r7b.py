@@ -66,7 +66,10 @@ def main() -> None:
         "source",
         "n_chars",
     )
-    emb_rep = replicated_emb(spark, r)
+    # pin the jittered replicas like scale_smoke_ann does — the jitter is
+    # an xxhash64-per-element transform, and without materialization the
+    # cross-join would re-evaluate it per PAIR (measured: 469 s vs ~60 s)
+    emb_rep = replicated_emb(spark, r).localCheckpoint(eager=True)
     part = table(spark, SF_DIR, "part")
     part_rep = part.select(
         "*", F.explode(F.sequence(F.lit(0), F.lit(r - 1))).alias("__k")

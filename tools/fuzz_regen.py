@@ -273,7 +273,14 @@ def main() -> None:
     else:
         names = only or [q for q in driver_subset() if q in qs]
 
-    spark = SparkSession.builder.master("local[8]").getOrCreate()
+    # sized heap, same reason as bench.py's (r7): one long session runs
+    # seeds x flavors x rates sweeps and accumulated localCheckpoint
+    # blocks outpace the ContextCleaner at Spark's 1 GiB default
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
     spark.sparkContext.setLogLevel("ERROR")
     key = lambda t: tuple((v is None, str(v)) for v in t)
     any_fail = False
