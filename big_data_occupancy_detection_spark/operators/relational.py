@@ -160,10 +160,17 @@ def grouped_exact_median(
     src = repartition_for_compute(df.select(group_col, value_col))
     if checkpoint_input:
         src = checkpoint_for_reuse(src)
-    bounds = src.groupBy(group_col).agg(
-        F.percentile_approx(
-            value_col, F.array(*[F.lit(p) for p in probs]), 1_000
-        ).alias("__bnds")
+    # the bounds frame is PINNED (tiny, |groups| rows): the counts pass
+    # and the candidates pass must route every row with IDENTICAL bounds,
+    # and percentile_approx's sketch merge is arrival-order dependent —
+    # without the pin, consistency would rest on Spark's exchange-reuse
+    # optimization re-executing the aggregate zero times (review finding)
+    bounds = checkpoint_for_reuse(
+        src.groupBy(group_col).agg(
+            F.percentile_approx(
+                value_col, F.array(*[F.lit(p) for p in probs]), 1_000
+            ).alias("__bnds")
+        )
     )
     # NOT checkpointed: the bucket fold is ~log2(n_buckets) comparisons
     # per row, so recomputing it for the candidate pass is cheaper than
@@ -410,10 +417,14 @@ def grouped_cumsum(
         )
     probs = [i / n_buckets for i in range(1, n_buckets)]
     src = checkpoint_for_reuse(df)
-    bounds = src.groupBy(group_col).agg(
-        F.percentile_approx(
-            order_col, F.array(*[F.lit(p) for p in probs]), 1_000
-        ).alias("__bnds")
+    # bounds pinned for the same reason as grouped_exact_median's: the
+    # sizes pass and the final-window pass must see identical routing
+    bounds = checkpoint_for_reuse(
+        src.groupBy(group_col).agg(
+            F.percentile_approx(
+                order_col, F.array(*[F.lit(p) for p in probs]), 1_000
+            ).alias("__bnds")
+        )
     )
     bucketed = src.join(F.broadcast(bounds), group_col).withColumn(
         "__bkt", _bounds_bucket(order_col, n_buckets)

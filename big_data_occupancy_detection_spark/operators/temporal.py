@@ -906,16 +906,29 @@ class KsDriftAccumulator:
         key_col: str,
         value_col: str,
     ) -> None:
+        # stage, validate, THEN commit: raising mid-iteration would leave
+        # the store half-merged, and a foreachBatch retry of the failed
+        # batch would double-count the already-applied rows (review
+        # finding) — the guard must keep state transactional per batch
+        staged: dict[object, dict[object, int]] = {}
         for r in self._hist_rows(df, key_col, value_col):
-            h = store.setdefault(r["__k"], {})
+            h = staged.setdefault(r["__k"], {})
             h[r["__v"]] = h.get(r["__v"], 0) + r["__c"]
-            if len(h) > self.max_distinct:
+        for k, delta in staged.items():
+            have = store.get(k, {})
+            grown = len(have.keys() | delta.keys())
+            if grown > self.max_distinct:
                 raise ValueError(
-                    f"KsDriftAccumulator key {r['__k']!r} exceeded "
+                    f"KsDriftAccumulator key {k!r} would exceed "
                     f"max_distinct={self.max_distinct} tracked values — the "
                     f"value domain is not bounded enough for value-grain "
-                    f"state; bucket/quantize upstream or raise the cap"
+                    f"state; bucket/quantize upstream or raise the cap "
+                    f"(state unchanged: the batch was NOT applied)"
                 )
+        for k, delta in staged.items():
+            h = store.setdefault(k, {})
+            for v, c in delta.items():
+                h[v] = h.get(v, 0) + c
 
     def set_reference(
         self, df: DataFrame, key_col: str, value_col: str

@@ -618,7 +618,6 @@ def brand_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("supp_abc"))
         .filter(F.col("supp_abc") >= _RULES_MIN_SUPP)
     )
-    dec = lambda c_: F.col(c_).cast("decimal(38,0)")
     rules = (
         triples.join(pairs, ["ba", "bb"])
         .join(

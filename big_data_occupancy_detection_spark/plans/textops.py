@@ -2033,9 +2033,10 @@ def embedding_ivfpq_residual_topk(
 # every tie-break (score desc, lang asc) compare identical integers in
 # both engines. Scale: |doc-token pairs| × |langs| fan-out — linear in
 # corpus tokens with a small constant (languages), all hash joins on
-# token; no driver state. At extreme corpus sizes the e9-scaled BIGINT
-# numerator upgrades to DECIMAL(38,0) (headroom documented, not needed
-# below ~1e9 tokens/lang).
+# token; no driver state. The e9-scaled numerator is DECIMAL(38,0)/
+# HUGEINT on both engines (an int64 form wraps at num ~9.2e9 —
+# reachable at ~1e7 tokens/lang — and Spark wraps SILENTLY where
+# DuckDB errors).
 # --------------------------------------------------------------------------
 _CENTROID_SCALE = 1_000_000_000
 
@@ -2062,8 +2063,8 @@ def _centroid_oracle() -> str:
       GROUP BY 1, 2, 3),
     scaled AS (
       SELECT s.doc_id, s.true_lang, s.lang_c,
-             CAST((s.num * {_CENTROID_SCALE} + t.n_l // 2) // t.n_l
-                  AS BIGINT) AS score_e9
+             CAST((CAST(s.num AS HUGEINT) * {_CENTROID_SCALE}
+                   + t.n_l // 2) // t.n_l AS HUGEINT) AS score_e9
       FROM scores s JOIN tot t ON t.lang_c = s.lang_c),
     pred AS (
       SELECT doc_id, true_lang, lang_c AS pred_lang,
@@ -2106,8 +2107,13 @@ def doc_lang_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "true_lang",
         "lang_c",
+        # DECIMAL(38) scaling, not BIGINT: num*1e9 wraps int64 at num
+        # ~9.2e9 (reachable at ~1e7 tokens/lang with common-token dot
+        # products) — Spark would wrap SILENTLY where DuckDB errors
+        # (review finding); decimal/HUGEINT gives ~1e20 dot headroom
         F.expr(
-            f"CAST((num * {_CENTROID_SCALE} + n_l DIV 2) DIV n_l AS BIGINT)"
+            f"CAST((CAST(num AS DECIMAL(38,0)) * {_CENTROID_SCALE} "
+            f"+ n_l DIV 2) DIV n_l AS DECIMAL(38,0))"
         ).alias("score_e9"),
     )
     w = Window.partitionBy("doc_id").orderBy(

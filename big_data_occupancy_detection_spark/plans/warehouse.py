@@ -2395,27 +2395,33 @@ def flag_spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             _cents("l_extendedprice").alias("p"),
         )
     )
-    # quantity ranks: ~50 distinct values per flag -> tiny frame; the
-    # window is over value grain and the result broadcasts
+    # quantity grain: ~50 distinct values per flag -> ONE tiny aggregated
+    # frame, pinned, feeding the rank window, the broadcast join AND the
+    # quantity-side moments (the first cut re-aggregated the 60M-row base
+    # for each consumer — two extra fact scans per run; review finding)
+    from ..operators.partitioning import checkpoint_for_reuse
+
+    qgrain = checkpoint_for_reuse(
+        base.groupBy("flag", "q").agg(
+            F.count(F.lit(1)).cast("long").alias("__c")
+        )
+    )
     wq = (
         Window.partitionBy("flag")
         .orderBy("q")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    qg = (
-        base.groupBy("flag", "q")
-        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
-        .select(
-            "flag",
-            "q",
-            (
-                2 * F.coalesce(F.sum("__c").over(wq), F.lit(0).cast("long"))
-                + F.col("__c")
-                + 1
-            ).alias("r2x"),
-        )
+    qg = qgrain.select(
+        "flag",
+        "q",
+        "__c",
+        (
+            2 * F.coalesce(F.sum("__c").over(wq), F.lit(0).cast("long"))
+            + F.col("__c")
+            + 1
+        ).alias("r2x"),
     )
-    rows = base.join(F.broadcast(qg), ["flag", "q"]).select(
+    rows = base.join(F.broadcast(qg.drop("__c")), ["flag", "q"]).select(
         "flag", "p", "r2x"
     )
     pg = rows.groupBy("flag", "p").agg(
@@ -2440,18 +2446,10 @@ def flag_spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec(F.col("sxp")) * F.col("r2y")).alias("sxy"),
         )
     )
-    # quantity-side moments from the tiny q grain (exact, broadcast)
-    mq = (
-        base.groupBy("flag", "q")
-        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
-        .join(F.broadcast(qg), ["flag", "q"])
-        .groupBy("flag")
-        .agg(
-            F.sum(dec(F.col("__c")) * F.col("r2x")).alias("sx"),
-            F.sum(dec(F.col("__c")) * F.col("r2x") * F.col("r2x")).alias(
-                "sxx"
-            ),
-        )
+    # quantity-side moments from the same pinned q grain (exact, tiny)
+    mq = qg.groupBy("flag").agg(
+        F.sum(dec(F.col("__c")) * F.col("r2x")).alias("sx"),
+        F.sum(dec(F.col("__c")) * F.col("r2x") * F.col("r2x")).alias("sxx"),
     )
     m = mp.join(F.broadcast(mq), "flag")
     dx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
