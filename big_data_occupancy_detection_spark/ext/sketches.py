@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from ..functions.text_fns import md5_hash64
 from ..operators.partitioning import checkpoint_for_reuse
 from ..operators.generate import explode_fused
+from ..operators.temporal import replay_guarded
 
 CMS_DEPTH = 4
 CMS_WIDTH = 256
@@ -142,12 +143,13 @@ class CmsAccumulator:
             self.grid[k] = self.grid.get(k, 0) + r["cnt"]
 
     def foreach_batch(self, key_col: str):
-        """A ``foreachBatch`` function maintaining this accumulator."""
+        """A ``foreachBatch`` function maintaining this accumulator
+        (replay-guarded — grid counts are additive, so a batch
+        redelivered after a full apply would double-count)."""
 
-        def fn(batch_df: DataFrame, batch_id: int) -> None:
-            self.merge_batch(batch_df, key_col)
-
-        return fn
+        return replay_guarded(
+            lambda batch_df, _bid: self.merge_batch(batch_df, key_col)
+        )
 
     def estimate(self, key: str) -> int:
         """Driver-side point estimate — the same md5-60bit bucketing the
@@ -312,12 +314,14 @@ class BloomAccumulator:
             self.words[i] = self.words.get(i, 0) | int(r["word"])
 
     def foreach_batch(self, key_col: str):
-        """A ``foreachBatch`` function maintaining this accumulator."""
+        """A ``foreachBatch`` function maintaining this accumulator
+        (replay-guarded for uniformity — OR-ing words is idempotent, so
+        redelivery was already harmless here, but every accumulator
+        shares one contract)."""
 
-        def fn(batch_df: DataFrame, batch_id: int) -> None:
-            self.merge_batch(batch_df, key_col)
-
-        return fn
+        return replay_guarded(
+            lambda batch_df, _bid: self.merge_batch(batch_df, key_col)
+        )
 
     def as_dataframe(self, spark) -> DataFrame:
         """The accumulated filter as the same (word_idx, word) table
@@ -498,12 +502,14 @@ class KmvAccumulator:
             self.state[g] = merged[: self.k]
 
     def foreach_batch(self, key_col: str, group_col: str):
-        """A ``foreachBatch`` function maintaining this accumulator."""
+        """A ``foreachBatch`` function maintaining this accumulator
+        (replay-guarded for uniformity — bottom-k set union is
+        idempotent, so redelivery was already harmless here, but every
+        accumulator shares one contract)."""
 
-        def fn(batch_df: DataFrame, batch_id: int) -> None:
-            self.merge_batch(batch_df, key_col, group_col)
-
-        return fn
+        return replay_guarded(
+            lambda batch_df, _bid: self.merge_batch(batch_df, key_col, group_col)
+        )
 
     def as_dataframe(self, spark) -> DataFrame:
         """The accumulated state as the same (g, h, r) table

@@ -135,9 +135,12 @@ def grouped_exact_median(
     engine-portable, unlike interpolated ``quantile_cont`` whose
     ``lo + p·(hi−lo)`` can differ from ``(lo+hi)/2`` in the last ulp.
 
-    Contract: ``value_col`` must be non-null (drop nulls upstream —
-    NULL has no rank position and engines disagree on NULL sort order).
-    Returns ``group_col, n (BIGINT), median (double)``.
+    Contract: ``value_col`` must be non-null AND non-NaN (drop both
+    upstream — NULL has no rank position and engines disagree on NULL
+    sort order; NaN routes to bucket 0 in ``_bounds_bucket`` while
+    ``orderBy`` sorts it LAST, so a NaN silently shifts the global rank
+    of every later bucket and selects the wrong order statistic —
+    round-8 advice). Returns ``group_col, n (BIGINT), median (double)``.
     """
     from .partitioning import checkpoint_for_reuse, repartition_for_compute
 
@@ -382,6 +385,7 @@ def grouped_cumsum(
     value_col: str,
     out_col: str = "cumsum",
     n_buckets: int = 32,
+    checkpoint_input: bool = False,
 ) -> DataFrame:
     """INCLUSIVE running per-group sum of ``value_col`` in ``order_col``
     order WITHOUT the per-group single-task window — the grouped sibling
@@ -403,10 +407,21 @@ def grouped_cumsum(
     sampling, and the window's hash exchange re-shuffled what the range
     exchange had just placed.
 
-    Contract: ``(group_col, order_col)`` must be jointly non-null and
-    unique (value-grain frames satisfy this by construction) — with ties
-    the ROWS-frame prefix inside a bucket would be order-dependent.
-    ``order_col`` must be numeric (percentile bounds).
+    Contract: ``(group_col, order_col)`` must be jointly non-null,
+    non-NaN and unique (value-grain frames satisfy this by
+    construction) — with ties the ROWS-frame prefix inside a bucket
+    would be order-dependent, and a NaN order key routes to bucket 0 in
+    ``_bounds_bucket`` (NaN > probe is false) while ``orderBy`` sorts
+    NaN LAST, shifting every later row's prefix by one (round-8
+    advice). ``order_col`` must be numeric (percentile bounds).
+
+    The input is NOT checkpointed by default — same reasoning as
+    :func:`grouped_exact_median` (round-8 advice: the Spearman caller
+    feeds a ~20M-row-per-flag price grain, a scale-DEPENDENT block whose
+    unconditional pin is exactly the pattern that OOMed the 1 GiB fuzz
+    sessions); the two passes (bucket totals, final window) recompute
+    the lineage instead. Callers with an expensive input lineage pass
+    ``checkpoint_input=True``.
     """
     from .partitioning import checkpoint_for_reuse
 
@@ -416,7 +431,7 @@ def grouped_cumsum(
             f"assignment), got {n_buckets}"
         )
     probs = [i / n_buckets for i in range(1, n_buckets)]
-    src = checkpoint_for_reuse(df)
+    src = checkpoint_for_reuse(df) if checkpoint_input else df
     # bounds pinned for the same reason as grouped_exact_median's: the
     # sizes pass and the final-window pass must see identical routing
     bounds = checkpoint_for_reuse(

@@ -765,6 +765,37 @@ def grouped_cusum_jvm(
     )
 
 
+def replay_guarded(merge_fn):
+    """Wrap a ``foreachBatch`` callable so a REDELIVERED batch is a no-op.
+
+    Spark's foreachBatch contract is at-least-once: if the stream dies
+    after ``fn`` fully applied batch N but BEFORE the offset commit,
+    restart redelivers batch N and a stateful accumulator double-counts
+    it (round-8 advice — the transactional stage-then-commit inside the
+    merges only covers raise-mid-merge, not full-apply-then-redeliver).
+    ``batch_id`` is monotonically increasing per query, so tracking the
+    last APPLIED id and skipping ``batch_id <= last`` makes the closure
+    idempotent. The id is recorded only after ``merge_fn`` returns, so a
+    retry of a merge that RAISED (state unchanged — the stores are
+    transactional per batch) still re-applies.
+
+    Scope: one guard per closure = per query. batch_ids restart at 0
+    with a FRESH checkpoint, so feed a restarted-from-scratch query a
+    fresh ``foreach_batch(...)`` closure (each call builds a new guard);
+    the same closure across a SAME-checkpoint restart is the supported
+    redelivery case."""
+    last = -1
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        nonlocal last
+        if batch_id <= last:
+            return
+        merge_fn(batch_df, batch_id)
+        last = batch_id
+
+    return fn
+
+
 class CusumAccumulator:
     """Streaming one-sided CUSUM state per key (round 7): the drift
     monitor twin of the batch ``user_value_cusum`` fold, and a NEW
@@ -837,12 +868,15 @@ class CusumAccumulator:
     def foreach_batch(
         self, key_col: str, order_cols: list[str], value_col: str
     ):
-        """A ``foreachBatch`` function maintaining this accumulator."""
+        """A ``foreachBatch`` function maintaining this accumulator
+        (replay-guarded: a batch redelivered after a full apply is
+        skipped — see :func:`replay_guarded`)."""
 
-        def fn(batch_df: DataFrame, batch_id: int) -> None:
-            self.merge_batch(batch_df, key_col, order_cols, value_col)
-
-        return fn
+        return replay_guarded(
+            lambda batch_df, _bid: self.merge_batch(
+                batch_df, key_col, order_cols, value_col
+            )
+        )
 
     def value(self, key) -> float:
         """Current CUSUM statistic for ``key`` (0.0 if never seen)."""
@@ -874,18 +908,24 @@ class KsDriftAccumulator:
     Bounded-state contract (the sketch-accumulator shape): per-key
     state is VALUE-grain — values must come from a bounded domain
     (integer cents of a bounded price range, bucketed readings, enum
-    codes). ``max_distinct`` guards runaway domains with an explicit
-    error instead of silent driver growth. Each merge groups
+    codes). ``max_distinct`` guards runaway value domains and
+    ``max_keys`` the key axis (round 8 — BOTH axes now fail loudly
+    instead of growing driver state silently). Each merge groups
     executor-side first and collects only the (key, value, count)
     rows TOUCHED by the batch (delta-proportional). NULL keys/values
     are excluded on ingest — the same contract as the batch twin
     (NULL has no ECDF position).
     """
 
-    def __init__(self, max_distinct: int = 100_000):
+    def __init__(self, max_distinct: int = 100_000, max_keys: int = 100_000):
         self.ref: dict[object, dict[object, int]] = {}
         self.live: dict[object, dict[object, int]] = {}
         self.max_distinct = int(max_distinct)
+        # round-8 advice: max_distinct bounds VALUES per key but the KEY
+        # axis was unbounded — a runaway key column (e.g. a uuid fed as
+        # the key by mistake) grew driver state silently. Same loud-error
+        # contract, per store (ref and live are independently capped).
+        self.max_keys = int(max_keys)
 
     def _hist_rows(self, df: DataFrame, key_col: str, value_col: str):
         clean = df.filter(
@@ -907,13 +947,24 @@ class KsDriftAccumulator:
         value_col: str,
     ) -> None:
         # stage, validate, THEN commit: raising mid-iteration would leave
-        # the store half-merged, and a foreachBatch retry of the failed
-        # batch would double-count the already-applied rows (review
-        # finding) — the guard must keep state transactional per batch
+        # the store half-merged, and a foreachBatch retry of the FAILED
+        # batch would double-count the already-applied rows. This covers
+        # the raise-mid-merge case only; redelivery of a FULLY-applied
+        # batch (at-least-once foreachBatch) is handled one level up by
+        # the replay_guarded closure in foreach_batch (round-8 advice).
         staged: dict[object, dict[object, int]] = {}
         for r in self._hist_rows(df, key_col, value_col):
             h = staged.setdefault(r["__k"], {})
             h[r["__v"]] = h.get(r["__v"], 0) + r["__c"]
+        grown_keys = len(store.keys() | staged.keys())
+        if grown_keys > self.max_keys:
+            raise ValueError(
+                f"KsDriftAccumulator would track {grown_keys} keys, over "
+                f"max_keys={self.max_keys} — the key column's cardinality "
+                f"is not bounded enough for driver-side state; group "
+                f"coarser or raise the cap (state unchanged: the batch "
+                f"was NOT applied)"
+            )
         for k, delta in staged.items():
             have = store.get(k, {})
             grown = len(have.keys() | delta.keys())
@@ -943,12 +994,13 @@ class KsDriftAccumulator:
         self._merge_into(self.live, batch_df, key_col, value_col)
 
     def foreach_batch(self, key_col: str, value_col: str):
-        """A ``foreachBatch`` function maintaining this accumulator."""
+        """A ``foreachBatch`` function maintaining this accumulator
+        (replay-guarded: a batch redelivered after a full apply is
+        skipped — see :func:`replay_guarded`)."""
 
-        def fn(batch_df: DataFrame, batch_id: int) -> None:
-            self.merge_batch(batch_df, key_col, value_col)
-
-        return fn
+        return replay_guarded(
+            lambda batch_df, _bid: self.merge_batch(batch_df, key_col, value_col)
+        )
 
     def ks(self, key) -> float | None:
         """Exact two-sample KS statistic for ``key``, or None until both

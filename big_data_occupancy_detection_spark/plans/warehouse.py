@@ -2428,7 +2428,16 @@ def flag_spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("c"),
         F.sum("r2x").cast("long").alias("sxp"),
     )
-    pgc = grouped_cumsum(pg, "flag", "p", "c", out_col="__cum")
+    # checkpoint_input=True (round 8 — now opt-in in grouped_cumsum):
+    # pg's lineage is the expensive part of the whole query (fact scan +
+    # broadcast rank join + groupBy), so recomputing it per pass cost
+    # 3.0 → 19.5 s at sf0.01; the pinned block is bounded by the DISTINCT
+    # CENTS domain (|prices|·|flags| rows, ~20 MB at sf0.01, plateauing
+    # ~100s of MB at any SF), and sessions that run this query at the
+    # 100x grain are 8-16g JVMs (bench/fuzz/smoke config).
+    pgc = grouped_cumsum(
+        pg, "flag", "p", "c", out_col="__cum", checkpoint_input=True
+    )
     dec = lambda e: e.cast("decimal(38,0)")
     r2y = 2 * (F.col("__cum") - F.col("c")) + F.col("c") + 1
     mp = (
@@ -2456,9 +2465,26 @@ def flag_spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     dy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
     num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
     rho = num.cast("double") / F.sqrt(dx.cast("double") * dy.cast("double"))
+    # Loud overflow gate (round-8 advice): past ~1e8 rows/group the
+    # DECIMAL(38,0) moment products overflow — which non-ANSI Spark turns
+    # into silent NULLs while the DuckDB oracle's HUGEINT errors loudly.
+    # Fail like the oracle instead of diverging silently. The check lives
+    # INSIDE the kept n_rows column so pruning can't drop it (the
+    # finite_or_raise pattern); past the bound, pre-aggregate to a
+    # (qty, price-bucket) contingency grid first (same rho, bounded n).
+    n_rows = F.col("n").cast("long")
     return m.select(
         F.col("flag").alias("l_returnflag"),
-        F.col("n").cast("long").alias("n_rows"),
+        F.when(
+            n_rows > F.lit(100_000_000),
+            F.raise_error(
+                "flag_spearman_qty_price: group exceeds the ~1e8-row "
+                "decimal(38,0) moment bound — pre-aggregate to a "
+                "(qty, price-bucket) contingency grid"
+            ),
+        )
+        .otherwise(n_rows)
+        .alias("n_rows"),
         F.when((dx > 0) & (dy > 0), portable_round(rho, 6)).alias(
             "spearman_qty_price"
         ),

@@ -455,3 +455,85 @@ def test_ks_drift_accumulator_max_distinct_guard(spark):
 
     with _pytest.raises(ValueError, match="max_distinct"):
         acc.merge_batch(df, "k", "v")
+
+
+def test_ks_drift_accumulator_max_keys_guard(spark):
+    """Round-8 advice: the KEY axis is capped like the value axis —
+    driver state must fail loudly, transactionally (batch NOT applied),
+    instead of growing silently under a runaway key column."""
+    from big_data_occupancy_detection_spark.operators.temporal import (
+        KsDriftAccumulator,
+    )
+
+    acc = KsDriftAccumulator(max_keys=5)
+    ok = spark.createDataFrame(
+        [(f"k{i:02d}", i % 3) for i in range(15)], "k string, v long"
+    )
+    acc.merge_batch(ok.filter(F.col("k") < "k05"), "k", "v")
+    before = {k: dict(v) for k, v in acc.live.items()}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_keys"):
+        acc.merge_batch(ok, "k", "v")
+    assert acc.live == before  # transactional: nothing half-applied
+
+
+def test_accumulator_foreach_batch_replay_is_idempotent(spark):
+    """Round-8 advice: foreachBatch is at-least-once — a batch that was
+    FULLY applied before the offsets committed is redelivered on
+    restart. Every accumulator's foreach_batch closure must skip a
+    batch_id it has already applied (additive CMS/KS/CUSUM state would
+    otherwise double-count), while a HIGHER batch_id still applies."""
+    from big_data_occupancy_detection_spark.ext.sketches import (
+        CmsAccumulator,
+        KmvAccumulator,
+    )
+    from big_data_occupancy_detection_spark.operators.temporal import (
+        CusumAccumulator,
+        KsDriftAccumulator,
+    )
+
+    df1 = spark.createDataFrame(
+        [("a", 1, 5.0), ("a", 2, 7.0), ("b", 1, 3.0)],
+        "k string, t long, v double",
+    )
+    df2 = spark.createDataFrame([("a", 3, 9.0)], "k string, t long, v double")
+
+    cms = CmsAccumulator()
+    fn = cms.foreach_batch("k")
+    fn(df1, 0)
+    g0 = dict(cms.grid)
+    fn(df1, 0)  # redelivery: full-apply-then-redeliver must be a no-op
+    assert cms.grid == g0
+    fn(df2, 1)
+    assert cms.estimate("a") == 3  # 2 from batch 0 + 1 from batch 1
+
+    cus = CusumAccumulator(k=1.0)
+    fn = cus.foreach_batch("k", ["t"], "v")
+    fn(df1, 0)
+    s0, c0 = dict(cus.state), dict(cus.counts)
+    fn(df1, 0)
+    assert cus.state == s0 and cus.counts == c0
+    fn(df2, 1)
+    assert cus.counts["a"] == 3
+
+    ks = KsDriftAccumulator()
+    ks.set_reference(df1, "k", "v")
+    fn = ks.foreach_batch("k", "v")
+    fn(df1, 0)
+    l0 = {k: dict(v) for k, v in ks.live.items()}
+    fn(df1, 0)
+    assert ks.live == l0
+    fn(df2, 1)
+    assert sum(ks.live["a"].values()) == 3
+
+    kmv = KmvAccumulator(k=4)
+    fn = kmv.foreach_batch("v", "k")
+    fn(df1, 0)
+    st0 = {g: list(h) for g, h in kmv.state.items()}
+    fn(df1, 0)
+    assert kmv.state == st0
+    # a FRESH closure is a fresh guard (new query, ids restart at 0)
+    fn2 = kmv.foreach_batch("v", "k")
+    fn2(df2, 0)
+    assert kmv.estimate("a") == 3.0
