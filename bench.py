@@ -130,6 +130,9 @@ HEADLINE = [
     "part_sorted_neighborhood_pairs",  # SNM banded linkage pass (r7)
     "flag_spearman_qty_price", # tie-corrected Spearman, exact int ranks (r7)
     "brand_association_rules", # basket rules A,B->C by lift, exact ints (r7)
+    "domain_dedup_rate",       # registrable-domain dup census, 2-level agg (r8)
+    "domain_blocklist_filter", # suffix-aware blocklist, zero corpus shuffle (r8)
+    "domain_balanced_sample",  # per-domain quota via two-phase top-k (r8)
 ]
 
 

@@ -1,0 +1,193 @@
+"""URL/domain-grain curation operators: host parsing, registrable-domain
+extraction, suffix-aware blocklist filtering, per-domain dedup stats and
+domain-balanced sampling.
+
+The one curation grain web-corpus tooling pivots on that the engine
+lacked (round-8 brief): crawl pipelines attribute duplication, apply
+blocklists and balance training mixtures at the REGISTRABLE DOMAIN
+(site) grain, not per document or per source. Everything here is
+built-in-expression Spark (whole-stage codegen — URL parsing is
+``parse_url`` + string/array functions, never a Python UDF), and every
+consumer joins the tiny domain-grain tables back by broadcast, so at
+100 TB the corpus is scanned once per query with no domain-grain
+shuffle beyond the final map-side-combined aggregate.
+
+Beyond-the-reference surface (the reference has no text/URL pipeline;
+SURVEY.md §2's LLM-pipeline extension axis).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text_fns import md5_hash64, norm_text
+
+# Minimal two-level public-suffix set: enough to make registrable-domain
+# extraction STRUCTURALLY right (suffix-aware, not "last two labels")
+# without embedding the full Mozilla PSL. Production swaps in the full
+# list the same way — it is a data constant, not a code change.
+TWO_LEVEL_SUFFIXES = [
+    "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp",
+    "co.in", "co.nz", "co.za", "co.kr",
+    "com.br", "com.cn", "com.mx", "com.sg", "com.tr",
+]
+
+
+def url_host(url_col: Column | str) -> Column:
+    """Lower-cased host of a URL (port/userinfo/path/query stripped) via
+    the built-in ``try_parse_url`` — JVM-side, NULL for malformed input
+    (the standard malformed→NULL routing; plain ``parse_url`` RAISES
+    under Spark 4's ANSI default, the wrong contract for crawl data
+    where malformed URLs are normal)."""
+    c = F.col(url_col) if isinstance(url_col, str) else url_col
+    return F.lower(F.try_parse_url(c, F.lit("HOST")))
+
+
+def registrable_domain(host_col: Column | str) -> Column:
+    """Registrable (apex) domain of a host: the last two labels, or the
+    last THREE when the last two form a known two-level public suffix
+    ('a.b.co.uk' → 'b.co.uk', not 'co.uk'). Pure array expression —
+    split, element_at, one literal IN — so it codegens; NULL host stays
+    NULL."""
+    h = F.col(host_col) if isinstance(host_col, str) else host_col
+    labels = F.split(h, r"\.")
+    n = F.size(labels)
+    last2 = F.concat_ws(
+        ".", F.element_at(labels, -2), F.element_at(labels, -1)
+    )
+    # explicit NULL guard: concat_ws IGNORES null args, so a NULL host
+    # would otherwise fall through to '' instead of staying NULL
+    return F.when(h.isNull(), F.lit(None).cast("string")).otherwise(
+        F.when(n <= 2, h).otherwise(
+            F.when(
+                last2.isin(TWO_LEVEL_SUFFIXES) & (n >= 3),
+                F.concat_ws(".", F.element_at(labels, -3), last2),
+            ).otherwise(last2)
+        )
+    )
+
+
+def host_suffixes(host_col: Column | str) -> Column:
+    """Array of the host's dot-suffixes from the registrable domain UP TO
+    the full host ('www.b.co.uk' → ['b.co.uk', 'www.b.co.uk']) — the
+    candidate set a suffix-aware blocklist entry can match. Bounded by
+    label count (hosts have a handful of labels), so the blocklist
+    explode below fans out O(1) per row."""
+    h = F.col(host_col) if isinstance(host_col, str) else host_col
+    labels = F.split(h, r"\.")
+    n = F.size(labels)
+    last2 = F.concat_ws(
+        ".", F.element_at(labels, -2), F.element_at(labels, -1)
+    )
+    reg_n = F.when(n <= 2, n).otherwise(
+        F.when(last2.isin(TWO_LEVEL_SUFFIXES) & (n >= 3), F.lit(3)).otherwise(
+            F.lit(2)
+        )
+    )
+    return F.transform(
+        F.sequence(reg_n, n),
+        lambda i: F.concat_ws(".", F.slice(labels, -i, i)),
+    )
+
+
+def blocklist_filter(
+    df: DataFrame,
+    host_col: str,
+    blocklist: DataFrame | list[str],
+    id_col: str,
+) -> DataFrame:
+    """Drop rows whose host matches a blocklist entry suffix-aware: an
+    entry blocks the exact host AND every subdomain under it (the
+    standard domain-blocklist semantics — 'b.co.uk' blocks
+    'www.b.co.uk'; 'cdn.b.com' blocks only that subtree).
+
+    Two physical forms by blocklist type:
+
+    - ``list[str]`` (small, driver-known): ``arrays_overlap`` of the
+      row's suffix array with ONE literal array — map-only, zero joins,
+      zero shuffles; the filter rides the scan.
+    - ``DataFrame`` (large/managed blocklists): explode the bounded
+      per-row suffix array, broadcast-semi-join against the blocklist,
+      collect the BLOCKED ids (bounded by blocklist hit rate), and
+      broadcast-anti-join them back — the corpus is scanned once and
+      never shuffled; only the small hit set moves. A blocklist too big
+      to broadcast would bucket-join on the suffix instead (same plan
+      with the broadcast hints dropped).
+
+    ``id_col`` must be unique per row (the anti-join key).
+    """
+    sfx = host_suffixes(host_col)
+    if isinstance(blocklist, list):
+        lit_arr = F.array(*[F.lit(e.lower()) for e in blocklist])
+        return df.filter(~F.arrays_overlap(sfx, lit_arr))
+    bl = blocklist.select(F.lower(F.col(blocklist.columns[0])).alias("__e"))
+    blocked = (
+        df.select(id_col, F.explode(sfx).alias("__s"))
+        .join(F.broadcast(bl), F.col("__s") == F.col("__e"), "leftsemi")
+        .select(id_col)
+        .distinct()
+    )
+    return df.join(F.broadcast(blocked), id_col, "left_anti")
+
+
+def domain_dedup_stats(
+    df: DataFrame, domain_col: str, text_col: str
+) -> DataFrame:
+    """Per-domain exact-duplication census: (domain, n_docs,
+    n_unique_texts, dup_rate) where dup_rate = (n_docs − distinct
+    normalized-text fingerprints) / n_docs — the crawl-curation signal
+    for boilerplate-heavy sites (a domain serving the same page under
+    many URLs dedups away; its dup_rate prices that before sampling).
+
+    Two-level aggregation, both map-side combined: (domain, md5(norm
+    text)) grain first, then the domain rollup — the fingerprint grain
+    is the only big intermediate and it shrinks monotonically, never a
+    row-grain join. Portable fingerprint (md5 of the shared norm_text
+    canonical form) so a SQL oracle rebuilds it bit-for-bit.
+    """
+    from ..functions.rounding import portable_round
+
+    fp = df.select(
+        F.col(domain_col).alias("domain"),
+        F.md5(norm_text(text_col)).alias("__fp"),
+    )
+    per_fp = fp.groupBy("domain", "__fp").agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    return per_fp.groupBy("domain").agg(
+        F.sum("__c").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_unique_texts"),
+        portable_round(
+            (F.sum("__c") - F.count(F.lit(1)))
+            / F.sum("__c").cast("double"),
+            6,
+        ).alias("dup_rate"),
+    )
+
+
+def domain_balanced_sample(
+    df: DataFrame, domain_col: str, id_col: str, quota: int
+) -> DataFrame:
+    """Deterministic exact-quota sample per domain: the ``quota``
+    smallest-md5-hash rows of each domain (the hash-rank idiom — stable
+    across runs and engines, unlike rand()). Hot domains are the norm in
+    web corpora (a head domain can hold 1e9 docs); the per-domain rank
+    is still safe because Spark's WindowGroupLimit pre-prunes each map
+    task to ``quota`` rows per domain BELOW the exchange (see the skew
+    note in ``operators.topk``) — a head domain ships at most
+    quota·input_partitions rows to its reduce task, never its corpus.
+
+    Returns the input rows + ``rnk`` (1..quota within domain).
+    """
+    from ..operators.topk import top_k_per_group
+
+    hashed = df.withColumn(
+        "__h", md5_hash64(F.col(id_col).cast("string"))
+    )
+    out = top_k_per_group(
+        hashed, [domain_col], [F.col("__h"), F.col(id_col)], quota
+    )
+    return out.drop("__h")

@@ -29,3 +29,17 @@ def top_k_per_group(
         df.withColumn(rank_col, F.row_number().over(w))
         .filter(F.col(rank_col) <= k)
     )
+
+
+# Skew note (round 8, plan-audited): this shape is ALREADY two-phase in
+# Spark ≥3.5 — the InsertWindowGroupLimit rule plants a
+# ``WindowGroupLimit Partial`` BELOW the exchange, so every map task
+# pre-prunes to k rows per group before any byte shuffles, and a hot
+# group (a 1e9-doc head web domain) lands at most k·input_partitions
+# survivor rows on its reduce task. A hand-rolled salted two-phase
+# variant (rank within (group, spark_partition_id()), re-rank survivors)
+# was built and measured for round 8's domain_balanced_sample, then
+# DELETED: the optimizer's partial limit gives the identical pruning
+# with one exchange fewer. Requirement for the rewrite to fire: the
+# ``filter(rank <= k)`` must sit directly on the row_number/rank/
+# dense_rank column, which this operator guarantees.

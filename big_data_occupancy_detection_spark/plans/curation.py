@@ -18,7 +18,7 @@ from ..ext import curation as C
 from ..functions.rounding import portable_round, portable_round_sql
 from ..sources.readers import table
 from .registry import register
-from .textops import NORM_SQL, TOKENS_SQL, SHINGLES_SQL
+from .textops import NORM_SQL, TOKENS_SQL, SHINGLES_SQL, hash64_sql
 
 
 def PR6(e: str) -> str:
@@ -1042,3 +1042,191 @@ def doc_hash_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _HASH_SAMPLE_K)
         .select("lang", "rnk", "doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# URL/domain-grain curation (round 8): crawl pipelines attribute
+# duplication, apply blocklists and balance mixtures at the REGISTRABLE
+# DOMAIN (site) grain. The synthetic corpus has no url column, so — the
+# pii_redaction precedent — each query PLANTS a deterministic URL per doc
+# from (source, doc_id, lang) with the SAME expression on both engines
+# (subdomain/tld/port/query variation exercises the parser, including
+# two-level public suffixes); the operators under test (ext.domains) are
+# general over any url/host column.
+# --------------------------------------------------------------------------
+
+_URL_SUBS = ["www", "blog", "cdn", "shop"]
+_URL_TLDS = ["co.uk", "com", "org"]
+_DOMAIN_BLOCKLIST = ["src3.co.uk", "cdn.src7.com", "spam.example"]
+_DOMAIN_QUOTA = 3
+
+_URLS_CTE = """
+urls AS (
+  SELECT doc_id, lang, source, text,
+         'https://' || (['www','blog','cdn','shop'])[CAST(doc_id % 4 AS INT) + 1]
+         || '.' || source || '.'
+         || (['co.uk','com','org'])[CAST(doc_id % 3 AS INT) + 1]
+         || CASE WHEN doc_id % 11 = 0 THEN ':8080' ELSE '' END
+         || '/' || lang || '/page-' || CAST(doc_id AS VARCHAR) || '.html'
+         || CASE WHEN doc_id % 5 = 2 THEN '?ref=feed' ELSE '' END AS url
+  FROM documents),
+hosts AS (
+  SELECT doc_id, source, text,
+         lower(regexp_extract(url, '^https?://([^/:?#]+)', 1)) AS host
+  FROM urls),
+doms AS (
+  SELECT doc_id, source, text, host,
+         CASE WHEN len(string_split(host, '.')) <= 2 THEN host
+              WHEN string_split(host, '.')[-2] || '.' ||
+                   string_split(host, '.')[-1]
+                   IN ('co.uk','org.uk','ac.uk','gov.uk','com.au','net.au',
+                       'org.au','co.jp','ne.jp','or.jp','co.in','co.nz',
+                       'co.za','co.kr','com.br','com.cn','com.mx','com.sg',
+                       'com.tr')
+                   AND len(string_split(host, '.')) >= 3
+              THEN string_split(host, '.')[-3] || '.' ||
+                   string_split(host, '.')[-2] || '.' ||
+                   string_split(host, '.')[-1]
+              ELSE string_split(host, '.')[-2] || '.' ||
+                   string_split(host, '.')[-1]
+         END AS domain
+  FROM hosts)
+"""
+
+
+def _doc_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, text, url) with the planted deterministic URL."""
+    docs = table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    sub = F.element_at(
+        F.array(*[F.lit(s) for s in _URL_SUBS]), (did % 4 + 1).cast("int")
+    )
+    tld = F.element_at(
+        F.array(*[F.lit(t) for t in _URL_TLDS]), (did % 3 + 1).cast("int")
+    )
+    return docs.select(
+        "doc_id",
+        "source",
+        "text",
+        F.concat(
+            F.lit("https://"), sub, F.lit("."), F.col("source"), F.lit("."),
+            tld,
+            F.when(did % 11 == 0, F.lit(":8080")).otherwise(F.lit("")),
+            F.lit("/"), F.col("lang"), F.lit("/page-"),
+            did.cast("string"), F.lit(".html"),
+            F.when(did % 5 == 2, F.lit("?ref=feed")).otherwise(F.lit("")),
+        ).alias("url"),
+    )
+
+
+def _doc_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, text, host, domain) via the ext.domains parsers."""
+    from ..ext import domains as DOM
+
+    u = _doc_urls(spark, sf_dir).withColumn("host", DOM.url_host("url"))
+    return u.withColumn("domain", DOM.registrable_domain("host")).drop("url")
+
+
+_BOILER_SQL = (
+    "CASE WHEN doc_id % 5 = 0 "
+    "THEN 'boilerplate landing page for ' || source ELSE text END"
+)
+
+_DOMAIN_DEDUP_ORACLE = f"""
+WITH {_URLS_CTE},
+boiler AS (
+  SELECT domain, {_BOILER_SQL} AS t FROM doms),
+fp AS (
+  SELECT domain,
+         md5(trim(regexp_replace(lower(t), '\\s+', ' ', 'g'))) AS f
+  FROM boiler),
+per AS (SELECT domain, f, count(*) AS c FROM fp GROUP BY 1, 2)
+SELECT domain, CAST(sum(c) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_unique_texts,
+       {PR6('(sum(c) - count(*)) / CAST(sum(c) AS DOUBLE)')} AS dup_rate
+FROM per GROUP BY domain
+"""
+
+
+@register("domain_dedup_rate", oracle=_DOMAIN_DEDUP_ORACLE)
+def domain_dedup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registrable-domain exact-duplication census — the signal that
+    prices boilerplate-heavy sites before sampling. Duplicates are
+    planted deterministically (every fifth doc serves its source's
+    boilerplate page — the real crawl shape this measures); the operator
+    (ext.domains.domain_dedup_stats) is two map-side-combined
+    aggregations over the shrinking fingerprint grain, no row-grain
+    join anywhere."""
+    from ..ext import domains as DOM
+
+    d = _doc_domains(spark, sf_dir)
+    did = F.col("doc_id")
+    planted = d.withColumn(
+        "text",
+        F.when(
+            did % 5 == 0,
+            F.concat(
+                F.lit("boilerplate landing page for "), F.col("source")
+            ),
+        ).otherwise(F.col("text")),
+    )
+    return DOM.domain_dedup_stats(planted, "domain", "text")
+
+
+_DOMAIN_BLOCK_ORACLE = f"""
+WITH {_URLS_CTE},
+bl(e) AS (VALUES ('src3.co.uk'), ('cdn.src7.com'), ('spam.example'))
+SELECT d.doc_id, d.host, d.domain
+FROM doms d
+WHERE NOT EXISTS (
+  SELECT 1 FROM bl
+  WHERE d.host = bl.e OR d.host LIKE '%.' || bl.e)
+"""
+
+
+@register("domain_blocklist_filter", oracle=_DOMAIN_BLOCK_ORACLE)
+def domain_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix-aware domain blocklist: an entry blocks the exact host and
+    every subdomain under it ('src3.co.uk' takes the whole site,
+    'cdn.src7.com' only that subtree). Uses the DataFrame-blocklist form
+    of ext.domains.blocklist_filter — explode the bounded suffix array,
+    broadcast-semi-join, broadcast-anti-join the hit ids back: the
+    corpus is scanned once and never shuffled."""
+    from ..ext import domains as DOM
+
+    d = _doc_domains(spark, sf_dir)
+    bl = spark.createDataFrame(
+        [(e,) for e in _DOMAIN_BLOCKLIST], "entry string"
+    )
+    return DOM.blocklist_filter(d, "host", bl, "doc_id").select(
+        "doc_id", "host", "domain"
+    )
+
+
+_DOMAIN_SAMPLE_ORACLE = f"""
+WITH {_URLS_CTE},
+hashed AS (
+  SELECT domain, doc_id, {hash64_sql('CAST(doc_id AS VARCHAR)')} AS h
+  FROM doms),
+ranked AS (
+  SELECT domain, doc_id,
+         row_number() OVER (PARTITION BY domain ORDER BY h, doc_id) AS rnk
+  FROM hashed)
+SELECT domain, CAST(rnk AS BIGINT) AS rnk, doc_id
+FROM ranked WHERE rnk <= {_DOMAIN_QUOTA}
+"""
+
+
+@register("domain_balanced_sample", oracle=_DOMAIN_SAMPLE_ORACLE)
+def domain_balanced_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-quota deterministic sample per registrable domain (the
+    domain-balancing pass of a training mixture): k smallest-md5 docs
+    per domain. Skew-safe without hand-salting — WindowGroupLimit
+    pre-prunes each map task to quota rows per domain below the
+    exchange (plan-pinned in test_domains), so a hot head domain ships
+    quota·partitions rows, never its corpus."""
+    from ..ext import domains as DOM
+
+    d = _doc_domains(spark, sf_dir)
+    out = DOM.domain_balanced_sample(d, "domain", "doc_id", _DOMAIN_QUOTA)
+    return out.select("domain", F.col("rnk").cast("long").alias("rnk"), "doc_id")

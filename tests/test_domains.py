@@ -1,0 +1,129 @@
+"""URL/domain-grain curation operators (ext.domains, round 8)."""
+
+from pyspark.sql import functions as F
+
+from big_data_occupancy_detection_spark.ext import domains as DOM
+from big_data_occupancy_detection_spark.operators.topk import top_k_per_group
+
+
+def test_url_host_and_registrable_domain_edges(spark):
+    rows = [
+        (1, "https://www.example.co.uk:8080/a/b?x=1"),
+        (2, "http://blog.news.example.com/post"),
+        (3, "https://example.org/"),
+        (4, "https://localhost/x"),            # single-label host
+        (5, "https://a.b.c.d.co.jp/deep"),     # deep + 2-level suffix
+        (6, None),                             # NULL url -> NULL host
+        (7, "not a url at all"),               # malformed -> NULL host
+        (8, "https://EXAMPLE.COM/UPPER"),      # case-folding
+    ]
+    df = spark.createDataFrame(rows, "id long, url string")
+    out = {
+        r["id"]: (r["host"], r["dom"])
+        for r in df.select(
+            "id",
+            DOM.url_host("url").alias("host"),
+            DOM.registrable_domain(DOM.url_host("url")).alias("dom"),
+        ).collect()
+    }
+    assert out[1] == ("www.example.co.uk", "example.co.uk")
+    assert out[2] == ("blog.news.example.com", "example.com")
+    assert out[3] == ("example.org", "example.org")
+    assert out[4] == ("localhost", "localhost")
+    assert out[5] == ("a.b.c.d.co.jp", "d.co.jp")
+    assert out[6] == (None, None)
+    assert out[7] == (None, None)
+    assert out[8] == ("example.com", "example.com")
+
+
+def test_host_suffixes_ladder(spark):
+    df = spark.createDataFrame(
+        [("www.b.co.uk",), ("x.y.b.com",), ("b.org",)], "host string"
+    )
+    got = {
+        r["host"]: r["s"]
+        for r in df.select(
+            "host", DOM.host_suffixes("host").alias("s")
+        ).collect()
+    }
+    # registrable domain FIRST, full host last; nothing above registrable
+    assert got["www.b.co.uk"] == ["b.co.uk", "www.b.co.uk"]
+    assert got["x.y.b.com"] == ["b.com", "y.b.com", "x.y.b.com"]
+    assert got["b.org"] == ["b.org"]
+
+
+def test_blocklist_filter_list_and_dataframe_forms_agree(spark):
+    hosts = [
+        (1, "www.bad.co.uk"),   # blocked: subdomain of bad.co.uk
+        (2, "bad.co.uk"),       # blocked: exact registrable
+        (3, "notbad.co.uk"),    # kept: 'notbad' is not a suffix match
+        (4, "cdn.ok.com"),      # blocked: specific subtree entry
+        (5, "www.ok.com"),      # kept: only cdn subtree is blocked
+        (6, "ok.com"),          # kept
+    ]
+    df = spark.createDataFrame(hosts, "id long, host string")
+    bl = ["bad.co.uk", "cdn.ok.com"]
+    kept_list = sorted(
+        r["id"] for r in DOM.blocklist_filter(df, "host", bl, "id").collect()
+    )
+    bl_df = spark.createDataFrame([(e,) for e in bl], "entry string")
+    kept_df = sorted(
+        r["id"]
+        for r in DOM.blocklist_filter(df, "host", bl_df, "id").collect()
+    )
+    assert kept_list == kept_df == [3, 5, 6]
+
+
+def test_domain_dedup_stats_counts(spark):
+    df = spark.createDataFrame(
+        [
+            ("a.com", "Same   text"),
+            ("a.com", "same text"),     # dup after normalization
+            ("a.com", "other"),
+            ("b.com", "unique one"),
+        ],
+        "domain string, text string",
+    )
+    got = {
+        r["domain"]: (r["n_docs"], r["n_unique_texts"], r["dup_rate"])
+        for r in DOM.domain_dedup_stats(df, "domain", "text").collect()
+    }
+    assert got["a.com"] == (3, 2, round(1 / 3, 6))
+    assert got["b.com"] == (1, 1, 0.0)
+
+
+def test_topk_window_group_limit_prunes_map_side(spark):
+    """The skew contract domain_balanced_sample relies on (see the note
+    in operators.topk): Spark's InsertWindowGroupLimit must plant a
+    Partial WindowGroupLimit BELOW the exchange, so a hot group ships at
+    most k·input_partitions rows, never its whole corpus. Pin the plan
+    shape so a Spark upgrade or a refactor that breaks the
+    filter-on-rank pattern (e.g. filtering a derived column) fails
+    loudly here instead of resurfacing as a fat-task regression."""
+    rows = [("hot", i) for i in range(400)] + [
+        (f"g{i % 7}", 1000 + i) for i in range(70)
+    ]
+    df = spark.createDataFrame(rows, "g string, v long").repartition(13)
+    out = top_k_per_group(df, ["g"], [F.col("v").desc(), F.col("g")], 5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+    got = sorted(
+        (r["g"], r["rnk"], r["v"]) for r in out.collect() if r["g"] == "hot"
+    )
+    assert got == [("hot", i + 1, 399 - i) for i in range(5)]
+
+
+def test_blocklist_filter_plan_has_no_corpus_shuffle(spark):
+    """The DataFrame-blocklist form must keep the corpus un-shuffled:
+    both joins broadcast, no Exchange hashpartitioning over the corpus
+    side (the 100 TB contract in the operator docstring)."""
+    df = spark.createDataFrame(
+        [(i, f"s{i % 5}.example.com") for i in range(100)],
+        "id long, host string",
+    )
+    bl = spark.createDataFrame([("s1.example.com",)], "entry string")
+    out = DOM.blocklist_filter(df, "host", bl, "id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert out.count() == 80
