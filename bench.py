@@ -132,7 +132,8 @@ HEADLINE = [
     "brand_association_rules", # basket rules A,B->C by lift, exact ints (r7)
     "domain_dedup_rate",       # registrable-domain dup census, 2-level agg (r8)
     "domain_blocklist_filter", # suffix-aware blocklist, zero corpus shuffle (r8)
-    "domain_balanced_sample",  # per-domain quota via two-phase top-k (r8)
+    "domain_balanced_sample",  # per-domain quota, WindowGroupLimit-pruned (r8)
+    "domain_mirror_overlap",   # cross-domain mirror pairs, hot-fp guard (r8)
 ]
 
 

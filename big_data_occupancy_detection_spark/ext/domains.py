@@ -168,6 +168,89 @@ def domain_dedup_stats(
     )
 
 
+def domain_mirror_pairs(
+    df: DataFrame,
+    domain_col: str,
+    text_col: str,
+    min_shared: int = 2,
+    max_fp_domains: int = 64,
+) -> DataFrame:
+    """Cross-domain mirror/syndication detection: domain pairs ranked by
+    content overlap — the complement of :func:`domain_dedup_stats`
+    (duplication ACROSS sites instead of within one). For every pair of
+    domains sharing ≥ ``min_shared`` distinct normalized-text
+    fingerprints, emit (domain_a, domain_b, shared_texts, overlap) with
+    overlap = shared / min(|A|, |B|) — the containment coefficient, 1.0
+    when one site is a full mirror of the other.
+
+    Scale shape (the inverted-index pair join, same machinery as the
+    n-gram Jaccard near-dup): pair candidates are generated PER
+    FINGERPRINT, so the fan-out is Σ_fp C(d_fp, 2) with d_fp capped by
+    ``max_fp_domains`` — a fingerprint present on more than that many
+    domains is universal boilerplate (cookie banners, empty pages) that
+    says nothing about mirroring and would otherwise explode the join
+    (the hot-shingle guard rule). Never an all-pairs domain join; the
+    per-domain size table joins back by broadcast (domain grain is
+    small by definition).
+
+    NULL texts carry no content evidence and are EXCLUDED outright
+    (from pair evidence AND the |domain| sizes) — found by the high-null
+    fuzz: Spark's groupBy groups NULL fingerprints together, which
+    manufactured cross-site "shared" texts out of missing data, while a
+    SQL equi-join twin drops them; excluding NULL is the one semantics
+    both engines state explicitly.
+    """
+    from ..functions.rounding import portable_round
+
+    fp = (
+        df.select(
+            F.col(domain_col).alias("domain"),
+            F.md5(norm_text(text_col)).alias("__fp"),
+        )
+        .filter(F.col("__fp").isNotNull())
+        .distinct()
+    )
+    sizes = fp.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    # hot-fp guard: collect the (capped) domain set per fingerprint, then
+    # enumerate ordered pairs by a double explode of the SAME row — no
+    # fp-keyed self-join, so the only exchanges are the fp groupBy and
+    # the pair groupBy
+    fp_d = fp.groupBy("__fp").agg(
+        F.collect_set("domain").alias("__ds"),
+        F.count(F.lit(1)).alias("__d"),
+    ).filter(F.col("__d") <= max_fp_domains)
+    pairs = (
+        fp_d.select(F.explode("__ds").alias("domain_a"), "__ds")
+        .select("domain_a", F.explode("__ds").alias("domain_b"))
+        .filter(F.col("domain_a") < F.col("domain_b"))
+        .groupBy("domain_a", "domain_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_texts"))
+        .filter(F.col("shared_texts") >= min_shared)
+    )
+    na = sizes.select(
+        F.col("domain").alias("domain_a"), F.col("__n").alias("__na")
+    )
+    nb = sizes.select(
+        F.col("domain").alias("domain_b"), F.col("__n").alias("__nb")
+    )
+    return (
+        pairs.join(F.broadcast(na), "domain_a")
+        .join(F.broadcast(nb), "domain_b")
+        .select(
+            "domain_a",
+            "domain_b",
+            "shared_texts",
+            portable_round(
+                F.col("shared_texts")
+                / F.least("__na", "__nb").cast("double"),
+                6,
+            ).alias("overlap"),
+        )
+    )
+
+
 def domain_balanced_sample(
     df: DataFrame, domain_col: str, id_col: str, quota: int
 ) -> DataFrame:

@@ -1230,3 +1230,82 @@ def domain_balanced_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _doc_domains(spark, sf_dir)
     out = DOM.domain_balanced_sample(d, "domain", "doc_id", _DOMAIN_QUOTA)
     return out.select("domain", F.col("rnk").cast("long").alias("rnk"), "doc_id")
+
+
+# Plant key: k = doc_id // 20 is the doc's row index WITHIN its source
+# (sources are assigned round-robin, source = doc_id % n_sources), so
+# plant decisions keyed on k hit every source and decorrelate from the
+# tld choice (doc_id % 3) — a doc_id%5 plant would silently hit only
+# the sources whose index is 0 mod 5 (found vacuous: 0 result rows).
+# Variant modulus 7 chosen by enumeration: after the even-k filter the
+# tld (doc_id % 3) and a %3/%4 variant stay correlated per source; %7
+# yields 40 same-source pairs sharing 2 fps (kept) and 20 sharing 1
+# (dropped by min_shared) — both sides of the threshold exercised.
+_MIRROR_BOILER_SQL = (
+    "CASE WHEN (doc_id // 20) % 7 = 0 THEN 'shared cookie banner text' "
+    "WHEN (doc_id // 20) % 2 = 0 THEN 'boilerplate page ' "
+    "|| CAST(((doc_id // 20) // 2) % 7 AS VARCHAR) || ' for ' || source "
+    "ELSE text END"
+)
+
+_DOMAIN_MIRROR_ORACLE = f"""
+WITH {_URLS_CTE},
+boiler AS (
+  SELECT domain, {_MIRROR_BOILER_SQL} AS t FROM doms),
+fp AS (  -- NULL texts excluded outright (no content evidence): the
+         -- operator filters NULL fingerprints before sizes AND pairs
+  SELECT DISTINCT domain,
+         md5(trim(regexp_replace(lower(t), '\\s+', ' ', 'g'))) AS f
+  FROM boiler
+  WHERE t IS NOT NULL),
+sizes AS (SELECT domain, count(*) AS n FROM fp GROUP BY 1),
+calm AS (SELECT f FROM fp GROUP BY f HAVING count(*) <= 16),
+pairs AS (
+  SELECT a.domain AS domain_a, b.domain AS domain_b,
+         CAST(count(*) AS BIGINT) AS shared_texts
+  FROM fp a
+  JOIN fp b ON b.f = a.f AND a.domain < b.domain
+  JOIN calm c ON c.f = a.f
+  GROUP BY 1, 2 HAVING count(*) >= 2)
+SELECT p.domain_a, p.domain_b, p.shared_texts,
+       {PR6('p.shared_texts / CAST(least(na.n, nb.n) AS DOUBLE)')} AS overlap
+FROM pairs p
+JOIN sizes na ON na.domain = p.domain_a
+JOIN sizes nb ON nb.domain = p.domain_b
+"""
+
+
+@register("domain_mirror_overlap", oracle=_DOMAIN_MIRROR_ORACLE)
+def domain_mirror_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-domain mirror detection: domain pairs sharing >= 2 distinct
+    normalized-text fingerprints, scored by the containment coefficient
+    shared/min(|A|,|B|) — duplication ACROSS sites, the complement of
+    domain_dedup_rate's within-site census. Plants source-scoped
+    boilerplate (mirrors within a source's three tld variants) AND a
+    universal cookie-banner text that the hot-fingerprint guard
+    (max_fp_domains=16) must drop — a fingerprint on 60 domains is
+    universal boilerplate, not mirroring, and C(60,2) pair fan-out is
+    exactly what the guard exists to prevent. Inverted-index pair
+    enumeration: double explode of the per-fp (capped) domain set, never
+    an all-pairs domain join."""
+    from ..ext import domains as DOM
+
+    d = _doc_domains(spark, sf_dir)
+    k = F.floor(F.col("doc_id") / 20).cast("long")
+    planted = d.withColumn(
+        "text",
+        F.when(k % 7 == 0, F.lit("shared cookie banner text"))
+        .when(
+            k % 2 == 0,
+            F.concat(
+                F.lit("boilerplate page "),
+                (F.floor(k / 2).cast("long") % 7).cast("string"),
+                F.lit(" for "),
+                F.col("source"),
+            ),
+        )
+        .otherwise(F.col("text")),
+    )
+    return DOM.domain_mirror_pairs(
+        planted, "domain", "text", min_shared=2, max_fp_domains=16
+    )

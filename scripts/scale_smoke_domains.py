@@ -34,6 +34,7 @@ OPS = [
     "domain_dedup_rate",
     "domain_blocklist_filter",
     "domain_balanced_sample",
+    "domain_mirror_overlap",
 ]
 
 

@@ -127,3 +127,29 @@ def test_blocklist_filter_plan_has_no_corpus_shuffle(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert out.count() == 80
+
+
+def test_domain_mirror_pairs_guard_threshold_and_overlap(spark):
+    """min_shared keeps only pairs sharing enough fps; the hot-fp guard
+    drops universal boilerplate BEFORE pair fan-out; overlap is the
+    containment coefficient over per-domain DISTINCT fp counts
+    (within-domain duplicates collapse first)."""
+    rows = (
+        # a.com: x, y, z (plus a within-domain dup of x -> still 3 distinct)
+        [("a.com", "X"), ("a.com", "x"), ("a.com", "y"), ("a.com", "z")]
+        # b.com shares x, y with a.com  -> kept, shared=2, min(3,3)=3
+        + [("b.com", "x"), ("b.com", "y"), ("b.com", "w")]
+        # c.com shares only z with a.com -> dropped by min_shared=2
+        + [("c.com", "z"), ("c.com", "q")]
+        # universal fp on ALL four domains -> dropped by max_fp_domains=3
+        + [(d, "universal") for d in ("a.com", "b.com", "c.com", "d.com")]
+    )
+    df = spark.createDataFrame(rows, "domain string, text string")
+    got = {
+        (r["domain_a"], r["domain_b"]): (r["shared_texts"], r["overlap"])
+        for r in DOM.domain_mirror_pairs(
+            df, "domain", "text", min_shared=2, max_fp_domains=3
+        ).collect()
+    }
+    # only (a, b) survives; sizes include the universal fp (4 and 4)
+    assert got == {("a.com", "b.com"): (2, round(2 / 4, 6))}
