@@ -134,6 +134,7 @@ HEADLINE = [
     "domain_blocklist_filter", # suffix-aware blocklist, zero corpus shuffle (r8)
     "domain_balanced_sample",  # per-domain quota, WindowGroupLimit-pruned (r8)
     "domain_mirror_overlap",   # cross-domain mirror pairs, hot-fp guard (r8)
+    "url_canonical_collapse",  # URL canonicalization dedup census, map-only (r8)
 ]
 
 

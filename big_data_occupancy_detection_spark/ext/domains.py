@@ -7,7 +7,7 @@ lacked (round-8 brief): crawl pipelines attribute duplication, apply
 blocklists and balance training mixtures at the REGISTRABLE DOMAIN
 (site) grain, not per document or per source. Everything here is
 built-in-expression Spark (whole-stage codegen — URL parsing is
-``parse_url`` + string/array functions, never a Python UDF), and every
+``try_parse_url`` + string/array functions, never a Python UDF), and every
 consumer joins the tiny domain-grain tables back by broadcast, so at
 100 TB the corpus is scanned once per query with no domain-grain
 shuffle beyond the final map-side-combined aggregate.
@@ -44,6 +44,64 @@ def url_host(url_col: Column | str) -> Column:
     where malformed URLs are normal)."""
     c = F.col(url_col) if isinstance(url_col, str) else url_col
     return F.lower(F.try_parse_url(c, F.lit("HOST")))
+
+
+# Exact-name tracking params stripped by canonical_url (utm_* is a
+# prefix rule on top). A data constant like TWO_LEVEL_SUFFIXES —
+# production extends the list, the expression shape is fixed.
+TRACKING_PARAMS = ["fbclid", "gclid", "msclkid", "ref", "mc_cid", "mc_eid"]
+
+
+def canonical_url(url_col: Column | str) -> Column:
+    """Canonical form of a URL for crawl-frontier / fetch dedup — the
+    standard normalization pass that collapses the many spellings of one
+    resource before URL-grain dedup:
+
+    - scheme and host lowercased; userinfo and fragment dropped;
+    - default ports removed (``:80`` for http, ``:443`` for https),
+      non-default ports kept;
+    - path: trailing slashes stripped, empty path → ``/``;
+    - query: parameters split, empties and tracking params dropped
+      (``utm_*`` prefix + :data:`TRACKING_PARAMS` names), the rest
+      SORTED so param order never distinguishes two URLs; an emptied
+      query drops its ``?``.
+
+    Pure built-in expressions (``try_parse_url`` + string/array
+    functions — codegen, no UDF); malformed input → NULL, same routing
+    as :func:`url_host`.
+    """
+    c = F.col(url_col) if isinstance(url_col, str) else url_col
+    proto = F.lower(F.try_parse_url(c, F.lit("PROTOCOL")))
+    host = F.lower(F.try_parse_url(c, F.lit("HOST")))
+    auth = F.try_parse_url(c, F.lit("AUTHORITY"))
+    port = F.regexp_extract(auth, r":(\d+)$", 1)
+    keep_port = (port != "") & ~(
+        ((proto == "http") & (port == "80"))
+        | ((proto == "https") & (port == "443"))
+    )
+    path = F.coalesce(F.try_parse_url(c, F.lit("PATH")), F.lit(""))
+    path_norm = F.regexp_replace(path, r"/+$", "")
+    path_norm = F.when(path_norm == "", F.lit("/")).otherwise(path_norm)
+    pname = lambda p: F.substring_index(p, "=", 1)
+    params = F.filter(
+        F.split(F.try_parse_url(c, F.lit("QUERY")), "&"),
+        lambda p: (p != "")
+        & ~pname(p).startswith("utm_")
+        & ~pname(p).isin(TRACKING_PARAMS),
+    )
+    qs = F.coalesce(F.array_join(F.array_sort(params), "&"), F.lit(""))
+    return F.when(
+        host.isNull() | proto.isNull(), F.lit(None).cast("string")
+    ).otherwise(
+        F.concat(
+            proto,
+            F.lit("://"),
+            host,
+            F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+            path_norm,
+            F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
+        )
+    )
 
 
 def registrable_domain(host_col: Column | str) -> Column:
@@ -117,7 +175,9 @@ def blocklist_filter(
       to broadcast would bucket-join on the suffix instead (same plan
       with the broadcast hints dropped).
 
-    ``id_col`` must be unique per row (the anti-join key).
+    ``id_col`` must be unique per row (the anti-join key). ``host_col``
+    is expected lower-cased (:func:`url_host` output); blocklist entries
+    are lowered here.
     """
     sfx = host_suffixes(host_col)
     if isinstance(blocklist, list):

@@ -1309,3 +1309,126 @@ def domain_mirror_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DOM.domain_mirror_pairs(
         planted, "domain", "text", min_shared=2, max_fp_domains=16
     )
+
+
+# --------------------------------------------------------------------------
+# URL canonicalization (round 8): collapse the many spellings of one
+# resource (case, default port, trailing slash, tracking params, param
+# order, fragment) before URL-grain dedup — the crawl-frontier step that
+# precedes content dedup. The plant writes FOUR deterministic raw
+# variants per logical page; the oracle re-canonicalizes INDEPENDENTLY
+# with DuckDB string/list ops, so the hash compare verifies the
+# normalization semantics themselves, not just the plant.
+# --------------------------------------------------------------------------
+
+_CANON_HOST_SQL = "'www.site' || CAST((doc_id // 4) % 50 AS VARCHAR) || '.com'"
+_CANON_PAGE_SQL = "'/page/' || CAST(doc_id // 4 AS VARCHAR)"
+
+_CANON_URLS_SQL = f"""
+curls AS (
+  SELECT doc_id,
+    CASE CAST(doc_id % 4 AS INT)
+      WHEN 0 THEN 'https://' || {_CANON_HOST_SQL} || {_CANON_PAGE_SQL}
+        || CASE WHEN (doc_id // 4) % 2 = 0 THEN '?a=1&b=2' ELSE '' END
+      WHEN 1 THEN 'HTTPS://' || upper({_CANON_HOST_SQL}) || ':443'
+        || {_CANON_PAGE_SQL} || '/'
+        || CASE WHEN (doc_id // 4) % 2 = 0 THEN '?b=2&a=1' ELSE '' END
+      WHEN 2 THEN 'https://' || {_CANON_HOST_SQL} || {_CANON_PAGE_SQL}
+        || CASE WHEN (doc_id // 4) % 2 = 0
+                THEN '?b=2&utm_source=feed&a=1&fbclid=xyz'
+                ELSE '?utm_source=feed' END
+      ELSE 'https://' || {_CANON_HOST_SQL} || {_CANON_PAGE_SQL} || '//'
+        || CASE WHEN (doc_id // 4) % 2 = 0 THEN '?a=1&b=2' ELSE '' END
+        || '#frag'
+    END AS url
+  FROM documents)
+"""
+
+_CANON_ORACLE = f"""
+WITH {_CANON_URLS_SQL},
+parts AS (
+  SELECT url,
+         lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS proto,
+         lower(regexp_extract(url, '^[A-Za-z]+://([^/:?#]+)', 1)) AS host,
+         regexp_extract(url, '^[A-Za-z]+://[^/:?#]+:([0-9]+)', 1) AS port,
+         regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS path,
+         regexp_extract(url, '\\?([^#]*)', 1) AS query
+  FROM curls),
+norm AS (
+  SELECT url, proto, host,
+         CASE WHEN port <> ''
+                   AND NOT (proto = 'http' AND port = '80')
+                   AND NOT (proto = 'https' AND port = '443')
+              THEN ':' || port ELSE '' END AS portpart,
+         CASE WHEN regexp_replace(path, '/+$', '') = '' THEN '/'
+              ELSE regexp_replace(path, '/+$', '') END AS path_norm,
+         array_to_string(list_sort(list_filter(string_split(query, '&'),
+             p -> p <> ''
+                  AND NOT starts_with(string_split(p, '=')[1], 'utm_')
+                  AND NOT list_contains(
+                        ['fbclid','gclid','msclkid','ref','mc_cid','mc_eid'],
+                        string_split(p, '=')[1]))), '&') AS qs
+  FROM parts),
+canon AS (
+  SELECT url,
+         proto || '://' || host || portpart || path_norm
+           || CASE WHEN qs <> '' THEN '?' || qs ELSE '' END AS canonical_url
+  FROM norm)
+SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(count(DISTINCT url) AS BIGINT) AS n_raw_distinct
+FROM canon GROUP BY 1
+"""
+
+
+@register("url_canonical_collapse", oracle=_CANON_ORACLE)
+def url_canonical_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-grain dedup census after canonicalization
+    (ext.domains.canonical_url): each logical page's four raw spellings
+    (case/default-port, trailing slash, tracking params + param order,
+    fragment) must collapse to ONE canonical key — map-only
+    normalization + one map-side-combined aggregate."""
+    from ..ext import domains as DOM
+
+    docs = table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    g = F.floor(did / 4).cast("long")
+    host = F.concat(
+        F.lit("www.site"), (g % 50).cast("string"), F.lit(".com")
+    )
+    page = F.concat(F.lit("/page/"), g.cast("string"))
+    realq = lambda s: F.when(g % 2 == 0, F.lit(s)).otherwise(F.lit(""))
+    v = (did % 4).cast("int")
+    raw = (
+        F.when(v == 0, F.concat(F.lit("https://"), host, page, realq("?a=1&b=2")))
+        .when(
+            v == 1,
+            F.concat(
+                F.lit("HTTPS://"), F.upper(host), F.lit(":443"), page,
+                F.lit("/"), realq("?b=2&a=1"),
+            ),
+        )
+        .when(
+            v == 2,
+            F.concat(
+                F.lit("https://"), host, page,
+                F.when(
+                    g % 2 == 0, F.lit("?b=2&utm_source=feed&a=1&fbclid=xyz")
+                ).otherwise(F.lit("?utm_source=feed")),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://"), host, page, F.lit("//"),
+                realq("?a=1&b=2"), F.lit("#frag"),
+            )
+        )
+    )
+    u = docs.select("doc_id", raw.alias("url"))
+    return (
+        u.select("url", DOM.canonical_url("url").alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_urls"),
+            F.countDistinct("url").cast("long").alias("n_raw_distinct"),
+        )
+    )

@@ -153,3 +153,32 @@ def test_domain_mirror_pairs_guard_threshold_and_overlap(spark):
     }
     # only (a, b) survives; sizes include the universal fp (4 and 4)
     assert got == {("a.com", "b.com"): (2, round(2 / 4, 6))}
+
+
+def test_canonical_url_edges(spark):
+    rows = [
+        (1, "HTTP://Example.COM:80/a/"),          # case + default port + slash
+        (2, "http://example.com/a"),               # canonical twin of 1
+        (3, "https://example.com:8443/x"),         # NON-default port kept
+        (4, "https://example.com/x?utm_source=a&fbclid=b"),  # tracking-only
+        (5, "https://example.com/x?b=2&a=1"),      # param order
+        (6, "https://example.com/x?a=1&b=2#frag"), # fragment + same params
+        (7, "https://example.com"),                # empty path -> '/'
+        (8, None),
+        (9, "::not a url::"),
+        (10, "https://user:pw@example.com/x"),     # userinfo dropped
+    ]
+    df = spark.createDataFrame(rows, "id long, url string")
+    from big_data_occupancy_detection_spark.ext.domains import canonical_url
+
+    out = {
+        r["id"]: r["c"]
+        for r in df.select("id", canonical_url("url").alias("c")).collect()
+    }
+    assert out[1] == out[2] == "http://example.com/a"
+    assert out[3] == "https://example.com:8443/x"
+    assert out[4] == "https://example.com/x"
+    assert out[5] == out[6] == "https://example.com/x?a=1&b=2"
+    assert out[7] == "https://example.com/"
+    assert out[8] is None and out[9] is None
+    assert out[10] == "https://example.com/x"
