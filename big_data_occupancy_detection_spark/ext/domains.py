@@ -261,8 +261,16 @@ def domain_mirror_pairs(
     both engines state explicitly.
     """
     from ..functions.rounding import portable_round
+    from ..operators.partitioning import checkpoint_for_reuse
 
-    fp = (
+    # fp is consumed twice (sizes + the pair index) and its lineage is
+    # the expensive part — normalize+md5 over every corpus row. The
+    # materialized frame is the operator's OWN grain (distinct (domain,
+    # fingerprint) pairs — small relative to the corpus exactly when
+    # mirroring exists), so pinning it is bounded; recomputing instead
+    # measured 280 s vs (post-fix) one corpus pass at the 1000x/5M-doc
+    # smoke.
+    fp = checkpoint_for_reuse(
         df.select(
             F.col(domain_col).alias("domain"),
             F.md5(norm_text(text_col)).alias("__fp"),

@@ -35,6 +35,7 @@ OPS = [
     "domain_blocklist_filter",
     "domain_balanced_sample",
     "domain_mirror_overlap",
+    "url_canonical_collapse",
 ]
 
 
