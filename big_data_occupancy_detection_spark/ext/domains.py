@@ -342,3 +342,78 @@ def domain_balanced_sample(
         hashed, [domain_col], [F.col("__h"), F.col(id_col)], quota
     )
     return out.drop("__h")
+
+
+class DomainDedupAccumulator:
+    """Streaming twin of :func:`domain_dedup_stats`: an ingest-time
+    per-domain duplication monitor maintained over micro-batches — the
+    signal a crawl pipeline watches LIVE ("site X started serving the
+    same page under every URL") rather than recomputing batch censuses.
+
+    State composition, both sides bounded (the sketch-accumulator
+    contract): EXACT per-domain doc counts (one long per domain) plus a
+    :class:`~..ext.sketches.KmvAccumulator` of normalized-text
+    fingerprints per domain (bottom-k hash set, ≤ k longs per domain) —
+    so ``dedup_rate = 1 − distinct_estimate/n_docs`` is EXACT while a
+    domain has seen ≤ k distinct texts (the KMV exact regime, asserted
+    equal to the batch census in tests) and a bounded-error estimate
+    past it. NULL texts are excluded on ingest, same contract as the
+    batch operator. Each merge aggregates executor-side; only (domain,
+    hash) rows touched by the batch reach the driver.
+
+    ``foreach_batch`` is replay-guarded like every accumulator
+    (redelivered fully-applied batches are no-ops).
+    """
+
+    def __init__(self, k: int | None = None):
+        from .sketches import KMV_K, KmvAccumulator
+
+        self.kmv = KmvAccumulator(k=KMV_K if k is None else k)
+        self.counts: dict[object, int] = {}
+
+    def _fp_frame(self, df: DataFrame, domain_col: str, text_col: str):
+        return df.select(
+            F.col(domain_col).alias("__dom"),
+            F.md5(norm_text(text_col)).alias("__fp"),
+        ).filter(F.col("__fp").isNotNull() & F.col("__dom").isNotNull())
+
+    def merge_batch(
+        self, batch_df: DataFrame, domain_col: str, text_col: str
+    ) -> None:
+        fp = self._fp_frame(batch_df, domain_col, text_col)
+        for r in (
+            fp.groupBy("__dom")
+            .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+            .collect()
+        ):
+            self.counts[r["__dom"]] = (
+                self.counts.get(r["__dom"], 0) + r["__c"]
+            )
+        self.kmv.merge_batch(fp, "__fp", "__dom")
+
+    def foreach_batch(self, domain_col: str, text_col: str):
+        """A ``foreachBatch`` function maintaining this accumulator
+        (replay-guarded — doc counts are additive)."""
+        from ..operators.temporal import replay_guarded
+
+        return replay_guarded(
+            lambda batch_df, _bid: self.merge_batch(
+                batch_df, domain_col, text_col
+            )
+        )
+
+    def n_docs(self, domain) -> int:
+        return self.counts.get(domain, 0)
+
+    def distinct_estimate(self, domain) -> float:
+        return self.kmv.estimate(domain)
+
+    def dedup_rate(self, domain) -> float | None:
+        """1 − distinct/n for ``domain`` (None until it has data); exact
+        in the KMV exact regime, clamped to [0, 1] in the estimate
+        regime (the estimator can overshoot n slightly)."""
+        n = self.counts.get(domain)
+        if not n:
+            return None
+        est = self.kmv.estimate(domain)
+        return min(1.0, max(0.0, 1.0 - est / float(n)))

@@ -182,3 +182,47 @@ def test_canonical_url_edges(spark):
     assert out[7] == "https://example.com/"
     assert out[8] is None and out[9] is None
     assert out[10] == "https://example.com/x"
+
+
+def test_domain_dedup_accumulator_matches_batch_census(spark):
+    """Streaming twin contract: after any batch split, the accumulator's
+    per-domain (n_docs, distinct, dedup_rate) equals the one-shot batch
+    census domain_dedup_stats EXACTLY while domains are in the KMV exact
+    regime (distinct <= k); redelivered batches are no-ops; NULL texts
+    are excluded like the batch operator."""
+    rows = (
+        [("a.com", f"t{i % 4}", i) for i in range(12)]        # 4 distinct
+        + [("b.com", f"u{i}", 100 + i) for i in range(5)]     # all unique
+        + [("a.com", None, 990), (None, "x", 991)]            # excluded
+    )
+    df = spark.createDataFrame(rows, "domain string, text string, i long")
+    acc = DOM.DomainDedupAccumulator(k=64)
+    fn = acc.foreach_batch("domain", "text")
+    for bid, (lo, hi) in enumerate(((0, 6), (6, 103), (103, 1000))):
+        fn(df.filter((F.col("i") >= lo) & (F.col("i") < hi)), bid)
+    fn(df.filter(F.col("i") < 6), 0)  # redelivery: must be a no-op
+
+    batch = {
+        r["domain"]: (r["n_docs"], r["n_unique_texts"], r["dup_rate"])
+        for r in DOM.domain_dedup_stats(
+            df.filter(F.col("text").isNotNull() & F.col("domain").isNotNull()),
+            "domain",
+            "text",
+        ).collect()
+    }
+    for dom in ("a.com", "b.com"):
+        n, uniq, rate = batch[dom]
+        assert acc.n_docs(dom) == n
+        assert acc.distinct_estimate(dom) == float(uniq)  # exact regime
+        # batch census rounds to 6 digits (portable_round); the live
+        # monitor reports the raw double — compare at that precision
+        assert abs(acc.dedup_rate(dom) - rate) < 1e-6
+    assert acc.dedup_rate("never-seen") is None
+
+    # estimate regime: k smaller than the distinct count -> bounded, not
+    # exact; rate stays clamped to [0, 1]
+    small = DOM.DomainDedupAccumulator(k=8)
+    small.merge_batch(df.filter(F.col("text").isNotNull()), "domain", "text")
+    est = small.distinct_estimate("b.com")
+    assert est > 0
+    assert 0.0 <= small.dedup_rate("b.com") <= 1.0
