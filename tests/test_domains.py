@@ -226,3 +226,26 @@ def test_domain_dedup_accumulator_matches_batch_census(spark):
     est = small.distinct_estimate("b.com")
     assert est > 0
     assert 0.0 <= small.dedup_rate("b.com") <= 1.0
+
+
+def test_canonical_url_is_idempotent(spark):
+    """Canonicalization must be a projection: applying it to its own
+    output changes nothing (otherwise two dedup passes could disagree).
+    Covers every normalization axis at once."""
+    urls = [
+        "HTTP://Example.COM:80/a/b/?z=1&a=2&utm_source=x#f",
+        "https://example.com:443//",
+        "https://a.b.co.uk/x?b=&c=3",
+        "http://example.com:8080/p?ref=feed",
+        "https://example.com/p?a=1&a=1",   # duplicate param survives sorted
+        "https://example.com",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    from big_data_occupancy_detection_spark.ext.domains import canonical_url
+
+    rows = df.select(
+        canonical_url("url").alias("c1"),
+        canonical_url(canonical_url("url")).alias("c2"),
+    ).collect()
+    for r in rows:
+        assert r["c1"] == r["c2"], (r["c1"], r["c2"])
