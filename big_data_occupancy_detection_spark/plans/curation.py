@@ -484,45 +484,51 @@ _PR_ITERS, _PR_DAMP = 3, 0.85
 
 
 def _pagerank_oracle() -> str:
+    # MATERIALIZED hints (round 9): `e` is referenced by every c{i}/d{i}
+    # leg and r{i} chains on r{i-1}, so DuckDB's default CTE inlining
+    # re-evaluates the expensive shingle self-join exponentially in the
+    # iteration count (~25 s warm in the r8 sweep). Materializing the
+    # graph legs and each iteration frame makes every leg evaluate once;
+    # arithmetic unchanged (verified identical fetchall).
     from .textops import _SH_CTE, _JACCARD_T
 
     head = f"""
     WITH {_TOKS_CTE},
     {_SH_CTE},
-    sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
-    inv AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    sizes AS MATERIALIZED (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+    inv AS MATERIALIZED (SELECT doc_id, unnest(shingles) AS s FROM sh),
     prs AS (
       SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
       FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
       GROUP BY 1, 2),
-    jp AS (
+    jp AS MATERIALIZED (
       SELECT d1, d2 FROM prs p
       JOIN sizes sa ON sa.doc_id = p.d1
       JOIN sizes sb ON sb.doc_id = p.d2
       WHERE (floor(CAST((CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter)) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0)
             >= {_JACCARD_T}),
-    e AS (SELECT d1 AS src, d2 AS dst FROM jp
+    e AS MATERIALIZED (SELECT d1 AS src, d2 AS dst FROM jp
           UNION ALL SELECT d2, d1 FROM jp),
     nodes AS (SELECT DISTINCT src AS node FROM e),
-    base AS (
+    base AS MATERIALIZED (
       SELECT n.node, coalesce(o.outdeg, 0) AS outdeg
       FROM nodes n LEFT JOIN
         (SELECT src, count(*) AS outdeg FROM e GROUP BY 1) o
         ON o.src = n.node),
-    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM base),
-    r0 AS (SELECT node, (floor(CAST((1.0 / (SELECT n FROM nn)) AS DOUBLE) * 1000000000000.0 + 0.5) / 1000000000000.0) AS pr FROM base)"""
+    nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM base),
+    r0 AS MATERIALIZED (SELECT node, (floor(CAST((1.0 / (SELECT n FROM nn)) AS DOUBLE) * 1000000000000.0 + 0.5) / 1000000000000.0) AS pr FROM base)"""
     iters = []
     for i in range(1, _PR_ITERS + 1):
         p = i - 1
         iters.append(f"""
-    c{i} AS (
+    c{i} AS MATERIALIZED (
       SELECT e.dst AS node, sum(r.pr / b.outdeg) AS inflow
       FROM e JOIN r{p} r ON r.node = e.src JOIN base b ON b.node = e.src
       GROUP BY 1),
-    d{i} AS (
+    d{i} AS MATERIALIZED (
       SELECT coalesce(sum(pr), 0.0) AS dmass
       FROM r{p} JOIN base USING (node) WHERE outdeg = 0),
-    r{i} AS (
+    r{i} AS MATERIALIZED (
       SELECT b.node,
              (floor(CAST(((1.0 - {_PR_DAMP}) / (SELECT n FROM nn)
                    + {_PR_DAMP} * (coalesce(c{i}.inflow, 0.0)

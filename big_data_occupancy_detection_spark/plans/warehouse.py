@@ -1645,17 +1645,21 @@ def _holt_oracle() -> str:
     a, b = _HOLT_A, _HOLT_B
     lvl = f"{a} * CAST(s.cents AS DOUBLE) + {1.0 - a} * (h.l + h.t)"
     p6 = lambda e: portable_round_sql(e, 6)
+    # MATERIALIZED: same round-9 fix as _cusum_oracle — without it the
+    # recursive step re-runs the scan+agg+window per day of recursion
+    # (~20 s warm / 10× cold); identical IEEE arithmetic either way.
     return f"""
-    WITH RECURSIVE daily AS (
+    WITH RECURSIVE daily AS MATERIALIZED (
       SELECT o_orderpriority AS priority, o_orderdate AS day,
              CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
                AS cents
       FROM orders GROUP BY 1, 2),
-    seq AS (
+    seq AS MATERIALIZED (
       SELECT priority, cents,
              row_number() OVER (PARTITION BY priority ORDER BY day) AS i
       FROM daily),
-    nn AS (SELECT priority, CAST(max(i) AS BIGINT) AS n_days
+    nn AS MATERIALIZED (
+           SELECT priority, CAST(max(i) AS BIGINT) AS n_days
            FROM seq GROUP BY 1),
     holt AS (
       SELECT priority, i, CAST(cents AS DOUBLE) AS l,
@@ -1739,17 +1743,25 @@ def _cusum_oracle() -> str:
     sn1 = f"greatest(0.0, nn.mu - {y})"
     spn = f"greatest(0.0, c.sp + ({y} - nn.mu))"
     snn = f"greatest(0.0, c.sn + (nn.mu - {y}))"
+    # MATERIALIZED is load-bearing (round 9): without it DuckDB inlines
+    # seq/nn into the recursive step, re-running the parquet scan + agg +
+    # window once PER DAY of recursion (~2400×) — 62 s at sf0.01, 43% of
+    # the whole DRIVERSIM sweep. Materializing the three leg CTEs makes
+    # each step a lookup (4 s) with bit-identical arithmetic (verified:
+    # identical fetchall before/after; materialization changes evaluation
+    # count, not IEEE ops).
     return f"""
-    WITH RECURSIVE daily AS (
+    WITH RECURSIVE daily AS MATERIALIZED (
       SELECT o_orderpriority AS priority, o_orderdate AS day,
              CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
                AS cents
       FROM orders GROUP BY 1, 2),
-    seq AS (
+    seq AS MATERIALIZED (
       SELECT priority, day, cents,
              row_number() OVER (PARTITION BY priority ORDER BY day) AS i
       FROM daily),
-    nn AS (SELECT priority, CAST(count(*) AS BIGINT) AS n_days,
+    nn AS MATERIALIZED (
+           SELECT priority, CAST(count(*) AS BIGINT) AS n_days,
                   sum(CAST(cents AS DOUBLE)) / CAST(count(*) AS DOUBLE) AS mu
            FROM seq GROUP BY 1),
     cus AS (
