@@ -181,6 +181,25 @@ def test_paragraph_dedup_newline_default(spark):
     assert out[3].clean_text == ""
 
 
+def test_paragraph_dedup_plan_is_hot_key_safe(spark):
+    # round-9 verdict item 1: the first-owner computation must be a
+    # map-side-combined aggregate (partial_min visible), NEVER a window
+    # partitioned by the raw paragraph string — a hot boilerplate
+    # paragraph would funnel its every occurrence into one window task.
+    from big_data_occupancy_detection_spark.ext.curation import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a b\nc d"), (2, "c d\ne f")], ["doc_id", "text"]
+    )
+    plan = (
+        paragraph_dedup(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan, "first-owner regressed to a window"
+    assert "partial_min" in plan or "partial_" in plan, (
+        "first-owner aggregate lost its map-side partial step"
+    )
+
+
 def test_scd2_history_runs_and_versions(spark):
     from big_data_occupancy_detection_spark.operators.temporal import scd2_history
 

@@ -55,6 +55,7 @@ EXTRA_PLAN_PINNED = [
     "lineitem_weighted_price_percentiles",  # global_cumsum weighted quantiles
     "user_features_point_in_time",  # cumulative features + as-of join
     "attribution_time_decay",    # banded self-join + exact share division
+    "paragraph_dedup_docs",      # hot-paragraph-safe first-owner agg (r9)
 ]
 
 
