@@ -129,24 +129,21 @@ def registrable_domain(host_col: Column | str) -> Column:
 
 
 def host_suffixes(host_col: Column | str) -> Column:
-    """Array of the host's dot-suffixes from the registrable domain UP TO
-    the full host ('www.b.co.uk' → ['b.co.uk', 'www.b.co.uk']) — the
-    candidate set a suffix-aware blocklist entry can match. Bounded by
-    label count (hosts have a handful of labels), so the blocklist
-    explode below fans out O(1) per row."""
+    """Array of ALL the host's dot-suffixes, single label up to the full
+    host ('www.b.co.uk' → ['uk', 'co.uk', 'b.co.uk', 'www.b.co.uk']) —
+    the candidate set a suffix-aware blocklist entry can match. Round 9:
+    the ladder previously started at the registrable domain, so an entry
+    AT or ABOVE the public-suffix grain ('co.uk') matched only a host
+    exactly equal to it, never its subdomains — diverging from the
+    documented "entry blocks the exact host and every subdomain"
+    semantics (= ``host = e OR host LIKE '%.' || e``). Bounded by label
+    count (hosts have a handful of labels), so the blocklist explode
+    below fans out O(1) per row."""
     h = F.col(host_col) if isinstance(host_col, str) else host_col
     labels = F.split(h, r"\.")
     n = F.size(labels)
-    last2 = F.concat_ws(
-        ".", F.element_at(labels, -2), F.element_at(labels, -1)
-    )
-    reg_n = F.when(n <= 2, n).otherwise(
-        F.when(last2.isin(TWO_LEVEL_SUFFIXES) & (n >= 3), F.lit(3)).otherwise(
-            F.lit(2)
-        )
-    )
     return F.transform(
-        F.sequence(reg_n, n),
+        F.sequence(F.lit(1), n),
         lambda i: F.concat_ws(".", F.slice(labels, -i, i)),
     )
 
@@ -175,14 +172,22 @@ def blocklist_filter(
       to broadcast would bucket-join on the suffix instead (same plan
       with the broadcast hints dropped).
 
+    NULL hosts (malformed URLs — normal crawl data under the module's
+    malformed→NULL contract) are KEPT by BOTH forms: a blocklist names
+    what to drop, and a row with no parseable host can't match any
+    entry. (Round 9: the list form's bare ``~arrays_overlap`` evaluated
+    to NULL for NULL hosts and silently dropped them while the DataFrame
+    form kept them — the two forms now agree, test-asserted.)
+
     ``id_col`` must be unique per row (the anti-join key). ``host_col``
     is expected lower-cased (:func:`url_host` output); blocklist entries
     are lowered here.
     """
     sfx = host_suffixes(host_col)
+    host = F.col(host_col) if isinstance(host_col, str) else host_col
     if isinstance(blocklist, list):
         lit_arr = F.array(*[F.lit(e.lower()) for e in blocklist])
-        return df.filter(~F.arrays_overlap(sfx, lit_arr))
+        return df.filter(host.isNull() | ~F.arrays_overlap(sfx, lit_arr))
     bl = blocklist.select(F.lower(F.col(blocklist.columns[0])).alias("__e"))
     blocked = (
         df.select(id_col, F.explode(sfx).alias("__s"))
@@ -207,13 +212,19 @@ def domain_dedup_stats(
     is the only big intermediate and it shrinks monotonically, never a
     row-grain join. Portable fingerprint (md5 of the shared norm_text
     canonical form) so a SQL oracle rebuilds it bit-for-bit.
+
+    NULL texts and NULL domains carry no duplication evidence and are
+    EXCLUDED (round 9 — previously groupBy collapsed every NULL-text doc
+    of a domain into one "unique text", manufacturing duplicate evidence
+    out of missing data; same contract as :func:`domain_mirror_pairs`
+    and :class:`DomainDedupAccumulator`).
     """
     from ..functions.rounding import portable_round
 
     fp = df.select(
         F.col(domain_col).alias("domain"),
         F.md5(norm_text(text_col)).alias("__fp"),
-    )
+    ).filter(F.col("__fp").isNotNull() & F.col("domain").isNotNull())
     per_fp = fp.groupBy("domain", "__fp").agg(
         F.count(F.lit(1)).cast("long").alias("__c")
     )
@@ -350,26 +361,39 @@ class DomainDedupAccumulator:
     signal a crawl pipeline watches LIVE ("site X started serving the
     same page under every URL") rather than recomputing batch censuses.
 
-    State composition, both sides bounded (the sketch-accumulator
-    contract): EXACT per-domain doc counts (one long per domain) plus a
+    State composition (the sketch-accumulator contract): EXACT per-domain
+    doc counts (one long per domain) plus a
     :class:`~..ext.sketches.KmvAccumulator` of normalized-text
     fingerprints per domain (bottom-k hash set, ≤ k longs per domain) —
     so ``dedup_rate = 1 − distinct_estimate/n_docs`` is EXACT while a
     domain has seen ≤ k distinct texts (the KMV exact regime, asserted
     equal to the batch census in tests) and a bounded-error estimate
-    past it. NULL texts are excluded on ingest, same contract as the
-    batch operator. Each merge aggregates executor-side; only (domain,
-    hash) rows touched by the batch reach the driver.
+    past it. The VALUE side is bounded by construction (≤ k longs per
+    domain); the KEY side is bounded by ``max_keys`` (round 9 — on the
+    workload this operator is FOR, a web crawl, registrable domains
+    number in the hundreds of millions, so an uncapped per-domain dict
+    is a slow driver OOM: past the cap the merge fails loudly with the
+    batch UNAPPLIED, same contract as ``KsDriftAccumulator``; monitor a
+    curated domain subset or shard the accumulator instead). NULL texts
+    and NULL domains are excluded on ingest, same contract as the batch
+    operator. Each merge aggregates executor-side; only (domain, hash)
+    rows touched by the batch reach the driver.
 
     ``foreach_batch`` is replay-guarded like every accumulator
-    (redelivered fully-applied batches are no-ops).
+    (redelivered fully-applied batches are no-ops); within one merge the
+    state commit is staged — the count deltas apply only AFTER the KMV
+    merge (which runs Spark jobs and can raise) succeeds, so a failed
+    batch never leaves half-applied state for the retry to double-count.
     """
 
-    def __init__(self, k: int | None = None):
+    def __init__(self, k: int | None = None, max_keys: int = 100_000):
         from .sketches import KMV_K, KmvAccumulator
 
-        self.kmv = KmvAccumulator(k=KMV_K if k is None else k)
+        self.kmv = KmvAccumulator(
+            k=KMV_K if k is None else k, max_keys=max_keys
+        )
         self.counts: dict[object, int] = {}
+        self.max_keys = int(max_keys)
 
     def _fp_frame(self, df: DataFrame, domain_col: str, text_col: str):
         return df.select(
@@ -380,16 +404,30 @@ class DomainDedupAccumulator:
     def merge_batch(
         self, batch_df: DataFrame, domain_col: str, text_col: str
     ) -> None:
+        # stage → validate → KMV merge → commit counts LAST: the KMV
+        # merge runs Spark jobs and can raise; mutating counts before it
+        # (the pre-r9 order) left half-applied state that a foreachBatch
+        # retry would double-count, since replay_guarded only skips
+        # batches whose merge RETURNED (r8 advice).
         fp = self._fp_frame(batch_df, domain_col, text_col)
-        for r in (
-            fp.groupBy("__dom")
+        staged = {
+            r["__dom"]: r["__c"]
+            for r in fp.groupBy("__dom")
             .agg(F.count(F.lit(1)).cast("long").alias("__c"))
             .collect()
-        ):
-            self.counts[r["__dom"]] = (
-                self.counts.get(r["__dom"], 0) + r["__c"]
+        }
+        grown = len(self.counts.keys() | staged.keys())
+        if grown > self.max_keys:
+            raise ValueError(
+                f"DomainDedupAccumulator would track {grown} domains, over "
+                f"max_keys={self.max_keys} — driver-side per-domain state "
+                f"cannot hold an open crawl's domain universe; monitor a "
+                f"curated domain subset, shard the accumulator, or raise "
+                f"the cap (state unchanged: the batch was NOT applied)"
             )
         self.kmv.merge_batch(fp, "__fp", "__dom")
+        for dom, c in staged.items():
+            self.counts[dom] = self.counts.get(dom, 0) + c
 
     def foreach_batch(self, domain_col: str, text_col: str):
         """A ``foreachBatch`` function maintaining this accumulator

@@ -131,6 +131,10 @@ class CmsAccumulator:
     Use with ``foreachBatch``: grids over disjoint batches merge by
     addition, so the accumulated grid after N batches is identical to
     ``cms_build`` over the union of all batches (test-asserted).
+
+    Fixed-size by construction: state is ≤ depth·width cells regardless
+    of key cardinality, so no ``max_keys`` cap is needed (unlike the
+    per-group ``KmvAccumulator``, whose group axis must be capped).
     """
 
     def __init__(self, depth: int = CMS_DEPTH, width: int = CMS_WIDTH):
@@ -302,6 +306,10 @@ class BloomAccumulator:
     identical to ``bloom_build`` over the union of all batches
     (test-asserted) — the streaming twin of the batch pre-screen, like
     ``CmsAccumulator`` is for count-min.
+
+    Fixed-size by construction: state is ≤ ``n_words`` 64-bit words
+    regardless of key cardinality, so no ``max_keys`` cap is needed
+    (unlike the per-group ``KmvAccumulator``).
     """
 
     def __init__(self, n_words: int = BLOOM_WORDS, k: int = BLOOM_HASHES):
@@ -465,10 +473,20 @@ class KmvAccumulator:
     Estimates come from the sketch alone: a group whose set is still
     smaller than k is EXACT (the sketch holds every distinct hash seen);
     past k it is the (k-1)·M/h_k estimator.
+
+    Boundedness: the VALUE side is ≤ k longs per group by construction,
+    but the GROUP axis grows one entry per distinct group ever seen —
+    ``max_keys`` caps it with a loud failure (round 9, same contract as
+    ``KsDriftAccumulator``; the batch is NOT applied), because on
+    unbounded group domains (URLs, user ids fed as the group by mistake)
+    the driver dict is a slow OOM. (``CmsAccumulator``/``BloomAccumulator``
+    need no such cap: their state is a fixed depth×width / n_words table
+    regardless of key cardinality.)
     """
 
-    def __init__(self, k: int = KMV_K):
+    def __init__(self, k: int = KMV_K, max_keys: int = 100_000):
         self.k = k
+        self.max_keys = int(max_keys)
         self.state: dict[object, list[int]] = {}
         # groups whose merged hash set EVER exceeded k: only these lost
         # information, so only these may use the biased (k-1)·M/h_k
@@ -484,12 +502,26 @@ class KmvAccumulator:
         # batch-level truncation happens INSIDE kmv_sketch (a group with
         # >k distincts arrives already trimmed to k rows), so the merged
         # length below can never reveal it — the counts frame's exact
-        # per-group n_distinct does (round-7 review)
-        for r in counts.collect():
-            if r["n_distinct"] > self.k:
-                self.truncated.add(r["g"])
+        # per-group n_distinct does (round-7 review). Both collects run
+        # BEFORE any state mutation (stage-then-commit): a raise mid-merge
+        # must leave state untouched so a foreachBatch retry of the failed
+        # batch can't double-apply (round-9, KsDrift contract).
+        batch_trunc = {
+            r["g"] for r in counts.collect() if r["n_distinct"] > self.k
+        }
+        sk_rows = sk.collect()
+        grown = len(self.state.keys() | {r["g"] for r in sk_rows})
+        if grown > self.max_keys:
+            raise ValueError(
+                f"KmvAccumulator would track {grown} groups, over "
+                f"max_keys={self.max_keys} — the group column's "
+                f"cardinality is not bounded enough for driver-side "
+                f"state; group coarser or raise the cap (state "
+                f"unchanged: the batch was NOT applied)"
+            )
+        self.truncated |= batch_trunc
         touched: set[object] = set()
-        for r in sk.collect():
+        for r in sk_rows:
             cur = self.state.setdefault(r["g"], [])
             cur.append(r["h"])
             touched.add(r["g"])

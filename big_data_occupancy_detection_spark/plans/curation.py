@@ -1146,7 +1146,8 @@ fp AS (
   SELECT domain,
          md5(trim(regexp_replace(lower(t), '\\s+', ' ', 'g'))) AS f
   FROM boiler),
-per AS (SELECT domain, f, count(*) AS c FROM fp GROUP BY 1, 2)
+per AS (SELECT domain, f, count(*) AS c FROM fp
+        WHERE f IS NOT NULL AND domain IS NOT NULL GROUP BY 1, 2)
 SELECT domain, CAST(sum(c) AS BIGINT) AS n_docs,
        CAST(count(*) AS BIGINT) AS n_unique_texts,
        {PR6('(sum(c) - count(*)) / CAST(sum(c) AS DOUBLE)')} AS dup_rate

@@ -1,7 +1,7 @@
 """Within-session A/B timer for registry queries (verdict r7 items 1-2).
 
 Usage: python scripts/ab_time.py <entry_path> <sf_dir> <q1,q2,...>
-       [--clear-pq-cache] [--runs N]
+       [--clear-pq-cache] [--runs N | --runs=N]
 
 Loads the given ``__spark_entry__.py`` (which self-inserts its repo root
 on sys.path, so pointing this at a git-worktree checkout times THAT
@@ -10,21 +10,26 @@ shape as tools/driver_sim.py (local[8], stock config), and prints one
 JSON line with per-run wall seconds. Run HEAD and the r6-close worktree
 back-to-back in the same host session to separate host drift from code
 cost (this VM drifts 1.5-2x between sessions — PERF.md)."""
+import argparse
 import importlib.util
 import json
 import shutil
-import sys
 import tempfile
 import time
 import os
 
-args = [a for a in sys.argv[1:] if not a.startswith("--")]
-entry_path, sf, names = args[0], args[1], args[2].split(",")
-runs = 2
-for a in sys.argv[1:]:
-    if a.startswith("--runs="):
-        runs = int(a.split("=")[1])
-if "--clear-pq-cache" in sys.argv:
+# argparse (round-9 advice): the hand-rolled parser accepted only
+# --runs=N, silently ignored a space-separated value AND leaked the bare
+# number into the positional list, shifting every later argument
+ap = argparse.ArgumentParser(description=__doc__)
+ap.add_argument("entry_path")
+ap.add_argument("sf")
+ap.add_argument("names", help="comma-separated registry query names")
+ap.add_argument("--runs", type=int, default=2)
+ap.add_argument("--clear-pq-cache", action="store_true")
+ns = ap.parse_args()
+entry_path, sf, names, runs = ns.entry_path, ns.sf, ns.names.split(","), ns.runs
+if ns.clear_pq_cache:
     shutil.rmtree(os.path.join(tempfile.gettempdir(), "bdo_pq_index"),
                   ignore_errors=True)
 

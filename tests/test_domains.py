@@ -46,10 +46,12 @@ def test_host_suffixes_ladder(spark):
             "host", DOM.host_suffixes("host").alias("s")
         ).collect()
     }
-    # registrable domain FIRST, full host last; nothing above registrable
-    assert got["www.b.co.uk"] == ["b.co.uk", "www.b.co.uk"]
-    assert got["x.y.b.com"] == ["b.com", "y.b.com", "x.y.b.com"]
-    assert got["b.org"] == ["b.org"]
+    # full ladder, single label first, full host last (round 9: entries
+    # at/above the public-suffix grain must match subdomains too — the
+    # documented `host = e OR host LIKE '%.'||e` semantics)
+    assert got["www.b.co.uk"] == ["uk", "co.uk", "b.co.uk", "www.b.co.uk"]
+    assert got["x.y.b.com"] == ["com", "b.com", "y.b.com", "x.y.b.com"]
+    assert got["b.org"] == ["org", "b.org"]
 
 
 def test_blocklist_filter_list_and_dataframe_forms_agree(spark):
@@ -60,6 +62,9 @@ def test_blocklist_filter_list_and_dataframe_forms_agree(spark):
         (4, "cdn.ok.com"),      # blocked: specific subtree entry
         (5, "www.ok.com"),      # kept: only cdn subtree is blocked
         (6, "ok.com"),          # kept
+        (7, None),              # kept: malformed URL -> NULL host (r9
+                                # advice: the list form silently dropped
+                                # these while the DataFrame form kept them)
     ]
     df = spark.createDataFrame(hosts, "id long, host string")
     bl = ["bad.co.uk", "cdn.ok.com"]
@@ -71,7 +76,25 @@ def test_blocklist_filter_list_and_dataframe_forms_agree(spark):
         r["id"]
         for r in DOM.blocklist_filter(df, "host", bl_df, "id").collect()
     )
-    assert kept_list == kept_df == [3, 5, 6]
+    assert kept_list == kept_df == [3, 5, 6, 7]
+
+
+def test_blocklist_filter_public_suffix_grain_entry(spark):
+    # round-9 advice: an entry AT the public-suffix grain ('co.uk') must
+    # block its subdomains too, in both forms — the pre-r9 ladder started
+    # at the registrable domain so only an exactly-equal host matched
+    hosts = [(1, "a.co.uk"), (2, "www.a.co.uk"), (3, "co.uk"), (4, "b.com")]
+    df = spark.createDataFrame(hosts, "id long, host string")
+    bl = ["co.uk"]
+    kept_list = sorted(
+        r["id"] for r in DOM.blocklist_filter(df, "host", bl, "id").collect()
+    )
+    bl_df = spark.createDataFrame([(e,) for e in bl], "entry string")
+    kept_df = sorted(
+        r["id"]
+        for r in DOM.blocklist_filter(df, "host", bl_df, "id").collect()
+    )
+    assert kept_list == kept_df == [4]
 
 
 def test_domain_dedup_stats_counts(spark):
@@ -202,14 +225,14 @@ def test_domain_dedup_accumulator_matches_batch_census(spark):
         fn(df.filter((F.col("i") >= lo) & (F.col("i") < hi)), bid)
     fn(df.filter(F.col("i") < 6), 0)  # redelivery: must be a no-op
 
+    # no pre-filter: the batch operator itself must exclude NULL texts
+    # and NULL domains (r9 advice — the parity only held before because
+    # this test filtered them out on the batch side)
     batch = {
         r["domain"]: (r["n_docs"], r["n_unique_texts"], r["dup_rate"])
-        for r in DOM.domain_dedup_stats(
-            df.filter(F.col("text").isNotNull() & F.col("domain").isNotNull()),
-            "domain",
-            "text",
-        ).collect()
+        for r in DOM.domain_dedup_stats(df, "domain", "text").collect()
     }
+    assert set(batch) == {"a.com", "b.com"}  # no NULL-domain row either
     for dom in ("a.com", "b.com"):
         n, uniq, rate = batch[dom]
         assert acc.n_docs(dom) == n
@@ -226,6 +249,49 @@ def test_domain_dedup_accumulator_matches_batch_census(spark):
     est = small.distinct_estimate("b.com")
     assert est > 0
     assert 0.0 <= small.dedup_rate("b.com") <= 1.0
+
+
+def test_domain_dedup_accumulator_max_keys_trips_loudly(spark):
+    """Round-9 verdict item 2: the KEY axis is capped like KsDrift's —
+    over-cap batches fail loudly and leave state UNAPPLIED (no partial
+    counts for a foreachBatch retry to double-apply)."""
+    import pytest
+
+    acc = DOM.DomainDedupAccumulator(k=8, max_keys=3)
+    df1 = spark.createDataFrame(
+        [("a.com", "x"), ("b.com", "y")], "domain string, text string"
+    )
+    acc.merge_batch(df1, "domain", "text")
+    assert acc.n_docs("a.com") == 1
+    df2 = spark.createDataFrame(
+        [("c.com", "z"), ("d.com", "w")], "domain string, text string"
+    )
+    with pytest.raises(ValueError, match="max_keys"):
+        acc.merge_batch(df2, "domain", "text")
+    # state unchanged: neither counts nor KMV saw the failed batch
+    assert acc.n_docs("c.com") == 0
+    assert sorted(acc.counts) == ["a.com", "b.com"]
+    assert sorted(acc.kmv.state) == ["a.com", "b.com"]
+    # a retry under a raised cap applies cleanly, no double count
+    acc.max_keys = acc.kmv.max_keys = 10
+    acc.merge_batch(df2, "domain", "text")
+    assert acc.n_docs("c.com") == 1
+
+
+def test_kmv_accumulator_max_keys_trips_loudly(spark):
+    import pytest
+
+    from big_data_occupancy_detection_spark.ext.sketches import KmvAccumulator
+
+    acc = KmvAccumulator(k=8, max_keys=2)
+    df1 = spark.createDataFrame([("g1", "a"), ("g2", "b")], "g string, v string")
+    acc.merge_batch(df1, "v", "g")
+    assert sorted(acc.state) == ["g1", "g2"]
+    df2 = spark.createDataFrame([("g3", "c")], "g string, v string")
+    with pytest.raises(ValueError, match="max_keys"):
+        acc.merge_batch(df2, "v", "g")
+    assert sorted(acc.state) == ["g1", "g2"]  # batch NOT applied
+    assert "g3" not in acc.truncated
 
 
 def test_canonical_url_is_idempotent(spark):
