@@ -182,9 +182,12 @@ def kcore(
     the graph's degeneracy ordering depth — small for real co-purchase
     / similarity graphs; ``max_iters`` is a runaway backstop.
 
-    Iterative (not SQL-expressible — DuckDB recursive CTEs cannot
-    re-aggregate degrees per round), so registry uses are rows-only;
-    correctness is gated by the pytest peeling-reference property test.
+    Iterative, but SQL-expressible after all: DuckDB 1.0 evaluates
+    aggregates over the recursive reference (each step sees the previous
+    iteration's working table), so the registry's ``copurchase_kcore``
+    is oracle-paired since round 9 (one synchronous peel round per
+    recursion step — see ``plans/warehouse._KCORE_ORACLE``); the pytest
+    peeling-reference property test gates the operator directly.
     """
     cur = edges.select(
         F.col(src_col).alias("u"), F.col(dst_col).alias("v")

@@ -948,18 +948,69 @@ def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # k-core of the co-purchase graph (round 7): the degeneracy/cohesion
 # primitive beside CC / PageRank / triangles / BFS — iterative peeling
-# until every surviving part has ≥ K co-purchase partners. Rows-only:
-# the per-round degree re-aggregation is not expressible in a DuckDB
-# recursive CTE (no aggregates in the recursive term); correctness is
-# carried by tests/test_graph_kcore.py's peeling-reference property
-# test, and the output threads a structural gate (core_degree < K
-# raises at execution time — Catalyst cannot prune a check living
-# inside the emitted column).
+# until every surviving part has ≥ K co-purchase partners. Promoted
+# rows-only → oracle-paired in round 9: DuckDB 1.0 DOES evaluate
+# aggregates/CTEs over the recursive reference (each step sees the
+# previous iteration's working table — probed empirically; the r7 "no
+# aggregates in the recursive term" claim was wrong), so the oracle
+# replays one synchronous peel round per recursion step: survivors =
+# edges whose BOTH endpoints have degree ≥ K in the working edge set.
+# Termination: a step emits rows only while it REMOVED something (plus
+# one NULL sentinel row so an empty-survivor round still registers and
+# the max-rnd selection can't fall back to an unstable set); at the
+# fixpoint it emits nothing and recursion stops — the last emitted
+# round IS the k-core (peel fixpoints are schedule-independent, so the
+# edge-survivor form and the operator's node-removal form agree). The
+# leg CTEs are MATERIALIZED (the cusum-oracle lesson: inlined legs
+# re-evaluate per recursion step). The pytest peeling-reference
+# property test still gates the operator; the output threads a
+# structural gate (core_degree < K raises at execution time).
 # --------------------------------------------------------------------------
 _KCORE_K = 3
 
+_KCORE_ORACLE = f"""
+WITH RECURSIVE items AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges0 AS MATERIALIZED (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM items a
+  JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+peel(u, v, rnd) AS (
+  SELECT u, v, 0 FROM edges0
+  UNION ALL
+  (
+    WITH w AS (SELECT u, v FROM peel WHERE u IS NOT NULL),
+    deg AS (
+      SELECT node, count(*) AS c
+      FROM (SELECT u AS node FROM w UNION ALL SELECT v AS node FROM w)
+      GROUP BY 1),
+    s AS (
+      SELECT w.u, w.v FROM w
+      JOIN deg du ON du.node = w.u
+      JOIN deg dv ON dv.node = w.v
+      WHERE du.c >= {_KCORE_K} AND dv.c >= {_KCORE_K}),
+    r AS (SELECT max(rnd) AS r FROM peel),
+    ch AS (SELECT (SELECT count(*) FROM s) < (SELECT count(*) FROM w)
+               AS changed)
+    SELECT s.u, s.v, (SELECT r FROM r) + 1
+    FROM s WHERE (SELECT changed FROM ch)
+    UNION ALL
+    SELECT NULL, NULL, (SELECT r FROM r) + 1
+    WHERE (SELECT changed FROM ch)
+  )
+),
+core AS (
+  SELECT u, v FROM peel
+  WHERE rnd = (SELECT max(rnd) FROM peel) AND u IS NOT NULL)
+SELECT CAST(node AS BIGINT) AS part, CAST(count(*) AS BIGINT) AS core_degree
+FROM (SELECT u AS node FROM core UNION ALL SELECT v AS node FROM core)
+GROUP BY 1
+"""
 
-@register("copurchase_kcore")
+
+@register("copurchase_kcore", oracle=_KCORE_ORACLE)
 def copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parts in the 3-core of the support-≥2 co-purchase graph with
     their in-core degree."""
