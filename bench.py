@@ -135,6 +135,7 @@ HEADLINE = [
     "domain_balanced_sample",  # per-domain quota, WindowGroupLimit-pruned (r8)
     "domain_mirror_overlap",   # cross-domain mirror pairs, hot-fp guard (r8)
     "url_canonical_collapse",  # URL canonicalization dedup census, map-only (r8)
+    "frontier_novel_urls",     # crawl-frontier incremental URL dedup (r9)
 ]
 
 

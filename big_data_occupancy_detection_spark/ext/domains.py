@@ -455,3 +455,179 @@ class DomainDedupAccumulator:
             return None
         est = self.kmv.estimate(domain)
         return min(1.0, max(0.0, 1.0 - est / float(n)))
+
+
+# --------------------------------------------------------------------------
+# Crawl-frontier incremental URL dedup (round 9): the batch/streaming
+# pair that ties canonical_url into the incremental plane — "of this
+# batch of discovered URLs, which resources have we NEVER fetched?"
+# --------------------------------------------------------------------------
+
+
+def frontier_batch_reps(
+    batch: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, canonical_url) — one representative per DISTINCT canonical
+    resource in a discovered-URL batch: canonicalize (malformed→NULL
+    URLs dropped — an unparseable URL can't be fetched), then keep the
+    smallest id per canonical form. The within-batch half of frontier
+    dedup: a crawl batch routinely carries the same resource under many
+    spellings (tracking params, fragments, case). One map-side-combined
+    aggregate; the batch is small by construction (a frontier batch,
+    not the corpus)."""
+    canon = batch.select(
+        F.col(id_col), canonical_url(url_col).alias("canonical_url")
+    ).filter(F.col("canonical_url").isNotNull())
+    return canon.groupBy("canonical_url").agg(
+        F.min(id_col).alias(id_col)
+    )
+
+
+def frontier_novel_urls(
+    batch: DataFrame,
+    seen: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    seen_col: str = "canonical_url",
+    n_words: int | None = None,
+    k: int | None = None,
+) -> DataFrame:
+    """(id, canonical_url) — the members of a discovered-URL ``batch``
+    whose canonical form is NOT in the crawled ``seen`` set (and not a
+    duplicate spelling within the batch): the crawl-frontier dedup step
+    that decides what actually gets fetched.
+
+    Scale shape — the seen set is the big side (every URL ever fetched;
+    billions of rows at crawl scale) and must never shuffle per batch:
+
+    1. within-batch rep per canonical (:func:`frontier_batch_reps`) —
+       one map-side-combined aggregate over the SMALL batch;
+    2. a Bloom filter of the batch's canonicals is built distributed
+       (``bloom_build``), collected (≤ ``n_words`` (idx, word) longs —
+       bounded by the FILTER size, not the data), and ridden down the
+       seen-set scan as a MAP-ONLY literal expression
+       (``bloom_filter_expr``): the corpus-side prescreen. Seen rows
+       surviving it number ≈ |batch ∩ seen| + FP·|seen| — size
+       ``n_words`` to the batch (keys/3 words for ~1% FP at k=5) so the
+       survivor set stays join-small;
+    3. broadcast anti-join of the batch reps against the survivors —
+       novel = reps that miss. No false negatives in the prescreen ⇒
+       every true duplicate survives to the exact join, so the result
+       is EXACT; false positives only cost survivor rows.
+
+    The seen set is scanned once (canonical column only — column
+    pruning reaches the parquet scan), never exploded, never joined in
+    full, never shuffled. Returns one row per novel canonical with the
+    smallest discovering id.
+    """
+    from .sketches import BLOOM_HASHES, BLOOM_WORDS, bloom_build, bloom_filter_expr
+
+    nw = BLOOM_WORDS if n_words is None else n_words
+    kk = BLOOM_HASHES if k is None else k
+    reps = frontier_batch_reps(batch, url_col, id_col)
+    words = {
+        r["word_idx"]: r["word"]
+        for r in bloom_build(reps, "canonical_url", nw, kk).collect()
+    }
+    survivors = seen.select(
+        F.col(seen_col).alias("canonical_url")
+    ).filter(bloom_filter_expr(words, "canonical_url", nw, kk))
+    return reps.join(
+        F.broadcast(survivors), "canonical_url", "left_anti"
+    ).select(id_col, "canonical_url")
+
+
+def frontier_updated_seen(seen: DataFrame, novel: DataFrame,
+                          seen_col: str = "canonical_url") -> DataFrame:
+    """The seen set after absorbing a batch's novel URLs — write this
+    back to the seen-set parquet to complete the increment. A plain
+    union, NO distinct pass: ``novel`` is per-canonical-unique
+    (:func:`frontier_novel_urls` output) and disjoint from ``seen`` by
+    construction, so uniqueness is preserved without a shuffle."""
+    return seen.select(F.col(seen_col).alias("canonical_url")).unionByName(
+        novel.select("canonical_url")
+    )
+
+
+class FrontierDedupAccumulator:
+    """Streaming twin of :func:`frontier_novel_urls`: an accumulated
+    Bloom filter over every canonical URL each micro-batch has carried —
+    the crawl-frontier membership monitor. Fixed-size driver state
+    (``n_words`` words regardless of URL count — the
+    ``BloomAccumulator`` contract, no key axis to cap).
+
+    Exactness contract, same as the batch face: a bloom MISS is
+    definitely novel (no false negatives); a bloom HIT is a candidate —
+    pass ``exact_seen`` (the persisted seen-set frame) to
+    :meth:`novel_in_batch` and candidates are anti-joined against it,
+    making the split EXACT with the join restricted to the (tiny)
+    candidate set. Without ``exact_seen`` the candidates are treated as
+    duplicates: false-positive-rate-bounded recall loss, never a
+    re-fetch. ``foreach_batch`` probes THEN merges, so a batch is
+    deduped against prior batches only (within-batch spellings collapse
+    via the rep step); merge is replay-guarded AND idempotent (bit OR),
+    so redelivery is harmless twice over.
+    """
+
+    def __init__(self, n_words: int | None = None, k: int | None = None):
+        from .sketches import BLOOM_HASHES, BLOOM_WORDS, BloomAccumulator
+
+        self.n_words = BLOOM_WORDS if n_words is None else n_words
+        self.k = BLOOM_HASHES if k is None else k
+        self.bloom = BloomAccumulator(n_words=self.n_words, k=self.k)
+
+    def _canon(self, batch_df: DataFrame, url_col: str, id_col: str):
+        return frontier_batch_reps(batch_df, url_col, id_col)
+
+    def novel_in_batch(
+        self,
+        batch_df: DataFrame,
+        url_col: str = "url",
+        id_col: str = "doc_id",
+        exact_seen: DataFrame | None = None,
+    ) -> DataFrame:
+        """(id, canonical_url) novel vs all PRIOR batches. Pure probe —
+        no state mutation (call :meth:`merge_batch` after, or use
+        :meth:`foreach_batch` which sequences both)."""
+        from .sketches import bloom_filter_expr
+
+        reps = self._canon(batch_df, url_col, id_col)
+        probe = bloom_filter_expr(
+            self.bloom.words, "canonical_url", self.n_words, self.k
+        )
+        definitely_new = reps.filter(~probe)
+        if exact_seen is None:
+            return definitely_new.select(id_col, "canonical_url")
+        candidates = reps.filter(probe)
+        rescued = candidates.join(
+            F.broadcast(
+                exact_seen.select(F.col("canonical_url"))
+            ),
+            "canonical_url",
+            "left_anti",
+        )
+        return definitely_new.unionByName(rescued).select(
+            id_col, "canonical_url"
+        )
+
+    def merge_batch(
+        self, batch_df: DataFrame, url_col: str = "url",
+        id_col: str = "doc_id",
+    ) -> None:
+        self.bloom.merge_batch(
+            self._canon(batch_df, url_col, id_col), "canonical_url"
+        )
+
+    def foreach_batch(
+        self, url_col: str, id_col: str, sink
+    ):
+        """A ``foreachBatch`` function: probe (novel rows → ``sink``, a
+        callable taking the novel DataFrame) then merge. Replay-guarded:
+        a redelivered batch neither re-sinks nor re-merges."""
+        from ..operators.temporal import replay_guarded
+
+        def _fn(batch_df: DataFrame, _bid: int) -> None:
+            sink(self.novel_in_batch(batch_df, url_col, id_col))
+            self.merge_batch(batch_df, url_col, id_col)
+
+        return replay_guarded(_fn)

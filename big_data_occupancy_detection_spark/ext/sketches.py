@@ -297,6 +297,52 @@ def bloom_contains(
     )
 
 
+def bloom_filter_expr(
+    words: dict[int, int],
+    key_col,
+    n_words: int = BLOOM_WORDS,
+    k: int = BLOOM_HASHES,
+):
+    """MAP-ONLY membership test against a DRIVER-KNOWN bloom word table:
+    a boolean Column, true iff all ``k`` of the key's bits are set —
+    same probe family (md5-60bit of ``"i|key"``) and therefore the same
+    no-false-negative contract as :func:`bloom_contains`, but evaluated
+    as a pure Catalyst expression (literal word array + ``element_at`` +
+    bit tests), so the probed frame is NEVER exploded, joined, or
+    re-grouped. This is the shape for prescreening a scan that must not
+    shuffle — e.g. the crawl-frontier seen-set scan, where the filter is
+    built from the (small) incoming batch and ridden down the (huge)
+    corpus scan (round 9). ``bloom_contains`` stays the right call when
+    the FILTER side is big and the probed side is small.
+
+    ``words`` is the sparse {word_idx: word} table from a collected
+    ``bloom_build`` (≤ ``n_words`` entries — 1024 longs by default, a
+    literal a plan can carry comfortably; size caps apply as in
+    ``bloom_build``'s docstring). NULL keys answer false (never built
+    in, same contract as ``bloom_contains``).
+    """
+    key = F.col(key_col) if isinstance(key_col, str) else key_col
+    dense = [0] * n_words
+    for i, w in words.items():
+        dense[int(i)] = int(w)
+    arr = F.array(*[F.lit(w).cast("long") for w in dense])
+    # 1<<(p%32) via a 32-entry literal power table: F.shiftleft needs a
+    # literal shift amount, and the SQL-string form can't bind an
+    # anonymous expression
+    pow2 = F.array(*[F.lit(1 << j).cast("long") for j in range(32)])
+    m = n_words * 32
+    hit = None
+    for i in range(k):
+        p = F.pmod(
+            md5_hash64(F.concat_ws("|", F.lit(str(i)), key)), F.lit(m)
+        )
+        word = F.element_at(arr, (p / 32).cast("int") + 1)
+        mask = F.element_at(pow2, F.pmod(p, F.lit(32)).cast("int") + 1)
+        c = word.bitwiseAND(mask) != 0
+        hit = c if hit is None else (hit & c)
+    return hit & key.isNotNull()
+
+
 class BloomAccumulator:
     """Streaming Bloom state: the bounded word dict fed by DISTRIBUTED
     per-batch filters (``bloom_build`` runs on the cluster; only the

@@ -1351,18 +1351,23 @@ curls AS (
   FROM documents)
 """
 
-_CANON_ORACLE = f"""
-WITH {_CANON_URLS_SQL},
-parts AS (
-  SELECT url,
+def _canon_chain(alias: str, where: str = "TRUE") -> str:
+    """DuckDB CTE chain re-canonicalizing ``curls`` rows INDEPENDENTLY of
+    the engine (string/list ops, no shared code with canonical_url) —
+    parametrized (round 9) so the frontier oracle can canonicalize its
+    batch and seen splits separately while url_canonical_collapse keeps
+    the original whole-corpus chain."""
+    return f"""
+parts_{alias} AS (
+  SELECT doc_id, url,
          lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS proto,
          lower(regexp_extract(url, '^[A-Za-z]+://([^/:?#]+)', 1)) AS host,
          regexp_extract(url, '^[A-Za-z]+://[^/:?#]+:([0-9]+)', 1) AS port,
          regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS path,
          regexp_extract(url, '\\?([^#]*)', 1) AS query
-  FROM curls),
-norm AS (
-  SELECT url, proto, host,
+  FROM curls WHERE {where}),
+norm_{alias} AS (
+  SELECT doc_id, url, proto, host,
          CASE WHEN port <> ''
                    AND NOT (proto = 'http' AND port = '80')
                    AND NOT (proto = 'https' AND port = '443')
@@ -1375,27 +1380,26 @@ norm AS (
                   AND NOT list_contains(
                         ['fbclid','gclid','msclkid','ref','mc_cid','mc_eid'],
                         string_split(p, '=')[1]))), '&') AS qs
-  FROM parts),
-canon AS (
-  SELECT url,
+  FROM parts_{alias}),
+canon_{alias} AS (
+  SELECT doc_id, url,
          proto || '://' || host || portpart || path_norm
            || CASE WHEN qs <> '' THEN '?' || qs ELSE '' END AS canonical_url
-  FROM norm)
+  FROM norm_{alias})"""
+
+
+_CANON_ORACLE = f"""
+WITH {_CANON_URLS_SQL},
+{_canon_chain("all")}
 SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_urls,
        CAST(count(DISTINCT {hash64_sql('url')}) AS BIGINT) AS n_raw_distinct
-FROM canon GROUP BY 1
+FROM canon_all GROUP BY 1
 """
 
 
-@register("url_canonical_collapse", oracle=_CANON_ORACLE)
-def url_canonical_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """URL-grain dedup census after canonicalization
-    (ext.domains.canonical_url): each logical page's four raw spellings
-    (case/default-port, trailing slash, tracking params + param order,
-    fragment) must collapse to ONE canonical key — map-only
-    normalization + one map-side-combined aggregate."""
-    from ..ext import domains as DOM
-
+def _canon_url_plant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, url) — the deterministic four-spellings-per-page plant
+    both URL queries share (Spark twin of ``_CANON_URLS_SQL``)."""
     docs = table(spark, sf_dir, "documents")
     did = F.col("doc_id")
     g = F.floor(did / 4).cast("long")
@@ -1430,9 +1434,20 @@ def url_canonical_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+    return docs.select("doc_id", raw.alias("url"))
+
+
+@register("url_canonical_collapse", oracle=_CANON_ORACLE)
+def url_canonical_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-grain dedup census after canonicalization
+    (ext.domains.canonical_url): each logical page's four raw spellings
+    (case/default-port, trailing slash, tracking params + param order,
+    fragment) must collapse to ONE canonical key — map-only
+    normalization + one map-side-combined aggregate."""
+    from ..ext import domains as DOM
     from ..functions.text_fns import md5_hash64
 
-    u = docs.select("doc_id", raw.alias("url"))
+    u = _canon_url_plant(spark, sf_dir)
     # distinct RAW variants counted over the portable 60-bit md5 of the
     # url, not the url string itself, so the distinct-agg shuffle carries
     # 8-byte hashes in place of raw URLs. Measured at the 1000x smoke:
@@ -1451,3 +1466,51 @@ def url_canonical_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_raw_distinct"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Crawl-frontier incremental URL dedup (round 9): "of this batch of
+# discovered URLs, which resources have we never fetched?" — the
+# incremental plane of r8's canonical_url. Split of the shared plant:
+# spelling v=0 of pages g%3!=0 is the already-crawled SEEN set; the
+# batch is spellings v∈{1,2} of EVERY page, so each page contributes a
+# within-batch duplicate spelling pair and only pages g%3==0 are truly
+# novel. Expected: one row per novel page, smallest discovering doc_id
+# (= 4g+1, the v=1 spelling). The oracle re-canonicalizes both splits
+# independently (the parametrized _canon_chain) and anti-joins exactly;
+# the engine must get canonicalization, within-batch rep selection AND
+# the bloom prescreen's no-false-negative contract right to match.
+# --------------------------------------------------------------------------
+
+_FRONTIER_ORACLE = f"""
+WITH {_CANON_URLS_SQL},
+{_canon_chain("b", "CAST(doc_id % 4 AS INT) IN (1, 2)")},
+{_canon_chain("s",
+              "CAST(doc_id % 4 AS INT) = 0 AND (doc_id // 4) % 3 <> 0")},
+reps AS (
+  SELECT canonical_url, min(doc_id) AS doc_id
+  FROM canon_b GROUP BY 1)
+SELECT r.doc_id, r.canonical_url
+FROM reps r
+WHERE NOT EXISTS (
+  SELECT 1 FROM canon_s s WHERE s.canonical_url = r.canonical_url)
+"""
+
+
+@register("frontier_novel_urls", oracle=_FRONTIER_ORACLE)
+def frontier_novel_urls_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier incremental URL dedup
+    (ext.domains.frontier_novel_urls): canonicalize a discovered-URL
+    batch, collapse within-batch spellings to one rep, prescreen the
+    SEEN-set scan with a map-only literal Bloom of the batch (the seen
+    set is never shuffled or joined in full), and broadcast-anti-join
+    the bloom survivors — exact novel set out."""
+    from ..ext import domains as DOM
+
+    u = _canon_url_plant(spark, sf_dir)
+    did = F.col("doc_id")
+    batch = u.filter((did % 4 == 1) | (did % 4 == 2))
+    seen = u.filter(
+        (did % 4 == 0) & (F.floor(did / 4).cast("long") % 3 != 0)
+    ).select(DOM.canonical_url("url").alias("canonical_url"))
+    return DOM.frontier_novel_urls(batch, seen, "url", "doc_id")

@@ -315,3 +315,143 @@ def test_canonical_url_is_idempotent(spark):
     ).collect()
     for r in rows:
         assert r["c1"] == r["c2"], (r["c1"], r["c2"])
+
+
+def test_frontier_batch_reps_and_novel(spark):
+    """Within-batch spellings collapse to the smallest id; malformed
+    URLs drop; novelty is exact vs the seen set."""
+    batch = spark.createDataFrame(
+        [
+            (10, "https://a.com/x?utm_source=f"),   # pair with 11
+            (11, "HTTPS://A.com:443/x/"),           # same resource
+            (12, "https://b.com/y"),                # seen already
+            (13, "https://c.com/z?b=2&a=1"),        # novel
+            (14, "not a url"),                      # malformed -> dropped
+        ],
+        "doc_id long, url string",
+    )
+    reps = {
+        r["canonical_url"]: r["doc_id"]
+        for r in DOM.frontier_batch_reps(batch).collect()
+    }
+    assert reps == {
+        "https://a.com/x": 10,
+        "https://b.com/y": 12,
+        "https://c.com/z?a=1&b=2": 13,
+    }
+    seen = spark.createDataFrame(
+        [("https://b.com/y",)], "canonical_url string"
+    )
+    novel = sorted(
+        (r["doc_id"], r["canonical_url"])
+        for r in DOM.frontier_novel_urls(batch, seen).collect()
+    )
+    assert novel == [(10, "https://a.com/x"), (13, "https://c.com/z?a=1&b=2")]
+    # updated seen set keeps uniqueness without a distinct pass
+    upd = DOM.frontier_updated_seen(
+        seen, DOM.frontier_novel_urls(batch, seen)
+    )
+    vals = sorted(r["canonical_url"] for r in upd.collect())
+    assert vals == sorted(set(vals))
+    assert len(vals) == 3
+
+
+def test_bloom_filter_expr_matches_bloom_contains(spark):
+    """The map-only literal probe and the join-based probe must agree
+    bit-for-bit (same probe family), incl. the NULL-key false answer."""
+    from big_data_occupancy_detection_spark.ext import sketches as SK
+
+    corpus = spark.createDataFrame(
+        [(f"k{i}",) for i in range(50)], "key string"
+    )
+    words = {
+        r["word_idx"]: r["word"]
+        for r in SK.bloom_build(corpus, "key", 64, 5).collect()
+    }
+    probes = spark.createDataFrame(
+        [(f"k{i}",) for i in range(0, 100, 7)] + [(None,)], "key string"
+    )
+    via_expr = {
+        r["key"]: r["hit"]
+        for r in probes.select(
+            "key", SK.bloom_filter_expr(words, "key", 64, 5).alias("hit")
+        ).collect()
+    }
+    bloom_df = spark.createDataFrame(
+        [(i, w) for i, w in words.items()], "word_idx int, word long"
+    )
+    via_join = {
+        r["key"]: r["hit"]
+        for r in SK.bloom_contains(
+            bloom_df, probes, "key", 64, 5, out_col="hit"
+        ).collect()
+    }
+    assert via_expr == via_join
+    assert via_expr[None] is False
+    # no false negatives: every built key answers true
+    assert all(via_expr[f"k{i}"] for i in range(0, 50, 7))
+
+
+def test_frontier_seen_scan_plan_is_map_only(spark):
+    """The 100 TB contract: the seen-set leg (scan -> bloom probe
+    filter) must carry NO exchange — the seen set is never shuffled,
+    and the anti-join against it is broadcast."""
+    import re
+
+    batch = spark.createDataFrame(
+        [(i, f"https://s{i}.com/p") for i in range(20)],
+        "doc_id long, url string",
+    )
+    seen = spark.createDataFrame(
+        [(f"https://s{i}.com/p",) for i in range(0, 20, 2)],
+        "canonical_url string",
+    )
+    plan = (
+        DOM.frontier_novel_urls(batch, seen)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+    # exactly ONE exchange in the whole plan: the batch rep aggregate's.
+    # (broadcast exchanges excluded - they're the point)
+    shuffles = re.findall(r"Exchange (?!SinglePartition)hashpartitioning", plan)
+    assert len(shuffles) <= 1, plan
+
+
+def test_frontier_dedup_accumulator_stream_twin(spark):
+    """Bloom-only mode: misses are emitted (definitely novel), hits are
+    suppressed; with exact_seen the split is exact; replay is a no-op."""
+    acc = DOM.FrontierDedupAccumulator(n_words=64)
+    emitted = []
+    sink = lambda df: emitted.append(
+        sorted((r["doc_id"], r["canonical_url"]) for r in df.collect())
+    )
+    fn = acc.foreach_batch("url", "doc_id", sink)
+    b1 = spark.createDataFrame(
+        [(1, "https://a.com/x"), (2, "https://A.com:443/x/")],
+        "doc_id long, url string",
+    )
+    b2 = spark.createDataFrame(
+        [(3, "https://a.com/x?utm_source=f"),   # dup of batch-1's resource
+         (4, "https://b.com/y")],               # novel
+        "doc_id long, url string",
+    )
+    fn(b1, 0)
+    fn(b2, 1)
+    fn(b2, 1)  # redelivery: no re-sink, no re-merge
+    assert emitted == [
+        [(1, "https://a.com/x")],
+        [(4, "https://b.com/y")],
+    ]
+    # exact_seen mode rescues bloom false positives: an empty seen frame
+    # means EVERYTHING bloom-positive is re-checked and kept
+    fresh = DOM.FrontierDedupAccumulator(n_words=64)
+    fresh.merge_batch(b1, "url", "doc_id")
+    empty_seen = spark.createDataFrame([], "canonical_url string")
+    got = sorted(
+        (r["doc_id"], r["canonical_url"])
+        for r in fresh.novel_in_batch(
+            b2, "url", "doc_id", exact_seen=empty_seen
+        ).collect()
+    )
+    assert got == [(3, "https://a.com/x"), (4, "https://b.com/y")]
