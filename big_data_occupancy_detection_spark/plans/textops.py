@@ -2024,6 +2024,17 @@ def _ivfpq_res_index_for(spark: SparkSession, sf_dir: str) -> str:
     )
 
 
+# Rows-only, deliberately (round-9 note, VERDICT item 4): the driver's
+# oracle contract gives DuckDB ONLY the ten parquet tables, and this
+# query's shortlist comes from a k-means-fitted IVF-PQ index (iterative
+# float training — not replayable as ANSI SQL over those tables). The
+# "verify the exact re-rank tail given the shortlist" idea needs the
+# shortlist as oracle INPUT, which the contract has no channel for; an
+# oracle that recomputed brute-force exact top-k instead would be
+# testing a different operator (that one exists and IS oracle-paired:
+# `embedding_topk_cosine`). Correctness is carried by
+# tests/test_similarity_index.py's recall gate (ANN vs exact top-k) and
+# the shared-arithmetic parity of the PQ distance kernels.
 @register("embedding_ivfpq_residual_topk")
 def embedding_ivfpq_residual_topk(
     spark: SparkSession, sf_dir: str
