@@ -520,11 +520,14 @@ def frontier_novel_urls(
     full, never shuffled. Returns one row per novel canonical with the
     smallest discovering id.
     """
+    from ..operators.partitioning import checkpoint_for_reuse
     from .sketches import BLOOM_HASHES, BLOOM_WORDS, bloom_build, bloom_filter_expr
 
     nw = BLOOM_WORDS if n_words is None else n_words
     kk = BLOOM_HASHES if k is None else k
-    reps = frontier_batch_reps(batch, url_col, id_col)
+    # reps is consumed twice (bloom build + final anti-join): checkpoint
+    # so the canonicalization + rep aggregate runs once, not per consumer
+    reps = checkpoint_for_reuse(frontier_batch_reps(batch, url_col, id_col))
     words = {
         r["word_idx"]: r["word"]
         for r in bloom_build(reps, "canonical_url", nw, kk).collect()

@@ -325,11 +325,14 @@ def bloom_filter_expr(
     dense = [0] * n_words
     for i, w in words.items():
         dense[int(i)] = int(w)
-    arr = F.array(*[F.lit(w).cast("long") for w in dense])
+    # ONE array Literal, not F.array(*1024 F.lits): CreateArray with
+    # n_words children is a plan node per word and a codegen blow-up;
+    # a list passed to F.lit is a single constant reference
+    arr = F.lit(dense).cast("array<long>")
     # 1<<(p%32) via a 32-entry literal power table: F.shiftleft needs a
     # literal shift amount, and the SQL-string form can't bind an
     # anonymous expression
-    pow2 = F.array(*[F.lit(1 << j).cast("long") for j in range(32)])
+    pow2 = F.lit([1 << j for j in range(32)]).cast("array<long>")
     m = n_words * 32
     hit = None
     for i in range(k):
