@@ -809,6 +809,7 @@ def repeated_substring_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     min_len: int = 30,
+    keep_first: bool = False,
 ) -> DataFrame:
     """(doc_id, span_start, span_end, span_len): maximal character spans
     that occur (≥ ``min_len`` chars, normalized text, 1-based inclusive
@@ -822,11 +823,26 @@ def repeated_substring_spans(
 
     A span means "this text also exists elsewhere (or repeats within the
     doc)" — the unit cut out before LM training to stop memorization.
+    ``keep_first`` picks between the paper's two removal policies:
+    False (default) spans EVERY occurrence of duplicated content (the
+    content disappears from the corpus entirely); True exempts the
+    corpus-wide FIRST occurrence of each window — global min (doc, pos),
+    the paragraph-dedup convention — so exactly one copy of every
+    duplicated region survives (two identical docs ⇒ the earlier one
+    passes through untouched, the later one is fully spanned). Caveat,
+    shared with the oracle (window-grain semantics): SELF-OVERLAPPING
+    content (period < ``min_len``, e.g. a run of one character) is its
+    own "later occurrence" at every shift, so keep_first still spans
+    most of the first region; ordinary prose never self-overlaps at 30
+    chars.
+
     Scale shape: the explode emits one (8-byte hash, int pos) row per
     character — heavy but linear, the same budget a distributed suffix
     array pays; the global duplicate filter is one hash shuffle with
-    map-side pre-aggregation; the merge is a per-doc window. At the
-    petabyte tier, shard by content-defined chunks and run per shard.
+    map-side pre-aggregation; the merge is a per-doc window. keep_first
+    adds only a min(struct) to that same aggregate — the winner ships
+    back in the existing join, no extra shuffle. At the petabyte tier,
+    shard by content-defined chunks and run per shard.
     """
     from pyspark.sql import Window
 
@@ -848,9 +864,12 @@ def repeated_substring_spans(
     ).select("doc_id", (F.col("__p0") + 1).alias("pos"), "h")
     dup_h = (
         grams.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("__n"))
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.min(F.struct("doc_id", "pos")).alias("__f"),
+        )
         .filter(F.col("__n") > 1)
-        .select("h")
+        .select("h", "__f")
     )
     # dup_h scales with DISTINCT corpus content — never broadcastable.
     # Catalyst's static estimate for a post-aggregation filter guesses
@@ -861,6 +880,14 @@ def repeated_substring_spans(
     # new exchange is the grams side — and h is a uniform hash, so the
     # per-partition build is balanced.
     dup = grams.join(dup_h.hint("shuffle_hash"), "h")
+    if keep_first:
+        dup = dup.filter(
+            ~(
+                (F.col("doc_id") == F.col("__f.doc_id"))
+                & (F.col("pos") == F.col("__f.pos"))
+            )
+        )
+    dup = dup.drop("__f")
     w = Window.partitionBy("doc_id").orderBy("pos")
     prev_end = F.max(F.col("pos") + F.lit(min_len - 1)).over(
         w.rowsBetween(Window.unboundedPreceding, -1)
@@ -893,10 +920,13 @@ def remove_repeated_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     min_len: int = 30,
+    keep_first: bool = False,
 ) -> DataFrame:
     """(doc_id, clean_text, n_spans, removed_chars): the normalized text
     with every corpus-duplicated maximal span (from
-    :func:`repeated_substring_spans`) cut out — the APPLY half of the
+    :func:`repeated_substring_spans`; ``keep_first=True`` exempts each
+    window's corpus-wide first occurrence so exactly one copy of every
+    duplicated region survives) cut out — the APPLY half of the
     Lee-et-al exact-substring dedup loop: detect the memorization-risk
     spans, then emit the training-ready corpus with them removed.
 
@@ -914,7 +944,9 @@ def remove_repeated_spans(
     """
     from ..functions.text_fns import norm_text
 
-    spans = repeated_substring_spans(docs, text_col, id_col, min_len)
+    spans = repeated_substring_spans(
+        docs, text_col, id_col, min_len, keep_first=keep_first
+    )
     base = docs.select(
         F.col(id_col).alias("doc_id"), norm_text(text_col).alias("__t")
     )

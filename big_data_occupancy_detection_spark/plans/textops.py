@@ -1705,12 +1705,25 @@ def embedding_cluster_balanced_sample(
 _SPAN_LEN = 30
 
 
-def _span_ctes() -> str:
+def _span_ctes(keep_first: bool = False) -> str:
     """The shared span-detection CTE chain (ends with a ``spans`` CTE of
     (doc_id, span_start, span_end)) — composed by both the detection
-    oracle and the removal oracle so their span sets are identical by
-    construction."""
+    oracle and the removal oracles so their span sets are identical by
+    construction. ``keep_first`` mirrors the operator's flag: the
+    corpus-wide first occurrence of each window — lexicographic
+    min(ROW(doc_id, pos)), the same ordering as Spark's min(struct) —
+    is exempted from spanning."""
     g_hash = hash64_sql(f"substr(t, CAST(i AS INTEGER), {_SPAN_LEN})")
+    if keep_first:
+        dup = """duph AS (
+      SELECT h, min(ROW(doc_id, pos)) AS f
+      FROM grams GROUP BY h HAVING count(*) > 1),
+    dup AS (
+      SELECT g.doc_id, g.pos FROM grams g JOIN duph USING (h)
+      WHERE ROW(g.doc_id, g.pos) <> duph.f),"""
+    else:
+        dup = """duph AS (SELECT h FROM grams GROUP BY h HAVING count(*) > 1),
+    dup AS (SELECT g.doc_id, g.pos FROM grams g JOIN duph USING (h)),"""
     return f"""nt AS (
       SELECT doc_id, {NORM_SQL} AS t FROM documents
       WHERE length({NORM_SQL}) >= {_SPAN_LEN}),
@@ -1723,8 +1736,7 @@ def _span_ctes() -> str:
     grams AS (
       SELECT doc_id, CAST(i AS BIGINT) AS pos, {g_hash} AS h
       FROM poss),
-    duph AS (SELECT h FROM grams GROUP BY h HAVING count(*) > 1),
-    dup AS (SELECT g.doc_id, g.pos FROM grams g JOIN duph USING (h)),
+    {dup}
     flagged AS (
       SELECT doc_id, pos,
              CASE WHEN max(pos + {_SPAN_LEN - 1}) OVER (
@@ -1772,9 +1784,9 @@ def doc_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the last span; docs without spans pass through via the left join.
 # Pure string/integer arithmetic on both engines — float-free.
 # --------------------------------------------------------------------------
-def _despanned_oracle() -> str:
+def _despanned_oracle(keep_first: bool = False) -> str:
     return f"""
-    WITH {_span_ctes()},
+    WITH {_span_ctes(keep_first)},
     alln AS (SELECT doc_id, {NORM_SQL} AS t FROM documents),
     ordered AS (
       SELECT doc_id, span_start, span_end,
@@ -1813,6 +1825,21 @@ def _despanned_oracle() -> str:
 def doc_despanned_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.remove_repeated_spans(
         table(spark, sf_dir, "documents"), min_len=_SPAN_LEN
+    )
+
+
+@register("doc_despanned_keep_first", oracle=_despanned_oracle(True))
+def doc_despanned_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 9: the OTHER Lee-et-al removal policy — exempt each
+    duplicated window's corpus-wide first occurrence (min (doc, pos)),
+    so exactly one copy of every duplicated region survives training
+    instead of none. Same plan as doc_despanned_text (the winner rides
+    back in the existing duplicate-filter join — no extra shuffle); the
+    oracle exempts via the identical lexicographic min(ROW(doc_id,
+    pos))."""
+    return D.remove_repeated_spans(
+        table(spark, sf_dir, "documents"), min_len=_SPAN_LEN,
+        keep_first=True,
     )
 
 

@@ -213,6 +213,53 @@ def test_remove_repeated_spans_surgery(spark):
         assert per_doc.get(d, 0) == r["n_spans"]
 
 
+def test_remove_repeated_spans_keep_first(spark):
+    """keep_first=True (round 9): exactly ONE copy of every duplicated
+    region survives — the corpus-wide first occurrence (min (doc, pos))
+    passes through untouched, later carriers are cut; within one doc the
+    earlier occurrence wins."""
+    from big_data_occupancy_detection_spark.ext.dedup import (
+        remove_repeated_spans,
+    )
+
+    # NON-periodic duplicated strings: for self-overlapping content
+    # (period < min_len, e.g. "y"*40) a window's own shifted copies are
+    # "later occurrences", so keep-first still spans most of the first
+    # region — window-grain semantics both engines share (oracle-parity
+    # green); ordinary prose never self-overlaps at 30 chars
+    shared = "the quick brown fox jumps over the lazy dog tonight"
+    full_dup = "unique forty character padding abcdefgh"
+    rep = "remarkable zebra quartz vexing jump"
+    rows = [
+        (1, f"alpha beta gamma {shared} delta"),   # first carrier: kept
+        (2, f"one two three {shared} four five"),  # later carrier: cut
+        (3, full_dup),                             # first full dup: kept
+        (4, full_dup),                             # later full dup: emptied
+        (5, f"{rep} middle words {rep}"),          # within-doc repeat:
+                                                   # first stays, second cut
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in remove_repeated_spans(df, keep_first=True).collect()
+    }
+    assert shared in out[1]["clean_text"] and out[1]["removed_chars"] == 0
+    assert shared not in out[2]["clean_text"]
+    assert "one two three" in out[2]["clean_text"]
+    assert out[3]["clean_text"] == full_dup and out[3]["n_spans"] == 0
+    assert out[4]["clean_text"] == "" and out[4]["removed_chars"] == 39
+    # within-doc: the first z-run survives, the second is spanned out
+    assert out[5]["clean_text"].startswith(rep)
+    assert out[5]["removed_chars"] >= len(rep)
+    # every removal the keep-first pass makes, the remove-all pass also
+    # makes (keep-first spans are a subset by construction)
+    alln = {
+        r["doc_id"]: r for r in remove_repeated_spans(df).collect()
+    }
+    for d in out:
+        assert alln[d]["removed_chars"] >= out[d]["removed_chars"]
+
+
 # ---------------------------------------------------------------------------
 # Round-5 operators: frontier BFS and weighted percentiles vs naive
 # references (same style as the as-of property suite).
