@@ -1715,16 +1715,26 @@ def _span_ctes(keep_first: bool = False) -> str:
     is exempted from spanning."""
     g_hash = hash64_sql(f"substr(t, CAST(i AS INTEGER), {_SPAN_LEN})")
     if keep_first:
-        dup = """duph AS (
-      SELECT h, min(ROW(doc_id, pos)) AS f
+        # scalar-encoded winner (doc_id·2³² + pos): identical ordering to
+        # Spark's min(struct(doc_id, pos)) while pos < 2³² and doc_id <
+        # 2³¹ (chars per doc / ids — comfortably true at any tested SF).
+        # A min(ROW(...)) + per-row ROW() comparison form was 14× slower
+        # (struct compare defeats the join's vectorization) and the
+        # MATERIALIZED hints matter doubly here: spans is referenced 3×
+        # downstream, and without them the whole gram enumeration re-runs
+        # per reference (221 s → 3 s on the r9 sweep).
+        dup = """duph AS MATERIALIZED (
+      SELECT h, min(doc_id * 4294967296 + pos) AS fenc
       FROM grams GROUP BY h HAVING count(*) > 1),
-    dup AS (
+    dup AS MATERIALIZED (
       SELECT g.doc_id, g.pos FROM grams g JOIN duph USING (h)
-      WHERE ROW(g.doc_id, g.pos) <> duph.f),"""
+      WHERE g.doc_id * 4294967296 + g.pos <> duph.fenc),"""
     else:
-        dup = """duph AS (SELECT h FROM grams GROUP BY h HAVING count(*) > 1),
-    dup AS (SELECT g.doc_id, g.pos FROM grams g JOIN duph USING (h)),"""
-    return f"""nt AS (
+        dup = """duph AS MATERIALIZED (
+      SELECT h FROM grams GROUP BY h HAVING count(*) > 1),
+    dup AS MATERIALIZED (
+      SELECT g.doc_id, g.pos FROM grams g JOIN duph USING (h)),"""
+    return f"""nt AS MATERIALIZED (
       SELECT doc_id, {NORM_SQL} AS t FROM documents
       WHERE length({NORM_SQL}) >= {_SPAN_LEN}),
     poss AS (  -- scalar generate_series + unnest: the table-function
@@ -1733,7 +1743,7 @@ def _span_ctes(keep_first: bool = False) -> str:
              unnest(generate_series(1, length(t) - {_SPAN_LEN - 1}))
                AS i
       FROM nt),
-    grams AS (
+    grams AS MATERIALIZED (
       SELECT doc_id, CAST(i AS BIGINT) AS pos, {g_hash} AS h
       FROM poss),
     {dup}
@@ -1752,7 +1762,7 @@ def _span_ctes(keep_first: bool = False) -> str:
       SELECT doc_id, pos, sum(new_s) OVER (PARTITION BY doc_id ORDER BY pos
                                            ROWS UNBOUNDED PRECEDING) AS g
       FROM flagged),
-    spans AS (
+    spans AS MATERIALIZED (
       SELECT doc_id,
              min(pos) AS span_start,
              max(pos) + {_SPAN_LEN - 1} AS span_end
