@@ -455,3 +455,63 @@ def test_frontier_dedup_accumulator_stream_twin(spark):
         ).collect()
     )
     assert got == [(3, "https://a.com/x"), (4, "https://b.com/y")]
+
+
+def test_frontier_accumulator_structured_streaming_e2e(spark, tmp_path):
+    """Real readStream drive (not hand-called foreachBatch): a JSON file
+    stream of discovered URLs through FrontierDedupAccumulator.
+    foreach_batch — novel emissions per micro-batch must match the
+    batch-face replay over the same batch sequence."""
+    import json as _json
+
+    src = tmp_path / "urls_src"
+    src.mkdir()
+    ckpt = tmp_path / "ckpt"
+    acc = DOM.FrontierDedupAccumulator(n_words=128)
+    emitted = []
+    fn = acc.foreach_batch(
+        "url", "doc_id",
+        lambda df: emitted.append(
+            sorted((r["doc_id"], r["canonical_url"]) for r in df.collect())
+        ),
+    )
+    stream = (
+        spark.readStream.format("json")
+        .schema("doc_id long, url string")
+        .load(str(src))
+    )
+    q = (
+        stream.writeStream.foreachBatch(fn)
+        .option("checkpointLocation", str(ckpt))
+        .start()
+    )
+    batches = [
+        [(1, "https://a.com/x"), (2, "HTTPS://A.com:443/x/")],
+        [(3, "https://a.com/x?utm_source=f"), (4, "https://b.com/y")],
+        [(5, "https://b.com/y#frag"), (6, "https://c.com/z")],
+    ]
+    try:
+        for i, rows in enumerate(batches):
+            with open(src / f"b{i}.json", "w") as f:
+                f.write("\n".join(
+                    _json.dumps({"doc_id": d, "url": u}) for d, u in rows
+                ))
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    assert emitted == [
+        [(1, "https://a.com/x")],
+        [(4, "https://b.com/y")],
+        [(6, "https://c.com/z")],
+    ]
+    # batch-face replay agrees: running frontier_novel_urls with the
+    # accumulated seen set at each step yields the same novel rows
+    seen = spark.createDataFrame([], "canonical_url string")
+    for rows, expect in zip(batches, emitted):
+        b = spark.createDataFrame(rows, "doc_id long, url string")
+        novel = DOM.frontier_novel_urls(b, seen, n_words=128)
+        got = sorted(
+            (r["doc_id"], r["canonical_url"]) for r in novel.collect()
+        )
+        assert got == expect
+        seen = DOM.frontier_updated_seen(seen, novel).localCheckpoint()

@@ -56,6 +56,7 @@ EXTRA_PLAN_PINNED = [
     "user_features_point_in_time",  # cumulative features + as-of join
     "attribution_time_decay",    # banded self-join + exact share division
     "paragraph_dedup_docs",      # hot-paragraph-safe first-owner agg (r9)
+    "doc_despanned_keep_first",  # keep-first span surgery, no extra shuffle (r9)
 ]
 
 
