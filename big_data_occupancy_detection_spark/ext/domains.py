@@ -521,13 +521,33 @@ def frontier_novel_urls(
     smallest discovering id.
     """
     from ..operators.partitioning import checkpoint_for_reuse
+
+    # reps is consumed twice (bloom build + final anti-join): checkpoint
+    # so the canonicalization + rep aggregate runs once, not per consumer
+    reps = checkpoint_for_reuse(frontier_batch_reps(batch, url_col, id_col))
+    return _novel_canonicals(reps, seen, id_col, seen_col, n_words, k)
+
+
+def _novel_canonicals(
+    reps: DataFrame,
+    seen: DataFrame,
+    id_col: str = "doc_id",
+    seen_col: str = "canonical_url",
+    n_words: int | None = None,
+    k: int | None = None,
+) -> DataFrame:
+    """The bloom-prescreened exact anti-join core shared by the batch
+    face and the streaming twin's exact-rescue path: ``reps`` (small,
+    one row per canonical, already checkpointed by callers when
+    multi-consumed) vs ``seen`` (huge; scanned with a MAP-ONLY literal
+    Bloom of ``reps``, never shuffled or joined in full — only the tiny
+    survivor set reaches the broadcast anti-join). The broadcast is
+    always the SURVIVOR side: broadcasting ``seen`` itself would be the
+    classic collect-the-corpus driver OOM."""
     from .sketches import BLOOM_HASHES, BLOOM_WORDS, bloom_build, bloom_filter_expr
 
     nw = BLOOM_WORDS if n_words is None else n_words
     kk = BLOOM_HASHES if k is None else k
-    # reps is consumed twice (bloom build + final anti-join): checkpoint
-    # so the canonicalization + rep aggregate runs once, not per consumer
-    reps = checkpoint_for_reuse(frontier_batch_reps(batch, url_col, id_col))
     words = {
         r["word_idx"]: r["word"]
         for r in bloom_build(reps, "canonical_url", nw, kk).collect()
@@ -594,22 +614,25 @@ class FrontierDedupAccumulator:
         :meth:`foreach_batch` which sequences both)."""
         from .sketches import bloom_filter_expr
 
+        from ..operators.partitioning import checkpoint_for_reuse
+
         reps = self._canon(batch_df, url_col, id_col)
         probe = bloom_filter_expr(
             self.bloom.words, "canonical_url", self.n_words, self.k
         )
-        definitely_new = reps.filter(~probe)
         if exact_seen is None:
-            return definitely_new.select(id_col, "canonical_url")
+            return reps.filter(~probe).select(id_col, "canonical_url")
+        # exact rescue through the shared prescreen core: exact_seen is
+        # the PERSISTED seen set (huge at crawl scale) — it must ride a
+        # map-only bloom of the candidates, never a broadcast of itself
+        # (candidates are consumed twice inside: checkpoint)
+        reps = checkpoint_for_reuse(reps)
         candidates = reps.filter(probe)
-        rescued = candidates.join(
-            F.broadcast(
-                exact_seen.select(F.col("canonical_url"))
-            ),
-            "canonical_url",
-            "left_anti",
+        rescued = _novel_canonicals(
+            checkpoint_for_reuse(candidates), exact_seen, id_col,
+            n_words=self.n_words, k=self.k,
         )
-        return definitely_new.unionByName(rescued).select(
+        return reps.filter(~probe).unionByName(rescued).select(
             id_col, "canonical_url"
         )
 
@@ -626,7 +649,12 @@ class FrontierDedupAccumulator:
     ):
         """A ``foreachBatch`` function: probe (novel rows → ``sink``, a
         callable taking the novel DataFrame) then merge. Replay-guarded:
-        a redelivered batch neither re-sinks nor re-merges."""
+        a redelivered FULLY-applied batch neither re-sinks nor
+        re-merges. Emission is at-least-once within a failed batch: if
+        ``sink`` succeeded but the merge raised, the retry re-probes
+        (state unchanged — probe mutates nothing) and re-emits the same
+        novel rows, so the sink must be idempotent per (batch, row) —
+        the standard foreachBatch contract."""
         from ..operators.temporal import replay_guarded
 
         def _fn(batch_df: DataFrame, _bid: int) -> None:
