@@ -862,14 +862,22 @@ def repeated_substring_spans(
             )
         ).alias("__p0", "h"),
     ).select("doc_id", (F.col("__p0") + 1).alias("pos"), "h")
+    # winner as a scalar encode (doc_id·2³² + pos), NOT min(struct):
+    # struct-min is unsupported by HashAggregate, so the whole gram
+    # stream — the heaviest frame here — fell to SortAggregate (measured
+    # 291 s vs 174 s for the remove-all form at 100×). The encode keeps
+    # the aggregate hash-based and orders identically to (doc_id, pos)
+    # while pos < 2³² chars and doc_id < 2³¹ — the same documented
+    # bounds as the DuckDB oracle's identical encode.
+    fenc = F.col("doc_id") * F.lit(1 << 32).cast("long") + F.col("pos")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    if keep_first:
+        aggs.append(F.min(fenc).alias("__fenc"))
     dup_h = (
         grams.groupBy("h")
-        .agg(
-            F.count(F.lit(1)).alias("__n"),
-            F.min(F.struct("doc_id", "pos")).alias("__f"),
-        )
+        .agg(*aggs)
         .filter(F.col("__n") > 1)
-        .select("h", "__f")
+        .drop("__n")
     )
     # dup_h scales with DISTINCT corpus content — never broadcastable.
     # Catalyst's static estimate for a post-aggregation filter guesses
@@ -881,13 +889,7 @@ def repeated_substring_spans(
     # per-partition build is balanced.
     dup = grams.join(dup_h.hint("shuffle_hash"), "h")
     if keep_first:
-        dup = dup.filter(
-            ~(
-                (F.col("doc_id") == F.col("__f.doc_id"))
-                & (F.col("pos") == F.col("__f.pos"))
-            )
-        )
-    dup = dup.drop("__f")
+        dup = dup.filter(fenc != F.col("__fenc")).drop("__fenc")
     w = Window.partitionBy("doc_id").orderBy("pos")
     prev_end = F.max(F.col("pos") + F.lit(min_len - 1)).over(
         w.rowsBetween(Window.unboundedPreceding, -1)

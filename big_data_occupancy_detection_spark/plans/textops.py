@@ -1844,9 +1844,10 @@ def doc_despanned_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicated window's corpus-wide first occurrence (min (doc, pos)),
     so exactly one copy of every duplicated region survives training
     instead of none. Same plan as doc_despanned_text (the winner rides
-    back in the existing duplicate-filter join — no extra shuffle); the
-    oracle exempts via the identical lexicographic min(ROW(doc_id,
-    pos))."""
+    back in the existing duplicate-filter join — no extra shuffle, and
+    hash-aggregable via the doc·2³²+pos scalar encode); the oracle
+    exempts via the IDENTICAL scalar encode, so the ordering semantics
+    are shared by construction."""
     return D.remove_repeated_spans(
         table(spark, sf_dir, "documents"), min_len=_SPAN_LEN,
         keep_first=True,

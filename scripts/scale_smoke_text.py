@@ -97,6 +97,13 @@ def main() -> None:
             # explode, global dup filter, interval merge, and fold.
             "spans": ("doc_repeated_spans", tmod.doc_repeated_spans),
             "despan": ("doc_despanned_text", tmod.doc_despanned_text),
+            # round 9: keep-first policy — same worst case, plus the
+            # winner min(struct) riding the duplicate-filter join; under
+            # R-way replication rep-0 docs survive intact and every
+            # later replica is fully cut
+            "despan1": (
+                "doc_despanned_keep_first", tmod.doc_despanned_keep_first,
+            ),
             # round 5: within-doc repetition censuses (line/2-gram/5-gram
             # explode+groupBy) — per-doc work, so wall should scale
             # linearly with docs and shuffle with token volume
