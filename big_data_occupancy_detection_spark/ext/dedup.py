@@ -40,6 +40,48 @@ DEFAULT_BANDS = 4  # rows per band r = num_hashes // bands = 3
 SIMHASH_BITS = 32
 
 
+def first_owner_encode(df: DataFrame, id_col: str, pos_col: str):
+    """``id·2³² + pos`` as ONE long Column — the hash-aggregable stand-in
+    for ``min(struct(id, pos))``.
+
+    Struct-min has no mutable fixed-width aggregate buffer, so any
+    ``groupBy(...).agg(min(struct(...)))`` silently falls to
+    SortAggregate on BOTH partial and final sides — measured at
+    291 s vs 174 s on the despan gram stream at 100× (round 9). The
+    scalar encode restores HashAggregate and orders identically to
+    lexicographic ``(id, pos)`` under two bounds:
+
+    - ``0 ≤ id < 2³¹`` — gated at EXECUTION time inside the emitted
+      expression (CaseWhen is lazy: conforming rows pay one branch;
+      the first violating row raises instead of silently overflowing
+      long and electing a wrong winner — round-9 ADVICE).
+    - ``0 ≤ pos < 2³²`` — guaranteed by construction at both call
+      sites (``pos`` derives from ``posexplode``, an IntegerType).
+
+    The id column's dtype is gated at PLAN-BUILD time: a string id
+    would implicit-cast to double and lose precision past 2⁵³,
+    producing a wrong winner with no error (round-9 ADVICE).
+    """
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    dt = df.schema[id_col].dataType
+    if not isinstance(dt, (ByteType, ShortType, IntegerType, LongType)):
+        raise TypeError(
+            f"first_owner_encode requires an integral id column; "
+            f"{id_col!r} is {dt.simpleString()} — a non-integral id "
+            f"implicit-cast to double loses precision past 2^53 and "
+            f"silently elects a wrong first owner"
+        )
+    doc = F.col(id_col).cast("long")
+    return F.when(
+        (doc < 0) | (doc >= F.lit(1 << 31)),
+        F.raise_error(
+            f"first_owner_encode requires 0 <= {id_col} < 2^31: the "
+            f"doc*2^32+pos long encode overflows past that bound"
+        ).cast("long"),
+    ).otherwise(doc * F.lit(1 << 32) + F.col(pos_col))
+
+
 def with_shingles(
     df: DataFrame, text_col: str = "text", n: int = 3, out: str = "shingles"
 ) -> DataFrame:
@@ -867,9 +909,10 @@ def repeated_substring_spans(
     # stream — the heaviest frame here — fell to SortAggregate (measured
     # 291 s vs 174 s for the remove-all form at 100×). The encode keeps
     # the aggregate hash-based and orders identically to (doc_id, pos)
-    # while pos < 2³² chars and doc_id < 2³¹ — the same documented
-    # bounds as the DuckDB oracle's identical encode.
-    fenc = F.col("doc_id") * F.lit(1 << 32).cast("long") + F.col("pos")
+    # under first_owner_encode's gated bounds (dtype at plan build,
+    # doc_id < 2³¹ at execution; pos < 2³² by posexplode's int type) —
+    # the same bounds as the DuckDB oracle's identical encode.
+    fenc = first_owner_encode(grams, "doc_id", "pos")
     aggs = [F.count(F.lit(1)).alias("__n")]
     if keep_first:
         aggs.append(F.min(fenc).alias("__fenc"))

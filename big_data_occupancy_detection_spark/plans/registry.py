@@ -29,14 +29,18 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 class QuerySpec:
     name: str
     fn: QueryFn
-    oracle: str | None  # DuckDB SQL, or None → driver does rows-only check
+    # DuckDB SQL; or a LAZY zero-arg callable returning SQL-or-None,
+    # resolved at oracle_sql_map() time (round 10 — for oracles whose
+    # SQL embeds data computed from the corpus, e.g. a served ANN
+    # shortlist baked as a VALUES list); or None → rows-only check
+    oracle: str | Callable[[], str | None] | None
     doc: str
 
 
 REGISTRY: dict[str, QuerySpec] = {}
 
 
-def register(name: str, oracle: str | None = None):
+def register(name: str, oracle: str | Callable[[], str | None] | None = None):
     """Decorator: add a query to the registry."""
 
     def deco(fn: QueryFn) -> QueryFn:
@@ -51,6 +55,18 @@ def queries_map() -> dict[str, QueryFn]:
 
 
 def oracle_sql_map() -> dict[str, str]:
-    return {
-        name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None
-    }
+    """Resolve the oracle surface: lazy oracles run NOW (they may build
+    an index / run a bounded Spark job); one that returns None or raises
+    degrades that query to the rows-only check instead of failing the
+    whole map."""
+    out: dict[str, str] = {}
+    for name, spec in REGISTRY.items():
+        o = spec.oracle
+        if callable(o):
+            try:
+                o = o()
+            except Exception:
+                o = None
+        if o is not None:
+            out[name] = o
+    return out

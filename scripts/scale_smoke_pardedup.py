@@ -9,8 +9,13 @@ window task; the r9 form's first-owner is a map-side-combined
 emits ONE candidate row for the hot hash and the hot reducer sees
 <= n_map_partitions rows.
 
-Usage: python scripts/scale_smoke_pardedup.py [R] [new|window|both]
-(R=1000 -> 5M docs at sf0.1; `window` replays the pre-r9 plan for A/B.)
+Usage: python scripts/scale_smoke_pardedup.py [R] [new|window|struct|both|ab] [dup|uniq]
+(R=1000 -> 5M docs at sf0.1; `window`/`struct` replay the pre-r9/r9
+plans for A/B. `dup` replicates whole docs verbatim — the
+extreme-duplication regime where distinct content collapses to the base
+corpus; `uniq` salts every paragraph per copy so the corpus is
+mostly-UNIQUE + one universal boilerplate — the realistic crawl shape,
+where aggregate shuffle volume scales with corpus text.)
 """
 
 from __future__ import annotations
@@ -61,6 +66,44 @@ def paragraph_dedup_window_form(docs):
     )
 
 
+def paragraph_dedup_struct_form(docs):
+    """The r9 plan, kept ONLY as the A/B strawman: first owner as
+    ``min(struct(doc, pos, par))`` — map-side-combined (hot-key safe)
+    but SortAggregate on both sides (struct-min has no mutable
+    fixed-width buffer), so the full exploded paragraph stream is
+    sorted per partition, raw string bytes included."""
+    pars = F.split(F.col("text"), r"\n+")
+    ex = docs.select(
+        F.col("doc_id").alias("doc"), F.posexplode(pars).alias("pos0", "par")
+    ).select("doc", (F.col("pos0") + 1).alias("pos"), "par")
+    winners = (
+        ex.groupBy(F.md5("par").alias("__h"))
+        .agg(F.min(F.struct("doc", "pos", "par")).alias("__f"))
+        .select(
+            F.col("__f.doc").alias("doc"),
+            F.col("__f.pos").alias("pos"),
+            F.col("__f.par").alias("par"),
+        )
+    )
+    kept = winners.groupBy("doc").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "par"))),
+                lambda s: s.getField("par"),
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    n_par = ex.groupBy("doc").agg(F.count(F.lit(1)).alias("n_par"))
+    return n_par.join(kept, "doc", "left").select(
+        "doc",
+        "n_par",
+        F.coalesce(F.col("n_kept"), F.lit(0).cast("long")).alias("n_kept"),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+    )
+
+
 def main() -> None:
     r = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
     which = sys.argv[2] if len(sys.argv) > 2 else "new"
@@ -69,9 +112,25 @@ def main() -> None:
         master="local[32]",
         extra_conf={"spark.driver.memory": "16g", "spark.ui.enabled": "true"},
     )
+    shape = sys.argv[3] if len(sys.argv) > 3 else "dup"
     docs = table(spark, SF_DIR, "documents")
     # rekeyed replication; every even doc_id gets the hot paragraph
     # prepended -> the hot key holds >=50% of all paragraph occurrences
+    if shape == "uniq":
+        # salt every paragraph per copy: the corpus becomes mostly
+        # unique (realistic crawl text), the planted paragraph stays
+        # the single hot key
+        body = F.array_join(
+            F.transform(
+                F.split(F.col("text"), r"\n+"),
+                lambda p: F.concat(
+                    F.lit("s"), F.col("__k").cast("string"), F.lit(" "), p
+                ),
+            ),
+            "\n",
+        )
+    else:
+        body = F.col("text")
     docs_rep = (
         docs.select(
             "*", F.explode(F.sequence(F.lit(0), F.lit(r - 1))).alias("__k")
@@ -80,17 +139,32 @@ def main() -> None:
             (F.col("doc_id") * r + F.col("__k")).alias("doc_id"),
             F.when(
                 (F.col("doc_id") * r + F.col("__k")) % 2 == 0,
-                F.concat(F.lit(HOT + "\n"), F.col("text")),
+                F.concat(F.lit(HOT + "\n"), body),
             )
-            .otherwise(F.col("text"))
+            .otherwise(body)
             .alias("text"),
         )
         .repartition(64)
     )
     n = docs_rep.count()
-    print(json.dumps({"replication": r, "docs": n, "hot_docs": n // 2}), flush=True)
-    forms = {"new": paragraph_dedup, "window": paragraph_dedup_window_form}
-    for name in [which] if which != "both" else ["new", "window"]:
+    print(
+        json.dumps(
+            {"replication": r, "shape": shape, "docs": n, "hot_docs": n // 2}
+        ),
+        flush=True,
+    )
+    forms = {
+        "new": paragraph_dedup,
+        "window": paragraph_dedup_window_form,
+        "struct": paragraph_dedup_struct_form,
+    }
+    if which == "both":
+        run = ["new", "window"]
+    elif which == "ab":
+        run = ["new", "struct"]
+    else:
+        run = [which]
+    for name in run:
         r0, w0 = shuffle_totals(spark)
         t0 = time.perf_counter()
         forms[name](docs_rep).write.format("noop").mode("overwrite").save()

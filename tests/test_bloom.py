@@ -104,7 +104,9 @@ def test_streaming_bloom_merge_equals_batch_build(spark, tmp_path):
             pa.table({"k": keys[i * 140 : (i + 1) * 140]}),
             src / f"b{i}.parquet",
         )
-    acc = BloomAccumulator(n_words=64)
+    # 400 keys deliberately saturate a 2048-bit filter (~62% fill) to
+    # exercise merge equality — lift the r10 saturation ceiling for it
+    acc = BloomAccumulator(n_words=64, max_fill=1.0)
     q = (
         spark.readStream.schema("k string")
         .parquet(str(src))
@@ -171,3 +173,42 @@ def test_bloom_null_keys_definitely_absent(spark):
     assert got[None] is False  # definitely absent, never a bare-seed hit
     # row-preservation with nulls intact
     assert len(got) == 3
+
+
+def test_bloom_accumulator_saturation_guard(spark):
+    """Round-10 verdict item 2: the accumulated filter must fail LOUDLY
+    as it saturates (fpr -> 1 silently starves a bloom-prescreened
+    crawl), with the rejected batch NOT applied — the max_keys contract
+    on the bit axis — and warn past warn_fill."""
+    import warnings
+
+    import pytest
+
+    from big_data_occupancy_detection_spark.ext.sketches import (
+        BloomAccumulator,
+    )
+
+    # 2 words = 64 bits: a handful of keys saturates it
+    acc = BloomAccumulator(n_words=2, k=5)
+    b1 = spark.createDataFrame([("a",), ("b",)], "k string")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # under-threshold merge is silent
+        acc.merge_batch(b1, "k")
+    words_before = dict(acc.words)
+    fill_before = acc.fill_ratio()
+    assert 0 < fill_before <= 0.25
+    big = spark.createDataFrame([(f"k{i}",) for i in range(50)], "k string")
+    with pytest.raises(ValueError, match="fill"):
+        acc.merge_batch(big, "k")
+    # state unchanged: the batch was NOT applied
+    assert acc.words == words_before
+    assert acc.fill_ratio() == fill_before
+    # warn band: a merge that lands between warn_fill and max_fill warns
+    warner = BloomAccumulator(n_words=2, k=5, warn_fill=0.01, max_fill=1.0)
+    with pytest.warns(RuntimeWarning, match="fill"):
+        warner.merge_batch(b1, "k")
+    # fill accounting matches the popcount of the committed words
+    assert warner.fill_ratio() == sum(
+        w.bit_count() for w in warner.words.values()
+    ) / (2 * 32)
+    assert warner.estimated_fpr() == warner.fill_ratio() ** 5

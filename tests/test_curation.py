@@ -182,10 +182,14 @@ def test_paragraph_dedup_newline_default(spark):
 
 
 def test_paragraph_dedup_plan_is_hot_key_safe(spark):
-    # round-9 verdict item 1: the first-owner computation must be a
-    # map-side-combined aggregate (partial_min visible), NEVER a window
-    # partitioned by the raw paragraph string — a hot boilerplate
-    # paragraph would funnel its every occurrence into one window task.
+    # round-9 verdict item 1 + round-10 hardening: the first-owner
+    # computation must be a map-side-combined aggregate (partial_min
+    # visible), NEVER a window partitioned by the raw paragraph string
+    # (a hot boilerplate paragraph would funnel its every occurrence
+    # into one window task) — and it must stay a HASH aggregate:
+    # the r9 min(struct(doc,pos,par)) form satisfied "partial_" but ran
+    # as SortAggregate on both sides, sorting the raw paragraph stream
+    # per partition (the despan 291s-vs-174s trap).
     from big_data_occupancy_detection_spark.ext.curation import paragraph_dedup
 
     docs = spark.createDataFrame(
@@ -198,6 +202,48 @@ def test_paragraph_dedup_plan_is_hot_key_safe(spark):
     assert "partial_min" in plan or "partial_" in plan, (
         "first-owner aggregate lost its map-side partial step"
     )
+    assert "SortAggregate" not in plan, (
+        "an aggregate fell off HashAggregate (struct/non-fixed-width "
+        "buffer?) — the r9 SortAggregate trap is back"
+    )
+    assert "BroadcastExchange" not in plan, (
+        "the owners frame (scales with distinct corpus content) must "
+        "never be planned as a broadcast"
+    )
+
+
+def test_paragraph_dedup_rejects_non_integral_id(spark):
+    # round-9 ADVICE: a string id implicit-cast to double loses
+    # precision past 2^53 and silently elects a wrong first owner —
+    # the encode must refuse at plan-build time.
+    import pytest
+
+    from big_data_occupancy_detection_spark.ext.curation import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [("a", "x y\nz w")], ["doc_id", "text"]
+    )
+    with pytest.raises(TypeError, match="integral"):
+        paragraph_dedup(docs)
+
+
+def test_first_owner_encode_runtime_bound_gate(spark):
+    # the doc < 2^31 execution-time gate: a violating id must raise
+    # loudly, never silently overflow into a wrong winner.
+    import pytest
+
+    from big_data_occupancy_detection_spark.ext.dedup import first_owner_encode
+
+    df = spark.createDataFrame([(1 << 31, 1)], ["doc", "pos"])
+    with pytest.raises(Exception, match="2\\^31"):
+        df.select(first_owner_encode(df, "doc", "pos").alias("e")).collect()
+    ok = spark.createDataFrame([(5, 3), (2, 9)], ["doc", "pos"])
+    got = sorted(
+        r.e for r in ok.select(
+            first_owner_encode(ok, "doc", "pos").alias("e")
+        ).collect()
+    )
+    assert got == [2 * (1 << 32) + 9, 5 * (1 << 32) + 3]
 
 
 def test_scd2_history_runs_and_versions(spark):

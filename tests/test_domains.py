@@ -515,3 +515,81 @@ def test_frontier_accumulator_structured_streaming_e2e(spark, tmp_path):
         )
         assert got == expect
         seen = DOM.frontier_updated_seen(seen, novel).localCheckpoint()
+
+
+def test_frontier_bucketed_seen_prunes_partitions(spark, tmp_path):
+    """Round-10 verdict item 3: with the seen set persisted in the
+    frontier_seen_write bucket layout, the exact-rescue scan must carry
+    a PartitionFilter over the CANDIDATES' buckets (pruning at
+    file-listing time — per-batch reads bounded by candidate-bucket
+    volume, not |seen|), and answers must be identical to the unpruned
+    path."""
+    import re
+
+    path = str(tmp_path / "seen_bucketed")
+    seen = spark.createDataFrame(
+        [(f"https://s{i}.com/p",) for i in range(0, 40, 2)],
+        "canonical_url string",
+    )
+    DOM.frontier_seen_write(seen, path, n_buckets=16)
+    seen_b = DOM.frontier_seen_read(spark, path)
+    batch = spark.createDataFrame(
+        [(i, f"https://s{i}.com/p") for i in range(10)],
+        "doc_id long, url string",
+    )
+    novel = DOM.frontier_novel_urls(
+        batch, seen_b, seen_bucket_col="bucket", n_buckets=16
+    )
+    got = sorted((r["doc_id"], r["canonical_url"]) for r in novel.collect())
+    want = sorted(
+        (r["doc_id"], r["canonical_url"])
+        for r in DOM.frontier_novel_urls(batch, seen).collect()
+    )
+    assert got == want
+    assert got == [(i, f"https://s{i}.com/p") for i in range(1, 10, 2)]
+    # plan pin on the seen leg: the bucket IN-filter must be a partition
+    # filter on the parquet scan (build under PLAN_AUDIT so the
+    # survivor checkpoint doesn't truncate the inspected lineage)
+    import os
+
+    os.environ["SPARK_GRAFT_PLAN_AUDIT"] = "1"
+    try:
+        plan = (
+            DOM.frontier_novel_urls(
+                batch, seen_b, seen_bucket_col="bucket", n_buckets=16
+            )
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        os.environ.pop("SPARK_GRAFT_PLAN_AUDIT", None)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "bucket" in m.group(1) and "IN" in m.group(1), plan
+
+
+def test_frontier_survivor_broadcast_budget_fallback(spark):
+    """Round-9 ADVICE (medium): survivors ≈ |batch∩seen| + fpr·|seen|
+    scales with the SEEN SET — past the broadcast budget the anti-join
+    must fall back to shuffle_hash (executor-side), never a driver
+    broadcast; answers identical either way."""
+    batch = spark.createDataFrame(
+        [(i, f"https://s{i}.com/p") for i in range(8)],
+        "doc_id long, url string",
+    )
+    seen = spark.createDataFrame(
+        [(f"https://s{i}.com/p",) for i in range(0, 8, 2)],
+        "canonical_url string",
+    )
+    reps = DOM.frontier_batch_reps(batch).localCheckpoint()
+    small = DOM._novel_canonicals(reps, seen)
+    forced = DOM._novel_canonicals(reps, seen, broadcast_budget_rows=0)
+    plan_small = small._jdf.queryExecution().executedPlan().toString()
+    plan_forced = forced._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan_small
+    assert "BroadcastHashJoin" not in plan_forced
+    assert "ShuffledHashJoin" in plan_forced
+    key = lambda r: (r["doc_id"], r["canonical_url"])
+    assert sorted(map(key, small.collect())) == sorted(
+        map(key, forced.collect())
+    )

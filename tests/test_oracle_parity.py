@@ -52,13 +52,20 @@ def _values_match(a, b) -> bool:
 
 
 @pytest.mark.parametrize("name,spec", ORACLE_SPECS, ids=[n for n, _ in ORACLE_SPECS])
-def test_oracle_parity(spark, name, spec):
+def test_oracle_parity(spark, name, spec, monkeypatch):
+    oracle = spec.oracle
+    if callable(oracle):
+        # lazy oracle (r10): bake against the SAME sf dir this test runs
+        monkeypatch.setenv("SPARK_GRAFT_ORACLE_SF_DIR", SF_DIR)
+        oracle = oracle()
+        if oracle is None:
+            pytest.skip("lazy oracle unavailable in this environment")
     sdf = spec.fn(spark, SF_DIR)
     srows = [tuple(r) for r in sdf.collect()]
     scols = sdf.columns
 
     con = _duck(SF_DIR)
-    cur = con.execute(spec.oracle)
+    cur = con.execute(oracle)
     dcols = [d[0] for d in cur.description]
     drows = [tuple(r) for r in cur.fetchall()]
     con.close()

@@ -23,6 +23,10 @@ spec.loader.exec_module(m)
 spark = SparkSession.builder.master("local[8]").getOrCreate()
 spark.sparkContext.setLogLevel("ERROR")
 sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+# lazy oracles (r10: VALUES-baked ANN shortlists) must bake against the
+# SAME sf dir this sweep runs; the external driver uses the sf0.01
+# default
+os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf
 
 con = duckdb.connect()
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
