@@ -1514,3 +1514,74 @@ def frontier_novel_urls_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         (did % 4 == 0) & (F.floor(did / 4).cast("long") % 3 != 0)
     ).select(DOM.canonical_url("url").alias("canonical_url"))
     return DOM.frontier_novel_urls(batch, seen, "url", "doc_id")
+
+
+_FRONTIER_BUCKETS = 64
+
+
+def _bucketed_seen_for(spark: SparkSession, sf_dir: str) -> str:
+    """Content-cached bucket-partitioned seen set for the frontier split
+    (the ``frontier_seen_write`` layout, r10): built once per distinct
+    documents parquet, reused across calls — the serve-side analogue of
+    the persisted ANN index caches."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..ext import domains as DOM
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    parts = [os.path.abspath(src), f"buckets={_FRONTIER_BUCKETS}"]
+    paths = (
+        sorted(
+            os.path.join(r, f)
+            for r, _, fs in os.walk(src)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+        if os.path.isdir(src)
+        else [src]
+    )
+    for p in paths:
+        st = os.stat(p)
+        parts.append(f"{p}:{st.st_size}:{st.st_mtime_ns}")
+    digest = hashlib.sha1("|".join(parts).encode()).hexdigest()[:16]
+    root = os.path.join(tempfile.gettempdir(), "bdo_frontier_seen")
+    path = os.path.join(root, digest)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        u = _canon_url_plant(spark, sf_dir)
+        did = F.col("doc_id")
+        seen = u.filter(
+            (did % 4 == 0) & (F.floor(did / 4).cast("long") % 3 != 0)
+        ).select(DOM.canonical_url("url").alias("canonical_url"))
+        os.makedirs(root, exist_ok=True)
+        DOM.frontier_seen_write(
+            seen, path, n_buckets=_FRONTIER_BUCKETS
+        )
+    return path
+
+
+@register("frontier_novel_urls_bucketed", oracle=_FRONTIER_ORACLE)
+def frontier_novel_urls_bucketed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The same novel-URL contract as `frontier_novel_urls`, served from
+    the round-10 bucket-partitioned seen layout
+    (ext.domains.frontier_seen_write): the seen scan carries a literal
+    IN partition filter over the CANDIDATES' md5 buckets, so pruning
+    happens at file-listing time and a crawl micro-batch reads
+    candidate-bucket bytes, not |seen| (measured 22.7 → 8.7 s/batch at
+    50 M seen rows, PERF.md r10 item 3). Shares the exact oracle with
+    the flat form — the layout must never change the answer."""
+    from ..ext import domains as DOM
+
+    u = _canon_url_plant(spark, sf_dir)
+    did = F.col("doc_id")
+    batch = u.filter((did % 4 == 1) | (did % 4 == 2))
+    seen_b = DOM.frontier_seen_read(
+        spark, _bucketed_seen_for(spark, sf_dir)
+    )
+    return DOM.frontier_novel_urls(
+        batch, seen_b, "url", "doc_id",
+        seen_bucket_col="bucket", n_buckets=_FRONTIER_BUCKETS,
+    )

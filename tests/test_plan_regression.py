@@ -57,6 +57,7 @@ EXTRA_PLAN_PINNED = [
     "attribution_time_decay",    # banded self-join + exact share division
     "paragraph_dedup_docs",      # hot-paragraph-safe first-owner agg (r9)
     "doc_despanned_keep_first",  # keep-first span surgery, no extra shuffle (r9)
+    "frontier_novel_urls_bucketed",  # bucket-pruned seen scan (r10)
 ]
 
 
