@@ -45,7 +45,7 @@ from .registry import register
       UNION ALL SELECT 'l_discount', l_discount FROM lineitem
       UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
     SELECT measure, count(*) AS n,
-           round(sum(val), 4) AS total,
+           CAST(sum(CAST(round(val * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total,
            (floor(CAST((avg(val)) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS mean,
            round(min(val), 6) AS min_val,
            round(max(val), 6) AS max_val
@@ -62,7 +62,14 @@ def lineitem_measures_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return long.groupBy("measure").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("val"), 4).alias("total"),
+        # exact cents: every measure is an exact ≤2-decimal rational and
+        # the per-measure total sums the WHOLE table (~2.3e10 for
+        # extendedprice at sf0.1 — over the round-4 grain in noise; r10
+        # global-money-sum hardening)
+        (
+            F.sum(F.round(F.col("val") * 100).cast("long")).cast("double")
+            / 100.0
+        ).alias("total"),
         portable_round(F.avg("val"), 6).alias("mean"),
         F.round(F.min("val"), 6).alias("min_val"),
         F.round(F.max("val"), 6).alias("max_val"),
@@ -188,7 +195,8 @@ def order_price_ntiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts AS (
       SELECT date_trunc('month', o_orderdate) AS month,
              count(*) AS n_orders,
-             round(sum(o_totalprice), 4) AS revenue
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS revenue
       FROM orders GROUP BY 1)
     SELECT s.month,
            coalesce(c.n_orders, 0) AS n_orders,
@@ -209,7 +217,12 @@ def monthly_order_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("month", "o_orderdate").alias("month")
     ).agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+        # exact cents — month-grain money sums are ~1e9 at sf0.1 (r10
+        # global-money-sum hardening, see plans.relational.pricing_summary)
+        (
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("double") / 100.0
+        ).alias("revenue"),
     )
     return spine.join(counts, "month", "left_outer").select(
         "month",

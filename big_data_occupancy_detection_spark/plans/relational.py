@@ -43,9 +43,12 @@ def _ts(s: str):
     oracle="""
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 4)                                        AS sum_qty,
-           round(sum(l_extendedprice), 4)                                   AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 4)                AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4)  AS sum_charge,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+                                                                            AS sum_base_price,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0
+                                                                            AS sum_disc_price,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0
+                                                                            AS sum_charge,
            (floor(CAST((avg(l_quantity)) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS avg_qty,
            (floor(CAST((avg(l_extendedprice)) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS avg_price,
            (floor(CAST((avg(l_discount)) AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS avg_disc,
@@ -56,16 +59,27 @@ def _ts(s: str):
     """,
 )
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # money sums as EXACT scaled integers (r10, after the sf0.1 sweep
+    # caught priority_grouping_sets diverging cross-engine in the 4th
+    # decimal): price/disc_price/charge are exact 2/4/6-decimal
+    # rationals, so summing round(x·10^d) longs is order-independent at
+    # any scale, where round(sum(double), 4) carries ~|sum|·√n·ε of
+    # summation-order noise (≈2.6e-4 at sf0.1 — already over the
+    # rounding grain). sum_qty stays float: quantity sums are ~1e6 with
+    # ~1e-10 noise, 6 orders of margin.
     li = table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    scaled = lambda expr, s: (
+        F.sum(F.round(expr * s).cast("long")).cast("double") / float(s)
+    )
     return (
         li.filter(F.col("l_shipdate") <= _ts("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
+            scaled(F.col("l_extendedprice"), 100).alias("sum_base_price"),
+            scaled(disc_price, 10_000).alias("sum_disc_price"),
+            scaled(disc_price * (1 + F.col("l_tax")), 1_000_000).alias("sum_charge"),
             portable_round(F.avg("l_quantity"), 4).alias("avg_qty"),
             portable_round(F.avg("l_extendedprice"), 4).alias("avg_price"),
             portable_round(F.avg("l_discount"), 4).alias("avg_disc"),
@@ -125,7 +139,8 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "region_revenue",
     oracle="""
     SELECT r.r_name,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           round(CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                              AS BIGINT)) AS DOUBLE) / 10000.0, 2) AS revenue,
            count(*) AS n_items
     FROM region r
     JOIN nation n   ON n.n_regionkey = r.r_regionkey
@@ -151,8 +166,17 @@ def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
         .groupBy("r_name")
         .agg(
+            # exact 1e-4-scaled integers before the round-2: per-region
+            # sums are ~4.5e9 at sf0.1 (r10 global-money-sum hardening)
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice")
+                        * (1 - F.col("l_discount"))
+                        * 10_000
+                    ).cast("long")
+                ).cast("double") / 10_000.0,
+                2,
             ).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
@@ -218,7 +242,7 @@ def inactive_customers_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "forecast_revenue",
     oracle="""
-    SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
+    SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
            count(*) AS n_items,
            (floor(CAST((avg(l_quantity)) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS avg_qty
     FROM lineitem
@@ -236,9 +260,15 @@ def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias(
-                "revenue"
-            ),
+            # exact 1e-4-scaled integers (r10): a global money sum —
+            # see priority_grouping_sets for the sf0.1 divergence class
+            (
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice") * F.col("l_discount") * 10_000
+                    ).cast("long")
+                ).cast("double") / 10_000.0
+            ).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
             portable_round(F.avg("l_quantity"), 6).alias("avg_qty"),
         )
@@ -499,13 +529,22 @@ def order_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
            coalesce(o_orderstatus, 'ALL') AS status,
            count(*) AS n_orders,
            CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
-           round(sum(o_totalprice), 4) AS revenue
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+             / 100.0 AS revenue
     FROM orders
     GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
                             (o_orderpriority), (o_orderstatus))
     """,
 )
 def priority_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # revenue as EXACT cents (sum of round(price·100) longs), not
+    # round(sum(double), 4): the ALL grouping sets sum the whole table,
+    # and at sf0.1 the ~1.2e10 sums already carry >1e-4 of
+    # summation-order noise — the r10 sf0.1 sweep caught the two engines
+    # disagreeing in the 4th decimal (DRIVERSIM_sf01_r10). Money sums
+    # that must hash-match across engines use the scaled-integer form
+    # (the customer_rolling_revenue recipe), which is order-independent
+    # at ANY scale short of long overflow (9.2e16 cents).
     orders = table(spark, sf_dir, "orders")
     return (
         orders.groupingSets(
@@ -516,7 +555,10 @@ def priority_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
             F.count_distinct("o_custkey").alias("n_customers"),
-            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+            (
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                .cast("double") / 100.0
+            ).alias("revenue"),
         )
         .select(
             F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
@@ -698,7 +740,8 @@ def order_price_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_API_QUERY = """
 SELECT n.n_name AS nation,
        count(DISTINCT c.c_custkey) AS n_customers,
-       round(sum(o.o_totalprice), 4) AS revenue
+       CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+         / 100.0 AS revenue
 FROM nation n
 JOIN customer c ON c.c_nationkey = n.n_nationkey
 JOIN orders o ON o.o_custkey = c.c_custkey
@@ -822,7 +865,8 @@ def important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "small_quantity_revenue",
     oracle="""
-    SELECT round(sum(l.l_extendedprice) / 7.0, 4) AS avg_yearly
+    SELECT round(CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+                 / 100.0 / 7.0, 4) AS avg_yearly
     FROM lineitem l
     WHERE l.l_quantity < (
       SELECT 0.5 * avg(l2.l_quantity)
@@ -840,7 +884,15 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(part_avg, "l_partkey")
         .filter(F.col("l_quantity") < F.col("__half_avg"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
+        .agg(
+            # exact cents then one deterministic /7 division: both engines
+            # round the SAME double (r10 global-money-sum hardening)
+            F.round(
+                F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+                .cast("double") / 100.0 / 7.0,
+                4,
+            ).alias("avg_yearly")
+        )
     )
 
 
@@ -857,7 +909,7 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(grouping(o_orderstatus) AS INT) AS g_status,
            CAST(grouping(o_orderpriority) AS INT) AS g_priority,
            count(*) AS n_orders,
-           round(sum(o_totalprice), 4) AS total_price
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_price
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
@@ -870,7 +922,12 @@ def order_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.grouping("o_orderstatus").cast("int").alias("g_status"),
             F.grouping("o_orderpriority").cast("int").alias("g_priority"),
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+            # exact cents (r10 sf0.1 sweep lesson): the CUBE's grand-total
+            # row sums the whole orders table — see priority_grouping_sets
+            (
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                .cast("double") / 100.0
+            ).alias("total_price"),
         )
         .select(
             F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
@@ -1026,7 +1083,8 @@ def user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT event_type, length(event_type) AS w FROM events)
     SELECT e.event_type,
            count(*) AS n_events,
-           round(sum(e.value * d.w), 4) AS weighted_value
+           CAST(sum(CAST(round(e.value * d.w * 100) AS BIGINT)) AS DOUBLE)
+             / 100.0 AS weighted_value
     FROM events e JOIN dim d USING (event_type)
     GROUP BY e.event_type
     """,
@@ -1041,7 +1099,12 @@ def salted_event_type_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = salted_join(ev, dim, on=["event_type"], salt_buckets=8)
     return joined.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum(F.col("value") * F.col("w")), 4).alias("weighted_value"),
+        # exact cents (value is an exact 2-decimal, w an int): the 5 hot
+        # type groups sum ~2e5 rows each at sf0.1 (r10 hardening)
+        (
+            F.sum(F.round(F.col("value") * F.col("w") * 100).cast("long"))
+            .cast("double") / 100.0
+        ).alias("weighted_value"),
     )
 
 

@@ -444,7 +444,8 @@ def large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "disjunctive_brand_revenue",
     oracle="""
-    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+    SELECT CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                        AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
            count(*) AS n_items
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
@@ -475,7 +476,12 @@ def disjunctive_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .filter(band)
         .agg(
-            F.round(F.sum(_rev()), 4).alias("revenue"),
+            # exact 1e-4-scaled integers: a GLOBAL money sum (r10
+            # global-money-sum hardening, see plans.relational)
+            (
+                F.sum(F.round(_rev() * 10_000).cast("long")).cast("double")
+                / 10_000.0
+            ).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
