@@ -834,17 +834,31 @@ _SHARE_THRESHOLD = 0.0005  # 0.05% of total revenue
     "important_parts",
     oracle=f"""
     SELECT l_partkey,
-           round(sum(l_extendedprice * (1 - l_discount)), 4) AS part_revenue
+           round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                              AS BIGINT)) AS DOUBLE) / 10000.0, 4) AS part_revenue
     FROM lineitem
     GROUP BY l_partkey
-    HAVING sum(l_extendedprice * (1 - l_discount)) >
-           (SELECT sum(l_extendedprice * (1 - l_discount)) * {_SHARE_THRESHOLD}
+    HAVING CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                         AS BIGINT)) AS DOUBLE) / 10000.0 >
+           (SELECT CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                                 AS BIGINT)) AS DOUBLE) / 10000.0
+                   * {_SHARE_THRESHOLD}
             FROM lineitem)
     """,
 )
 def important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
-    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    # exact 1e-4-scaled sums (r10 hardening): the HAVING threshold is a
+    # WHOLE-TABLE sum, and an UNROUNDED noisy-double comparison against
+    # it can flip borderline parts' membership between engines — both
+    # sides now derive the compared doubles from identical longs
+    rev = (
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10_000
+            ).cast("long")
+        ).cast("double") / 10_000.0
+    )
     per_part = li.groupBy("l_partkey").agg(
         rev.alias("__rev"),
     )

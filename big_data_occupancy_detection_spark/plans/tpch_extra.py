@@ -600,7 +600,9 @@ def exclusive_heavy_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFra
            count(*) AS numcust,
            round(sum(c.c_acctbal), 4) AS totacctbal
     FROM customer c
-    WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+    WHERE c.c_acctbal > (SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT))
+                               AS DOUBLE) / 100.0 / count(*)
+                         FROM customer WHERE c_acctbal > 0)
       AND NOT EXISTS (SELECT 1 FROM orders o
                       WHERE o.o_custkey = c.c_custkey
                         AND o.o_orderdate >= TIMESTAMP '1999-01-01')
@@ -614,8 +616,14 @@ def inactive_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_orderdate") >= _ts("1999-01-01"))
         .select("o_custkey")
     )
+    # exact-cents average (r10 hardening): the global avg is an
+    # UNROUNDED comparison threshold — both engines must derive the same
+    # double or a borderline customer flips membership
     avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
-        F.avg("c_acctbal").alias("__avg")
+        (
+            F.sum(F.round(F.col("c_acctbal") * 100).cast("long"))
+            .cast("double") / 100.0 / F.count(F.lit(1))
+        ).alias("__avg")
     )
     return (
         cust.crossJoin(F.broadcast(avg_bal))
