@@ -349,3 +349,31 @@ def test_weighted_percentiles_match_naive(spark, rows, ks):
                 expect = v
                 break
         assert got.get(k) == expect, (k, got, agg)
+
+
+# Round-10: the scalar first-owner encode (doc·2³² + pos) must order
+# IDENTICALLY to lexicographic (doc, pos) everywhere inside its gated
+# bounds — the despan keep-first winner and paragraph_dedup's first
+# owner both hang off this equivalence (a divergence silently elects a
+# wrong winner; the runtime gate only catches out-of-bound ids, not an
+# encode that mis-orders in-bound ones).
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=(1 << 31) - 1),
+            st.integers(min_value=0, max_value=(1 << 32) - 1),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+@settings(deadline=None, max_examples=200)
+def test_first_owner_encode_orders_like_tuple(pairs):
+    enc = lambda d, p: d * (1 << 32) + p
+    by_enc = min(pairs, key=lambda t: enc(*t))
+    by_tuple = min(pairs)
+    assert enc(*by_enc) == enc(*by_tuple)
+    # strict monotonicity on distinct pairs
+    s = sorted(set(pairs))
+    encs = [enc(*t) for t in s]
+    assert encs == sorted(encs) and len(set(encs)) == len(s)
