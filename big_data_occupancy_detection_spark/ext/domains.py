@@ -534,6 +534,32 @@ def frontier_seen_read(spark, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def frontier_seen_append(
+    novel: DataFrame,
+    path: str,
+    n_buckets: int = FRONTIER_SEEN_BUCKETS,
+    seen_col: str = "canonical_url",
+) -> None:
+    """Absorb a batch's NOVEL canonicals into the bucketed seen layout —
+    the increment that completes the per-batch loop (novel →
+    :func:`frontier_seen_append` → next batch prunes against the grown
+    set). A partitioned APPEND: only the novel rows' buckets gain a
+    file, nothing is rewritten — per-batch write cost is |novel|, not
+    |seen| (the dynamic-partition-overwrite trap this deliberately
+    avoids). Uniqueness is preserved without any distinct pass for the
+    same reason as :func:`frontier_updated_seen`: novel is
+    per-canonical-unique and disjoint from the persisted set by
+    construction. ``n_buckets`` MUST match the original
+    :func:`frontier_seen_write` (same hash, same dirs); small appended
+    files are expected — compact by rewriting with
+    :func:`frontier_seen_write` on a maintenance cadence, not per
+    batch."""
+    novel.select(
+        F.col(seen_col).alias("canonical_url"),
+        frontier_seen_bucket(seen_col, n_buckets).alias("bucket"),
+    ).write.partitionBy("bucket").mode("append").parquet(path)
+
+
 def frontier_novel_urls(
     batch: DataFrame,
     seen: DataFrame,

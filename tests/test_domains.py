@@ -593,3 +593,50 @@ def test_frontier_survivor_broadcast_budget_fallback(spark):
     assert sorted(map(key, small.collect())) == sorted(
         map(key, forced.collect())
     )
+
+
+def test_frontier_seen_append_increment_loop(spark, tmp_path):
+    """The bucketed increment loop (r10): write seen → probe batch →
+    append novel → the NEXT batch's pruned rescue sees the grown set.
+    Appends must preserve uniqueness (no distinct pass) and land only in
+    the novel rows' buckets."""
+    path = str(tmp_path / "seen")
+    seen0 = spark.createDataFrame(
+        [("https://a.com/1",), ("https://a.com/2",)],
+        "canonical_url string",
+    )
+    DOM.frontier_seen_write(seen0, path, n_buckets=8)
+    b1 = spark.createDataFrame(
+        [(1, "https://a.com/1"), (2, "https://b.com/x")],
+        "doc_id long, url string",
+    )
+    novel1 = DOM.frontier_novel_urls(
+        b1, DOM.frontier_seen_read(spark, path),
+        seen_bucket_col="bucket", n_buckets=8,
+    )
+    assert [(r["doc_id"], r["canonical_url"]) for r in novel1.collect()] == [
+        (2, "https://b.com/x")
+    ]
+    DOM.frontier_seen_append(novel1, path, n_buckets=8)
+    # the grown set: batch 2 re-offers b.com/x (now seen) + one new URL
+    b2 = spark.createDataFrame(
+        [(3, "https://b.com/x?utm_source=f"), (4, "https://c.com/y")],
+        "doc_id long, url string",
+    )
+    novel2 = DOM.frontier_novel_urls(
+        b2, DOM.frontier_seen_read(spark, path),
+        seen_bucket_col="bucket", n_buckets=8,
+    )
+    assert [(r["doc_id"], r["canonical_url"]) for r in novel2.collect()] == [
+        (4, "https://c.com/y")
+    ]
+    # uniqueness held with zero distinct passes
+    rows = DOM.frontier_seen_read(spark, path).collect()
+    urls = sorted(r["canonical_url"] for r in rows)
+    assert urls == sorted(set(urls)) and len(urls) == 3
+    # bucket column agrees with the portable hash for every row
+    for r in rows:
+        want = spark.range(1).select(
+            DOM.frontier_seen_bucket(F.lit(r["canonical_url"]), 8).alias("b")
+        ).collect()[0]["b"]
+        assert r["bucket"] == want
