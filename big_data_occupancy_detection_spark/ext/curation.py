@@ -434,6 +434,12 @@ def paragraph_dedup(
     int-only shuffle to doc grain, one corpus shuffle on the unique doc
     key. md5 (128-bit) keys the grouping: at corpus scale a 64-bit hash
     would birthday-collide and silently merge distinct paragraphs."""
+    # NULL-text docs are excluded, matching every prior form: the
+    # exploded-frame variants emitted zero rows for them, so they never
+    # appeared in the output — the r10 doc-grain join keeps the full
+    # docs frame and would otherwise emit them with NULL n_par (caught
+    # by the r10 high-null full-registry fuzz, seed=1 us nr=0.25)
+    docs = docs.filter(F.col(text_col).isNotNull())
     if chunk_tokens is None:
         pars = F.split(F.col(text_col), r"\n+")
     else:

@@ -295,6 +295,11 @@ def main() -> None:
     for seed, flavor, nr in itertools.product(seeds, ["us", "ns"], null_rates):
         out = tempfile.mkdtemp(prefix=f"fuzz_s{seed}_{flavor}_n{nr}_")
         generate(seed, out, flavor, null_rate=nr)
+        # lazy oracles (r10: VALUES-baked ANN shortlists) must re-bake
+        # against THIS regenerated dir — a map resolved once against the
+        # shipped seed would carry the wrong shortlist into every sweep
+        os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = out
+        osql = m.oracle_sql()
         con = duckdb.connect()
         for t in TABLES:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{out}/{t}.parquet'")
