@@ -398,6 +398,15 @@ def paragraph_dedup(
     Paragraphs are ``\\n``-separated blocks; for corpora without newline
     structure pass ``chunk_tokens`` to use fixed token windows instead.
 
+    Id contract (r10, stricter than the r9 struct form which accepted
+    any long): ``id_col`` must be an integral type with ``0 ≤ id <
+    2³¹`` — the hash-aggregable scalar encode's domain, gated loudly by
+    ``first_owner_encode`` (dtype at plan build, bound at execution).
+    For hashed-id corpora (xxhash64-style ids, negative or ≥ 2³¹),
+    densify first — ``operators.relational.global_row_number`` assigns
+    compact ids in one pass and any dense id order is a valid
+    "first-occurrence" order for the dedup policy.
+
     Plan (round 10 — hot-paragraph-safe AND hash-aggregable): the
     global first owner of each paragraph is
     ``groupBy(md5(par)).agg(min(doc·2³² + pos))`` — a MAP-SIDE-COMBINED

@@ -525,13 +525,44 @@ def frontier_seen_write(
         F.col(seen_col).alias("canonical_url"),
         frontier_seen_bucket(seen_col, n_buckets).alias("bucket"),
     ).write.partitionBy("bucket").mode(mode).parquet(path)
+    # sidecar metadata: the bucket count is part of the layout's
+    # identity — a reader probing with a DIFFERENT modulus silently
+    # prunes away valid seen rows and re-crawls duplicates (r10 review).
+    # frontier_seen_read/append verify against it; loud-fail contract.
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(path, "_frontier_meta.json"), "w") as f:
+        _json.dump({"n_buckets": int(n_buckets)}, f)
+
+
+def frontier_seen_layout_buckets(path: str) -> int | None:
+    """The ``n_buckets`` the layout at ``path`` was written with (from
+    the :func:`frontier_seen_write` sidecar), or None for a pre-sidecar
+    layout."""
+    import json as _json
+    import os as _os
+
+    meta = _os.path.join(path, "_frontier_meta.json")
+    if not _os.path.exists(meta):
+        return None
+    with open(meta) as f:
+        return int(_json.load(f)["n_buckets"])
 
 
 def frontier_seen_read(spark, path: str) -> DataFrame:
     """The bucketed seen set back as (canonical_url, bucket) — feed it
     to :func:`frontier_novel_urls` / ``novel_in_batch`` with
-    ``seen_bucket_col="bucket"`` to activate pruning."""
-    return spark.read.parquet(path)
+    ``seen_bucket_col="bucket"`` to activate pruning. The frame is
+    stamped with the layout's bucket count (sidecar metadata), which the
+    pruning path verifies against its ``n_buckets`` argument — a
+    modulus mismatch would silently prune valid seen rows and re-crawl
+    duplicates, so it raises instead."""
+    df = spark.read.parquet(path)
+    nb = frontier_seen_layout_buckets(path)
+    if nb is not None:
+        df._frontier_n_buckets = nb
+    return df
 
 
 def frontier_seen_append(
@@ -549,11 +580,21 @@ def frontier_seen_append(
     avoids). Uniqueness is preserved without any distinct pass for the
     same reason as :func:`frontier_updated_seen`: novel is
     per-canonical-unique and disjoint from the persisted set by
-    construction. ``n_buckets`` MUST match the original
-    :func:`frontier_seen_write` (same hash, same dirs); small appended
-    files are expected — compact by rewriting with
-    :func:`frontier_seen_write` on a maintenance cadence, not per
-    batch."""
+    construction. ``n_buckets`` must match the original
+    :func:`frontier_seen_write` (same hash, same dirs) — verified
+    against the layout's sidecar metadata, raising on mismatch (a row
+    modded differently lands in the wrong dir and is then invisibly
+    pruned away by every subsequent read). Small appended files are
+    expected — compact by rewriting with :func:`frontier_seen_write` on
+    a maintenance cadence, not per batch."""
+    layout_nb = frontier_seen_layout_buckets(path)
+    if layout_nb is not None and int(layout_nb) != int(n_buckets):
+        raise ValueError(
+            f"frontier_seen_append with n_buckets={n_buckets} onto a "
+            f"layout written with n_buckets={layout_nb} — the appended "
+            f"rows would land in wrongly-modded bucket dirs and be "
+            f"invisibly pruned by subsequent reads"
+        )
     novel.select(
         F.col(seen_col).alias("canonical_url"),
         frontier_seen_bucket(seen_col, n_buckets).alias("bucket"),
@@ -569,7 +610,7 @@ def frontier_novel_urls(
     n_words: int | None = None,
     k: int | None = None,
     seen_bucket_col: str | None = None,
-    n_buckets: int = 256,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """(id, canonical_url) — the members of a discovered-URL ``batch``
     whose canonical form is NOT in the crawled ``seen`` set (and not a
@@ -604,6 +645,13 @@ def frontier_novel_urls(
     # reps is consumed twice (bloom build + final anti-join): checkpoint
     # so the canonicalization + rep aggregate runs once, not per consumer
     reps = checkpoint_for_reuse(frontier_batch_reps(batch, url_col, id_col))
+    if n_buckets is None:
+        # default to the seen layout's own modulus (sidecar stamp from
+        # frontier_seen_read) — never a constant that can drift from
+        # what the layout was written with (r10 review)
+        n_buckets = getattr(
+            seen, "_frontier_n_buckets", FRONTIER_SEEN_BUCKETS
+        )
     return _novel_canonicals(
         reps, seen, id_col, seen_col, n_words, k,
         seen_bucket_col=seen_bucket_col, n_buckets=n_buckets,
@@ -641,12 +689,16 @@ def _novel_canonicals(
     unconditional broadcast of survivors is itself a driver OOM when
     the filter is undersized relative to |seen|: size ``n_words`` so
     fpr·|seen| stays join-small, not merely to the batch's key count.
-    Defensively, the survivors are materialized once (the seen scan
-    runs exactly once either way — the count reads the checkpoint, not
+    Defensively, the survivors are materialized once (at runtime the
+    seen scan runs exactly once — the count reads the checkpoint, not
     the scan), counted, and BROADCAST only under
     ``broadcast_budget_rows``; past it the anti-join falls back to
     shuffle_hash, which repartitions only reps + survivors (both ≪
-    seen), never the driver."""
+    seen), never the driver. Under ``SPARK_GRAFT_PLAN_AUDIT`` (where
+    ``checkpoint_for_reuse`` is a no-op so pins see the full lineage)
+    the count is SKIPPED and the broadcast shape is pinned — counting
+    there would execute the un-checkpointed seen scan as a side effect
+    of merely building the plan (r10 review)."""
     from ..operators.partitioning import checkpoint_for_reuse
     from .sketches import BLOOM_HASHES, BLOOM_WORDS, bloom_build, bloom_filter_expr
 
@@ -657,6 +709,20 @@ def _novel_canonicals(
         for r in bloom_build(reps, "canonical_url", nw, kk).collect()
     }
     if seen_bucket_col is not None:
+        # layout-identity guard (r10 review): a caller modulus that
+        # differs from the one the seen layout was WRITTEN with makes
+        # the prune drop valid seen rows — duplicates silently re-enter
+        # the crawl. frontier_seen_read stamps the sidecar value; when
+        # present it must agree.
+        layout_nb = getattr(seen, "_frontier_n_buckets", None)
+        if layout_nb is not None and int(layout_nb) != int(n_buckets):
+            raise ValueError(
+                f"seen layout was written with n_buckets={layout_nb} but "
+                f"the prune was asked to use n_buckets={n_buckets} — a "
+                f"modulus mismatch silently misclassifies seen URLs as "
+                f"novel; pass the layout's value (or omit n_buckets and "
+                f"let frontier_novel_urls default to it)"
+            )
         # bounded collect: ≤ n_buckets ints, one tiny job over reps
         cand_buckets = [
             r["__b"]
@@ -667,12 +733,16 @@ def _novel_canonicals(
             .collect()
         ]
         seen = seen.filter(F.col(seen_bucket_col).isin(cand_buckets))
+    import os
+
     survivors = checkpoint_for_reuse(
         seen.select(F.col(seen_col).alias("canonical_url")).filter(
             bloom_filter_expr(words, "canonical_url", nw, kk)
         )
     )
-    if survivors.count() <= broadcast_budget_rows:
+    if os.environ.get("SPARK_GRAFT_PLAN_AUDIT") == "1":
+        right = F.broadcast(survivors)  # pin the small-survivor shape
+    elif survivors.count() <= broadcast_budget_rows:
         right = F.broadcast(survivors)
     else:
         right = survivors.hint("shuffle_hash")
@@ -770,10 +840,18 @@ class FrontierDedupAccumulator:
         # map-only bloom of the candidates, never a broadcast of itself
         # (candidates are consumed twice inside: checkpoint)
         reps = checkpoint_for_reuse(reps)
-        candidates = reps.filter(probe)
+        candidates = checkpoint_for_reuse(reps.filter(probe))
+        # the rescue prescreen filter is built from THIS batch's
+        # candidates (hundreds of keys), not the crawl history — size it
+        # to them (keys/3 words ≈ 1% FP at k=5), never to the
+        # accumulator's capacity: inheriting FRONTIER_BLOOM_WORDS would
+        # ship a ~0.5 MB dense literal down the seen scan every
+        # micro-batch for a ~400× oversized filter (r10 review). The
+        # count is a cheap job over the already-checkpointed frame.
+        n_rescue_words = max(64, (candidates.count() + 2) // 3)
         rescued = _novel_canonicals(
-            checkpoint_for_reuse(candidates), exact_seen, id_col,
-            n_words=self.n_words, k=self.k,
+            candidates, exact_seen, id_col,
+            n_words=n_rescue_words, k=self.k,
             seen_bucket_col=seen_bucket_col, n_buckets=n_buckets,
         )
         return reps.filter(~probe).unionByName(rescued).select(

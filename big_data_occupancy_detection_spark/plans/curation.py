@@ -1507,13 +1507,25 @@ def frontier_novel_urls_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bloom survivors — exact novel set out."""
     from ..ext import domains as DOM
 
+    batch, seen = _frontier_split(spark, sf_dir)
+    return DOM.frontier_novel_urls(batch, seen, "url", "doc_id")
+
+
+def _frontier_split(spark: SparkSession, sf_dir: str):
+    """(batch, seen) halves of the shared URL plant — ONE definition for
+    the flat query, the bucketed query and the bucketed-layout cache:
+    the bucketed query shares `_FRONTIER_ORACLE` with the flat one on
+    the premise that both compute over the IDENTICAL seen set, so the
+    split must never be edited in one copy alone (r10 review)."""
+    from ..ext import domains as DOM
+
     u = _canon_url_plant(spark, sf_dir)
     did = F.col("doc_id")
     batch = u.filter((did % 4 == 1) | (did % 4 == 2))
     seen = u.filter(
         (did % 4 == 0) & (F.floor(did / 4).cast("long") % 3 != 0)
     ).select(DOM.canonical_url("url").alias("canonical_url"))
-    return DOM.frontier_novel_urls(batch, seen, "url", "doc_id")
+    return batch, seen
 
 
 _FRONTIER_BUCKETS = 64
@@ -1549,15 +1561,26 @@ def _bucketed_seen_for(spark: SparkSession, sf_dir: str) -> str:
     root = os.path.join(tempfile.gettempdir(), "bdo_frontier_seen")
     path = os.path.join(root, digest)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        u = _canon_url_plant(spark, sf_dir)
-        did = F.col("doc_id")
-        seen = u.filter(
-            (did % 4 == 0) & (F.floor(did / 4).cast("long") % 3 != 0)
-        ).select(DOM.canonical_url("url").alias("canonical_url"))
+        # stage → atomic rename, the _content_index_for pattern: a
+        # check-then-overwrite into the shared path would let two
+        # concurrent sessions interleave part files (r10 review); the
+        # rename loser just cleans up its staging dir
+        import shutil
+
+        _, seen = _frontier_split(spark, sf_dir)
         os.makedirs(root, exist_ok=True)
-        DOM.frontier_seen_write(
-            seen, path, n_buckets=_FRONTIER_BUCKETS
-        )
+        staging = tempfile.mkdtemp(prefix=f".{digest}-", dir=root)
+        try:
+            DOM.frontier_seen_write(
+                seen, staging, n_buckets=_FRONTIER_BUCKETS
+            )
+            os.rename(staging, path)
+        except OSError:
+            pass  # lost the publish race; winner's copy is complete
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            raise RuntimeError(f"bucketed seen cache failed to publish {path}")
     return path
 
 

@@ -59,14 +59,35 @@ def oracle_sql_map() -> dict[str, str]:
     an index / run a bounded Spark job); one that returns None or raises
     degrades that query to the rows-only check instead of failing the
     whole map."""
+    import warnings
+
     out: dict[str, str] = {}
     for name, spec in REGISTRY.items():
         o = spec.oracle
         if callable(o):
             try:
                 o = o()
-            except Exception:
+            except Exception as ex:  # degrade, but NEVER silently:
+                # a swallowed failure here would turn an oracle-paired
+                # query rows-only and every sweep would keep reporting
+                # green while the verification had vanished (r10 review)
+                warnings.warn(
+                    f"lazy oracle for {name!r} raised "
+                    f"{type(ex).__name__}: {ex} — degrading this query "
+                    f"to the rows-only check",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
                 o = None
+            else:
+                if o is None:
+                    warnings.warn(
+                        f"lazy oracle for {name!r} resolved to None "
+                        f"(no active SparkSession or data dir?) — "
+                        f"degrading this query to the rows-only check",
+                        RuntimeWarning,
+                        stacklevel=2,
+                    )
         if o is not None:
             out[name] = o
     return out

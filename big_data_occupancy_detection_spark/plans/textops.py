@@ -2092,14 +2092,14 @@ def _ivfpq_residual_oracle() -> str | None:
         return None
     from ..ext import pq_index as PQX
 
-    try:
-        path = _ivfpq_res_index_for(spark, sf_dir)
-        emb = table(spark, sf_dir, "embeddings")
-        pairs = PQX.ivfpq_shortlist_from_index(
-            spark, path, emb.filter(F.col("vec_id") < 10), n_probes=4
-        ).collect()  # bounded: ≤ 10 queries × PQ_SHORTLIST rows
-    except Exception:
-        return None
+    # no try/except here: oracle_sql_map catches, WARNS with the query
+    # name + exception, and degrades to rows-only — swallowing locally
+    # would hide breakage from that single reporting point (r10 review)
+    path = _ivfpq_res_index_for(spark, sf_dir)
+    emb = table(spark, sf_dir, "embeddings")
+    pairs = PQX.ivfpq_shortlist_from_index(
+        spark, path, emb.filter(F.col("vec_id") < 10), n_probes=4
+    ).collect()  # bounded: ≤ 10 queries × PQ_SHORTLIST rows
     if not pairs:
         return None
     values = ", ".join(

@@ -640,3 +640,35 @@ def test_frontier_seen_append_increment_loop(spark, tmp_path):
             DOM.frontier_seen_bucket(F.lit(r["canonical_url"]), 8).alias("b")
         ).collect()[0]["b"]
         assert r["bucket"] == want
+
+
+def test_frontier_bucket_modulus_mismatch_raises(spark, tmp_path):
+    """r10 review: a caller modulus differing from the layout's must
+    fail LOUDLY — a silent mismatch prunes valid seen rows and
+    re-crawls duplicates; appends would land in wrongly-modded dirs."""
+    import pytest
+
+    path = str(tmp_path / "seen")
+    seen = spark.createDataFrame(
+        [(f"https://s{i}.com/p",) for i in range(10)],
+        "canonical_url string",
+    )
+    DOM.frontier_seen_write(seen, path, n_buckets=16)
+    assert DOM.frontier_seen_layout_buckets(path) == 16
+    batch = spark.createDataFrame(
+        [(1, "https://s1.com/p")], "doc_id long, url string"
+    )
+    seen_b = DOM.frontier_seen_read(spark, path)
+    with pytest.raises(ValueError, match="n_buckets"):
+        DOM.frontier_novel_urls(
+            batch, seen_b, seen_bucket_col="bucket", n_buckets=8
+        ).collect()
+    with pytest.raises(ValueError, match="n_buckets"):
+        DOM.frontier_seen_append(batch.select(
+            F.lit("https://x.com/1").alias("canonical_url")
+        ), path, n_buckets=8)
+    # omitting n_buckets defaults to the layout's own modulus
+    got = DOM.frontier_novel_urls(
+        batch, seen_b, seen_bucket_col="bucket"
+    ).collect()
+    assert got == []
