@@ -296,23 +296,56 @@ def _seed_centroids(normed: DataFrame, n_centroids: int) -> DataFrame:
     )
 
 
+def _cent_array(cent: DataFrame, out_col: str = "__cents") -> DataFrame:
+    """The (cid, __cent) centroid frame folded into ONE row holding an
+    array of (cid, __cent) structs — the broadcast unit of the map-only
+    argmax. Centroids travel as a tiny broadcast DataFrame, NOT as
+    literal expressions: k·dim literals compiled into the plan make
+    analysis/codegen time scale with index size, dwarfing execution."""
+    return cent.agg(
+        F.collect_list(F.struct("cid", "__cent")).alias(out_col)
+    )
+
+
+def _argmax_cid(objective, cents_col: str):
+    """In-row argmax over a broadcast centroid array: ``objective(c)`` is
+    a Column-valued function of one (cid, __cent) struct; the winner is
+    the max objective with ties to the SMALLEST cid — encoded as
+    ``array_max`` over (objective, -cid) structs, whose field-by-field
+    struct ordering is exactly the ordering ``max_by(cid,
+    struct(obj, -cid))`` used (including NULL-first and NaN-greatest
+    double semantics), so the fan-out form and this map-only form pick
+    bit-identical winners."""
+    pair = F.transform(
+        F.col(cents_col),
+        lambda c: F.struct(
+            objective(c).alias("d"), (-c["cid"]).alias("m")
+        ),
+    )
+    return -F.array_max(pair)["m"]
+
+
 def _assign_nearest(df: DataFrame, cent: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     """Attach ``cluster`` = id of the max-dot-product centroid.
 
-    Broadcast crossJoin (map-side ×k fan-out) then a per-id ``max_by``
-    argmax — one hash shuffle on ``id_col``, deterministic tie-break to the
-    smallest centroid id. Centroids travel as a tiny broadcast DataFrame,
-    NOT as literal expressions: k·dim literals compiled into the plan make
-    analysis/codegen time scale with index size, dwarfing execution.
+    Map-only (round-10 optimization): the centroids ride in as ONE
+    broadcast row holding the (cid, __cent) array, and the argmax runs
+    in-row over that array — no ×k row fan-out, no hash exchange, no
+    corpus-grain [Sort]Aggregate, and the vector payload is never
+    duplicated k ways (the prior crossJoin + ``max_by(cid, struct(dot,
+    -cid))`` form paid all three; ``max_by`` over a struct ordering has
+    no fixed-width buffer, so both aggregate sides ran as SortAggregate
+    — the r9-measured 291s-vs-174s cost class). Per-element dots use
+    the SAME ``dot`` fold, and the (dot, -cid) struct ordering of
+    ``array_max`` is the ordering ``max_by`` used, so winners are
+    bit-identical; ties still break to the smallest centroid id.
     """
     from ..functions.vector_fns import dot
 
-    joined = df.crossJoin(F.broadcast(cent)).withColumn(
-        "__dot", dot(vec_col, "__cent")
-    )
-    return joined.groupBy(id_col).agg(
-        F.max_by("cid", F.struct(F.col("__dot"), -F.col("cid"))).alias("cluster"),
-        F.first(vec_col).alias(vec_col),
+    joined = df.crossJoin(F.broadcast(_cent_array(cent)))
+    cluster = _argmax_cid(lambda c: dot(vec_col, c["__cent"]), "__cents")
+    return joined.select(
+        id_col, cluster.alias("cluster"), vec_col
     )
 
 
@@ -701,40 +734,54 @@ PQ_CODEBOOK = 16
 PQ_SHORTLIST = 100
 
 
+def _pq_l2_objective(vec):
+    """argmin L2 = argmax(dot - ||c||²/2) (subvectors of a unit vector
+    are NOT unit themselves, so the spherical max-dot rule would bias
+    toward large-norm codewords) — as an objective over one (cid,
+    __cent) struct for the map-only argmax. ``vec`` is a column name or
+    Column (e.g. an in-row slice)."""
+    return lambda c: dot(vec, c["__cent"]) - 0.5 * dot(
+        c["__cent"], c["__cent"]
+    )
+
+
 def _pq_assign_l2(df: DataFrame, cent: DataFrame) -> DataFrame:
-    """True PQ codeword assignment: argmin L2 = argmax(dot - ||c||²/2)
-    (subvectors of a unit vector are NOT unit themselves, so the
-    spherical max-dot rule would bias toward large-norm codewords)."""
-    joined = df.crossJoin(F.broadcast(cent)).withColumn(
-        "__obj", dot("nvec", "__cent") - 0.5 * dot("__cent", "__cent")
-    )
-    return joined.groupBy("vid").agg(
-        F.max_by("cid", F.struct(F.col("__obj"), -F.col("cid"))).alias(
-            "cluster"
-        ),
-        F.first("nvec").alias("nvec"),
-    )
+    """True PQ codeword assignment (argmin L2), map-only: same broadcast
+    centroid-array + in-row ``array_max`` shape as ``_assign_nearest``
+    (see there for the equivalence argument vs the prior ×k fan-out +
+    SortAggregate ``max_by`` form)."""
+    joined = df.crossJoin(F.broadcast(_cent_array(cent)))
+    cluster = _argmax_cid(_pq_l2_objective("nvec"), "__cents")
+    return joined.select("vid", cluster.alias("cluster"), "nvec")
 
 
 def _assign_codes(
     normed: DataFrame, cents: list[DataFrame], n_sub: int, d_sub: int
 ) -> DataFrame:
-    """Per-subspace code assignment against FIXED codebooks: slice each
-    unit vector, ``_pq_assign_l2`` it against that subspace's (cid,
-    __cent) frame, and join the per-subspace codes into the wide
-    (vec_id, c0..c{n_sub-1}) table. Shared by the fit path and by
+    """Per-subspace code assignment against FIXED codebooks, ONE
+    projection: every subspace's codebook rides in as its own broadcast
+    one-row centroid array, and all ``n_sub`` argmin-L2 codes are
+    computed in-row over the sliced vector in a single map pass — no
+    per-subspace shuffle and no (n_sub−1)-way join of corpus-grain code
+    frames (the prior shape paid both: 8 groupBy exchanges + 7 vec_id
+    joins at corpus grain for the default 8 subspaces). Per-subspace
+    math is ``_pq_assign_l2``'s objective verbatim, so codes are
+    bit-identical. Shared by the fit path and by
     ``ext.pq_index.append_to_pq_index`` (frozen-codebook delta ingest)
     so both assign bit-identically."""
-    codes = None
+    j = normed
     for s in range(n_sub):
-        sub = normed.select(
-            "vid", F.slice("nvec", s * d_sub + 1, d_sub).alias("nvec")
+        j = j.crossJoin(F.broadcast(_cent_array(cents[s], f"__cents{s}")))
+
+    def code(s: int):
+        sub = F.slice("nvec", s * d_sub + 1, d_sub)
+        return _argmax_cid(_pq_l2_objective(sub), f"__cents{s}").alias(
+            f"c{s}"
         )
-        code_s = _pq_assign_l2(sub, cents[s]).select(
-            F.col("vid").alias("vec_id"), F.col("cluster").alias(f"c{s}")
-        )
-        codes = code_s if codes is None else codes.join(code_s, "vec_id")
-    return codes
+
+    return j.select(
+        F.col("vid").alias("vec_id"), *[code(s) for s in range(n_sub)]
+    )
 
 
 def _pq_fit_subspaces(
