@@ -833,10 +833,19 @@ def fuzzy_pairs_edit1(
     b = inv.select(
         F.col("__v").alias("v"), F.col("__id").alias("b_id"), F.col("__name").alias("__bn")
     )
+    # pair dedup as a PURE distinct over (ids, names): the name columns
+    # are functionally dependent on the ids (one variant row per input
+    # row), so adding them changes nothing semantically — but a subset
+    # dropDuplicates compiles to first(__an)/first(__bn) aggregates whose
+    # string buffers have no fixed-width mutable form, running BOTH
+    # aggregate sides as SortAggregate over the whole candidate stream
+    # (round-10 plan audit); the all-column distinct keeps string columns
+    # in the GROUPING KEY, where HashAggregate handles them. Same shape
+    # as the oracle's SELECT DISTINCT a_id, b_id, an, bn.
     cand = (
         a.join(b, "v")
         .filter(F.col("a_id") < F.col("b_id"))
-        .dropDuplicates(["a_id", "b_id"])
+        .dropDuplicates(["a_id", "b_id", "__an", "__bn"])
     )
     dist = F.levenshtein(F.col("__an"), F.col("__bn"))
     return (
