@@ -85,6 +85,29 @@ def grouped_percentiles(
     return out.select(*sel)
 
 
+# Routing-bounds sampling modulus: the percentile-bounds passes below
+# sketch only rows whose deterministic hash lands on residue 0, cutting
+# the Greenwald-Khanna insert cost (the dominant CPU of the bounds pass —
+# round-10 measurement: acc-1000 sketching the full 14.5M-row Theil-Sen
+# slope stream cost ~an order of magnitude more than a plain count agg
+# over the same rows) by ~the modulus. Bounds affect ROUTING ONLY — the
+# selection/prefix math downstream is exact against real ranks — so a
+# sampled sketch changes balance at most, never values. Groups too small
+# (or too duplicate-heavy) to land a sampled row fall back to ONE bucket
+# via the null-safe left join + `_bounds_bucket`-on-NULL-bounds path —
+# the same single-bucket routing a constant-valued group already gets
+# from duplicate percentile bounds today.
+BOUNDS_SAMPLE_MOD = 16
+
+
+def _bounds_sample(df: DataFrame, cols: list[str]) -> DataFrame:
+    """The deterministic 1/``BOUNDS_SAMPLE_MOD`` routing-bounds sample:
+    ``xxhash64`` over the routing-relevant columns, so retries and both
+    engines draw the identical sample (never ``rand()`` — SPARK-38388)."""
+    h = F.xxhash64(*[F.col(c) for c in cols])
+    return df.filter(F.pmod(h, F.lit(BOUNDS_SAMPLE_MOD)) == 0)
+
+
 def _bounds_bucket(value_col: str, n_buckets: int) -> Column:
     """Bucket index 0..n_buckets-1 by BINARY SEARCH over a sorted
     ``__bnds`` percentile-bounds array column (log2 comparisons per row
@@ -167,9 +190,14 @@ def grouped_exact_median(
     # and the candidates pass must route every row with IDENTICAL bounds,
     # and percentile_approx's sketch merge is arrival-order dependent —
     # without the pin, consistency would rest on Spark's exchange-reuse
-    # optimization re-executing the aggregate zero times (review finding)
+    # optimization re-executing the aggregate zero times (review finding).
+    # Sketched over the deterministic hash SAMPLE (round-10): routing-
+    # only, see BOUNDS_SAMPLE_MOD; the LEFT join below keeps unsampled
+    # groups (they route whole into bucket 0 — exact, single-window).
     bounds = checkpoint_for_reuse(
-        src.groupBy(group_col).agg(
+        _bounds_sample(src, [group_col, value_col])
+        .groupBy(group_col)
+        .agg(
             F.percentile_approx(
                 value_col, F.array(*[F.lit(p) for p in probs]), 1_000
             ).alias("__bnds")
@@ -178,7 +206,7 @@ def grouped_exact_median(
     # NOT checkpointed: the bucket fold is ~log2(n_buckets) comparisons
     # per row, so recomputing it for the candidate pass is cheaper than
     # writing the full (group, value, bucket) frame out and back
-    bucketed = src.join(F.broadcast(bounds), group_col).select(
+    bucketed = src.join(F.broadcast(bounds), group_col, "left").select(
         group_col,
         value_col,
         _bounds_bucket(value_col, n_buckets).alias("__bkt"),
@@ -433,15 +461,19 @@ def grouped_cumsum(
     probs = [i / n_buckets for i in range(1, n_buckets)]
     src = checkpoint_for_reuse(df) if checkpoint_input else df
     # bounds pinned for the same reason as grouped_exact_median's: the
-    # sizes pass and the final-window pass must see identical routing
+    # sizes pass and the final-window pass must see identical routing.
+    # Sketched over the deterministic hash sample (routing-only, see
+    # BOUNDS_SAMPLE_MOD); LEFT join keeps unsampled groups (bucket 0).
     bounds = checkpoint_for_reuse(
-        src.groupBy(group_col).agg(
+        _bounds_sample(src, [group_col, order_col])
+        .groupBy(group_col)
+        .agg(
             F.percentile_approx(
                 order_col, F.array(*[F.lit(p) for p in probs]), 1_000
             ).alias("__bnds")
         )
     )
-    bucketed = src.join(F.broadcast(bounds), group_col).withColumn(
+    bucketed = src.join(F.broadcast(bounds), group_col, "left").withColumn(
         "__bkt", _bounds_bucket(order_col, n_buckets)
     )
     sizes = bucketed.groupBy(group_col, "__bkt").agg(
@@ -505,7 +537,10 @@ def global_cumsum(
         n_bkt = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
         n_bkt = max(int(n_bkt), 1)
         qs = [i / n_bkt for i in range(1, n_bkt)]
-        brow = df.select(
+        # bounds sketched over the deterministic hash sample (routing-
+        # only, see BOUNDS_SAMPLE_MOD); an empty sample yields no bounds
+        # -> one bucket, which is exact (single prefix window)
+        brow = _bounds_sample(df, [key]).select(
             F.percentile_approx(F.col(key).cast("double"), qs, 1000).alias("b")
         ).first()
         bounds = sorted(set((brow["b"] if brow else None) or []))
