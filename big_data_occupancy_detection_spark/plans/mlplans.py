@@ -340,6 +340,13 @@ def negative_samples_by_user(
     base = checkpoint_for_reuse(base)
 
     def _array_form(src: DataFrame) -> DataFrame:
+        # membership probe is array_contains (native expression), not an
+        # F.exists lambda: higher-order lambdas are interpreted per
+        # element, so exists cost K·|items|² interpreted comparisons per
+        # user where array_contains runs the same linear scan in native
+        # code (round-10 A/B at sf0.1: 2.15 -> 2.00 s min-of-4, larger
+        # on median; the gap grows with |items| at real basket sizes).
+        # Identical booleans: items is a collect_set array (no NULLs).
         return src.withColumn(
             "kept_negs",
             F.flatten(
@@ -347,9 +354,7 @@ def negative_samples_by_user(
                     "items",
                     lambda item: F.filter(
                         _draws_of(item),
-                        lambda neg: ~F.exists(
-                            F.col("items"), lambda it: it == neg
-                        ),
+                        lambda neg: ~F.array_contains(F.col("items"), neg),
                     ),
                 )
             ),
