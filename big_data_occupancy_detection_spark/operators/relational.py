@@ -136,6 +136,7 @@ def grouped_exact_median(
     value_col: str,
     n_buckets: int = 32,
     checkpoint_input: bool = False,
+    spread: bool = True,
 ) -> DataFrame:
     """Exact per-group median of a numeric column WITHOUT a per-group
     single-task sort — the scale path for low-cardinality groups over
@@ -183,7 +184,17 @@ def grouped_exact_median(
     # sf0.01 driver sessions at 1 GiB heap just as hard as sf0.1; the
     # round-7 fuzz OOMed exactly there). Callers with an expensive
     # lineage pass checkpoint_input=True.
-    src = repartition_for_compute(df.select(group_col, value_col))
+    # ``spread=False`` lets a caller that ALREADY spread its input (e.g.
+    # Theil-Sen repartitions the pair-join probe side) skip the
+    # repartition_for_compute partition probe: under AQE, ``df.rdd``
+    # finalizes the adaptive plan, which MATERIALIZES every broadcast/
+    # shuffle stage in the input lineage — a whole extra action per call
+    # just to learn the partition count (round-10 job-trace: the probe
+    # alone re-built the pair join's broadcast and ran its exchange map
+    # stage). The guard itself stays the default for un-spread inputs.
+    src = df.select(group_col, value_col)
+    if spread:
+        src = repartition_for_compute(src)
     if checkpoint_input:
         src = checkpoint_for_reuse(src)
     # the bounds frame is PINNED (tiny, |groups| rows): the counts pass

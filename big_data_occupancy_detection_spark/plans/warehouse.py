@@ -2219,7 +2219,11 @@ def priority_theilsen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sorts only the middle bucket of each group instead
     from ..operators.relational import grouped_exact_median
 
-    med = grouped_exact_median(slopes, "priority", "slope")
+    # spread=False: `a` above is already repartitioned to full
+    # parallelism, so every pass over the fan-out runs wide; skipping
+    # the median's own partition probe avoids an extra AQE
+    # stage-materialization action (round-10 job trace)
+    med = grouped_exact_median(slopes, "priority", "slope", spread=False)
     return med.select(
         "priority",
         F.col("n").alias("n_pairs"),
