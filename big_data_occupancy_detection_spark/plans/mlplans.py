@@ -407,20 +407,34 @@ def negative_samples_by_user(
     return light_out.unionByName(heavy_out)
 
 
-def _implicit_examples(spark: SparkSession, sf_dir: str):
+def _implicit_examples(
+    spark: SparkSession, sf_dir: str, multi_consumer: bool = True
+):
     """(user_items, pos, kept), shared by part_negative_samples and
     recsys_training_examples. Semantics identical to the _NEG_CTES
     oracle: pos = distinct (user, item), draws = K per pair keyed
     'user:item:i', kept = draws not in the user's positives (duplicate
     draws preserved). See :func:`negative_samples_by_user` for the
-    hybrid light/power-user physical plan."""
+    hybrid light/power-user physical plan.
+
+    ``multi_consumer=False`` skips the user_items checkpoint for callers
+    that run exactly ONE action over it (part_negative_samples' census
+    is a pure projection): the eager materialization is the two-consumer
+    rule's tool, and for a single consumer it only adds a serial
+    write+read action (round-10: the whole sf0.1 suite is overhead-
+    bound — 8-core total ≈ 32-core total — so serial actions ARE the
+    local cost). recsys keeps the default: pos and kept each explode
+    user_items, and un-checkpointed they would re-run the expensive
+    in-row draw/filter pass per consumer."""
     orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     pairs = orders.join(li, orders.o_orderkey == li.l_orderkey).select(
         F.col("o_custkey").alias("user_id"), F.col("l_partkey").alias("item")
     )
     np_ = table(spark, sf_dir, "part").agg(F.max("p_partkey").alias("n"))
-    user_items = checkpoint_for_reuse(negative_samples_by_user(pairs, np_))
+    user_items = negative_samples_by_user(pairs, np_)
+    if multi_consumer:
+        user_items = checkpoint_for_reuse(user_items)
     pos = user_items.select("user_id", F.explode("items").alias("item"))
     kept = user_items.select("user_id", F.explode("kept_negs").alias("neg"))
     return user_items, pos, kept
@@ -446,7 +460,7 @@ def _implicit_examples(spark: SparkSession, sf_dir: str):
 def part_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user negative-sampling census: K hash-drawn negatives per
     positive (K=_NEG_K), false negatives anti-joined out exactly."""
-    user_items, _, _ = _implicit_examples(spark, sf_dir)
+    user_items, _, _ = _implicit_examples(spark, sf_dir, multi_consumer=False)
     # the census is a pure projection of the per-user arrays — zero
     # shuffles beyond _implicit_examples' single user-grain exchange
     return user_items.select(

@@ -903,19 +903,26 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("d2").alias("doc_id"))
         .distinct()
     )
+    # semi-join the exact-dedup keep set BEFORE the quality projection
+    # (round-10): the two filters commute, so results are identical, but
+    # the regex/token quality expressions now run only over the
+    # exact-dedup representatives instead of every raw doc — at corpus
+    # scale the duplicated majority never pays text analysis.
     f = TX.quality_features("text")
-    gated = docs.select(
-        "doc_id",
-        "lang",
-        f["n_tokens"].alias("n_tokens"),
-        portable_round(TX.quality_score("text"), 6).alias("quality"),
-    ).filter(
-        (F.col("quality") >= _CURATION_MIN_QUALITY)
-        & (F.col("n_tokens") >= _CURATION_MIN_TOKENS)
+    gated = (
+        docs.join(keep, "doc_id", "left_semi")
+        .select(
+            "doc_id",
+            "lang",
+            f["n_tokens"].alias("n_tokens"),
+            portable_round(TX.quality_score("text"), 6).alias("quality"),
+        )
+        .filter(
+            (F.col("quality") >= _CURATION_MIN_QUALITY)
+            & (F.col("n_tokens") >= _CURATION_MIN_TOKENS)
+        )
     )
-    return gated.join(keep, "doc_id", "left_semi").join(
-        near_dup, "doc_id", "left_anti"
-    )
+    return gated.join(near_dup, "doc_id", "left_anti")
 
 
 # --------------------------------------------------------------------------
