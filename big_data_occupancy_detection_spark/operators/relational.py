@@ -137,6 +137,7 @@ def grouped_exact_median(
     n_buckets: int = 32,
     checkpoint_input: bool = False,
     spread: bool = True,
+    bounds_src: DataFrame | None = None,
 ) -> DataFrame:
     """Exact per-group median of a numeric column WITHOUT a per-group
     single-task sort — the scale path for low-cardinality groups over
@@ -144,15 +145,21 @@ def grouped_exact_median(
     where ``row_number().over(partitionBy(group).orderBy(value))``
     funnels each group through one task).
 
-    Two-pass bucketed order-statistic selection:
+    Single-shuffle bucketed order-statistic selection (round-11 fusion;
+    previously the counts pass and the candidates pass each re-executed
+    the input lineage — 3 passes over the value space counting bounds):
 
     1. ``percentile_approx`` bounds per group split values into
        ``n_buckets`` rank ranges (the approximation affects ROUTING
-       only, never the result); one count-per-(group, bucket) agg plus
-       a tiny |groups·buckets|-row cumulative window locates the
-       bucket(s) holding the two middle order statistics.
-    2. Only those buckets' rows (≈ |group|/n_buckets each) are sorted,
-       bucket-locally, and the exact global ranks picked via
+       only, never the result).
+    2. The bucketed rows are hash-exchanged ONCE on (group, bucket).
+       The count-per-(group, bucket) aggregate and the candidate-bucket
+       sort BOTH require exactly that distribution, so they ride the
+       same materialized exchange (AQE stage reuse) — the input lineage
+       executes once, the counts come for free off the shuffle files,
+       and only the bucket(s) holding the two middle order statistics
+       (located by a tiny |groups·buckets|-row cumulative window) are
+       sorted, bucket-locally, with exact global ranks picked via
        bucket-offset + local row_number.
 
     The even-n median is the explicit mean of the two middle values —
@@ -165,6 +172,17 @@ def grouped_exact_median(
     ``orderBy`` sorts it LAST, so a NaN silently shifts the global rank
     of every later bucket and selects the wrong order statistic —
     round-8 advice). Returns ``group_col, n (BIGINT), median (double)``.
+
+    ``bounds_src``: optional cheap routing-only proxy frame carrying the
+    same ``(group_col, value_col)`` columns. When given, the percentile
+    bounds are sketched over it AS-IS (no further sampling) instead of
+    over a 1/``BOUNDS_SAMPLE_MOD`` hash sample of ``df`` — the caller's
+    escape hatch when ``df`` is an expensive fan-out whose inputs can be
+    subsampled BEFORE the fan-out (Theil-Sen samples days, making the
+    bounds join ~mod² cheaper than filtering fanned-out pairs). Bounds
+    affect routing only, so any distribution-shaped proxy is correct; a
+    group absent from the proxy routes whole into bucket 0 (exact,
+    single-window) via the null-safe LEFT join.
     """
     from .partitioning import checkpoint_for_reuse, repartition_for_compute
 
@@ -177,13 +195,13 @@ def grouped_exact_median(
     # spread first: the value frame often arrives in 1-5 partitions (e.g.
     # a broadcast-join fan-out keyed by the GROUP — 5 keys = 5 tasks),
     # which would single-task every pass. The input is NOT checkpointed
-    # by default: the three passes (bounds, counts, candidates) recompute
-    # it, which for the typical cheap fan-out lineage (Theil-Sen's pair
-    # join) costs ~1 s/pass — whereas PINNING it is ~300 MB of
-    # unreplicated storage at day-grain (scale-INVARIANT, so it hits
-    # sf0.01 driver sessions at 1 GiB heap just as hard as sf0.1; the
-    # round-7 fuzz OOMed exactly there). Callers with an expensive
-    # lineage pass checkpoint_input=True.
+    # by default: the two reads (bounds sample, bucketed exchange)
+    # recompute it, which for the typical cheap fan-out lineage
+    # (Theil-Sen's pair join) costs ~1 s/pass — whereas PINNING it is
+    # ~300 MB of unreplicated storage at day-grain (scale-INVARIANT, so
+    # it hits sf0.01 driver sessions at 1 GiB heap just as hard as
+    # sf0.1; the round-7 fuzz OOMed exactly there). Callers with an
+    # expensive lineage pass checkpoint_input=True (or bounds_src).
     # ``spread=False`` lets a caller that ALREADY spread its input (e.g.
     # Theil-Sen repartitions the pair-join probe side) skip the
     # repartition_for_compute partition probe: under AQE, ``df.rdd``
@@ -197,33 +215,44 @@ def grouped_exact_median(
         src = repartition_for_compute(src)
     if checkpoint_input:
         src = checkpoint_for_reuse(src)
-    # the bounds frame is PINNED (tiny, |groups| rows): the counts pass
-    # and the candidates pass must route every row with IDENTICAL bounds,
-    # and percentile_approx's sketch merge is arrival-order dependent —
-    # without the pin, consistency would rest on Spark's exchange-reuse
-    # optimization re-executing the aggregate zero times (review finding).
-    # Sketched over the deterministic hash SAMPLE (round-10): routing-
-    # only, see BOUNDS_SAMPLE_MOD; the LEFT join below keeps unsampled
-    # groups (they route whole into bucket 0 — exact, single-window).
-    bounds = checkpoint_for_reuse(
-        _bounds_sample(src, [group_col, value_col])
-        .groupBy(group_col)
-        .agg(
-            F.percentile_approx(
-                value_col, F.array(*[F.lit(p) for p in probs]), 1_000
-            ).alias("__bnds")
-        )
+    # Bounds are LAZY since the round-11 fusion: they feed exactly ONE
+    # subtree (the bucketing below the shared exchange), whose broadcast
+    # materializes once per action and is reused across task retries, so
+    # every row of every consumer routes with identical bounds without
+    # an eager pin (the pre-fusion shape needed a checkpoint because two
+    # separately-planned passes each re-derived the arrival-order-
+    # dependent sketch). Sketched over the deterministic hash SAMPLE
+    # (round-10): routing-only, see BOUNDS_SAMPLE_MOD; the LEFT join
+    # below keeps unsampled groups (bucket 0 — exact, single-window).
+    bsrc = (
+        bounds_src.select(group_col, value_col)
+        if bounds_src is not None
+        else _bounds_sample(src, [group_col, value_col])
     )
-    # NOT checkpointed: the bucket fold is ~log2(n_buckets) comparisons
-    # per row, so recomputing it for the candidate pass is cheaper than
-    # writing the full (group, value, bucket) frame out and back
+    bounds = bsrc.groupBy(group_col).agg(
+        F.percentile_approx(
+            value_col, F.array(*[F.lit(p) for p in probs]), 1_000
+        ).alias("__bnds")
+    )
     bucketed = src.join(F.broadcast(bounds), group_col, "left").select(
         group_col,
         value_col,
         _bounds_bucket(value_col, n_buckets).alias("__bkt"),
     )
-    counts = bucketed.groupBy(group_col, "__bkt").agg(
-        F.count(F.lit(1)).cast("long").alias("__c")
+    # ONE full-data exchange, shared: both the counts aggregate and the
+    # candidate window need hash(group, bucket) distribution, so they
+    # consume this exchange's shuffle files directly (no second shuffle,
+    # no lineage re-execution — AQE materializes the stage once).
+    shuffled = bucketed.repartition(group_col, "__bkt")
+    # count(value), NOT count(1): identical under the non-null contract,
+    # but it keeps value_col in the counts subtree's projection — column
+    # pruning would otherwise narrow this side below the exchange to
+    # (group, bucket), the two exchange subtrees would no longer
+    # canonicalize equal, and AQE's stage cache would run the full-data
+    # shuffle TWICE instead of reusing it (measured: no ReusedExchange,
+    # duplicated REPARTITION_BY_COL subtrees).
+    counts = shuffled.groupBy(group_col, "__bkt").agg(
+        F.count(F.col(value_col)).cast("long").alias("__c")
     )
     wb = (
         Window.partitionBy(group_col)
@@ -249,7 +278,7 @@ def grouped_exact_median(
         group_col, "__bkt", "__off", "__n"
     )
     wl = Window.partitionBy(group_col, "__bkt").orderBy(value_col)
-    ranked = bucketed.join(F.broadcast(sel), [group_col, "__bkt"]).withColumn(
+    ranked = shuffled.join(F.broadcast(sel), [group_col, "__bkt"]).withColumn(
         "__rank", F.row_number().over(wl).cast("long") + F.col("__off")
     )
     mid = ranked.filter(
@@ -458,9 +487,9 @@ def grouped_cumsum(
     :func:`grouped_exact_median` (round-8 advice: the Spearman caller
     feeds a ~20M-row-per-flag price grain, a scale-DEPENDENT block whose
     unconditional pin is exactly the pattern that OOMed the 1 GiB fuzz
-    sessions); the two passes (bucket totals, final window) recompute
-    the lineage instead. Callers with an expensive input lineage pass
-    ``checkpoint_input=True``.
+    sessions); the two reads (bounds sample, bucketed exchange)
+    recompute the lineage instead. Callers with an expensive input
+    lineage pass ``checkpoint_input=True``.
     """
     from .partitioning import checkpoint_for_reuse
 
@@ -471,11 +500,13 @@ def grouped_cumsum(
         )
     probs = [i / n_buckets for i in range(1, n_buckets)]
     src = checkpoint_for_reuse(df) if checkpoint_input else df
-    # bounds pinned for the same reason as grouped_exact_median's: the
-    # sizes pass and the final-window pass must see identical routing.
-    # Sketched over the deterministic hash sample (routing-only, see
+    # bounds LAZY since the round-11 fusion (same reasoning as
+    # grouped_exact_median: one consuming subtree below one shared
+    # exchange, broadcast materialized once per action — identical
+    # routing for every consumer without an eager pin). Sketched over
+    # the deterministic hash sample (routing-only, see
     # BOUNDS_SAMPLE_MOD); LEFT join keeps unsampled groups (bucket 0).
-    bounds = checkpoint_for_reuse(
+    bounds = (
         _bounds_sample(src, [group_col, order_col])
         .groupBy(group_col)
         .agg(
@@ -484,8 +515,29 @@ def grouped_cumsum(
             ).alias("__bnds")
         )
     )
-    bucketed = src.join(F.broadcast(bounds), group_col, "left").withColumn(
-        "__bkt", _bounds_bucket(order_col, n_buckets)
+    # __bnds dropped right after bucketing: the 31-double bounds array
+    # must not ride the full-data window shuffle (the final select used
+    # to drop it, relying on column pruning; the explicit projection
+    # makes the exchanged row exactly input-width + one int).
+    #
+    # NOTE on the round-11 single-shuffle fusion: grouped_exact_median
+    # and global_cumsum share their one (group, bucket) exchange between
+    # the counts/sizes aggregate and the window via AQE stage reuse —
+    # possible there because both consumers project the IDENTICAL
+    # narrow column set below the exchange. Here the window side must
+    # carry every caller payload column (the operator returns all input
+    # columns) while the sizes side prunes to (group, order, value), so
+    # the two exchange subtrees can never canonicalize equal and a
+    # "shared" repartition would really run the full-data shuffle twice
+    # (measured on the median before its count(value) fix). The sizes
+    # pass therefore stays a map-side partial aggregate over the
+    # un-shuffled lineage (tiny exchange of partial rows), and the
+    # window keeps its own single full-data exchange — same two-read
+    # shape as round 10, minus the eager bounds action.
+    bucketed = (
+        src.join(F.broadcast(bounds), group_col, "left")
+        .withColumn("__bkt", _bounds_bucket(order_col, n_buckets))
+        .drop("__bnds")
     )
     sizes = bucketed.groupBy(group_col, "__bkt").agg(
         F.sum(value_col).alias("__tot")
@@ -507,7 +559,7 @@ def grouped_cumsum(
         bucketed.withColumn("__loc", F.sum(value_col).over(w_local))
         .join(F.broadcast(offsets), [group_col, "__bkt"])
         .withColumn(out_col, F.col("__loc") + F.col("__goff"))
-        .drop("__bkt", "__bnds", "__loc", "__goff")
+        .drop("__bkt", "__loc", "__goff")
     )
 
 
@@ -536,36 +588,54 @@ def global_cumsum(
         df.schema[order_cols[0]].dataType, T.NumericType
     )
     if numeric_key:
-        # Single order key: bucket on percentile boundaries so the prefix
-        # window's OWN exchange (hashpartitioning(__bkt)) is the only
-        # full-data shuffle. repartitionByRange + Window.partitionBy(pid)
-        # would shuffle everything twice — the window's required
-        # distribution can't see that the range partitioner already
-        # co-located the rows. Bucket boundaries come from one cheap
-        # map-side-combined approx_percentile pass; boundary quality only
-        # affects balance, never values.
+        # Single order key: bucket on percentile boundaries so ONE
+        # hashpartitioning(__bkt) exchange is the only full-data
+        # shuffle — shared by the prefix window AND the sizes aggregate
+        # below (both need clustering on __bkt; AQE stage reuse,
+        # round-11 fusion: previously sizes re-read the input lineage
+        # separately AND the bounds came from a blocking ``.first()``
+        # driver action — now they ride in lazily as a broadcast 1-row
+        # frame, one fewer serial job per call). repartitionByRange +
+        # Window.partitionBy(pid) would shuffle everything twice — the
+        # window's required distribution can't see that the range
+        # partitioner already co-located the rows. Boundary quality
+        # only affects balance, never values.
         key = order_cols[0]
         n_bkt = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
-        n_bkt = max(int(n_bkt), 1)
+        # round UP to a power of two for the binary-search bucket
+        # assignment (log2 comparisons/row vs the linear fold this
+        # replaced), capped so the probs array stays sketch-sized:
+        # past ~4k probs an accuracy-1000 GK sketch emits mostly
+        # duplicate bounds anyway (routing-only, balance unaffected
+        # by the cap in practice)
+        n_bkt = max(int(n_bkt), 2)
+        p2 = 2
+        while p2 < n_bkt and p2 < 4096:
+            p2 *= 2
+        n_bkt = p2
         qs = [i / n_bkt for i in range(1, n_bkt)]
         # bounds sketched over the deterministic hash sample (routing-
-        # only, see BOUNDS_SAMPLE_MOD); an empty sample yields no bounds
-        # -> one bucket, which is exact (single prefix window)
-        brow = _bounds_sample(df, [key]).select(
-            F.percentile_approx(F.col(key).cast("double"), qs, 1000).alias("b")
-        ).first()
-        bounds = sorted(set((brow["b"] if brow else None) or []))
-        bkt = F.aggregate(
-            F.array(*[F.lit(float(b)) for b in bounds]),
-            F.lit(0),
-            lambda acc, b: acc + F.when(F.col(key).cast("double") > b, 1).otherwise(0),
+        # only, see BOUNDS_SAMPLE_MOD); an empty sample yields a NULL
+        # bounds array -> element_at probes are NULL -> every row lands
+        # in bucket 0, which is exact (single prefix window)
+        bounds = _bounds_sample(df, [key]).select(
+            F.sort_array(
+                F.percentile_approx(F.col(key).cast("double"), qs, 1000)
+            ).alias("__bnds")
         )
+        bucketed = (
+            df.withColumn("__key_d", F.col(key).cast("double"))
+            .crossJoin(F.broadcast(bounds))
+            .withColumn("__bkt", _bounds_bucket("__key_d", n_bkt))
+            .drop("__key_d", "__bnds")
+        )
+        shuffled = bucketed.repartition("__bkt")
         w_local = (
             Window.partitionBy("__bkt")
             .orderBy(*order_exprs)
             .rowsBetween(Window.unboundedPreceding, 0)
         )
-        local = df.withColumn("__bkt", bkt).withColumn(
+        local = shuffled.withColumn(
             "__local_sum", F.sum(value_col).over(w_local)
         )
         part_key = "__bkt"
@@ -586,7 +656,23 @@ def global_cumsum(
         )
         local = with_pid.withColumn("__local_sum", F.sum(value_col).over(w_local))
         part_key = "__bkt"
-    sizes = local.groupBy(part_key).agg(F.sum(value_col).alias("__tot"))
+    # sum(when(order IS NOT NULL, value)), not plain sum(value):
+    # identical under the non-null order-key contract, but it keeps the
+    # order key referenced INSIDE the used aggregate (an unused extra
+    # aggregate would just be pruned away), so that — for the narrow
+    # (order, value) frames every current caller passes — the sizes
+    # subtree below the numeric branch's repartition exchange
+    # canonicalizes EQUAL to the window subtree and AQE reuses the one
+    # materialized shuffle instead of running a second (pruned)
+    # full-data exchange. Callers with extra payload columns should
+    # project before calling: the window side must carry every input
+    # column, so a wider frame breaks the canonical match and
+    # duplicates the shuffle.
+    sizes = local.groupBy(part_key).agg(
+        F.sum(
+            F.when(F.col(order_cols[0]).isNotNull(), F.col(value_col))
+        ).alias("__tot")
+    )
     w_off = Window.partitionBy().orderBy(part_key).rowsBetween(
         Window.unboundedPreceding, -1
     )

@@ -1645,8 +1645,16 @@ def kmv_day_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch, counts = SK.kmv_sketch(ev, "user_id", "day", k=k)
     from ..operators.partitioning import checkpoint_for_reuse
 
-    est = checkpoint_for_reuse(SK.kmv_distinct_estimate(sketch, counts, k=k))
-    sk_h = checkpoint_for_reuse(sketch.select("g", "h"))
+    # ONE pin at the sketch grain (round-11 action consolidation): est
+    # and sk_h previously each carried their own eager checkpoint, so
+    # the survivor-filter + rank-window lineage over the full distinct
+    # frame executed twice more (two extra serial actions). Both are now
+    # lazy derivations of the single pinned k·|days|-row sketch — the
+    # est arithmetic is a tiny broadcast join per consumer and sk_h a
+    # pure projection, cheap to recompute inside the final action.
+    sketch = checkpoint_for_reuse(sketch)
+    est = SK.kmv_distinct_estimate(sketch, counts, k=k)
+    sk_h = sketch.select("g", "h")
 
     pairs = (
         est.select(F.col("g").alias("da"))

@@ -1570,35 +1570,24 @@ def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # into the fingerprint path atomically.
 # --------------------------------------------------------------------------
 def _pq_index_for(spark: SparkSession, sf_dir: str) -> str:
-    import hashlib
     import os
     import shutil
     import tempfile
 
     from ..ext import pq_index as PQX
 
-    src = os.path.join(sf_dir, "embeddings.parquet")
-    parts = [os.path.abspath(src)]
-    paths = (
-        sorted(
-            os.path.join(r, f)
-            for r, _, fs in os.walk(src)
-            for f in fs
-            if f.endswith(".parquet")
-        )
-        if os.path.isdir(src)
-        else [src]
+    path = _index_digest_path(
+        sf_dir,
+        "bdo_pq_index",
+        f"sub={SIM.PQ_SUBSPACES},book={SIM.PQ_CODEBOOK}",
+        salt_first=False,  # pre-_content_index_for digest layout, kept
     )
-    for p in paths:
-        st = os.stat(p)
-        parts.append(f"{p}:{st.st_size}:{st.st_mtime_ns}")
-    parts.append(f"sub={SIM.PQ_SUBSPACES},book={SIM.PQ_CODEBOOK}")
-    digest = hashlib.sha1("|".join(parts).encode()).hexdigest()[:16]
-    root = os.path.join(tempfile.gettempdir(), "bdo_pq_index")
-    path = os.path.join(root, digest)
+    root = os.path.dirname(path)
     if not os.path.exists(os.path.join(path, "meta.json")):
         os.makedirs(root, exist_ok=True)
-        staging = tempfile.mkdtemp(prefix=f".{digest}-", dir=root)
+        staging = tempfile.mkdtemp(
+            prefix=f".{os.path.basename(path)}-", dir=root
+        )
         PQX.build_pq_index(table(spark, sf_dir, "embeddings"), staging)
         try:
             os.rename(staging, path)  # atomic publish; loser cleans up
@@ -2008,22 +1997,21 @@ def embedding_cluster_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # plain, 0.72 -> 0.88 at shortlist=100 on the shipped seed) and the serve
 # contract asserts; the driver records the rows-only check.
 # --------------------------------------------------------------------------
-def _content_index_for(
-    spark: SparkSession, sf_dir: str, salt: str, cache_name: str, build
+def _index_digest_path(
+    sf_dir: str, cache_name: str, salt: str, salt_first: bool = True
 ) -> str:
-    """Content-addressed build-once index cache shared by every persisted
-    serve registry entry (round-7 review: previously copy-pasted per
-    index kind): digest over the source parquet file stats + ``salt``,
-    build into a dot-prefixed staging dir, publish with one atomic
-    rename (the loser of a race cleans up), and ALWAYS remove a staging
-    dir that failed to publish — including on builder exceptions."""
+    """Pure digest→path computation for the build-once index caches —
+    shared by the builders below AND by :func:`persisted_index_status`
+    (the bench's cache-hit reporting), so the reported hit/miss can
+    never drift from what the builder actually keys on. ``salt_first``
+    preserves the two historical digest layouts (the PQ cache predates
+    ``_content_index_for`` and appends its salt last)."""
     import hashlib
     import os
-    import shutil
     import tempfile
 
     src = os.path.join(sf_dir, "embeddings.parquet")
-    parts = [os.path.abspath(src), salt]
+    parts = [os.path.abspath(src)] + ([salt] if salt_first else [])
     paths = (
         sorted(
             os.path.join(r, f)
@@ -2037,12 +2025,63 @@ def _content_index_for(
     for p in paths:
         st = os.stat(p)
         parts.append(f"{p}:{st.st_size}:{st.st_mtime_ns}")
+    if not salt_first:
+        parts.append(salt)
     digest = hashlib.sha1("|".join(parts).encode()).hexdigest()[:16]
-    root = os.path.join(tempfile.gettempdir(), cache_name)
-    path = os.path.join(root, digest)
+    return os.path.join(tempfile.gettempdir(), cache_name, digest)
+
+
+def persisted_index_status(sf_dir: str) -> dict[str, bool]:
+    """Per persisted-index headline query: True = the index for this
+    exact data dir is already on disk, so a timed run serves from cache;
+    False = the first timed run pays the build. Read-only (never builds);
+    surfaced in bench.py's JSON line so the timed surface of every
+    ``*_index_topk`` entry is explicit in the artifact (round-10 VERDICT
+    item: index-serve bench transparency)."""
+    import os
+
+    kinds = {
+        "embedding_pq_index_topk": _index_digest_path(
+            sf_dir,
+            "bdo_pq_index",
+            f"sub={SIM.PQ_SUBSPACES},book={SIM.PQ_CODEBOOK}",
+            salt_first=False,
+        ),
+        "embedding_sq8_index_topk": _index_digest_path(
+            sf_dir, "bdo_sq8_index", "sq8"
+        ),
+        "embedding_ivfpq_residual_topk": _index_digest_path(
+            sf_dir,
+            "bdo_ivfpq_res_index",
+            f"residual=1|sub={SIM.PQ_SUBSPACES},book={SIM.PQ_CODEBOOK}",
+        ),
+    }
+    return {
+        name: os.path.exists(os.path.join(path, "meta.json"))
+        for name, path in kinds.items()
+    }
+
+
+def _content_index_for(
+    spark: SparkSession, sf_dir: str, salt: str, cache_name: str, build
+) -> str:
+    """Content-addressed build-once index cache shared by every persisted
+    serve registry entry (round-7 review: previously copy-pasted per
+    index kind): digest over the source parquet file stats + ``salt``,
+    build into a dot-prefixed staging dir, publish with one atomic
+    rename (the loser of a race cleans up), and ALWAYS remove a staging
+    dir that failed to publish — including on builder exceptions."""
+    import os
+    import shutil
+    import tempfile
+
+    path = _index_digest_path(sf_dir, cache_name, salt)
+    root = os.path.dirname(path)
     if not os.path.exists(os.path.join(path, "meta.json")):
         os.makedirs(root, exist_ok=True)
-        staging = tempfile.mkdtemp(prefix=f".{digest}-", dir=root)
+        staging = tempfile.mkdtemp(
+            prefix=f".{os.path.basename(path)}-", dir=root
+        )
         try:
             build(table(spark, sf_dir, "embeddings"), staging)
             os.rename(staging, path)  # atomic publish

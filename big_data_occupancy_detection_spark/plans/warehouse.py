@@ -2191,14 +2191,15 @@ def priority_theilsen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spread the PROBE side before the broadcast self-join: daily is a
     # coalesced ~12k-row agg (1 post-AQE partition), so without this one
     # task would generate all ~14.5M pair rows; with it the fan-out runs
-    # on every core and the division is computed inline in parallel
-    from ..operators.partitioning import repartition_for_compute
-
-    a = repartition_for_compute(
-        daily.select(
-            "priority", F.col("day").alias("da"), F.col("cents").alias("ca")
-        )
-    )
+    # on every core and the division is computed inline in parallel.
+    # UNCONDITIONAL repartition (round-11): daily is day-grain-bounded
+    # (~12k rows at ANY scale factor) and always lands in one post-AQE
+    # partition, so repartition_for_compute's df.rdd partition probe —
+    # an extra AQE-finalizing action per run — can never decide
+    # anything but "spread it"; skip the probe and just spread.
+    a = daily.select(
+        "priority", F.col("day").alias("da"), F.col("cents").alias("ca")
+    ).repartition(spark.sparkContext.defaultParallelism)
     b = daily.select(
         "priority", F.col("day").alias("db"), F.col("cents").alias("cb")
     )
@@ -2219,11 +2220,35 @@ def priority_theilsen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sorts only the middle bucket of each group instead
     from ..operators.relational import grouped_exact_median
 
+    # Routing-bounds proxy (round-11): sketching bounds over the full
+    # fan-out re-executes the whole 14.5M-pair join just to hash-sample
+    # 1/16 of it. Sampling DAYS on both sides first (deterministic
+    # xxhash64 — never rand(), SPARK-38388) keeps ~1/16 of the pairs
+    # but makes the bounds join itself ~16x smaller. Bounds affect
+    # ROUTING only (grouped_exact_median's selection is exact against
+    # real ranks), so a day-subsampled slope distribution is a valid
+    # proxy; a priority losing every sampled pair would route whole
+    # into one bucket — still exact.
+    day_keep = lambda c: F.pmod(F.xxhash64(F.col(c)), F.lit(4)) == 0
+    slope_proxy = (
+        a.filter(day_keep("da"))
+        .join(F.broadcast(b.filter(day_keep("db"))), "priority")
+        .filter(F.col("db") > F.col("da"))
+        .select(
+            "priority",
+            (
+                (F.col("cb") - F.col("ca")).cast("double")
+                / F.datediff("db", "da").cast("double")
+            ).alias("slope"),
+        )
+    )
     # spread=False: `a` above is already repartitioned to full
     # parallelism, so every pass over the fan-out runs wide; skipping
     # the median's own partition probe avoids an extra AQE
     # stage-materialization action (round-10 job trace)
-    med = grouped_exact_median(slopes, "priority", "slope", spread=False)
+    med = grouped_exact_median(
+        slopes, "priority", "slope", spread=False, bounds_src=slope_proxy
+    )
     return med.select(
         "priority",
         F.col("n").alias("n_pairs"),

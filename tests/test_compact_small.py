@@ -118,10 +118,18 @@ def test_merged_footer_range_is_union_of_adjacent_inputs(spark, fragmented):
                 hi = st.max if hi is None else max(hi, st.max)
         return lo, hi
 
-    want = rng(smalls)
+    per_file = {f: rng([f]) for f in smalls}
     compact_small_files(spark, out, target_file_bytes=sizes[big] * 2)
     merged = glob.glob(f"{out}/compact-*.parquet")
     assert merged
+    # only runs of >=2 ADJACENT smalls merge, and adjacency is name order
+    # over random part-file UUIDs — the big file's name can isolate one
+    # small into a 1-file run that (correctly) stays unmerged. The
+    # contract is therefore: merged footers span exactly the smalls that
+    # were consumed (gone from disk), ranges of survivors excluded.
+    consumed = [per_file[f] for f in smalls if not os.path.exists(f)]
+    assert consumed
+    want = (min(lo for lo, _ in consumed), max(hi for _, hi in consumed))
     assert rng(merged) == want
 
 

@@ -1,9 +1,10 @@
-"""Dump .explain("formatted") for registry queries into plans/r10/.
+"""Dump .explain("formatted") for registry queries into plans/<round>/
+(round from $SPARK_GRAFT_PLANS_ROUND, default r11).
 
 Usage:
     python tools/dump_plans.py <suffix> [name1,name2,...]
 
-Writes plans/r10/<name>_<suffix>.txt for each query (default: the bench
+Writes plans/<round>/<name>_<suffix>.txt for each query (default: the bench
 HEADLINE set). Uses the same session defaults as the engine so the plans
 match what bench.py executes. SPARK_GRAFT_PLAN_AUDIT=1 keeps
 checkpoint_for_reuse lazy so the FULL lineage is shown, like the pin
@@ -23,7 +24,9 @@ from big_data_occupancy_detection_spark.plans import REGISTRY
 from big_data_occupancy_detection_spark.session import get_session
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-OUT = os.path.join(REPO, "plans", "r10")
+OUT = os.path.join(
+    REPO, "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r11")
+)
 
 
 def headline_names() -> list[str]:
