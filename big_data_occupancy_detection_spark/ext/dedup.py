@@ -804,6 +804,17 @@ def fuzzy_pairs_edit1(
     variant key, dropDuplicates on the pair, exact verification. Variant
     count scales with string LENGTH, not corpus size — for keys/names
     (tens of chars) the index is ~20× the input rows.
+
+    Contract: ``id_col`` must be a UNIQUE key of ``df`` (round-10
+    advice): the pair dedup below widens (a_id, b_id) with the name
+    columns, which is only equivalent to an id-pair dedup when names
+    are functionally dependent on ids. A caller passing a non-key id
+    with differing names would get duplicate (a_id, b_id) output rows.
+    (A round-11 name-grain rework — block + verify over DISTINCT names,
+    expand to id pairs by joining back — was measured 4× SLOWER at both
+    sf0.1 and the 10× evidence scale: the two expansion joins cost more
+    than the single variant hash-join + distinct they replaced. Kept
+    row-grain deliberately.)
     """
     s = F.col("__name")
     variants = F.array_distinct(

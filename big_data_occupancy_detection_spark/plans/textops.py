@@ -898,8 +898,11 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     reps = rep_rows.select(
         F.col("doc").alias("doc_id"), F.col("__text").alias("text")
     )
+    # prefix-filtered form (round-11): output-identical (shared oracle,
+    # exact full-array verify) with a ~3× cheaper candidate join at the
+    # 10× evidence scale — see doc_pagerank's note.
     near_dup = (
-        D.ngram_jaccard_pairs(reps, threshold=_JACCARD_T)
+        D.ngram_jaccard_pairs_prefix(reps, threshold=_JACCARD_T)
         .select(F.col("d2").alias("doc_id"))
         .distinct()
     )
